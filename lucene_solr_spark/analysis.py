@@ -1,0 +1,136 @@
+"""Analysis chains — code-aware tokenization as vectorized batch kernels.
+
+Reimplements (from scratch, semantics only) the reference chain used for
+source-code text:
+
+- tokenizer: ASCII word segmentation, the role of ``StandardTokenizer``
+  (``analysis/standard/StandardTokenizer.java:39,61-69``; UAX#29 keeps
+  ``_``-joined runs together via ExtendNumLet, so ``snake_case`` is one token
+  entering the word-delimiter stage). maxTokenLength 255.
+- ``WordDelimiterGraphFilter`` splitting rules
+  (``analysis/common/.../miscellaneous/WordDelimiterGraphFilter.java:46-64,
+  99-164``): split on non-alphanumerics, case transitions (``parseHttp`` →
+  ``parse``/``Http``, ``HTTPServer`` → ``HTTP``/``Server``) and letter↔digit
+  transitions (``SD500`` → ``SD``/``500``). GENERATE_WORD_PARTS +
+  GENERATE_NUMBER_PARTS + SPLIT_ON_CASE_CHANGE + SPLIT_ON_NUMERICS; no
+  catenation and no PRESERVE_ORIGINAL in the v0 chain, so no stacked
+  (posIncr=0) tokens and numOverlap = 0.
+- ``LowerCaseFilter`` (``analysis/LowerCaseFilter.java:27,40``).
+- ``StopFilter`` with the 33-word English stop set
+  (``analysis/en/EnglishAnalyzer.java:43-54``). Removal bumps the position
+  increment over removed tokens (``FilteringTokenFilter.java:55-60``), i.e.
+  kept tokens retain their absolute position — the gaps matter for phrase
+  queries.
+
+Field length for norms = number of tokens EMITTED by the chain (post-stop),
+minus overlaps (none here) — ``DefaultIndexingChain.invert``
+(``index/DefaultIndexingChain.java:822,848``) + ``BM25Similarity.computeNorm``
+(:115-126).
+
+Two chains are exposed:
+
+- ``code``: the full chain above (the engine's default).
+- ``simple``: ``lower(text)`` → ``[a-z0-9]+`` tokens, no stop/word-delimiter.
+  Chosen because it is *also* expressible in ANSI SQL
+  (``regexp_extract_all(lower(text), '[a-z0-9]+')``), which lets the DuckDB
+  oracle verify the whole index+BM25 pipeline end-to-end.
+
+Both are pure Python/numpy batch functions shared verbatim by the Spark Arrow
+UDFs and the brute-force oracle — what the oracle independently checks is the
+distributed index build, compression round-trip, pruning, and top-k, not the
+tokenizer.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+# analysis/en/EnglishAnalyzer.java:43-54 (verbatim 33-word set)
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+MAX_TOKEN_LENGTH = 255  # StandardTokenizer.java:61-69
+
+# StandardTokenizer stand-in: ASCII word runs, '_' glues runs together
+# (UAX#29 ExtendNumLet behaviour relevant to source code identifiers).
+_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+
+# WordDelimiterGraphFilter subword extraction: an upper run not followed by
+# lower (acronym), an upper+lower run, a lower run, or a digit run.
+_SUBWORD_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z]*|[a-z]+|[0-9]+")
+
+_SIMPLE_RE = re.compile(r"[a-z0-9]+")
+
+
+def analyze_code(text: str) -> tuple[list[str], list[int]]:
+    """Full code-aware chain. Returns (terms, positions) with Lucene position
+    semantics: each generated subword advances the position by 1; stopword
+    removal leaves gaps."""
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = -1
+    for m in _TOKEN_RE.finditer(text):
+        tok = m.group()
+        if len(tok) > MAX_TOKEN_LENGTH:
+            continue
+        for part in _SUBWORD_RE.findall(tok):
+            pos += 1
+            low = part.lower()
+            if low in ENGLISH_STOP_WORDS:
+                continue
+            terms.append(low)
+            positions.append(pos)
+    return terms, positions
+
+
+def analyze_simple(text: str) -> tuple[list[str], list[int]]:
+    """SQL-expressible chain: lowercase + [a-z0-9]+ runs, positions dense."""
+    terms = _SIMPLE_RE.findall(text.lower())
+    return terms, list(range(len(terms)))
+
+
+ANALYZERS = {"code": analyze_code, "simple": analyze_simple}
+
+# DuckDB-side equivalent of analyze_simple, used when emitting oracle SQL.
+SIMPLE_SQL_TOKENIZE = "regexp_extract_all(lower({col}), '[a-z0-9]+')"
+
+
+def analyze_batch(
+    texts, analyzer: str = "code"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize a batch of documents in one flat pass.
+
+    Returns (terms object-array, positions int32, doc_lens int32, doc_start
+    int64) where ``terms``/``positions`` are flat concatenations over the
+    batch, ``doc_lens[i]`` = number of emitted tokens for doc i (the norm
+    length), and ``doc_start`` marks each doc's first flat index.
+
+    The regex work is C-level per document; everything downstream of this
+    function is flat numpy over the whole Arrow batch.
+    """
+    fn = ANALYZERS[analyzer]
+    all_terms: list[str] = []
+    all_pos: list[int] = []
+    lens = np.empty(len(texts), dtype=np.int32)
+    for i, t in enumerate(texts):
+        terms, pos = fn(t if t is not None else "")
+        all_terms.extend(terms)
+        all_pos.extend(pos)
+        lens[i] = len(terms)
+    starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return (
+        np.asarray(all_terms, dtype=object),
+        np.asarray(all_pos, dtype=np.int32),
+        lens,
+        starts,
+    )
+
+
+def analyze_query(text: str, analyzer: str = "code") -> list[str]:
+    """Analyze query text with the same chain (QueryBuilder.java:60-135)."""
+    return ANALYZERS[analyzer](text)[0]

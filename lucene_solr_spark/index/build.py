@@ -1,0 +1,371 @@
+"""Distributed segment build — the Spark analogue of Lucene's indexing chain.
+
+Reference lifecycle (SURVEY §3.1): ``IndexWriter.addDocument`` →
+thread-private ``DocumentsWriterPerThread`` buffers an in-RAM inverted index →
+flush writes an immutable segment (``index/DefaultIndexingChain.java:386-848``,
+``index/DocumentsWriterPerThread.java:49,427``,
+``codecs/lucene50/Lucene50PostingsWriter.java:223-399``).
+
+Spark shape: one **segment = one shuffle group**. Documents get a
+deterministic ``segment_id`` (content-addressed hash of the doc key, so the
+assignment is identical at any parallelism level / cluster size), are shuffled
+once by segment, and each group is built into a complete immutable segment by
+one vectorized ``applyInPandas`` kernel — the DWPT equivalent, embarrassingly
+parallel, no driver involvement. DocIDs are dense ints in arrival (key-sorted)
+order within the segment, mirroring segment-local docIDs
+(``index/IndexWriter.java:222``, ``LeafReaderContext.docBase``).
+
+Index layout under ``index_dir`` (all parquet):
+
+- ``index/kind=0`` postings: one row per (segment, term) with VByte/blocked
+  blobs for docID-deltas, freqs, position-deltas, and per-128-block impact
+  metadata (last_doc, max_freq, min_norm) — the skip/impact data of
+  ``Lucene50SkipWriter.java:52,153-205``.
+- ``index/kind=1`` norms: one row per segment, blob of SmallFloat norm bytes
+  (one byte per doc — ``codecs/lucene80/Lucene80NormsFormat.java:78``).
+- ``index/kind=2`` per-segment stats (the manifest source): max_doc,
+  doc_count, sum_len, n_terms, n_postings.
+- ``term_stats``: global (term, df, ttf), term-sorted for parquet min/max
+  pushdown — the role of the FST term index (``BlockTreeTermsWriter``).
+- ``docs``: the stored-fields table (segment_id, doc_id, <original columns>,
+  content_sha256) — ``Lucene50StoredFieldsFormat`` analogue.
+- ``manifest``: one row per segment with lineage + metrics; used for
+  checkpoint/resume (a re-run skips segments already present) and as the
+  merge planner's input.
+
+Per-partition checkpointing (north_rule): the build is keyed by segment_id;
+``resume=True`` reads the manifest and only (re)builds missing segments.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..analysis import analyze_batch
+from ..codec import (
+    BLOCK_SIZE,
+    block_starts_for_lists,
+    delta_encode_lists,
+    vbyte_encode,
+)
+from ..smallfloat import int_to_byte4
+
+UNIFIED_SCHEMA = (
+    "segment_id int, kind int, term string, df bigint, ttf bigint, "
+    "doc_blob binary, freq_blob binary, pos_blob binary, "
+    "blk_last binary, blk_maxf binary, blk_minn binary, "
+    "max_doc bigint, doc_count bigint, sum_len bigint"
+)
+
+KIND_POSTING, KIND_NORMS, KIND_STATS = 0, 1, 2
+
+DEFAULT_KEY = ("repo", "path", "commit")
+
+
+def segment_of(key: str, num_segments: int) -> int:
+    """Deterministic segment assignment — pure function of the doc key.
+
+    Same function on the Spark side (sha2) and in the pure-Python oracle, so
+    (segment_id, doc_id) coordinates agree everywhere.
+    """
+    h = hashlib.sha256(key.encode("utf-8")).hexdigest()
+    return int(h[:15], 16) % num_segments
+
+
+def with_segment_id(df: DataFrame, num_segments: int, key_cols=DEFAULT_KEY) -> DataFrame:
+    """Spark-side equivalent of :func:`segment_of` (sha2-based, no UDF)."""
+    key = F.concat_ws("\x00", *[F.col(c) for c in key_cols])
+    seg = F.pmod(
+        F.conv(F.substring(F.sha2(key, 256), 1, 15), 16, 10).cast("long"),
+        F.lit(num_segments),
+    ).cast("int")
+    return df.withColumn("segment_id", seg)
+
+
+def _slice_blob(buf: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    """Slice a flat byte buffer into per-term bytes by offsets (len = n+1)."""
+    raw = buf.tobytes()
+    return [raw[offsets[i] : offsets[i + 1]] for i in range(len(offsets) - 1)]
+
+
+def build_segment_frame(
+    content, doc_ids: np.ndarray, segment_id: int, analyzer: str
+) -> pd.DataFrame:
+    """Build one complete segment from documents — all flat numpy.
+
+    This is the vectorized equivalent of DefaultIndexingChain.processDocument
+    + FreqProxTermsWriter.flush + Lucene50PostingsWriter: tokenize the batch,
+    sort occurrences by (term, doc, pos), derive postings runs, delta+VByte
+    encode every term's lists in ONE flat pass, then slice per-term blobs.
+    """
+    terms_flat, pos_flat, doc_lens, _doc_starts = analyze_batch(content, analyzer)
+    max_doc = len(content)
+    norm_bytes = int_to_byte4(doc_lens.astype(np.int64))  # 0 for empty docs
+    doc_count = int((doc_lens > 0).sum())
+    sum_len = int(doc_lens.astype(np.int64).sum())
+
+    rows: dict = {}
+    if len(terms_flat) > 0:
+        # ---- occurrence table sorted by (term, doc, pos) ----
+        # factorize(sort=True): codes ordered by term byte order — this IS the
+        # sorted term dictionary (FreqProxTermsWriter.sortPostings analogue).
+        codes, uniq_terms = pd.factorize(pd.array(terms_flat), sort=True)
+        doc_of_occ = np.repeat(doc_ids.astype(np.int64), doc_lens)
+        order = np.lexsort((pos_flat, doc_of_occ, codes))
+        tc = codes[order].astype(np.int64)
+        dc = doc_of_occ[order]
+        pc = pos_flat[order].astype(np.int64)
+
+        # ---- postings runs: one per (term, doc) ----
+        occ_break = np.empty(len(tc), dtype=bool)
+        occ_break[0] = True
+        occ_break[1:] = (tc[1:] != tc[:-1]) | (dc[1:] != dc[:-1])
+        occ_start = np.flatnonzero(occ_break)
+        freqs = np.diff(np.append(occ_start, len(tc))).astype(np.int64)
+        post_term = tc[occ_start]
+        post_doc = dc[occ_start]
+        n_post = len(post_doc)
+
+        # ---- per-term posting list boundaries ----
+        term_break = np.empty(n_post, dtype=bool)
+        term_break[0] = True
+        term_break[1:] = post_term[1:] != post_term[:-1]
+        term_start = np.flatnonzero(term_break)
+        df_per_term = np.diff(np.append(term_start, n_post)).astype(np.int64)
+        ttf_per_term = np.add.reduceat(freqs, term_start)
+
+        # ---- encode docID deltas + freqs (flat VByte over all terms) ----
+        doc_deltas = delta_encode_lists(post_doc, term_start)
+        doc_buf, doc_nb = vbyte_encode(doc_deltas.astype(np.uint64))
+        freq_buf, freq_nb = vbyte_encode(freqs.astype(np.uint64))
+        doc_off = np.zeros(len(term_start) + 1, dtype=np.int64)
+        freq_off = np.zeros(len(term_start) + 1, dtype=np.int64)
+        byte_cum_d = np.concatenate(([0], np.cumsum(doc_nb)))
+        byte_cum_f = np.concatenate(([0], np.cumsum(freq_nb)))
+        ends = np.append(term_start[1:], n_post)
+        doc_off[1:] = byte_cum_d[ends]
+        freq_off[1:] = byte_cum_f[ends]
+
+        # ---- positions: delta per occurrence within (term, doc) ----
+        pos_deltas = delta_encode_lists(pc, occ_start)
+        pos_buf, pos_nb = vbyte_encode(pos_deltas.astype(np.uint64))
+        byte_cum_p = np.concatenate(([0], np.cumsum(pos_nb)))
+        # per-term occurrence boundaries: occurrences of term t span
+        # occ indices [occ_start_of_first_posting .. ) — use flat token index
+        tok_ends = np.append(occ_start[term_start[1:]], len(tc)) if len(term_start) > 1 else np.array([len(tc)])
+        tok_starts = occ_start[term_start]
+        pos_off = np.zeros(len(term_start) + 1, dtype=np.int64)
+        pos_off[0] = byte_cum_p[tok_starts[0]]
+        pos_off[1:] = byte_cum_p[tok_ends]
+
+        # ---- per-128-posting block impact metadata ----
+        blk_flat, blk_list = block_starts_for_lists(term_start, n_post)
+        blk_last = np.empty(len(blk_flat), dtype=np.int32)
+        blk_ends = np.append(blk_flat[1:], n_post)
+        # a block's end is min(next block start, its own list end)
+        list_end = ends[blk_list]
+        blk_end = np.minimum(blk_ends, list_end)
+        blk_last[:] = post_doc[blk_end - 1]
+        blk_maxf = np.maximum.reduceat(freqs, blk_flat).astype(np.int32)
+        norm_of_post = norm_bytes[np.searchsorted(doc_ids, post_doc)]
+        blk_minn = np.minimum.reduceat(norm_of_post, blk_flat).astype(np.uint8)
+        # per-term block count for slicing
+        nblk_per_term = np.bincount(blk_list, minlength=len(term_start))
+        blk_off = np.concatenate(([0], np.cumsum(nblk_per_term)))
+
+        n_terms = len(term_start)
+        rows = {
+            "segment_id": np.full(n_terms, segment_id, dtype=np.int32),
+            "kind": np.full(n_terms, KIND_POSTING, dtype=np.int32),
+            "term": uniq_terms[post_term[term_start]].astype(object),
+            "df": df_per_term,
+            "ttf": ttf_per_term,
+            "doc_blob": _slice_blob(doc_buf, doc_off),
+            "freq_blob": _slice_blob(freq_buf, freq_off),
+            "pos_blob": _slice_blob(pos_buf, pos_off),
+            "blk_last": _slice_blob(blk_last.view(np.uint8), blk_off * 4),
+            "blk_maxf": _slice_blob(blk_maxf.view(np.uint8), blk_off * 4),
+            "blk_minn": _slice_blob(blk_minn, blk_off),
+            "max_doc": np.full(n_terms, -1, dtype=np.int64),
+            "doc_count": np.full(n_terms, -1, dtype=np.int64),
+            "sum_len": np.full(n_terms, -1, dtype=np.int64),
+        }
+        out = pd.DataFrame(rows)
+        n_postings_total = n_post
+        n_terms_total = n_terms
+    else:
+        out = pd.DataFrame(
+            {k: pd.Series([], dtype=d) for k, d in _EMPTY_DTYPES.items()}
+        )
+        n_postings_total = 0
+        n_terms_total = 0
+
+    extra = pd.DataFrame(
+        {
+            "segment_id": np.array([segment_id, segment_id], dtype=np.int32),
+            "kind": np.array([KIND_NORMS, KIND_STATS], dtype=np.int32),
+            "term": [None, None],
+            "df": np.array([max_doc, n_terms_total], dtype=np.int64),
+            "ttf": np.array([0, n_postings_total], dtype=np.int64),
+            "doc_blob": [norm_bytes.tobytes(), b""],
+            "freq_blob": [b"", b""],
+            "pos_blob": [b"", b""],
+            "blk_last": [b"", b""],
+            "blk_maxf": [b"", b""],
+            "blk_minn": [b"", b""],
+            "max_doc": np.array([max_doc, max_doc], dtype=np.int64),
+            "doc_count": np.array([doc_count, doc_count], dtype=np.int64),
+            "sum_len": np.array([sum_len, sum_len], dtype=np.int64),
+        }
+    )
+    return pd.concat([out, extra], ignore_index=True)
+
+
+_EMPTY_DTYPES = {
+    "segment_id": "int32",
+    "kind": "int32",
+    "term": "object",
+    "df": "int64",
+    "ttf": "int64",
+    "doc_blob": "object",
+    "freq_blob": "object",
+    "pos_blob": "object",
+    "blk_last": "object",
+    "blk_maxf": "object",
+    "blk_minn": "object",
+    "max_doc": "int64",
+    "doc_count": "int64",
+    "sum_len": "int64",
+}
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    num_segments: int = 32,
+    analyzer: str = "code",
+    key_cols=DEFAULT_KEY,
+    content_col: str = "content",
+    resume: bool = True,
+    stored_cols: tuple = (),
+) -> dict:
+    """Build (or resume) the full index. Returns build metrics.
+
+    Scale notes: one shuffle (by segment_id) for the build; term_stats is a
+    map-side-combinable groupBy over (term, df, ttf) only — blobs are never
+    shuffled (column pruning). Segment size is governed by num_segments
+    (the FlushByRamOrCountsPolicy analogue: pick num_segments so a segment's
+    docs fit an executor ~ Lucene's 16MB RAM budget scaled up).
+    """
+    t0 = time.time()
+    key_cols = list(key_cols)
+    done: set[int] = set()
+    manifest_path = os.path.join(index_dir, "manifest")
+    if resume and _exists(manifest_path):
+        done = {
+            r.segment_id for r in spark.read.parquet(manifest_path).select("segment_id").collect()
+        }
+
+    tagged = with_segment_id(docs, num_segments, key_cols)
+    if done:
+        tagged = tagged.filter(~F.col("segment_id").isin(*[int(s) for s in done]))
+
+    sort_cols = key_cols
+
+    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
+        seg = int(pdf["segment_id"].iloc[0])
+        doc_ids = np.arange(len(pdf), dtype=np.int64)
+        return build_segment_frame(pdf[content_col].tolist(), doc_ids, seg, analyzer)
+
+    unified = tagged.groupBy("segment_id").applyInPandas(build_group, UNIFIED_SCHEMA)
+    (
+        unified.write.mode("append")
+        .partitionBy("kind")
+        .parquet(os.path.join(index_dir, "index"))
+    )
+
+    # ---- stored-fields table (docs) with deterministic (segment, doc) ids --
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("segment_id").orderBy(*sort_cols)
+    docs_out = (
+        tagged.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
+        .withColumn("content_sha256", F.sha2(F.col(content_col), 256))
+    )
+    keep = ["segment_id", "doc_id", *key_cols, *stored_cols, content_col, "content_sha256"]
+    seen = set()
+    keep = [c for c in keep if not (c in seen or seen.add(c))]
+    docs_out.select(*keep).write.mode("append").parquet(os.path.join(index_dir, "docs"))
+
+    # ---- manifest (lineage + metrics per segment; drives resume + merge) ---
+    stats = (
+        spark.read.parquet(os.path.join(index_dir, "index"))
+        .filter(F.col("kind") == KIND_STATS)
+        .select(
+            "segment_id",
+            F.col("df").alias("n_terms"),
+            F.col("ttf").alias("n_postings"),
+            "max_doc",
+            "doc_count",
+            "sum_len",
+        )
+    )
+    if done:
+        stats = stats.filter(~F.col("segment_id").isin(*[int(s) for s in done]))
+    lineage = json.dumps(
+        {"analyzer": analyzer, "key": key_cols, "num_segments": num_segments, "built_at": t0}
+    )
+    stats.withColumn("generation", F.lit(0)).withColumn("lineage", F.lit(lineage)).write.mode(
+        "append"
+    ).parquet(manifest_path)
+
+    # ---- global term stats, term-sorted for pushdown -----------------------
+    post = (
+        spark.read.parquet(os.path.join(index_dir, "index"))
+        .filter(F.col("kind") == KIND_POSTING)
+        .select("term", "df", "ttf")
+    )
+    nparts = max(1, num_segments // 8)
+    (
+        post.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+        .repartitionByRange(nparts, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "term_stats"))
+    )
+
+    man = spark.read.parquet(manifest_path)
+    agg = man.agg(
+        F.count("*").alias("segments"),
+        F.sum("max_doc").alias("max_doc"),
+        F.sum("doc_count").alias("doc_count"),
+        F.sum("sum_len").alias("sum_len"),
+        F.sum("n_terms").alias("n_terms"),
+        F.sum("n_postings").alias("n_postings"),
+    ).collect()[0]
+    return {
+        "seconds": time.time() - t0,
+        "segments": agg.segments,
+        "max_doc": agg.max_doc,
+        "doc_count": agg.doc_count,
+        "sum_len": agg.sum_len,
+        "n_terms": agg.n_terms,
+        "n_postings": agg.n_postings,
+        "skipped_segments": len(done),
+    }
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS")) or (
+        os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path))
+    )

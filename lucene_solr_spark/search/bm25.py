@@ -1,0 +1,88 @@
+"""BM25 scoring — float32-parity reimplementation of the reference.
+
+Semantics from ``lucene/core/src/java/org/apache/lucene/search/similarities/
+BM25Similarity.java``:
+
+- ``idf = (float) log(1 + (docCount - df + 0.5) / (df + 0.5))``  (:70-72)
+  using the **field's docCount**, not maxDoc (:150-157).
+- ``avgdl = (float) (sumTotalTermFreq / (double) docCount)``  (:79-82)
+- per-norm-byte cache ``cache[i] = k1 * ((1-b) + b * LENGTH_TABLE[i]/avgdl)``
+  computed in float32 (:188-191)
+- ``score = weight * (float)(freq / (freq + (double) cache[normByte]))`` where
+  ``weight = boost * idf`` in float32 (:222-226). Note Lucene 9 dropped the
+  classical ``(k1+1)`` numerator factor — rank-neutral, value-visible.
+- phrase idf = sum of per-term float32 idfs accumulated in double, cast to
+  float32 (:172-181); phrase freq = number of exact phrase occurrences.
+
+All kernels are numpy-vectorized and replicate Java's float arithmetic order
+so scores match the reference bit-for-bit (or to within 1 ulp).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..smallfloat import LENGTH_TABLE
+
+K1 = np.float32(1.2)
+B = np.float32(0.75)
+
+
+def idf(df: np.ndarray, doc_count: int) -> np.ndarray:
+    """float32 idf per term. Reference BM25Similarity.java:70-72."""
+    df = np.asarray(df, dtype=np.float64)
+    return np.log1p((doc_count - df + 0.5) / (df + 0.5)).astype(np.float32)
+
+
+def avgdl(sum_total_term_freq: int, doc_count: int) -> np.float32:
+    """Reference BM25Similarity.java:79-82."""
+    return np.float32(sum_total_term_freq / float(doc_count))
+
+
+def norm_cache(avg_dl: np.float32, k1: np.float32 = K1, b: np.float32 = B) -> np.ndarray:
+    """256-entry float32 cache, reference BM25Similarity.java:188-191.
+
+    cache[i] = k1 * ((1 - b) + b * LENGTH_TABLE[i] / avgdl), float32 math.
+    """
+    one = np.float32(1.0)
+    return (k1 * ((one - b) + b * LENGTH_TABLE / np.float32(avg_dl))).astype(np.float32)
+
+
+def score(
+    freq: np.ndarray, norm_bytes: np.ndarray, weight: np.float32, cache: np.ndarray
+) -> np.ndarray:
+    """Vectorized ``BM25Scorer.score`` (reference BM25Similarity.java:222-226).
+
+    freq: float32 array; norm_bytes: uint8 array; weight = boost*idf float32.
+    Java computes ``freq / (freq + (double) cache[norm])`` in double, casts the
+    quotient to float, then multiplies by the float weight.
+    """
+    f64 = np.asarray(freq, dtype=np.float64)
+    norm = cache[np.asarray(norm_bytes, dtype=np.uint8)].astype(np.float64)
+    tf = (f64 / (f64 + norm)).astype(np.float32)
+    return (np.float32(weight) * tf).astype(np.float32)
+
+
+def term_weight(term_idf: np.float32, boost: float = 1.0) -> np.float32:
+    """weight = boost * idf, float32 (reference BM25Similarity.java:218)."""
+    return np.float32(np.float32(boost) * np.float32(term_idf))
+
+
+def phrase_idf(term_idfs: np.ndarray) -> np.float32:
+    """Sum float32 idfs in double, cast to float32 (BM25Similarity.java:172-181)."""
+    return np.float32(np.asarray(term_idfs, dtype=np.float64).sum())
+
+
+def max_block_score(
+    max_freq: np.ndarray, min_norm_byte: np.ndarray, weight: np.float32, cache: np.ndarray
+) -> np.ndarray:
+    """Admissible per-block upper bound for block-max pruning.
+
+    BM25 is monotone increasing in freq and decreasing in encoded length, and
+    SmallFloat encoding is order-preserving, so score(max_freq, min_norm_byte)
+    >= the true max in the block. This is the role of the competitive impacts
+    of the reference (CompetitiveImpactAccumulator.java:31,66-121;
+    MaxScoreCache.java:61-96), slightly looser than the full pareto set but
+    safe for pruning.
+    """
+    return score(np.asarray(max_freq, np.float64), min_norm_byte, weight, cache)

@@ -1,0 +1,172 @@
+"""Query model, parser and logical rewrites.
+
+Mirrors the reference query algebra (SURVEY §2.5):
+
+- ``TermQuery`` (``search/TermQuery.java:38``)
+- ``BooleanQuery`` with MUST / SHOULD / FILTER / MUST_NOT clauses and
+  ``minimumNumberShouldMatch`` (``search/BooleanQuery.java:42``)
+- exact ``PhraseQuery`` with relative positions — stopword gaps included
+  (``search/PhraseQuery.java:70``; ``util/QueryBuilder.createPhraseQuery:109``)
+- ``MatchAllDocsQuery`` / ``MatchNoDocsQuery``
+
+``rewrite`` replicates the semantics-relevant subset of the reference's
+fixed-point rewrite (``search/IndexSearcher.java:740-748``,
+``BooleanQuery.rewrite:235-420``): single-clause flattening, empty → MatchNone,
+duplicate FILTER/MUST_NOT dedup, ``MUST ∧ MUST_NOT(same) → MatchNone``,
+``MUST_NOT(MatchAll) → MatchNone``, SHOULD∩FILTER → MUST.
+
+The parser covers the reference benchmark query surface
+(``lucene/benchmark/conf/query-terms.txt`` / ``query-phrases.txt``): bare
+terms, ``AND`` / ``OR`` conjunctions/disjunctions, ``+term`` / ``-term``
+(MUST / MUST_NOT), and quoted phrases. Query text is run through the same
+analysis chain as documents (``util/QueryBuilder.java:60-135``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..analysis import ANALYZERS
+
+
+class Query:
+    def terms(self) -> set[str]:
+        return set()
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+    boost: float = 1.0
+
+    def terms(self):
+        return {self.term}
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    phrase_terms: tuple[str, ...]
+    positions: tuple[int, ...]  # relative positions incl. stopword gaps
+    boost: float = 1.0
+
+    def terms(self):
+        return set(self.phrase_terms)
+
+
+@dataclass(frozen=True)
+class MatchAllQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class MatchNoneQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    must: tuple[Query, ...] = ()
+    should: tuple[Query, ...] = ()
+    must_not: tuple[Query, ...] = ()
+    filter: tuple[Query, ...] = ()
+    min_should_match: int = 0
+
+    def terms(self):
+        out: set[str] = set()
+        for c in (*self.must, *self.should, *self.must_not, *self.filter):
+            out |= c.terms()
+        return out
+
+
+def rewrite(q: Query) -> Query:
+    """Fixed-point logical rewrite (reference BooleanQuery.rewrite:235-420)."""
+    prev = None
+    while prev != q:
+        prev = q
+        q = _rewrite_once(q)
+    return q
+
+
+def _rewrite_once(q: Query) -> Query:
+    if not isinstance(q, BooleanQuery):
+        return q
+    must = tuple(rewrite(c) for c in q.must)
+    should = tuple(rewrite(c) for c in q.should)
+    must_not = tuple(dict.fromkeys(rewrite(c) for c in q.must_not))  # dedup :287-305
+    filt = tuple(dict.fromkeys(rewrite(c) for c in q.filter))
+
+    # MUST_NOT MatchAll -> MatchNone; MatchNone in MUST -> MatchNone (:307-316)
+    if any(isinstance(c, MatchAllQuery) for c in must_not):
+        return MatchNoneQuery()
+    if any(isinstance(c, MatchNoneQuery) for c in must + filt):
+        return MatchNoneQuery()
+    # MUST ∧ MUST_NOT same clause -> MatchNone (:307-316)
+    if set(must) & set(must_not) or set(filt) & set(must_not):
+        return MatchNoneQuery()
+    # drop FILTER clause already in MUST (:320-337)
+    filt = tuple(c for c in filt if c not in set(must))
+    # SHOULD ∩ FILTER -> MUST (scoring dedup, :340-365)
+    promote = [c for c in should if c in set(filt)]
+    if promote and q.min_should_match == 0:
+        must = must + tuple(promote)
+        should = tuple(c for c in should if c not in set(promote))
+        filt = tuple(c for c in filt if c not in set(promote))
+    # drop MatchNone SHOULD clauses
+    should = tuple(c for c in should if not isinstance(c, MatchNoneQuery))
+    # empty boolean -> MatchNone (:235-262)
+    if not must and not should and not filt:
+        return MatchNoneQuery()
+    # pure SHOULD with minShouldMatch > len -> MatchNone
+    if q.min_should_match > len(should) and not (must or filt):
+        return MatchNoneQuery()
+    # single-clause flattening (:235-262): 1 MUST, nothing else
+    if len(must) == 1 and not should and not must_not and not filt:
+        return must[0]
+    if len(should) == 1 and not must and not must_not and not filt and q.min_should_match <= 1:
+        return should[0]
+    return BooleanQuery(must, should, must_not, filt, q.min_should_match)
+
+
+def _analyze_to_query(text: str, analyzer: str) -> Query:
+    """One query-text fragment → Term / Phrase-less boolean (QueryBuilder.createBooleanQuery)."""
+    terms = ANALYZERS[analyzer](text)[0]
+    if not terms:
+        return MatchNoneQuery()
+    if len(terms) == 1:
+        return TermQuery(terms[0])
+    # multi-token fragment: conjunction (QueryBuilder operator AND for code ids)
+    return BooleanQuery(must=tuple(TermQuery(t) for t in terms))
+
+
+def parse_query(text: str, analyzer: str = "code") -> Query:
+    """Parse the benchmark-style query syntax into a Query tree."""
+    text = text.strip()
+    if text.startswith('"') and text.endswith('"') and len(text) > 1:
+        terms, pos = ANALYZERS[analyzer](text[1:-1])
+        if not terms:
+            return MatchNoneQuery()
+        if len(terms) == 1:
+            return TermQuery(terms[0])
+        base = pos[0]
+        return PhraseQuery(tuple(terms), tuple(p - base for p in pos))
+    # +/- syntax
+    toks = text.split()
+    if any(t.startswith(("+", "-")) for t in toks):
+        must, must_not, should = [], [], []
+        for t in toks:
+            if t in ("AND", "OR"):
+                continue
+            if t.startswith("+"):
+                must.append(_analyze_to_query(t[1:], analyzer))
+            elif t.startswith("-"):
+                must_not.append(_analyze_to_query(t[1:], analyzer))
+            else:
+                should.append(_analyze_to_query(t, analyzer))
+        return rewrite(BooleanQuery(tuple(must), tuple(should), tuple(must_not)))
+    if " OR " in text:
+        parts = [p.strip() for p in text.split(" OR ")]
+        return rewrite(BooleanQuery(should=tuple(_analyze_to_query(p, analyzer) for p in parts)))
+    if " AND " in text:
+        parts = [p.strip() for p in text.split(" AND ")]
+        return rewrite(BooleanQuery(must=tuple(_analyze_to_query(p, analyzer) for p in parts)))
+    return rewrite(_analyze_to_query(text, analyzer))

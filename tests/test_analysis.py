@@ -1,0 +1,69 @@
+"""Analysis-chain semantics tests (WordDelimiterGraphFilter / StopFilter rules)."""
+
+from lucene_solr_spark.analysis import (
+    ENGLISH_STOP_WORDS,
+    analyze_code,
+    analyze_simple,
+)
+
+
+def test_stop_set_is_the_reference_33():
+    # EnglishAnalyzer.java:43-54 verbatim
+    assert len(ENGLISH_STOP_WORDS) == 33
+    assert {"a", "the", "with", "such", "there"} <= ENGLISH_STOP_WORDS
+    assert "he" not in ENGLISH_STOP_WORDS
+
+
+def test_camel_case_split():
+    terms, pos = analyze_code("parseHttpRequest")
+    assert terms == ["parse", "http", "request"]
+    assert pos == [0, 1, 2]
+
+
+def test_acronym_split():
+    terms, _ = analyze_code("HTTPServer XMLParser")
+    assert terms == ["http", "server", "xml", "parser"]
+
+
+def test_letter_digit_split():
+    terms, _ = analyze_code("SD500 utf8 x9y")
+    assert terms == ["sd", "500", "utf", "8", "x", "9", "y"]
+
+
+def test_snake_case_split():
+    terms, pos = analyze_code("read_file_async")
+    assert terms == ["read", "file", "async"]
+    assert pos == [0, 1, 2]
+
+
+def test_stopword_position_gap():
+    # StopFilter bumps position increments (FilteringTokenFilter.java:55-60):
+    # "read the file" -> read@0, file@2 (gap at 1)
+    terms, pos = analyze_code("read the file")
+    assert terms == ["read", "file"]
+    assert pos == [0, 2]
+
+
+def test_positions_count_subwords():
+    # subword parts advance the position (WordDelimiterGraphFilter parts)
+    terms, pos = analyze_code("a parseHttp buffer")
+    # 'a' is a stopword at position 0, parse@1 http@2 buffer@3
+    assert terms == ["parse", "http", "buffer"]
+    assert pos == [1, 2, 3]
+
+
+def test_norm_length_is_post_stop_token_count():
+    terms, _ = analyze_code("the quick brown fox and the lazy dog")
+    assert len(terms) == 5  # quick brown fox lazy dog
+
+
+def test_simple_chain():
+    terms, pos = analyze_simple("The Quick-Brown FOX_42!")
+    assert terms == ["the", "quick", "brown", "fox", "42"]
+    assert pos == [0, 1, 2, 3, 4]
+
+
+def test_max_token_length():
+    long_tok = "x" * 300
+    terms, _ = analyze_code(f"foo {long_tok} bar")
+    assert terms == ["foo", "bar"]
