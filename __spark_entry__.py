@@ -1,38 +1,63 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: build the inverted index over the sf0.001
+                `documents` table and run a BM25 boolean query end-to-end.
+queries()     — one callable per implemented operator (SURVEY.md §2):
+                fulltext engine ops (ft_*), Solr streaming-expression
+                analogues (relational), and training-data pipeline ops.
+oracle_sql()  — the DuckDB-equivalent ANSI SQL for every entry, including a
+                full BM25 implementation in SQL (tokenize → tf/df →
+                SmallFloat norm quantization → score) for the ft_* entries.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: BM25 top-10 for a boolean
+    query over the documents corpus via the inverted-index engine."""
+    from lucene_solr_spark.textops import _searcher
+    import pyspark.sql.functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    s = _searcher(spark, sf_dir)
+    hits = s.search("table AND hash", k=10)
+    docs = spark.read.parquet(os.path.join(s.index_dir, "docs")).select(
+        "segment_id", "doc_id", "ext_id", "lang", "source"
+    )
+    return (
+        hits.join(docs, ["segment_id", "doc_id"])
+        .select(F.col("ext_id").alias("doc_id"), "lang", "source", "score", "rank")
+        .orderBy("rank")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from lucene_solr_spark.relational import RELATIONAL_OPS
+    from lucene_solr_spark.textops import FT_OPS, TRAINING_OPS
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    for reg in (FT_OPS, RELATIONAL_OPS, TRAINING_OPS):
+        for name, (fn, _sql) in reg.items():
+            out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lucene_solr_spark.relational import RELATIONAL_OPS
+    from lucene_solr_spark.textops import FT_OPS, TRAINING_OPS
+
+    out: dict[str, str] = {}
+    for reg in (FT_OPS, RELATIONAL_OPS, TRAINING_OPS):
+        for name, (_fn, sql) in reg.items():
+            if sql is not None:
+                out[name] = sql
+    return out

@@ -1,0 +1,475 @@
+"""Relational operator surface — Solr streaming-expression analogues.
+
+Each operator from the reference's streaming algebra
+(``solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/``, SURVEY §2.9)
+re-expressed as an idiomatic DataFrame/Catalyst plan, paired with the ANSI-SQL
+oracle the driver runs in DuckDB. Registry: ``RELATIONAL_OPS[name] =
+(fn(spark, sf_dir) -> DataFrame, oracle_sql | None)``.
+
+Scale notes are attached per-op: joins pick broadcast for dimension tables,
+aggregations are partial+final (map-side combine) by construction, and
+nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# RollupStream / HashRollupStream (RollupStream.java:46) — hash aggregation
+# with the metrics of metrics/{Count,Sum,Mean,Min,Max}Metric.java
+def rollup_lineitem(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_rows,
+       count(DISTINCT l_orderkey) AS n_orders,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# FacetStream / FacetField terms buckets (FacetField.java:71): top buckets by
+# count — groupBy + orderBy + limit (deterministic tie-break on the key)
+def facet_field_mktsegment(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("bucket_count"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+        .orderBy(F.col("bucket_count").desc(), F.col("c_mktsegment").asc())
+        .limit(5)
+    )
+
+
+FACET_FIELD_SQL = """
+SELECT c_mktsegment, count(*) AS bucket_count, round(avg(c_acctbal), 4) AS avg_bal
+FROM customer GROUP BY c_mktsegment
+ORDER BY bucket_count DESC, c_mktsegment ASC LIMIT 5
+"""
+
+
+# FacetRange (FacetRange.java:46): numeric range buckets via floor division
+def facet_range_price(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("bucket", F.floor(F.col("o_totalprice") / 50000).cast("long"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+FACET_RANGE_SQL = """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+"""
+
+
+# FacetQuery (facet/FacetQuery.java): one bucket per predicate — conditional agg
+def facet_query_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).alias("n_big"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("n_urgent"),
+    )
+
+
+FACET_QUERY_SQL = """
+SELECT sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+       sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big,
+       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent
+FROM orders
+"""
+
+
+# HavingStream (HavingStream.java:41): predicate over aggregated tuples
+def having_suppliers(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 10000)
+    )
+
+
+HAVING_SQL = """
+SELECT l_suppkey, sum(l_quantity) AS total_qty
+FROM lineitem GROUP BY l_suppkey HAVING sum(l_quantity) > 10000
+"""
+
+
+# UniqueStream (UniqueStream.java:46): dedupe on a field
+def unique_priority(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+
+
+UNIQUE_SQL = "SELECT DISTINCT o_orderpriority FROM orders"
+
+
+# RankStream (RankStream.java:48): global top-N by comparator
+def rank_orders(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+RANK_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# SelectStream (SelectStream.java:50): projection + rename + computed column
+def select_revenue(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") > 0.05)
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").alias("line"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net"),
+        )
+    )
+
+
+SELECT_SQL = """
+SELECT l_orderkey AS okey, l_linenumber AS line,
+       round(l_extendedprice * (1 - l_discount), 4) AS net
+FROM lineitem WHERE l_discount > 0.05
+"""
+
+
+# InnerJoinStream (InnerJoinStream.java:35): sort-merge equi-join → Spark SMJ
+def inner_join_orders_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+INNER_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# LeftOuterJoinStream (LeftOuterJoinStream.java:35)
+def left_join_customer_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+LEFT_JOIN_SQL = """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+# HashJoinStream (HashJoinStream.java:45): build side in memory → broadcast
+# hash join; `part` is a dimension table — broadcast() makes the join
+# shuffle-free (the 100-TB-safe plan: fact table never moves)
+def hash_join_part_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+HASH_JOIN_SQL = """
+SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# MergeStream (MergeStream.java:41): ordered union of streams
+def merge_union(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 150000).select("o_orderkey").withColumn("src", F.lit("hi"))
+    lo = o.filter(F.col("o_totalprice") < 20000).select("o_orderkey").withColumn("src", F.lit("lo"))
+    return hi.unionByName(lo)
+
+
+MERGE_SQL = """
+SELECT o_orderkey, 'hi' AS src FROM orders WHERE o_totalprice > 150000
+UNION ALL
+SELECT o_orderkey, 'lo' AS src FROM orders WHERE o_totalprice < 20000
+"""
+
+
+# IntersectStream (IntersectStream.java:43): keys present in both — semi-join
+def intersect_custkeys(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return a.join(b, "o_custkey", "left_semi")
+
+
+INTERSECT_SQL = """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+# ComplementStream (ComplementStream.java:43): in A, not in B — anti-join
+def complement_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+COMPLEMENT_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# CartesianProductStream (CartesianProductStream.java:47): unnest multivalued
+# field → one row per element (explode)
+def cartesian_part_types(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", F.explode(F.split(F.col("p_type"), " ")).alias("type_word"))
+        .groupBy("type_word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+CARTESIAN_SQL = """
+SELECT t.type_word, count(*) AS n
+FROM (SELECT p_partkey, unnest(string_split(p_type, ' ')) AS type_word FROM part) t
+GROUP BY t.type_word
+"""
+
+
+# FetchStream (FetchStream.java:55): batched lookup-join for display fields —
+# the two-phase fetch of SURVEY §3.3 (winners only, broadcast the small side)
+def fetch_top_orders_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    top = (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    return top.join(F.broadcast(c), top.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+FETCH_SQL = """
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20) o
+LEFT JOIN customer ON o.o_custkey = c_custkey
+"""
+
+
+# ParallelStream (ParallelStream.java:48): hash-repartition by key then run
+# the inner expression per worker — Spark's shuffle IS this operator; the
+# repartition is a no-op semantically (result equals the plain agg)
+def parallel_rollup_supplier(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .repartition(8, "l_suppkey")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("qty"))
+    )
+
+
+PARALLEL_SQL = """
+SELECT l_suppkey, count(*) AS n, sum(l_quantity) AS qty FROM lineitem GROUP BY l_suppkey
+"""
+
+
+# TimeSeriesStream (TimeSeriesStream.java:57): date-bucketed aggregation
+def timeseries_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+TIMESERIES_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+# SignificantTermsStream (SignificantTermsStream.java:59): terms
+# over-represented in the foreground set vs the corpus — two aggs + join
+def significant_event_types(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    fg = e.filter(F.col("value") > 50).groupBy("event_type").agg(F.count("*").alias("fg"))
+    bg = e.groupBy("event_type").agg(F.count("*").alias("bg"))
+    return (
+        fg.join(bg, "event_type")
+        .withColumn("lift", F.round(F.col("fg") / F.col("bg"), 4))
+        .select("event_type", "fg", "bg", "lift")
+    )
+
+
+SIGNIFICANT_SQL = """
+SELECT f.event_type, f.fg, b.bg, round(f.fg * 1.0 / b.bg, 4) AS lift
+FROM (SELECT event_type, count(*) AS fg FROM events WHERE value > 50 GROUP BY 1) f
+JOIN (SELECT event_type, count(*) AS bg FROM events GROUP BY 1) b USING (event_type)
+"""
+
+
+# StatsStream (StatsStream.java:53) + facet agg functions (SURVEY §2.8):
+# min/max/sum/mean/stddev/percentile/unique — Spark built-ins
+def stats_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.countDistinct("l_partkey").alias("unique_parts"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+    )
+
+
+STATS_SQL = """
+SELECT count(*) AS n, round(sum(l_quantity), 4) AS sum_qty,
+       round(avg(l_quantity), 4) AS avg_qty,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       count(DISTINCT l_partkey) AS unique_parts,
+       round(stddev_samp(l_extendedprice), 2) AS std_price
+FROM lineitem
+"""
+
+
+# Grouping module (grouping/GroupingSearch.java): top-k rows per group
+def group_topk_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+GROUP_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 2
+"""
+
+
+# searchAfter paging (IndexSearcher.java:459): keyset pagination — page 2 of
+# the (totalprice desc, orderkey asc) sort
+def search_after_page2(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 10) & (F.col("rn") <= 20))
+        .select("o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SEARCH_AFTER_SQL = """
+SELECT o_orderkey, o_totalprice, rn FROM (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn > 10 AND rn <= 20
+"""
+
+
+# PointRangeQuery (search/PointRangeQuery.java:47): typed range predicate —
+# Catalyst pushes this to the parquet scan (PushedFilters)
+def point_range_shipdate(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+POINT_RANGE_SQL = """
+SELECT l_returnflag, count(*) AS n FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag
+"""
+
+
+RELATIONAL_OPS: dict[str, tuple] = {
+    "rollup_lineitem": (rollup_lineitem, ROLLUP_SQL),
+    "facet_field_mktsegment": (facet_field_mktsegment, FACET_FIELD_SQL),
+    "facet_range_price": (facet_range_price, FACET_RANGE_SQL),
+    "facet_query_orders": (facet_query_orders, FACET_QUERY_SQL),
+    "having_suppliers": (having_suppliers, HAVING_SQL),
+    "unique_priority": (unique_priority, UNIQUE_SQL),
+    "rank_orders": (rank_orders, RANK_SQL),
+    "select_revenue": (select_revenue, SELECT_SQL),
+    "inner_join_orders_customer": (inner_join_orders_customer, INNER_JOIN_SQL),
+    "left_join_customer_orders": (left_join_customer_orders, LEFT_JOIN_SQL),
+    "hash_join_part_revenue": (hash_join_part_revenue, HASH_JOIN_SQL),
+    "merge_union": (merge_union, MERGE_SQL),
+    "intersect_custkeys": (intersect_custkeys, INTERSECT_SQL),
+    "complement_customers": (complement_customers, COMPLEMENT_SQL),
+    "cartesian_part_types": (cartesian_part_types, CARTESIAN_SQL),
+    "fetch_top_orders_customer": (fetch_top_orders_customer, FETCH_SQL),
+    "parallel_rollup_supplier": (parallel_rollup_supplier, PARALLEL_SQL),
+    "timeseries_events": (timeseries_events, TIMESERIES_SQL),
+    "significant_event_types": (significant_event_types, SIGNIFICANT_SQL),
+    "stats_lineitem": (stats_lineitem, STATS_SQL),
+    "group_topk_orders": (group_topk_orders, GROUP_TOPK_SQL),
+    "search_after_page2": (search_after_page2, SEARCH_AFTER_SQL),
+    "point_range_shipdate": (point_range_shipdate, POINT_RANGE_SQL),
+}

@@ -36,7 +36,7 @@ from . import bm25
 from .kernels import QueryContext, SegmentPostings, eval_query, topk, topk_term_pruned
 from .query import MatchNoneQuery, Query, TermQuery, parse_query, rewrite
 
-RESULT_SCHEMA = "qid int, segment_id int, doc_id bigint, score float"
+RESULT_SCHEMA = "qid int, segment_id int, doc_id bigint, score double"
 
 POSTING_COLS = [
     "segment_id",
@@ -52,10 +52,19 @@ POSTING_COLS = [
 
 
 class IndexSearcher:
-    def __init__(self, spark: SparkSession, index_dir: str, analyzer: str = "code"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        analyzer: str = "code",
+        precision: str = "f32",
+    ):
+        """precision='f32' replicates the reference's float arithmetic
+        (Lucene score parity); 'f64' computes in double (SQL-oracle mode)."""
         self.spark = spark
         self.index_dir = index_dir
         self.analyzer = analyzer
+        self.f32 = precision == "f32"
         man = spark.read.parquet(os.path.join(index_dir, "manifest"))
         agg = man.agg(
             F.sum("doc_count").alias("dc"),
@@ -67,8 +76,15 @@ class IndexSearcher:
         self.doc_count = int(agg.dc or 0)
         self.sum_total_term_freq = int(agg.sl or 0)
         self.max_doc = int(agg.md or 0)
-        self.avgdl = bm25.avgdl(self.sum_total_term_freq, max(self.doc_count, 1))
-        self.cache = bm25.norm_cache(self.avgdl)
+        if self.f32:
+            self.avgdl = bm25.avgdl(self.sum_total_term_freq, max(self.doc_count, 1))
+            self.cache = bm25.norm_cache(self.avgdl)
+        else:
+            from ..smallfloat import byte4_to_int
+
+            self.avgdl = self.sum_total_term_freq / max(self.doc_count, 1)
+            table = byte4_to_int(np.arange(256, dtype=np.uint8)).astype(np.float64)
+            self.cache = 1.2 * (0.25 + 0.75 * table / self.avgdl)
 
     # -------------------------------------------------------------- stats --
     def term_stats(self, terms: set[str]) -> dict[str, int]:
@@ -85,25 +101,33 @@ class IndexSearcher:
         return {r.term: int(r.df) for r in ts}
 
     def weights_for(self, terms: set[str]) -> dict[str, float]:
+        import math
+
         dfs = self.term_stats(terms)
         out = {}
         for t in terms:
             df = dfs.get(t, 0)
             if df == 0:
                 out[t] = 0.0
-            else:
+            elif self.f32:
                 out[t] = float(
                     bm25.term_weight(bm25.idf(np.array([df]), self.doc_count)[0])
                 )
+            else:
+                out[t] = math.log1p((self.doc_count - df + 0.5) / (df + 0.5))
         return out
 
     # ------------------------------------------------------------- search --
     def search(self, query: Query | str, k: int = 10) -> DataFrame:
         return self.search_many({0: query}, k).drop("qid")
 
-    def search_many(self, queries: dict[int, Query | str], k: int = 10) -> DataFrame:
+    def search_many(
+        self, queries: dict[int, Query | str], k: int | None = 10
+    ) -> DataFrame:
         """Run a batch of queries in ONE Spark job; returns
-        (qid, segment_id, doc_id, score, rank)."""
+        (qid, segment_id, doc_id, score, rank). ``k=None`` returns ALL
+        matching docs per query (no per-segment pruning, no global limit) —
+        the exhaustive-collection mode used for oracle comparisons."""
         parsed: dict[int, Query] = {}
         for qid, q in queries.items():
             if isinstance(q, str):
@@ -114,13 +138,14 @@ class IndexSearcher:
             all_terms |= q.terms()
         weights = self.weights_for(all_terms)
         cache = self.cache
-        analyzer = self.analyzer
+        f32 = self.f32
         live = {
             qid: q for qid, q in parsed.items() if not isinstance(q, MatchNoneQuery)
         }
         spark = self.spark
         if not live or not all_terms:
-            return spark.createDataFrame([], RESULT_SCHEMA + ", rank int")
+            schema = RESULT_SCHEMA if k is None else RESULT_SCHEMA + ", rank int"
+            return spark.createDataFrame([], schema)
 
         idx_path = os.path.join(self.index_dir, "index")
         postings = (
@@ -147,14 +172,17 @@ class IndexSearcher:
                 for r in post_pdf.to_dict("records")
             }
             seg = SegmentPostings(rows, norms_arr, int(norm_pdf["max_doc"].iloc[0]))
-            ctx = QueryContext(weights, cache)
+            ctx = QueryContext(weights, cache, f32=f32)
             out_qid, out_doc, out_score = [], [], []
             for qid, q in live.items():
-                if isinstance(q, TermQuery):
+                if k is not None and isinstance(q, TermQuery):
                     d, s = topk_term_pruned(q.term, seg, ctx, k)
                 else:
                     docs, scores = eval_query(q, seg, ctx)
-                    d, s = topk(docs, scores, k)
+                    if k is None:
+                        d, s = docs, scores.astype(np.float32) if f32 else scores
+                    else:
+                        d, s = topk(docs, scores, k, f32)
                 out_qid.append(np.full(len(d), qid, dtype=np.int32))
                 out_doc.append(d)
                 out_score.append(s)
@@ -172,6 +200,8 @@ class IndexSearcher:
             .cogroup(norms.groupBy("segment_id"))
             .applyInPandas(score_segment, RESULT_SCHEMA)
         )
+        if k is None:
+            return per_seg
         # TopDocs.merge tie-break: score desc, shard (segment) asc, doc asc
         w = Window.partitionBy("qid").orderBy(
             F.col("score").desc(), F.col("segment_id").asc(), F.col("doc_id").asc()

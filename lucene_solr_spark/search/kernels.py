@@ -139,12 +139,33 @@ class QueryContext:
     Built from GLOBAL collection statistics (docCount, sumTotalTermFreq, df
     summed over all segments) — the reason BM25 scores are identical no matter
     how the corpus is segmented (``IndexSearcher.java:875-909``).
+
+    ``f32=True`` (default) replicates the reference's float arithmetic exactly
+    (Lucene rank/score parity). ``f32=False`` computes everything in float64 —
+    used for the DuckDB SQL oracle comparisons, where the oracle is plain
+    double-precision SQL.
     """
 
-    def __init__(self, weights: dict[str, float], cache: np.ndarray):
-        self.weights = {t: np.float32(w) for t, w in weights.items()}
-        self.cache = cache.astype(np.float32)
-        self._cache64 = cache.astype(np.float64)
+    def __init__(self, weights: dict[str, float], cache: np.ndarray, f32: bool = True):
+        dt = np.float32 if f32 else np.float64
+        self.f32 = f32
+        self.weights = {t: dt(w) for t, w in weights.items()}
+        self.cache = cache.astype(dt)
+        self.cache64 = self.cache.astype(np.float64)  # exact widening
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray, weight) -> np.ndarray:
+        """BM25 tf*weight with the mode's float semantics; returns float64 carrier."""
+        f = np.asarray(freqs, dtype=np.float64)
+        norm = self.cache64[np.asarray(norm_bytes, dtype=np.uint8)]
+        tf = f / (f + norm)
+        if self.f32:
+            return (np.float32(weight) * tf.astype(np.float32)).astype(np.float64)
+        return float(weight) * tf
+
+    def phrase_weight(self, terms) -> float:
+        """idf of a phrase = sum of term idfs (BM25Similarity.java:172-181)."""
+        s = float(np.sum(np.array([self.weights[t] for t in terms], dtype=np.float64)))
+        return np.float32(s) if self.f32 else s
 
 
 def eval_query(q: Query, seg: SegmentPostings, ctx: QueryContext, scoring: bool = True):
@@ -163,9 +184,7 @@ def eval_query(q: Query, seg: SegmentPostings, ctx: QueryContext, scoring: bool 
         docs, freqs = seg.docs_freqs(q.term)
         if not scoring or len(docs) == 0:
             return docs, np.zeros(len(docs), dtype=np.float64)
-        w = ctx.weights[q.term]
-        s = bm25.score(freqs.astype(np.float32), seg.norms[docs], w, ctx.cache)
-        return docs, s.astype(np.float64)
+        return docs, ctx.score(freqs, seg.norms[docs], ctx.weights[q.term])
     if isinstance(q, PhraseQuery):
         return _eval_phrase(q, seg, ctx, scoring)
     if isinstance(q, BooleanQuery):
@@ -196,10 +215,8 @@ def _eval_phrase(q: PhraseQuery, seg: SegmentPostings, ctx: QueryContext, scorin
     uniq, counts = np.unique(match_docs, return_counts=True)
     if not scoring:
         return uniq, np.zeros(len(uniq), dtype=np.float64)
-    idfs = np.array([ctx.weights[t] for t in q.phrase_terms], dtype=np.float32)
-    w = bm25.term_weight(bm25.phrase_idf(idfs), q.boost)
-    s = bm25.score(counts.astype(np.float32), seg.norms[uniq], w, ctx.cache)
-    return uniq, s.astype(np.float64)
+    w = ctx.phrase_weight(q.phrase_terms)
+    return uniq, ctx.score(counts, seg.norms[uniq], w)
 
 
 def _eval_bool(q: BooleanQuery, seg: SegmentPostings, ctx: QueryContext, scoring: bool):
@@ -240,15 +257,17 @@ def _eval_bool(q: BooleanQuery, seg: SegmentPostings, ctx: QueryContext, scoring
                 break
     # a Scorer returns float32 (Scorer.score contract) — round the boolean
     # sum so enclosing queries consume float32 values like the reference
-    return docs, scores.astype(np.float32).astype(np.float64)
+    if ctx.f32:
+        scores = scores.astype(np.float32).astype(np.float64)
+    return docs, scores
 
 
 # ------------------------------------------------------------------- top-k --
 
-def topk(docs: np.ndarray, scores: np.ndarray, k: int):
+def topk(docs: np.ndarray, scores: np.ndarray, k: int, f32: bool = True):
     """Per-segment top-k with the reference tie-break: score desc, doc asc
-    (``HitQueue.java:76-81``). Returns (docs, scores_f32) of length ≤ k."""
-    s32 = scores.astype(np.float32)
+    (``HitQueue.java:76-81``). Returns (docs, scores) of length ≤ k."""
+    s32 = scores.astype(np.float32) if f32 else scores
     if len(docs) > max(k * 8, 1024):
         # np.partition gives the exact kth-largest score; every candidate for
         # the top-k (under score-desc, doc-asc tie-break) has score >= kth.
@@ -269,14 +288,16 @@ def topk_term_pruned(term: str, seg: SegmentPostings, ctx: QueryContext, k: int)
     scoring (property-tested).
     """
     if term not in seg.rows:
-        return _EMPTY_I, np.empty(0, np.float32)
+        return _EMPTY_I, np.empty(0, np.float32 if ctx.f32 else np.float64)
     blk_last, blk_maxf, blk_minn = seg.blocks(term)
     w = ctx.weights[term]
-    ubs = bm25.max_block_score(blk_maxf, blk_minn, w, ctx.cache)
+    # admissible block bound: score(max_freq, min_norm) — monotone in both
+    # (CompetitiveImpactAccumulator/MaxScoreCache role, SURVEY §2.3)
+    ubs = ctx.score(blk_maxf.astype(np.float64), blk_minn, w)
     nblocks = len(ubs)
     if nblocks <= 2:
         docs, scores = eval_query(TermQuery(term), seg, ctx)
-        return topk(docs, scores, k)
+        return topk(docs, scores, k, ctx.f32)
     docs, freqs = seg.docs_freqs(term)  # decode once; pruning saves scoring
     order = np.argsort(-ubs, kind="stable")
     out_docs: list[np.ndarray] = []
@@ -289,16 +310,13 @@ def topk_term_pruned(term: str, seg: SegmentPostings, ctx: QueryContext, k: int)
         s = bi * BLOCK_SIZE
         e = min(s + BLOCK_SIZE, len(docs))
         d = docs[s:e]
-        sc = bm25.score(freqs[s:e].astype(np.float32), seg.norms[d], w, ctx.cache)
         out_docs.append(d)
-        out_scores.append(sc)
+        out_scores.append(ctx.score(freqs[s:e], seg.norms[d], w))
         count += len(d)
         if count >= k:
             alls = np.concatenate(out_scores)
             if len(alls) >= k:
                 theta = np.partition(alls, len(alls) - k)[len(alls) - k]
     docs_c = np.concatenate(out_docs) if out_docs else _EMPTY_I
-    scores_c = (
-        np.concatenate(out_scores).astype(np.float64) if out_scores else _EMPTY_F
-    )
-    return topk(docs_c, scores_c, k)
+    scores_c = np.concatenate(out_scores) if out_scores else _EMPTY_F
+    return topk(docs_c, scores_c, k, ctx.f32)

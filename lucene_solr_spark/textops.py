@@ -1,0 +1,612 @@
+"""Fulltext queries over the `documents` table + training-data-pipeline ops.
+
+Two families, both registered for the driver's queries()/oracle_sql() gate:
+
+1. ``FT_OPS`` — the inverted-index engine itself run over the driver's
+   ``documents`` table with the SQL-expressible ``simple`` analyzer, verified
+   against a DuckDB oracle that implements the FULL scoring pipeline in ANSI
+   SQL: tokenization, tf/df, **SmallFloat norm quantization** (bit-exact CASE
+   expression), BM25 with the exact reference formula, boolean composition and
+   positional phrase matching. The engine runs in float64 oracle-precision
+   mode; scores are rounded to 4 decimals on both sides. Queries return ALL
+   matching docs (no top-k boundary → order-insensitive hash is stable).
+
+2. ``TRAINING_OPS`` — the large-scale training-data operators (dedup,
+   similarity, text analysis) expressed in pure DataFrame ops with md5-based
+   hashing so DuckDB computes identical values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .index import build_index
+from .index.read import norms_table, term_postings
+from .search import IndexSearcher
+
+# ---------------------------------------------------------------------------
+# engine-over-documents plumbing
+
+_INDEX_CACHE: dict[str, str] = {}
+_SEARCHER_CACHE: dict[str, IndexSearcher] = {}
+
+
+def docs_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the simple-analyzer index over `documents` at sf_dir."""
+    key = os.path.realpath(sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = hashlib.sha1(key.encode()).hexdigest()[:12]
+    index_dir = f"/tmp/lss_docs_index/{tag}"
+    marker = os.path.join(index_dir, "_built")
+    if not os.path.exists(marker):
+        docs = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .withColumnRenamed("doc_id", "ext_id")
+        )
+        build_index(
+            spark,
+            docs,
+            index_dir,
+            num_segments=8,
+            analyzer="simple",
+            key_cols=("ext_id",),
+            content_col="text",
+            stored_cols=("lang", "source"),
+            resume=True,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    d = docs_index_dir(spark, sf_dir)
+    if d not in _SEARCHER_CACHE:
+        _SEARCHER_CACHE[d] = IndexSearcher(spark, d, analyzer="simple", precision="f64")
+    return _SEARCHER_CACHE[d]
+
+
+def _ft_search_all(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Engine search (all matches, f64) resolved back to external doc_ids."""
+    s = _searcher(spark, sf_dir)
+    hits = s.search_many({0: query}, k=None).drop("qid")
+    docs = spark.read.parquet(os.path.join(s.index_dir, "docs")).select(
+        "segment_id", "doc_id", "ext_id"
+    )
+    return (
+        hits.join(docs, ["segment_id", "doc_id"])
+        .select(F.col("ext_id").alias("doc_id"), F.round("score", 4).alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB BM25 oracle SQL — the full pipeline in ANSI SQL
+
+_TOKENIZE = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+# SmallFloat.intToByte4 / byte4ToInt as SQL (reference SmallFloat.java:101-169)
+_BM25_CTE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENIZE}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, len,
+    CASE WHEN len < 24 THEN len
+         ELSE 24 + (CASE WHEN (len-24) < 8 THEN (len-24)
+              ELSE (((len-24) >> (CAST(FLOOR(LOG2(len-24)) AS INT) - 3)) & 7)
+                   | ((CAST(FLOOR(LOG2(len-24)) AS INT) - 2) << 3) END)
+    END AS nb
+  FROM dl
+),
+dld AS (
+  SELECT doc_id, nb,
+    CASE WHEN nb < 24 THEN nb
+         ELSE 24 + (CASE WHEN ((nb-24) >> 3) = 0 THEN (nb-24) & 7
+              ELSE (((nb-24) & 7) | 8) << (((nb-24) >> 3) - 1) END)
+    END AS dlq
+  FROM dlq
+),
+cstats AS (SELECT count(*) AS n, sum(len) AS st FROM dl WHERE len > 0),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+"""
+
+_SCORES_CTE = """
+, scores AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (cstats.n - dft.df + 0.5) / (dft.df + 0.5)) *
+         (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dld.dlq / (cstats.st * 1.0 / cstats.n)))) AS s
+  FROM tf JOIN dft USING (term) JOIN dld ON tf.doc_id = dld.doc_id, cstats
+  WHERE tf.term IN ({terms})
+)
+"""
+
+
+def _terms_list(terms) -> str:
+    return ", ".join(f"'{t}'" for t in terms)
+
+
+def ft_term_sql(term: str) -> str:
+    return (
+        _BM25_CTE
+        + _SCORES_CTE.format(terms=_terms_list([term]))
+        + "SELECT doc_id, round(s, 4) AS score FROM scores"
+    )
+
+
+def ft_and_sql(terms) -> str:
+    return (
+        _BM25_CTE
+        + _SCORES_CTE.format(terms=_terms_list(terms))
+        + f"""
+SELECT doc_id, round(sum(s), 4) AS score FROM scores
+GROUP BY doc_id HAVING count(*) = {len(terms)}
+"""
+    )
+
+
+def ft_or_sql(terms) -> str:
+    return (
+        _BM25_CTE
+        + _SCORES_CTE.format(terms=_terms_list(terms))
+        + "SELECT doc_id, round(sum(s), 4) AS score FROM scores GROUP BY doc_id"
+    )
+
+
+def ft_not_sql(pos: str, neg: str) -> str:
+    return (
+        _BM25_CTE
+        + _SCORES_CTE.format(terms=_terms_list([pos]))
+        + f"""
+SELECT doc_id, round(s, 4) AS score FROM scores
+WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{neg}')
+"""
+    )
+
+
+def ft_phrase_sql(w1: str, w2: str) -> str:
+    return (
+        _BM25_CTE
+        + f"""
+, tokp AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id, {_TOKENIZE} AS arr FROM documents)
+),
+phr AS (
+  SELECT a.doc_id, count(*) AS freq
+  FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{w1}' AND b.term = '{w2}' GROUP BY 1
+),
+pw AS (
+  SELECT sum(ln(1 + (cstats.n - dft.df + 0.5) / (dft.df + 0.5))) AS w
+  FROM dft, cstats WHERE dft.term IN ('{w1}', '{w2}')
+)
+SELECT phr.doc_id,
+       round(pw.w * (phr.freq / (phr.freq + 1.2 * (0.25 + 0.75 * dld.dlq / (cstats.st * 1.0 / cstats.n)))), 4) AS score
+FROM phr JOIN dld ON phr.doc_id = dld.doc_id, pw, cstats
+"""
+    )
+
+
+FT_TF_SQL = (
+    _BM25_CTE
+    + "SELECT doc_id, term, tf FROM tf WHERE term IN ('spark', 'vector', 'hash')"
+)
+
+FT_DF_SQL = (
+    _BM25_CTE
+    + """
+SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf
+WHERE term IN ('spark', 'vector', 'hash', 'table', 'the') GROUP BY term
+"""
+)
+
+FT_NORMS_SQL = _BM25_CTE + "SELECT doc_id, nb AS norm_byte FROM dld"
+
+
+# ---------------------------------------------------------------------------
+# engine-side callables
+
+def ft_term_spark(spark, sf_dir):
+    return _ft_search_all(spark, sf_dir, "spark")
+
+
+def ft_bool_and(spark, sf_dir):
+    return _ft_search_all(spark, sf_dir, "vector AND hash")
+
+
+def ft_bool_or(spark, sf_dir):
+    return _ft_search_all(spark, sf_dir, "vector OR stream OR spark")
+
+
+def ft_bool_not(spark, sf_dir):
+    return _ft_search_all(spark, sf_dir, "+vector -hash")
+
+
+def ft_phrase(spark, sf_dir):
+    return _ft_search_all(spark, sf_dir, '"table hash"')
+
+
+def ft_term_tf(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    posts = term_postings(spark, s.index_dir, ["spark", "vector", "hash"])
+    docs = spark.read.parquet(os.path.join(s.index_dir, "docs")).select(
+        "segment_id", "doc_id", "ext_id"
+    )
+    return posts.join(docs, ["segment_id", "doc_id"]).select(
+        F.col("ext_id").alias("doc_id"), "term", F.col("freq").alias("tf")
+    )
+
+
+def ft_df_stats(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    return (
+        spark.read.parquet(os.path.join(s.index_dir, "term_stats"))
+        .filter(F.col("term").isin("spark", "vector", "hash", "table", "the"))
+        .select("term", "df", "ttf")
+    )
+
+
+def ft_norms(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    n = norms_table(spark, s.index_dir)
+    docs = spark.read.parquet(os.path.join(s.index_dir, "docs")).select(
+        "segment_id", "doc_id", "ext_id"
+    )
+    return n.join(docs, ["segment_id", "doc_id"]).select(
+        F.col("ext_id").alias("doc_id"), F.col("norm_byte")
+    )
+
+
+FT_OPS: dict[str, tuple] = {
+    "ft_term_spark": (ft_term_spark, ft_term_sql("spark")),
+    "ft_bool_and": (ft_bool_and, ft_and_sql(["vector", "hash"])),
+    "ft_bool_or": (ft_bool_or, ft_or_sql(["vector", "stream", "spark"])),
+    "ft_bool_not": (ft_bool_not, ft_not_sql("vector", "hash")),
+    "ft_phrase": (ft_phrase, ft_phrase_sql("table", "hash")),
+    "ft_term_tf": (ft_term_tf, FT_TF_SQL),
+    "ft_df_stats": (ft_df_stats, FT_DF_SQL),
+    "ft_norms": (ft_norms, FT_NORMS_SQL),
+}
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis)
+
+_TOK_EXPR = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# exact dedup: hash-groupBy on content (the canonical web-scale first pass);
+# keep the min doc_id representative per content hash
+def dedup_exact(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# MinHash signatures over word 3-shingles, 4 hash streams (md5-keyed so both
+# engines compute identical values); LSH banding = group by (band signature)
+def minhash_signatures(spark, sf_dir):
+    # size >= 3 guard: Spark's sequence(0, size-3) runs DESCENDING when
+    # size < 3 (DuckDB's generate_series is empty there) — exclude short docs
+    d = (
+        _docs(spark, sf_dir)
+        .withColumn("arr", F.expr(_TOK_EXPR))
+        .filter(F.size("arr") >= 3)
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(arr)-3), i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))"
+            )
+        ).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig{i}")
+        for i in range(4)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+MINHASH_SQL = f"""
+WITH arrs AS (SELECT doc_id, {_TOK_EXPR} AS arr FROM documents),
+sh AS (
+  SELECT doc_id, unnest([arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                         for i in generate_series(1, len(arr) - 2)]) AS shingle
+  FROM arrs
+)
+SELECT doc_id,
+       min(md5('0:' || shingle)) AS sig0, min(md5('1:' || shingle)) AS sig1,
+       min(md5('2:' || shingle)) AS sig2, min(md5('3:' || shingle)) AS sig3
+FROM sh GROUP BY doc_id
+"""
+
+
+# LSH candidate pairs: docs sharing a band bucket (band = sig0||sig1)
+def minhash_lsh_pairs(spark, sf_dir):
+    sig = minhash_signatures(spark, sf_dir).withColumn(
+        "bucket", F.md5(F.concat_ws("|", "sig0", "sig1"))
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), "bucket")
+    b = sig.select(F.col("doc_id").alias("doc_b"), "bucket")
+    return a.join(b, "bucket").filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b"
+    )
+
+
+MINHASH_LSH_SQL = f"""
+WITH arrs AS (SELECT doc_id, {_TOK_EXPR} AS arr FROM documents),
+sh AS (
+  SELECT doc_id, unnest([arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                         for i in generate_series(1, len(arr) - 2)]) AS shingle
+  FROM arrs
+),
+sig AS (
+  SELECT doc_id, md5(min(md5('0:' || shingle)) || '|' || min(md5('1:' || shingle))) AS bucket
+  FROM sh GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+# SimHash-16: per-token 32-bit md5-derived hash, tf-weighted bit majority
+def simhash16(spark, sf_dir):
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(_TOK_EXPR)).alias("term")
+    )
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+    tok = tok.withColumn("h", h)
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(16)
+    ]
+    g = tok.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for i in range(16):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return g.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+_SIMHASH_BITS_SQL = ",\n".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(16)
+)
+_SIMHASH_VAL_SQL = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+)
+SIMHASH_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK_EXPR}) AS term FROM documents),
+hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS h FROM tok),
+bits AS (SELECT doc_id, {_SIMHASH_BITS_SQL} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({_SIMHASH_VAL_SQL} AS BIGINT) AS simhash FROM bits
+"""
+
+
+# n-gram (token-set) Jaccard between consecutive doc_ids — the verification
+# stage of a near-dup pipeline
+def ngram_jaccard(spark, sf_dir):
+    tok = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(_TOK_EXPR)).alias("term"))
+        .distinct()
+    )
+    a = tok.select(F.col("doc_id").alias("doc_a"), "term")
+    b = tok.select((F.col("doc_id") - 1).alias("doc_a"), F.col("term").alias("term_b"))
+    inter = (
+        a.join(b, (a.doc_a == b.doc_a) & (a.term == b.term_b))
+        .groupBy(a.doc_a)
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select((F.col("doc_id") - 1).alias("doc_a"), F.col("sz").alias("sz_b"))
+    return (
+        sa.join(sb, "doc_a")
+        .join(inter, "doc_a", "left")
+        .na.fill({"inter": 0})
+        .select(
+            "doc_a",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOK_EXPR}) AS term FROM documents),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, count(*) AS inter
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1 AND a.term = b.term
+  GROUP BY a.doc_id
+)
+SELECT sa.doc_id AS doc_a,
+       round(coalesce(i.inter, 0) * 1.0 / (sa.sz + sb.sz - coalesce(i.inter, 0)), 4) AS jaccard
+FROM sizes sa JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
+LEFT JOIN inter i ON i.doc_a = sa.doc_id
+"""
+
+
+# embedding cosine similarity between consecutive vectors (brute-force kernel
+# of the ANN pipeline) — arrays cast to double on both sides
+def emb_cosine_pairs(spark, sf_dir):
+    e = _emb(spark, sf_dir).withColumn(
+        "v", F.expr("transform(embedding, x -> cast(x AS double))")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select((F.col("vec_id") - 1).alias("id_a"), F.col("v").alias("vb"))
+    j = a.join(b, "id_a")
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 AS double), (acc, x) -> acc + x)")
+    na = F.expr("aggregate(va, cast(0.0 AS double), (acc, x) -> acc + x * x)")
+    nb = F.expr("aggregate(vb, cast(0.0 AS double), (acc, x) -> acc + x * x)")
+    return j.select(
+        "id_a", F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 4).alias("cosine")
+    )
+
+
+EMB_COSINE_SQL = """
+SELECT a.vec_id AS id_a,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+"""
+
+
+# brute-force similarity search: all vectors within cosine >= threshold of the
+# query vector (vec_id = 0) — threshold form avoids top-k tie boundaries
+def emb_knn_threshold(spark, sf_dir):
+    e = _emb(spark, sf_dir).withColumn(
+        "v", F.expr("transform(embedding, x -> cast(x AS double))")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 AS double), (acc, x) -> acc + x)")
+    nv = F.expr("aggregate(v, cast(0.0 AS double), (acc, x) -> acc + x * x)")
+    nq = F.expr("aggregate(qv, cast(0.0 AS double), (acc, x) -> acc + x * x)")
+    return (
+        j.withColumn("cosine", dot / (F.sqrt(nv) * F.sqrt(nq)))
+        .filter(F.col("cosine") >= 0.15)
+        .select("vec_id", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+EMB_KNN_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(cosine, 4) AS cosine FROM (
+  SELECT e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv) /
+         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM embeddings e, q WHERE e.vec_id != 0
+) WHERE cosine >= 0.15
+"""
+
+
+# language-ID heuristic: stopword-density rule (n-gram/стоп-слово heuristic —
+# the cheap first-pass language filter of a web-scale pipeline)
+_STOP10 = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+
+def lang_id(spark, sf_dir):
+    d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
+    stop_arr = ", ".join(f"'{w}'" for w in _STOP10)
+    n_stop = F.expr(f"size(filter(arr, x -> x IN ({stop_arr})))")
+    return d.select(
+        "doc_id",
+        n_stop.alias("n_stop"),
+        F.size("arr").alias("n_tok"),
+        F.when(n_stop / F.size("arr") > 0.03, "en").otherwise("other").alias("pred"),
+    )
+
+
+LANG_ID_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOK_EXPR} AS arr FROM documents),
+c AS (SELECT doc_id, len(list_filter(arr, x -> x IN ({", ".join(f"'{w}'" for w in _STOP10)}))) AS n_stop,
+             len(arr) AS n_tok FROM t)
+SELECT doc_id, n_stop, n_tok,
+       CASE WHEN n_stop * 1.0 / n_tok > 0.03 THEN 'en' ELSE 'other' END AS pred
+FROM c
+"""
+
+
+# quality scoring: length + stopword-ratio composite (web-pipeline filter)
+def quality_score(spark, sf_dir):
+    d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
+    stop_arr = ", ".join(f"'{w}'" for w in _STOP10)
+    n_stop = F.expr(f"size(filter(arr, x -> x IN ({stop_arr})))")
+    n_tok = F.size("arr")
+    return d.select(
+        "doc_id",
+        F.round(
+            F.least(n_tok / F.lit(60.0), F.lit(1.0)) * (1 - n_stop / n_tok), 4
+        ).alias("quality"),
+    )
+
+
+QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOK_EXPR} AS arr FROM documents),
+c AS (SELECT doc_id, len(list_filter(arr, x -> x IN ({", ".join(f"'{w}'" for w in _STOP10)}))) AS n_stop,
+             len(arr) AS n_tok FROM t)
+SELECT doc_id, round(least(n_tok / 60.0, 1.0) * (1 - n_stop * 1.0 / n_tok), 4) AS quality
+FROM c
+"""
+
+
+# token counting: word tokens + "BPE-ish" sub-pieces (letters runs split at 4)
+def token_count(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.expr(_TOK_EXPR)).alias("n_words"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]{1,4}', 0)")).alias(
+            "n_pieces"
+        ),
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id, len({_TOK_EXPR}) AS n_words,
+       len(regexp_extract_all(lower(text), '[a-z]{{1,4}}|[0-9]{{1,4}}')) AS n_pieces
+FROM documents
+"""
+
+
+# document fingerprint: md5 of the sorted distinct token set (the classic
+# "fingerprint" near-dup collapse)
+def fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.expr(_TOK_EXPR))))
+        ).alias("fp"),
+    )
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id, md5(array_to_string(list_sort(list_distinct({_TOK_EXPR})), ' ')) AS fp
+FROM documents
+"""
+
+
+TRAINING_OPS: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "minhash_signatures": (minhash_signatures, MINHASH_SQL),
+    "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
+    "simhash16": (simhash16, SIMHASH_SQL),
+    "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
+    "emb_cosine_pairs": (emb_cosine_pairs, EMB_COSINE_SQL),
+    "emb_knn_threshold": (emb_knn_threshold, EMB_KNN_SQL),
+    "lang_id": (lang_id, LANG_ID_SQL),
+    "quality_score": (quality_score, QUALITY_SQL),
+    "token_count": (token_count, TOKEN_COUNT_SQL),
+    "fingerprint": (fingerprint, FINGERPRINT_SQL),
+}
