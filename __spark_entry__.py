@@ -40,23 +40,25 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _registries():
+    from lucene_solr_spark.multimodal import MULTIMODAL_OPS
     from lucene_solr_spark.relational import RELATIONAL_OPS
     from lucene_solr_spark.textops import FT_OPS, TRAINING_OPS
 
+    return (FT_OPS, RELATIONAL_OPS, TRAINING_OPS, MULTIMODAL_OPS)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
-    for reg in (FT_OPS, RELATIONAL_OPS, TRAINING_OPS):
+    for reg in _registries():
         for name, (fn, _sql) in reg.items():
             out[name] = fn
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from lucene_solr_spark.relational import RELATIONAL_OPS
-    from lucene_solr_spark.textops import FT_OPS, TRAINING_OPS
-
     out: dict[str, str] = {}
-    for reg in (FT_OPS, RELATIONAL_OPS, TRAINING_OPS):
+    for reg in _registries():
         for name, (_fn, sql) in reg.items():
             if sql is not None:
                 out[name] = sql

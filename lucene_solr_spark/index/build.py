@@ -60,8 +60,8 @@ from ..smallfloat import int_to_byte4
 UNIFIED_SCHEMA = (
     "segment_id int, kind int, term string, df bigint, ttf bigint, "
     "doc_blob binary, freq_blob binary, pos_blob binary, "
-    "blk_last binary, blk_maxf binary, blk_minn binary, "
-    "max_doc bigint, doc_count bigint, sum_len bigint"
+    "blk_last binary, blk_maxf binary, blk_minn binary, blk_len binary, "
+    "max_doc bigint, doc_count bigint, sum_len bigint, shard int"
 )
 
 KIND_POSTING, KIND_NORMS, KIND_STATS = 0, 1, 2
@@ -69,22 +69,29 @@ KIND_POSTING, KIND_NORMS, KIND_STATS = 0, 1, 2
 DEFAULT_KEY = ("repo", "path", "commit")
 
 
-def segment_of(key: str, num_segments: int) -> int:
+def segment_of(key: str, num_segments: int, segment_base: int = 0) -> int:
     """Deterministic segment assignment — pure function of the doc key.
 
     Same function on the Spark side (sha2) and in the pure-Python oracle, so
-    (segment_id, doc_id) coordinates agree everywhere.
+    (segment_id, doc_id) coordinates agree everywhere. ``segment_base``
+    offsets the id range (streaming micro-batches / incremental builds get
+    non-colliding segment ids).
     """
     h = hashlib.sha256(key.encode("utf-8")).hexdigest()
-    return int(h[:15], 16) % num_segments
+    return segment_base + int(h[:15], 16) % num_segments
 
 
-def with_segment_id(df: DataFrame, num_segments: int, key_cols=DEFAULT_KEY) -> DataFrame:
+def with_segment_id(
+    df: DataFrame, num_segments: int, key_cols=DEFAULT_KEY, segment_base: int = 0
+) -> DataFrame:
     """Spark-side equivalent of :func:`segment_of` (sha2-based, no UDF)."""
     key = F.concat_ws("\x00", *[F.col(c) for c in key_cols])
-    seg = F.pmod(
-        F.conv(F.substring(F.sha2(key, 256), 1, 15), 16, 10).cast("long"),
-        F.lit(num_segments),
+    seg = (
+        F.pmod(
+            F.conv(F.substring(F.sha2(key, 256), 1, 15), 16, 10).cast("long"),
+            F.lit(num_segments),
+        )
+        + F.lit(segment_base)
     ).cast("int")
     return df.withColumn("segment_id", seg)
 
@@ -176,6 +183,9 @@ def build_segment_frame(
         blk_maxf = np.maximum.reduceat(freqs, blk_flat).astype(np.int32)
         norm_of_post = norm_bytes[np.searchsorted(doc_ids, post_doc)]
         blk_minn = np.minimum.reduceat(norm_of_post, blk_flat).astype(np.uint8)
+        # explicit per-block posting counts: block boundaries stay recoverable
+        # after merge-time blob concatenation (blocks are per-source there)
+        blk_len = (blk_end - blk_flat).astype(np.int32)
         # per-term block count for slicing
         nblk_per_term = np.bincount(blk_list, minlength=len(term_start))
         blk_off = np.concatenate(([0], np.cumsum(nblk_per_term)))
@@ -193,9 +203,11 @@ def build_segment_frame(
             "blk_last": _slice_blob(blk_last.view(np.uint8), blk_off * 4),
             "blk_maxf": _slice_blob(blk_maxf.view(np.uint8), blk_off * 4),
             "blk_minn": _slice_blob(blk_minn, blk_off),
+            "blk_len": _slice_blob(blk_len.view(np.uint8), blk_off * 4),
             "max_doc": np.full(n_terms, -1, dtype=np.int64),
             "doc_count": np.full(n_terms, -1, dtype=np.int64),
             "sum_len": np.full(n_terms, -1, dtype=np.int64),
+            "shard": np.zeros(n_terms, dtype=np.int32),
         }
         out = pd.DataFrame(rows)
         n_postings_total = n_post
@@ -220,9 +232,11 @@ def build_segment_frame(
             "blk_last": [b"", b""],
             "blk_maxf": [b"", b""],
             "blk_minn": [b"", b""],
+            "blk_len": [b"", b""],
             "max_doc": np.array([max_doc, max_doc], dtype=np.int64),
             "doc_count": np.array([doc_count, doc_count], dtype=np.int64),
             "sum_len": np.array([sum_len, sum_len], dtype=np.int64),
+            "shard": np.zeros(2, dtype=np.int32),
         }
     )
     return pd.concat([out, extra], ignore_index=True)
@@ -240,9 +254,11 @@ _EMPTY_DTYPES = {
     "blk_last": "object",
     "blk_maxf": "object",
     "blk_minn": "object",
+    "blk_len": "object",
     "max_doc": "int64",
     "doc_count": "int64",
     "sum_len": "int64",
+    "shard": "int32",
 }
 
 
@@ -256,6 +272,7 @@ def build_index(
     content_col: str = "content",
     resume: bool = True,
     stored_cols: tuple = (),
+    segment_base: int = 0,
 ) -> dict:
     """Build (or resume) the full index. Returns build metrics.
 
@@ -274,7 +291,7 @@ def build_index(
             r.segment_id for r in spark.read.parquet(manifest_path).select("segment_id").collect()
         }
 
-    tagged = with_segment_id(docs, num_segments, key_cols)
+    tagged = with_segment_id(docs, num_segments, key_cols, segment_base)
     if done:
         tagged = tagged.filter(~F.col("segment_id").isin(*[int(s) for s in done]))
 
@@ -328,13 +345,16 @@ def build_index(
         "append"
     ).parquet(manifest_path)
 
-    # ---- global term stats, term-sorted for pushdown -----------------------
+    # ---- global term stats over LIVE segments, term-sorted for pushdown ---
+    from .manifest import live_segments as _live
+
+    live = _live(spark, index_dir)
     post = (
         spark.read.parquet(os.path.join(index_dir, "index"))
-        .filter(F.col("kind") == KIND_POSTING)
+        .filter((F.col("kind") == KIND_POSTING) & F.col("segment_id").isin(live))
         .select("term", "df", "ttf")
     )
-    nparts = max(1, num_segments // 8)
+    nparts = max(1, len(live) // 8)
     (
         post.groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))

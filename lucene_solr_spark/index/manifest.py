@@ -1,0 +1,69 @@
+"""Segment manifest — the commit-point / segments_N analogue.
+
+The reference records the live segment set in a generation file
+(``index/SegmentInfos.java``; a commit point = the set of segments named by
+``segments_N``). Here the manifest is an append-only parquet log: one row per
+segment ever built or merged, carrying metrics (docs/terms/postings — the
+north-rule lineage requirement) and, for merged segments, the source segment
+ids in the ``lineage`` json. The LIVE set is derived: a segment is live iff no
+later manifest row lists it as a merge source. Readers resolve the live set
+once per searcher open (the DirectoryReader snapshot analogue,
+``index/DirectoryReader.java:53``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "manifest")
+
+
+def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(manifest_path(index_dir))
+
+
+def manifest_rows(spark: SparkSession, index_dir: str) -> list[dict]:
+    return [r.asDict() for r in read_manifest(spark, index_dir).collect()]
+
+
+def live_segments(spark: SparkSession, index_dir: str) -> list[int]:
+    """Segment ids not consumed by any merge — the current commit point."""
+    rows = manifest_rows(spark, index_dir)
+    merged_away: set[int] = set()
+    for r in rows:
+        lineage = json.loads(r.get("lineage") or "{}")
+        merged_away.update(lineage.get("merged_from", []))
+    return sorted({r["segment_id"] for r in rows} - merged_away)
+
+
+def next_segment_id(spark: SparkSession, index_dir: str) -> int:
+    row = read_manifest(spark, index_dir).agg(F.max("segment_id").alias("m")).collect()[0]
+    return int(row.m) + 1
+
+
+def live_stats(spark: SparkSession, index_dir: str) -> dict:
+    """Collection statistics over the live segments only."""
+    live = live_segments(spark, index_dir)
+    agg = (
+        read_manifest(spark, index_dir)
+        .filter(F.col("segment_id").isin(live))
+        .agg(
+            F.sum("doc_count").alias("dc"),
+            F.sum("sum_len").alias("sl"),
+            F.sum("max_doc").alias("md"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    return {
+        "doc_count": int(agg.dc or 0),
+        "sum_total_term_freq": int(agg.sl or 0),
+        "max_doc": int(agg.md or 0),
+        "segments": int(agg.n or 0),
+        "live": live,
+    }

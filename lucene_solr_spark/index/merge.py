@@ -1,0 +1,660 @@
+"""Segment merging — TieredMergePolicy planner + distributed merge job.
+
+Reference semantics (SURVEY §2.4):
+
+- ``TieredMergePolicy.findMerges`` (``index/TieredMergePolicy.java:312,378-530``)
+  computes an allowed segment budget from geometric tiers (segsPerTier=10,
+  maxMergeAtOnce=10, floor size, max merged size) and scores candidate merges
+  with ``mergeScore = skew * totBytes^0.05 * nonDelRatio^2``
+  (``TieredMergePolicy.java:566-623``, lower is better). The planner below is
+  driver-side pure Python over the manifest — no Spark job.
+- ``SegmentMerger.merge`` (``index/SegmentMerger.java:97-185``) +
+  ``MultiTermsEnum`` (``index/MultiTermsEnum.java:35``) do a sorted merge of
+  term dictionaries with docID remapping via ``DocIDMerger``
+  (``index/DocIDMerger.java:49-90``): sequential concatenation with per-source
+  doc bases, skipping deleted docs (compaction).
+
+Spark shape — one job per planned merge, built so the 100-TB case never
+funnels through the driver:
+
+1. *Map side*: every (term, source-segment) posting row is independently
+   rebased — blk_last += doc_base; rows from segments with tombstones are
+   fully re-encoded (deleted docs dropped, ids compacted) while clean rows
+   keep their byte-identical delta blobs (only the first VByte value of a
+   posting blob ever needs patching, because within-list deltas are invariant
+   under a constant doc-base shift).
+2. *One narrow shuffle on `term`*: a window ``lag(last_doc) over (partition by
+   term order by seg_order)`` supplies the chaining delta, then the first
+   VByte of each blob is patched so concatenated blobs decode with a single
+   cumsum. Per-term groups have ≤ maxMergeAtOnce rows, so the shuffle is
+   skew-free by construction.
+3. *Reduce*: cold terms concatenate into one merged posting row via JVM-side
+   ``aggregate(array<binary>, concat)``; **hot terms (merged df >
+   hot_df_threshold) stay sharded** — one row per source shard keyed by
+   ``(term, shard)`` — which is the salted-repartition requirement of the
+   north rule: no single shuffle row ever exceeds a source-segment posting
+   blob, and query-time decoding concatenates shards in order.
+
+The manifest is append-only; a merged segment's ``lineage`` json records
+``merged_from`` (sources), making the old segments dead (see manifest.py) —
+exactly Lucene's commit-point flip. Old segment rows/files are left in place
+(immutable storage; Iceberg snapshot expiry would GC them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..codec import BLOCK_SIZE, delta_decode_lists, delta_encode_lists, vbyte_decode, vbyte_encode
+from .build import KIND_NORMS, KIND_POSTING, KIND_STATS, UNIFIED_SCHEMA
+from .manifest import live_segments, manifest_path, next_segment_id, read_manifest
+
+KIND_DELETES = 3
+
+DEFAULT_HOT_DF = 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# TieredMergePolicy planner (driver-side pure Python)
+
+def merge_score(sizes: list[int], del_ratio: float = 0.0) -> float:
+    """``TieredMergePolicy.score`` (TieredMergePolicy.java:566-623): lower is
+    better. skew = largest/total (floored sizes), times totBytes^0.05, times
+    nonDelRatio^2 (reclaiming deletes is rewarded)."""
+    tot = float(sum(sizes))
+    if tot <= 0:
+        return 0.0
+    skew = max(sizes) / tot
+    non_del = 1.0 - del_ratio
+    return skew * (tot ** 0.05) * (non_del ** 2)
+
+
+def plan_merges(
+    segments: list[dict],
+    segs_per_tier: int = 10,
+    max_merge_at_once: int = 10,
+    floor_size: int = 2_000,
+    max_merged_size: int = 5_000_000_000,
+    size_key: str = "sum_len",
+) -> list[list[int]]:
+    """``TieredMergePolicy.findMerges`` (:312,378-530) over manifest rows.
+
+    ``segments`` are live-segment manifest dicts; size proxy = token count
+    (``sum_len``), the analogue of segment bytes. Returns a list of merges,
+    each a list of source segment_ids.
+    """
+    segs = [
+        {"id": int(s["segment_id"]), "size": max(int(s[size_key]), 1)}
+        for s in segments
+    ]
+    if len(segs) <= 1:
+        return []
+    # allowed budget from geometric tiers (TieredMergePolicy.java:378-401)
+    tot = sum(s["size"] for s in segs)
+    floored = lambda sz: max(sz, floor_size)
+    level = float(floor_size)
+    allowed = 0.0
+    remaining = float(tot)
+    while True:
+        seg_count_level = remaining / level
+        if seg_count_level < segs_per_tier or level >= max_merged_size:
+            allowed += min(seg_count_level, segs_per_tier)
+            break
+        allowed += segs_per_tier
+        remaining -= segs_per_tier * level
+        level *= max_merge_at_once
+    if len(segs) <= max(2, int(allowed)):
+        return []
+
+    # candidate scan (doFindMerges:407-530): sort by size desc, score windows
+    segs.sort(key=lambda s: -s["size"])
+    best, best_score = None, None
+    for start in range(len(segs)):
+        window = []
+        wsize = 0
+        for s in segs[start:]:
+            if len(window) >= max_merge_at_once:
+                break
+            if wsize + s["size"] > max_merged_size and window:
+                continue
+            window.append(s)
+            wsize += s["size"]
+        if len(window) < 2:
+            continue
+        score = merge_score([floored(s["size"]) for s in window])
+        if best_score is None or score < best_score:
+            best, best_score = window, score
+    if best is None:
+        return []
+    return [[s["id"] for s in best]]
+
+
+# ---------------------------------------------------------------------------
+# tombstones
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_keys: DataFrame) -> int:
+    """Mark (segment_id, doc_id) rows deleted — live-docs tombstones
+    (``codecs/lucene50/Lucene50LiveDocsFormat.java``). Append-only kind=3 rows
+    in the index table: doc_blob = int64 array of deleted local doc ids.
+    Updates in the reference are delete + re-add (``IndexWriter.java:1276``).
+    """
+    rows = doc_keys.select("segment_id", "doc_id").distinct().collect()
+    by_seg: dict[int, list[int]] = {}
+    for r in rows:
+        by_seg.setdefault(int(r.segment_id), []).append(int(r.doc_id))
+    if not by_seg:
+        return 0
+    recs = []
+    for seg, ids in sorted(by_seg.items()):
+        arr = np.array(sorted(ids), dtype=np.int64)
+        recs.append(
+            {
+                "segment_id": seg,
+                "kind": KIND_DELETES,
+                "term": None,
+                "df": len(ids),
+                "ttf": 0,
+                "doc_blob": arr.tobytes(),
+                "freq_blob": b"",
+                "pos_blob": b"",
+                "blk_last": b"",
+                "blk_maxf": b"",
+                "blk_minn": b"",
+                "blk_len": b"",
+                "max_doc": -1,
+                "doc_count": -1,
+                "sum_len": -1,
+                "shard": 0,
+            }
+        )
+    pdf = pd.DataFrame(recs)
+    spark.createDataFrame(pdf, schema=UNIFIED_SCHEMA).write.mode("append").partitionBy(
+        "kind"
+    ).parquet(os.path.join(index_dir, "index"))
+    return sum(len(v) for v in by_seg.values())
+
+
+def deleted_docs_by_segment(
+    spark: SparkSession, index_dir: str, segment_ids: list[int]
+) -> dict[int, np.ndarray]:
+    """Union of tombstone rows per segment → sorted int64 arrays."""
+    if not segment_ids:
+        return {}
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "index"))
+        .filter((F.col("kind") == KIND_DELETES) & F.col("segment_id").isin(segment_ids))
+        .select("segment_id", "doc_blob")
+        .collect()
+    )
+    out: dict[int, list] = {}
+    for r in rows:
+        out.setdefault(int(r.segment_id), []).append(
+            np.frombuffer(r.doc_blob, dtype=np.int64)
+        )
+    return {
+        seg: np.unique(np.concatenate(chunks)) for seg, chunks in out.items()
+    }
+
+
+# ---------------------------------------------------------------------------
+# merge executor
+
+def _encode_vbyte_one(value: int) -> bytes:
+    out = bytearray()
+    v = int(value)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _first_vbyte_len(blob: bytes) -> int:
+    i = 0
+    while blob[i] & 0x80:
+        i += 1
+    return i + 1
+
+
+def _first_vbyte_val(blob: bytes) -> int:
+    v, shift, i = 0, 0, 0
+    while True:
+        b = blob[i]
+        v |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return v
+        shift += 7
+        i += 1
+
+
+def _block_meta(docs: np.ndarray, freqs: np.ndarray, norms_of_doc: np.ndarray):
+    """(blk_last, blk_maxf, blk_minn) for one posting list (local doc ids)."""
+    n = len(docs)
+    starts = np.arange(0, n, BLOCK_SIZE)
+    ends = np.minimum(starts + BLOCK_SIZE, n)
+    last = docs[ends - 1].astype(np.int32)
+    maxf = np.maximum.reduceat(freqs, starts).astype(np.int32)
+    minn = np.minimum.reduceat(norms_of_doc, starts).astype(np.uint8)
+    lens = (ends - starts).astype(np.int32)
+    return last.tobytes(), maxf.tobytes(), minn.tobytes(), lens.tobytes()
+
+
+def merge_segments(
+    spark: SparkSession,
+    index_dir: str,
+    sources: list[int],
+    hot_df_threshold: int = DEFAULT_HOT_DF,
+    new_segment_id: int | None = None,
+) -> dict:
+    """Merge ``sources`` into one new segment (deletes compacted)."""
+    t0 = time.time()
+    sources = sorted(int(s) for s in sources)
+    man = read_manifest(spark, index_dir)
+    src_rows = {
+        int(r["segment_id"]): r.asDict()
+        for r in man.filter(F.col("segment_id").isin(sources)).collect()
+    }
+    if len(src_rows) != len(sources):
+        raise ValueError(f"unknown source segments: {set(sources) - set(src_rows)}")
+    if new_segment_id is None:
+        new_segment_id = next_segment_id(spark, index_dir)
+
+    deleted = deleted_docs_by_segment(spark, index_dir, sources)
+    idx_path = os.path.join(index_dir, "index")
+
+    # ---- per-source doc bases + compaction maps (DocIDMerger.java:49-90) ---
+    # alive[seg] = bool mask over local ids; base[seg] = global offset of the
+    # segment's first surviving doc in the merged id space.
+    norms_rows = (
+        spark.read.parquet(idx_path)
+        .filter((F.col("kind") == KIND_NORMS) & F.col("segment_id").isin(sources))
+        .select("segment_id", "doc_blob")
+        .collect()
+    )
+    old_norms = {int(r.segment_id): np.frombuffer(r.doc_blob, np.uint8) for r in norms_rows}
+    bases: dict[int, int] = {}
+    alive_masks: dict[int, np.ndarray] = {}
+    new_norm_parts = []
+    base = 0
+    for seg in sources:
+        max_doc = int(src_rows[seg]["max_doc"])
+        mask = np.ones(max_doc, dtype=bool)
+        if seg in deleted:
+            mask[deleted[seg]] = False
+        alive_masks[seg] = mask
+        bases[seg] = base
+        base += int(mask.sum())
+        new_norm_parts.append(old_norms.get(seg, np.zeros(max_doc, np.uint8))[mask])
+    merged_norms = (
+        np.concatenate(new_norm_parts) if new_norm_parts else np.empty(0, np.uint8)
+    )
+    merged_max_doc = int(base)
+    merged_doc_count = int((merged_norms != 0).sum())
+
+    dirty = {s for s in sources if s in deleted and len(deleted[s])}
+    seg_order = {s: i for i, s in enumerate(sources)}
+    bc = spark.sparkContext.broadcast(
+        {
+            "bases": bases,
+            "alive": {s: alive_masks[s] for s in dirty},
+            "norms": {s: old_norms.get(s) for s in dirty},
+            "order": seg_order,
+            "dirty": dirty,
+        }
+    )
+
+    # ---- pass 1 (map-side): rebase blocks; re-encode dirty rows ------------
+    posts = (
+        spark.read.parquet(idx_path)
+        .filter((F.col("kind") == KIND_POSTING) & F.col("segment_id").isin(sources))
+        .select(
+            "segment_id", "shard", "term", "df", "ttf",
+            "doc_blob", "freq_blob", "pos_blob",
+            "blk_last", "blk_maxf", "blk_minn", "blk_len",
+        )
+    )
+
+    PASS1_SCHEMA = (
+        "seg_order int, shard int, term string, df bigint, ttf bigint, "
+        "doc_blob binary, freq_blob binary, pos_blob binary, "
+        "blk_last binary, blk_maxf binary, blk_minn binary, blk_len binary, "
+        "first_doc bigint, last_doc bigint"
+    )
+
+    def pass1(it):
+        st = bc.value
+        for pdf in it:
+            out = {k: [] for k in (
+                "seg_order", "shard", "term", "df", "ttf", "doc_blob", "freq_blob",
+                "pos_blob", "blk_last", "blk_maxf", "blk_minn", "blk_len",
+                "first_doc", "last_doc",
+            )}
+            for r in pdf.itertuples(index=False):
+                seg = int(r.segment_id)
+                b = st["bases"][seg]
+                if seg in st["dirty"]:
+                    # full re-encode with deleted docs dropped + ids compacted
+                    mask = st["alive"][seg]
+                    newid = np.cumsum(mask) - 1  # old local id -> new local id
+                    deltas = vbyte_decode(np.frombuffer(r.doc_blob, np.uint8)).astype(np.int64)
+                    docs = np.cumsum(deltas)
+                    freqs = vbyte_decode(np.frombuffer(r.freq_blob, np.uint8)).astype(np.int64)
+                    keep = mask[docs]
+                    if not keep.any():
+                        continue
+                    pdeltas = vbyte_decode(np.frombuffer(r.pos_blob, np.uint8)).astype(np.int64)
+                    occ_starts = np.zeros(len(freqs), dtype=np.int64)
+                    np.cumsum(freqs[:-1], out=occ_starts[1:])
+                    pos = delta_decode_lists(pdeltas, occ_starts)
+                    occ_keep = np.repeat(keep, freqs)
+                    docs2 = newid[docs[keep]]
+                    freqs2 = freqs[keep]
+                    pos2 = pos[occ_keep]
+                    occ_starts2 = np.zeros(len(freqs2), dtype=np.int64)
+                    np.cumsum(freqs2[:-1], out=occ_starts2[1:])
+                    d_enc, _ = vbyte_encode(
+                        delta_encode_lists(docs2, np.array([0], np.int64)).astype(np.uint64)
+                    )
+                    f_enc, _ = vbyte_encode(freqs2.astype(np.uint64))
+                    p_enc, _ = vbyte_encode(
+                        delta_encode_lists(pos2, occ_starts2).astype(np.uint64)
+                    )
+                    norms_alive = st["norms"][seg][mask]
+                    bl, bm, bn, blen = _block_meta(docs2, freqs2, norms_alive[docs2])
+                    bl_g = (np.frombuffer(bl, np.int32) + b).astype(np.int32).tobytes()
+                    out["df"].append(len(docs2))
+                    out["ttf"].append(int(freqs2.sum()))
+                    out["doc_blob"].append(d_enc.tobytes())
+                    out["freq_blob"].append(f_enc.tobytes())
+                    out["pos_blob"].append(p_enc.tobytes())
+                    out["blk_last"].append(bl_g)
+                    out["blk_maxf"].append(bm)
+                    out["blk_minn"].append(bn)
+                    out["blk_len"].append(blen)
+                    out["first_doc"].append(int(docs2[0]) + b)
+                    out["last_doc"].append(int(docs2[-1]) + b)
+                else:
+                    blk_last = np.frombuffer(r.blk_last, np.int32)
+                    out["df"].append(int(r.df))
+                    out["ttf"].append(int(r.ttf))
+                    out["doc_blob"].append(r.doc_blob)
+                    out["freq_blob"].append(r.freq_blob)
+                    out["pos_blob"].append(r.pos_blob)
+                    out["blk_last"].append((blk_last + b).astype(np.int32).tobytes())
+                    out["blk_maxf"].append(r.blk_maxf)
+                    out["blk_minn"].append(r.blk_minn)
+                    out["blk_len"].append(r.blk_len)
+                    out["first_doc"].append(_first_vbyte_val(r.doc_blob) + b)
+                    out["last_doc"].append(int(blk_last[-1]) + b)
+                out["seg_order"].append(st["order"][seg])
+                out["shard"].append(int(r.shard))
+                out["term"].append(r.term)
+            yield pd.DataFrame(out)
+
+    p1 = posts.mapInPandas(pass1, PASS1_SCHEMA)
+
+    # ---- chaining window + first-VByte patch (one shuffle on term) ---------
+    w = Window.partitionBy("term").orderBy("seg_order", "shard")
+    # cold rows get a chaining delta (they will be concatenated into one
+    # blob); hot rows stay separate shard rows and must remain SELF-CONTAINED
+    # (first VByte = absolute global docid) so any future merge can rebase
+    # them again — this invariant is what makes merges composable.
+    p2 = (
+        p1.withColumn("prev_last", F.lag("last_doc").over(w))
+        .withColumn("term_df", F.sum("df").over(Window.partitionBy("term")))
+        .withColumn(
+            "patch_val",
+            F.when(
+                F.col("term_df") > hot_df_threshold, F.col("first_doc")
+            ).otherwise(
+                F.col("first_doc") - F.coalesce(F.col("prev_last"), F.lit(0))
+            ),
+        )
+        .withColumn("out_shard", F.row_number().over(w) - 1)
+    )
+
+    PATCH_SCHEMA = (
+        "seg_order int, shard int, out_shard int, term string, df bigint, "
+        "ttf bigint, term_df bigint, "
+        "doc_blob binary, freq_blob binary, pos_blob binary, "
+        "blk_last binary, blk_maxf binary, blk_minn binary, blk_len binary"
+    )
+
+    def patch(it):
+        for pdf in it:
+            blobs = []
+            for blob, val in zip(pdf["doc_blob"], pdf["patch_val"]):
+                n = _first_vbyte_len(blob)
+                blobs.append(_encode_vbyte_one(int(val)) + blob[n:])
+            pdf = pdf[[
+                "seg_order", "shard", "out_shard", "term", "df", "ttf", "term_df",
+                "freq_blob", "pos_blob", "blk_last", "blk_maxf", "blk_minn", "blk_len",
+            ]].copy()
+            pdf.insert(7, "doc_blob", blobs)
+            yield pdf
+
+    patched = p2.mapInPandas(patch, PATCH_SCHEMA)
+
+    # ---- reduce: cold terms concat to one row; hot terms stay sharded ------
+    cold = patched.filter(F.col("term_df") <= hot_df_threshold)
+    hot = patched.filter(F.col("term_df") > hot_df_threshold)
+
+    def _concat(col):
+        arr = F.array_sort(
+            F.collect_list(
+                F.struct(F.col("seg_order"), F.col("shard"), F.col(col).alias("b"))
+            )
+        )
+        return F.aggregate(
+            arr, F.lit(b""), lambda acc, x: F.concat(acc, x["b"])
+        ).alias(col)
+
+    cold_m = cold.groupBy("term").agg(
+        F.sum("df").alias("df"),
+        F.sum("ttf").alias("ttf"),
+        _concat("doc_blob"),
+        _concat("freq_blob"),
+        _concat("pos_blob"),
+        _concat("blk_last"),
+        _concat("blk_maxf"),
+        _concat("blk_minn"),
+        _concat("blk_len"),
+    ).withColumn("shard", F.lit(0))
+
+    # salted path: shard id = dense rank of (source, source-shard) — query-time
+    # decode concatenates shards in shard order (SegmentPostings)
+    hot_m = hot.select(
+        "term", "df", "ttf", "doc_blob", "freq_blob", "pos_blob",
+        "blk_last", "blk_maxf", "blk_minn", "blk_len",
+        F.col("out_shard").alias("shard"),
+    )
+
+    merged = cold_m.unionByName(hot_m).select(
+        F.lit(new_segment_id).cast("int").alias("segment_id"),
+        F.lit(KIND_POSTING).alias("kind"),
+        "term", "df", "ttf", "doc_blob", "freq_blob", "pos_blob",
+        "blk_last", "blk_maxf", "blk_minn", "blk_len",
+        F.lit(-1).cast("bigint").alias("max_doc"),
+        F.lit(-1).cast("bigint").alias("doc_count"),
+        F.lit(-1).cast("bigint").alias("sum_len"),
+        "shard",
+    )
+    merged.write.mode("append").partitionBy("kind").parquet(idx_path)
+
+    # ---- merged segment aggregates (from what was actually written) --------
+    agg = (
+        spark.read.parquet(idx_path)
+        .filter((F.col("kind") == KIND_POSTING) & (F.col("segment_id") == new_segment_id))
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("df").alias("n_postings"),
+            F.sum("ttf").alias("sum_len"),
+        )
+        .collect()[0]
+    )
+    merged_sum_len = int(agg.sum_len or 0)
+
+    # ---- norms + stats rows ------------------------------------------------
+    extra = pd.DataFrame(
+        {
+            "segment_id": [new_segment_id, new_segment_id],
+            "kind": [KIND_NORMS, KIND_STATS],
+            "term": [None, None],
+            "df": [merged_max_doc, int(agg.n_terms or 0)],
+            "ttf": [0, int(agg.n_postings or 0)],
+            "doc_blob": [merged_norms.tobytes(), b""],
+            "freq_blob": [b"", b""],
+            "pos_blob": [b"", b""],
+            "blk_last": [b"", b""],
+            "blk_maxf": [b"", b""],
+            "blk_minn": [b"", b""],
+            "blk_len": [b"", b""],
+            "max_doc": [merged_max_doc, merged_max_doc],
+            "doc_count": [merged_doc_count, merged_doc_count],
+            "sum_len": [merged_sum_len, merged_sum_len],
+            "shard": [0, 0],
+        }
+    )
+    spark.createDataFrame(extra, schema=UNIFIED_SCHEMA).write.mode("append").partitionBy(
+        "kind"
+    ).parquet(idx_path)
+
+    # ---- docs table: remapped stored-field rows for the new segment --------
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    src_docs = docs.filter(F.col("segment_id").isin(sources))
+    if dirty:
+        del_keys = []
+        for seg in dirty:
+            for d in deleted[seg]:
+                del_keys.append((seg, int(d)))
+        del_df = spark.createDataFrame(del_keys, "segment_id int, doc_id bigint")
+        src_docs = src_docs.join(del_df, ["segment_id", "doc_id"], "left_anti")
+    base_df = spark.createDataFrame(
+        [(s, bases[s], seg_order[s]) for s in sources],
+        "segment_id int, doc_base bigint, seg_order int",
+    )
+    remap_w = Window.partitionBy("segment_id").orderBy("doc_id")
+    new_docs = (
+        src_docs.withColumn("new_local", F.row_number().over(remap_w) - 1)
+        .join(F.broadcast(base_df), "segment_id")
+        .withColumn("new_doc_id", F.col("new_local") + F.col("doc_base"))
+        .drop("segment_id", "doc_id", "new_local", "doc_base", "seg_order")
+        .withColumnRenamed("new_doc_id", "doc_id")
+        .withColumn("segment_id", F.lit(new_segment_id).cast("int"))
+    )
+    new_docs.select(
+        [F.col(c).cast(docs.schema[c].dataType) for c in docs.columns]
+    ).write.mode("append").parquet(os.path.join(index_dir, "docs"))
+
+    # ---- manifest commit ---------------------------------------------------
+    max_gen = int(
+        man.filter(F.col("segment_id").isin(sources)).agg(F.max("generation")).collect()[0][0]
+    )
+    lineage = json.dumps(
+        {
+            "merged_from": sources,
+            "compacted_deletes": sorted(dirty),
+            "merged_at": t0,
+            "hot_df_threshold": hot_df_threshold,
+        }
+    )
+    man_row = (
+        spark.range(1)
+        .select(
+            F.lit(new_segment_id).cast("int").alias("segment_id"),
+            F.lit(int(agg.n_terms or 0)).cast("long").alias("n_terms"),
+            F.lit(int(agg.n_postings or 0)).cast("long").alias("n_postings"),
+            F.lit(merged_max_doc).cast("long").alias("max_doc"),
+            F.lit(merged_doc_count).cast("long").alias("doc_count"),
+            F.lit(merged_sum_len).cast("long").alias("sum_len"),
+            F.lit(max_gen + 1).cast("int").alias("generation"),
+            F.lit(lineage).alias("lineage"),
+        )
+    )
+    man_row.select(*man.columns).write.mode("append").parquet(manifest_path(index_dir))
+
+    # ---- global term stats: rebuild iff deletes were compacted (df changed)
+    if dirty:
+        rebuild_term_stats(spark, index_dir)
+
+    bc.destroy()
+    return {
+        "segment_id": new_segment_id,
+        "sources": sources,
+        "max_doc": merged_max_doc,
+        "doc_count": merged_doc_count,
+        "sum_len": merged_sum_len,
+        "n_terms": int(agg.n_terms or 0),
+        "compacted_deletes": sorted(dirty),
+        "seconds": time.time() - t0,
+    }
+
+
+def rebuild_term_stats(spark: SparkSession, index_dir: str) -> None:
+    """Recompute global (term, df, ttf) from the LIVE posting rows —
+    term-sorted for parquet min/max pushdown (the FST term-index analogue)."""
+    live = live_segments(spark, index_dir)
+    post = (
+        spark.read.parquet(os.path.join(index_dir, "index"))
+        .filter((F.col("kind") == KIND_POSTING) & F.col("segment_id").isin(live))
+        .select("term", "df", "ttf")
+    )
+    out = os.path.join(index_dir, "term_stats")
+    (
+        post.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+        .repartitionByRange(max(1, len(live) // 8), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
+def run_merges(
+    spark: SparkSession,
+    index_dir: str,
+    segs_per_tier: int = 10,
+    max_merge_at_once: int = 10,
+    floor_size: int = 2_000,
+    max_merged_size: int = 5_000_000_000,
+    hot_df_threshold: int = DEFAULT_HOT_DF,
+    max_rounds: int = 20,
+) -> list[dict]:
+    """Driver merge loop (ConcurrentMergeScheduler analogue,
+    ``index/ConcurrentMergeScheduler.java:65`` — merges are just Spark jobs;
+    the scheduler is this loop). Plans with TieredMergePolicy until the
+    segment population fits the tier budget."""
+    results = []
+    for _ in range(max_rounds):
+        live = set(live_segments(spark, index_dir))
+        rows = [
+            r.asDict()
+            for r in read_manifest(spark, index_dir).collect()
+            if int(r["segment_id"]) in live
+        ]
+        plans = plan_merges(
+            rows,
+            segs_per_tier=segs_per_tier,
+            max_merge_at_once=max_merge_at_once,
+            floor_size=floor_size,
+            max_merged_size=max_merged_size,
+        )
+        if not plans:
+            break
+        for sources in plans:
+            results.append(
+                merge_segments(
+                    spark, index_dir, sources, hot_df_threshold=hot_df_threshold
+                )
+            )
+    return results

@@ -1,0 +1,163 @@
+"""Multimodal (binary-payload) column plumbing for training-data pipelines.
+
+At 100-TB scale, image/audio/video assets ride through Spark as opaque
+``binary`` columns with typed metadata; decode / feature-extraction / frame
+sampling run as Arrow-batched ``mapInPandas`` kernels so raw bytes never
+cross a row-at-a-time Python boundary.
+
+The actual media decoders (PIL/ffmpeg/soundfile) are NOT in this container —
+``decode_image`` is an explicit stub (NotImplementedError) and the pipeline
+uses a deterministic byte-level feature extractor instead. Everything
+Spark-side is real and tested: schema (binary + metadata struct), partition
+behavior, UDF signature, Arrow batch shape.
+
+Test payloads derive deterministically from the driver's ``documents`` table
+(``CAST(text AS BINARY)``, pure ASCII → byte semantics equal character
+semantics, so DuckDB oracles the same features).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+FRAME_BYTES = 256  # stand-in for a video frame / audio window
+
+
+def decode_image(payload: bytes):
+    """Real decoder stub — would be ``PIL.Image.open(io.BytesIO(payload))``.
+
+    Deliberately unimplemented: media libs are absent in this environment.
+    The surrounding pipeline (schema, batching, partitioning) is real.
+    """
+    raise NotImplementedError(
+        "media decoding requires PIL/ffmpeg; use extract_features (byte-level)"
+    )
+
+
+def with_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the opaque binary column + typed metadata — the ingest shape of
+    a multimodal table: (id, payload: binary, meta: struct)."""
+    return docs.select(
+        "doc_id",
+        F.col(text_col).cast("binary").alias("payload"),
+        F.struct(
+            F.octet_length(F.col(text_col)).alias("n_bytes"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(payloads: DataFrame) -> DataFrame:
+    """Byte-level feature extraction over binary payloads via ``mapInPandas``
+    (Arrow batches; numpy over a flat byte buffer per batch — no per-row
+    Python beyond the buffer slicing)."""
+
+    schema = "doc_id bigint, n_bytes bigint, n_frames bigint, byte_sum bigint, payload_md5 string"
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            n_bytes = np.empty(n, dtype=np.int64)
+            byte_sum = np.empty(n, dtype=np.int64)
+            md5s = []
+            for i, b in enumerate(pdf["payload"]):
+                arr = np.frombuffer(b, dtype=np.uint8)
+                n_bytes[i] = len(arr)
+                byte_sum[i] = int(arr.sum())
+                md5s.append(hashlib.md5(b).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_bytes": n_bytes,
+                    "n_frames": (n_bytes + FRAME_BYTES - 1) // FRAME_BYTES,
+                    "byte_sum": byte_sum,
+                    "payload_md5": md5s,
+                }
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(kernel, schema)
+
+
+def sample_frames(payloads: DataFrame, every: int = 4) -> DataFrame:
+    """Frame sampling: split each payload into FRAME_BYTES frames, keep every
+    ``every``-th — the video-keyframe pattern. One row per kept frame with its
+    own md5 (dedup-able downstream)."""
+
+    schema = "doc_id bigint, frame_id bigint, frame_bytes bigint, frame_md5 string"
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fids, fbytes, fmd5 = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                nf = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+                for fi in range(0, nf, every):
+                    chunk = b[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                    ids.append(doc_id)
+                    fids.append(fi)
+                    fbytes.append(len(chunk))
+                    fmd5.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(ids, dtype=np.int64),
+                    "frame_id": np.array(fids, dtype=np.int64),
+                    "frame_bytes": np.array(fbytes, dtype=np.int64),
+                    "frame_md5": fmd5,
+                }
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# driver-contract ops over the documents table (+ DuckDB oracles; text is
+# pure ASCII so byte features == character features)
+
+def mm_features(spark, sf_dir):
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return extract_features(with_payload(docs))
+
+
+MM_FEATURES_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_bytes,
+       CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames,
+       CAST(list_aggregate(list_transform(string_split_regex(text, ''), x -> ascii(x)), 'sum') AS BIGINT) AS byte_sum,
+       md5(text) AS payload_md5
+FROM documents WHERE length(text) > 0
+UNION ALL
+SELECT doc_id, 0, 0, 0, md5('') FROM documents WHERE length(text) = 0
+"""
+
+
+def mm_frame_sample(spark, sf_dir):
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return sample_frames(with_payload(docs), every=4)
+
+
+MM_FRAME_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         (i - 1) * 4 AS frame_id,
+         substr(text, (i - 1) * 4 * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS chunk
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1,
+                 CAST(ceil(ceil(length(text) / {FRAME_BYTES}.0) / 4.0) AS BIGINT))) AS i)
+  WHERE length(text) > 0
+)
+SELECT doc_id, frame_id, length(chunk) AS frame_bytes, md5(chunk) AS frame_md5 FROM f
+"""
+
+
+MULTIMODAL_OPS: dict[str, tuple] = {
+    "mm_features": (mm_features, MM_FEATURES_SQL),
+    "mm_frame_sample": (mm_frame_sample, MM_FRAME_SQL),
+}

@@ -32,14 +32,60 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from ..index.manifest import live_stats
 from . import bm25
-from .kernels import QueryContext, SegmentPostings, eval_query, topk, topk_term_pruned
-from .query import MatchNoneQuery, Query, TermQuery, parse_query, rewrite
+from .kernels import (
+    QueryContext,
+    SegmentPostings,
+    eval_query,
+    topk,
+    topk_or_pruned,
+    topk_term_pruned,
+)
+from .query import (
+    CONSTANT_SCORE,
+    MAX_CLAUSE_COUNT,
+    SCORING_BOOLEAN,
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FuzzyQuery,
+    MatchNoneQuery,
+    MultiTermQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    SynonymQuery,
+    TermInSetQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    parse_query,
+    rewrite,
+)
+
+
+def _pure_or_terms(q: Query) -> list[str] | None:
+    """Terms of a pure term-disjunction (WAND-eligible, the TOP_SCORES
+    disjunction dispatch of ``Boolean2ScorerSupplier.java:100-206``)."""
+    if (
+        isinstance(q, BooleanQuery)
+        and not q.must
+        and not q.must_not
+        and not q.filter
+        and q.min_should_match <= 1
+        and all(isinstance(c, TermQuery) for c in q.should)
+    ):
+        return [c.term for c in q.should]
+    return None
 
 RESULT_SCHEMA = "qid int, segment_id int, doc_id bigint, score double"
 
 POSTING_COLS = [
     "segment_id",
+    "shard",
     "term",
     "df",
     "doc_blob",
@@ -48,6 +94,7 @@ POSTING_COLS = [
     "blk_last",
     "blk_maxf",
     "blk_minn",
+    "blk_len",
 ]
 
 
@@ -65,17 +112,14 @@ class IndexSearcher:
         self.index_dir = index_dir
         self.analyzer = analyzer
         self.f32 = precision == "f32"
-        man = spark.read.parquet(os.path.join(index_dir, "manifest"))
-        agg = man.agg(
-            F.sum("doc_count").alias("dc"),
-            F.sum("sum_len").alias("sl"),
-            F.sum("max_doc").alias("md"),
-        ).collect()[0]
+        # snapshot the commit point: live segments only (DirectoryReader open)
+        st = live_stats(spark, index_dir)
+        self.live = st["live"]
         # CollectionStatistics (search/CollectionStatistics.java:51-54):
         # docCount = docs with >=1 token; sumTotalTermFreq = total tokens.
-        self.doc_count = int(agg.dc or 0)
-        self.sum_total_term_freq = int(agg.sl or 0)
-        self.max_doc = int(agg.md or 0)
+        self.doc_count = st["doc_count"]
+        self.sum_total_term_freq = st["sum_total_term_freq"]
+        self.max_doc = st["max_doc"]
         if self.f32:
             self.avgdl = bm25.avgdl(self.sum_total_term_freq, max(self.doc_count, 1))
             self.cache = bm25.norm_cache(self.avgdl)
@@ -117,6 +161,101 @@ class IndexSearcher:
                 out[t] = math.log1p((self.doc_count - df + 0.5) / (df + 0.5))
         return out
 
+    # ------------------------------------------- multi-term expansion ------
+    def _terms_df(self):
+        return self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+
+    def matching_terms(self, q: MultiTermQuery, cap: int = 65536) -> list[str]:
+        """Expand a MultiTermQuery against the term dictionary
+        (``MultiTermQuery.java:66`` — automaton ∩ terms enum). Here: a
+        pushdown-friendly Catalyst predicate over the term-sorted stats table
+        (prefix/range filters reach the parquet row-group stats; regex/edit
+        distance evaluates after the pushdown narrows the scan)."""
+        t = self._terms_df()
+        c = F.col("term")
+        if isinstance(q, PrefixQuery):
+            t = t.filter(c.startswith(q.prefix))
+        elif isinstance(q, WildcardQuery):
+            lit_prefix = q.pattern.split("*", 1)[0].split("?", 1)[0]
+            if lit_prefix:
+                t = t.filter(c.startswith(lit_prefix))
+            sql_like = q.pattern.replace("%", r"\%").replace("_", r"\_")
+            sql_like = sql_like.replace("*", "%").replace("?", "_")
+            t = t.filter(c.like(sql_like))
+        elif isinstance(q, RegexpQuery):
+            t = t.filter(c.rlike(f"^(?:{q.pattern})$"))
+        elif isinstance(q, FuzzyQuery):
+            if q.prefix_len:
+                t = t.filter(c.startswith(q.term[: q.prefix_len]))
+            band = q.max_edits
+            t = t.filter(
+                (F.length(c) >= len(q.term) - band)
+                & (F.length(c) <= len(q.term) + band)
+                & (F.levenshtein(c, F.lit(q.term)) <= band)
+            )
+        elif isinstance(q, TermRangeQuery):
+            if q.lower is not None:
+                t = t.filter(c >= q.lower if q.include_lower else c > q.lower)
+            if q.upper is not None:
+                t = t.filter(c <= q.upper if q.include_upper else c < q.upper)
+        else:
+            raise TypeError(f"not a MultiTermQuery: {type(q)}")
+        rows = t.select("term", "df").limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise ValueError(f"multi-term expansion exceeds cap {cap}")
+        # deterministic order: df desc then term asc (top-terms rewrite order)
+        rows.sort(key=lambda r: (-int(r.df), r.term))
+        return [r.term for r in rows]
+
+    def expand(self, q: Query) -> Query:
+        """Plan-time rewrite of MultiTermQuerys to concrete term queries —
+        the reference's rewrite dispatch (``MultiTermQuery.java:68,94``,
+        ``TopTermsRewrite.java``)."""
+        if isinstance(q, MultiTermQuery):
+            method = q.rewrite_method
+            top_n = None
+            if method.startswith("top_terms_"):
+                top_n = int(method.rsplit("_", 1)[1])
+            terms = self.matching_terms(q)
+            if not terms:
+                return MatchNoneQuery()
+            if top_n is not None:
+                terms = terms[:top_n]
+                method = SCORING_BOOLEAN
+            if method == SCORING_BOOLEAN:
+                if len(terms) > MAX_CLAUSE_COUNT:
+                    raise ValueError(
+                        f"maxClauseCount exceeded: {len(terms)} > {MAX_CLAUSE_COUNT}"
+                    )
+                return BooleanQuery(should=tuple(TermQuery(t) for t in terms))
+            return ConstantScoreQuery(
+                BooleanQuery(should=tuple(TermQuery(t) for t in terms))
+            )
+        if isinstance(q, TermInSetQuery):
+            present = set(self.term_stats(set(q.set_terms)))
+            if not present:
+                return MatchNoneQuery()
+            return ConstantScoreQuery(
+                BooleanQuery(should=tuple(TermQuery(t) for t in sorted(present)))
+            )
+        if isinstance(q, BooleanQuery):
+            return BooleanQuery(
+                tuple(self.expand(c) for c in q.must),
+                tuple(self.expand(c) for c in q.should),
+                tuple(self.expand(c) for c in q.must_not),
+                tuple(self.expand(c) for c in q.filter),
+                q.min_should_match,
+            )
+        if isinstance(q, DisjunctionMaxQuery):
+            return DisjunctionMaxQuery(
+                tuple(self.expand(d) for d in q.disjuncts), q.tiebreak
+            )
+        if isinstance(q, ConstantScoreQuery):
+            return ConstantScoreQuery(self.expand(q.inner), q.boost)
+        if isinstance(q, BoostQuery):
+            return BoostQuery(self.expand(q.inner), q.boost)
+        return q
+
     # ------------------------------------------------------------- search --
     def search(self, query: Query | str, k: int = 10) -> DataFrame:
         return self.search_many({0: query}, k).drop("qid")
@@ -132,11 +271,13 @@ class IndexSearcher:
         for qid, q in queries.items():
             if isinstance(q, str):
                 q = parse_query(q, self.analyzer)
-            parsed[qid] = rewrite(q)
+            parsed[qid] = rewrite(self.expand(rewrite(q)))
         all_terms: set[str] = set()
         for q in parsed.values():
             all_terms |= q.terms()
         weights = self.weights_for(all_terms)
+        dfs = self.term_stats(all_terms)
+        doc_count = self.doc_count
         cache = self.cache
         f32 = self.f32
         live = {
@@ -148,35 +289,52 @@ class IndexSearcher:
             return spark.createDataFrame([], schema)
 
         idx_path = os.path.join(self.index_dir, "index")
+        live_segs = self.live
         postings = (
             spark.read.parquet(idx_path)
-            .filter(F.col("kind") == 0)
+            .filter((F.col("kind") == 0) & F.col("segment_id").isin(live_segs))
             .filter(F.col("term").isin(*all_terms))
             .select(*POSTING_COLS)
         )
+        # kind=1 norms + kind=3 tombstones ride the same cogroup side
         norms = (
             spark.read.parquet(idx_path)
-            .filter(F.col("kind") == 1)
-            .select("segment_id", F.col("doc_blob").alias("norms"), "max_doc")
+            .filter(F.col("kind").isin(1, 3) & F.col("segment_id").isin(live_segs))
+            .select("segment_id", "kind", F.col("doc_blob").alias("blob"), "max_doc")
         )
 
         def score_segment(key, post_pdf, norm_pdf) -> pd.DataFrame:
-            if len(norm_pdf) == 0 or len(post_pdf) == 0:
+            norm_rows = norm_pdf[norm_pdf["kind"] == 1]
+            if len(norm_rows) == 0 or len(post_pdf) == 0:
                 return pd.DataFrame(
                     {"qid": [], "segment_id": [], "doc_id": [], "score": []}
                 ).astype({"qid": "int32", "segment_id": "int32", "doc_id": "int64", "score": "float32"})
             seg_id = int(key[0])
-            norms_arr = np.frombuffer(norm_pdf["norms"].iloc[0], dtype=np.uint8)
-            rows = {
-                r["term"]: r
-                for r in post_pdf.to_dict("records")
-            }
-            seg = SegmentPostings(rows, norms_arr, int(norm_pdf["max_doc"].iloc[0]))
-            ctx = QueryContext(weights, cache, f32=f32)
+            norms_arr = np.frombuffer(norm_rows["blob"].iloc[0], dtype=np.uint8)
+            del_rows = norm_pdf[norm_pdf["kind"] == 3]
+            deleted = (
+                np.unique(
+                    np.concatenate(
+                        [np.frombuffer(b, dtype=np.int64) for b in del_rows["blob"]]
+                    )
+                )
+                if len(del_rows)
+                else None
+            )
+            rows: dict[str, list[dict]] = {}
+            for r in post_pdf.sort_values("shard").to_dict("records"):
+                rows.setdefault(r["term"], []).append(r)
+            seg = SegmentPostings(
+                rows, norms_arr, int(norm_rows["max_doc"].iloc[0]), deleted
+            )
+            ctx = QueryContext(weights, cache, f32=f32, dfs=dfs, doc_count=doc_count)
             out_qid, out_doc, out_score = [], [], []
             for qid, q in live.items():
+                or_terms = _pure_or_terms(q) if k is not None else None
                 if k is not None and isinstance(q, TermQuery):
                     d, s = topk_term_pruned(q.term, seg, ctx, k)
+                elif or_terms is not None:
+                    d, s = topk_or_pruned(or_terms, seg, ctx, k)
                 else:
                     docs, scores = eval_query(q, seg, ctx)
                     if k is None:

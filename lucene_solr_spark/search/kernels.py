@@ -30,10 +30,14 @@ from ..codec import BLOCK_SIZE, delta_decode_lists, vbyte_decode
 from . import bm25
 from .query import (
     BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
     MatchAllQuery,
     MatchNoneQuery,
     PhraseQuery,
     Query,
+    SynonymQuery,
     TermQuery,
 )
 
@@ -44,47 +48,103 @@ _POS_SHIFT = np.int64(1) << np.int64(32)
 
 
 class SegmentPostings:
-    """Lazy decoder over one segment's posting rows for the query's terms."""
+    """Lazy decoder over one segment's posting rows for the query's terms.
 
-    def __init__(self, rows: dict[str, dict], norms: np.ndarray, max_doc: int):
-        self.rows = rows  # term -> {doc_blob, freq_blob, pos_blob, blk_*}
+    ``rows[term]`` is a LIST of posting rows sorted by ``shard`` — normally
+    one row, but hot terms stay sharded after a merge (salted path). Every
+    row is SELF-CONTAINED: its first VByte doc value is absolute, so shards
+    decode independently (parallelizable at scale) and concatenate.
+
+    ``deleted`` is the segment's tombstone set (live-docs analogue,
+    ``Lucene50LiveDocsFormat``): matching docs are masked out after decode,
+    positions of deleted docs are dropped before phrase matching. Block
+    metadata is NOT rewritten on delete — the stored per-block bounds remain
+    admissible (removing docs can only lower the true block max).
+    """
+
+    def __init__(
+        self,
+        rows: dict[str, list[dict]],
+        norms: np.ndarray,
+        max_doc: int,
+        deleted: np.ndarray | None = None,
+    ):
+        self.rows = rows  # term -> [ {doc_blob, freq_blob, pos_blob, blk_*, df}, ... ]
         self.norms = norms
         self.max_doc = max_doc
-        self._docs: dict[str, np.ndarray] = {}
-        self._freqs: dict[str, np.ndarray] = {}
-        self._pos: dict[str, np.ndarray] = {}
+        self.deleted = deleted if deleted is not None and len(deleted) else None
+        self._raw: dict[str, tuple] = {}
+        self._docs: dict[str, tuple] = {}
+        self._pos: dict[str, tuple] = {}
+
+    def _cat(self, term: str, col: str) -> np.ndarray:
+        parts = [np.frombuffer(r[col], dtype=np.uint8) for r in self.rows[term]]
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+    def docs_freqs_raw(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Decoded (docs, freqs) BEFORE delete masking (block-aligned)."""
+        if term not in self.rows:
+            return _EMPTY_I, _EMPTY_I
+        if term not in self._raw:
+            rows = self.rows[term]
+            # each shard row decodes independently (first value absolute)
+            docs_parts = [
+                np.cumsum(
+                    vbyte_decode(np.frombuffer(r["doc_blob"], np.uint8)).astype(np.int64)
+                )
+                for r in rows
+            ]
+            docs = docs_parts[0] if len(rows) == 1 else np.concatenate(docs_parts)
+            freqs = vbyte_decode(self._cat(term, "freq_blob")).astype(np.int64)
+            self._raw[term] = (docs, freqs)
+        return self._raw[term]
 
     def docs_freqs(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         if term not in self.rows:
             return _EMPTY_I, _EMPTY_I
         if term not in self._docs:
-            r = self.rows[term]
-            deltas = vbyte_decode(np.frombuffer(r["doc_blob"], dtype=np.uint8)).astype(np.int64)
-            docs = np.cumsum(deltas)  # first delta is absolute (single list)
-            freqs = vbyte_decode(np.frombuffer(r["freq_blob"], dtype=np.uint8)).astype(np.int64)
-            self._docs[term] = docs
-            self._freqs[term] = freqs
-        return self._docs[term], self._freqs[term]
+            docs, freqs = self.docs_freqs_raw(term)
+            if self.deleted is not None and len(docs):
+                keep = ~np.isin(docs, self.deleted)
+                self._docs[term] = (docs[keep], freqs[keep], keep)
+            else:
+                self._docs[term] = (docs, freqs, None)
+        d, f, _ = self._docs[term]
+        return d, f
 
     def positions(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        """Returns (flat positions, per-posting start offsets incl. end)."""
+        """Returns (flat positions, per-posting start offsets incl. end) —
+        aligned with the delete-masked docs_freqs."""
         docs, freqs = self.docs_freqs(term)
         if term not in self._pos:
-            r = self.rows[term]
-            deltas = vbyte_decode(np.frombuffer(r["pos_blob"], dtype=np.uint8)).astype(np.int64)
-            occ_starts = np.zeros(len(freqs), dtype=np.int64)
-            np.cumsum(freqs[:-1], out=occ_starts[1:])
+            _, raw_freqs = self.docs_freqs_raw(term)
+            deltas = vbyte_decode(self._cat(term, "pos_blob")).astype(np.int64)
+            occ_starts = np.zeros(len(raw_freqs), dtype=np.int64)
+            np.cumsum(raw_freqs[:-1], out=occ_starts[1:])
             pos = delta_decode_lists(deltas, occ_starts)
-            self._pos[term] = (pos, np.append(occ_starts, len(pos)))
+            keep = self._docs[term][2]
+            if keep is not None:
+                pos = pos[np.repeat(keep, raw_freqs)]
+            occ2 = np.zeros(len(freqs), dtype=np.int64)
+            if len(freqs):
+                np.cumsum(freqs[:-1], out=occ2[1:])
+            self._pos[term] = (pos, np.append(occ2, len(pos)))
         return self._pos[term]
 
-    def blocks(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        r = self.rows[term]
-        return (
-            np.frombuffer(r["blk_last"], dtype=np.int32),
-            np.frombuffer(r["blk_maxf"], dtype=np.int32),
-            np.frombuffer(r["blk_minn"], dtype=np.uint8),
-        )
+    def blocks(self, term: str):
+        """Per-block (start, end, last_doc, max_freq, min_norm) over the RAW
+        posting order — offsets account for shard boundaries (each shard is
+        independently 128-blocked)."""
+        rows = self.rows[term]
+        last = np.concatenate([np.frombuffer(r["blk_last"], np.int32) for r in rows])
+        maxf = np.concatenate([np.frombuffer(r["blk_maxf"], np.int32) for r in rows])
+        minn = np.concatenate([np.frombuffer(r["blk_minn"], np.uint8) for r in rows])
+        lens = np.concatenate(
+            [np.frombuffer(r["blk_len"], np.int32) for r in rows]
+        ).astype(np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        return starts, ends, last, maxf, minn
 
 
 # ------------------------------------------------------------- combinators --
@@ -146,12 +206,30 @@ class QueryContext:
     double-precision SQL.
     """
 
-    def __init__(self, weights: dict[str, float], cache: np.ndarray, f32: bool = True):
+    def __init__(
+        self,
+        weights: dict[str, float],
+        cache: np.ndarray,
+        f32: bool = True,
+        dfs: dict[str, int] | None = None,
+        doc_count: int = 0,
+    ):
         dt = np.float32 if f32 else np.float64
         self.f32 = f32
         self.weights = {t: dt(w) for t, w in weights.items()}
         self.cache = cache.astype(dt)
         self.cache64 = self.cache.astype(np.float64)  # exact widening
+        self.dfs = dfs or {}
+        self.doc_count = doc_count
+
+    def synonym_weight(self, terms) -> float:
+        """Pseudo-term idf with df = max over the synonyms
+        (``SynonymQuery.java:204-218``)."""
+        df = max((self.dfs.get(t, 0) for t in terms), default=0)
+        if df == 0:
+            return 0.0
+        w = np.log1p((self.doc_count - df + 0.5) / (df + 0.5))
+        return np.float32(w) if self.f32 else float(w)
 
     def score(self, freqs: np.ndarray, norm_bytes: np.ndarray, weight) -> np.ndarray:
         """BM25 tf*weight with the mode's float semantics; returns float64 carrier."""
@@ -189,7 +267,59 @@ def eval_query(q: Query, seg: SegmentPostings, ctx: QueryContext, scoring: bool 
         return _eval_phrase(q, seg, ctx, scoring)
     if isinstance(q, BooleanQuery):
         return _eval_bool(q, seg, ctx, scoring)
+    if isinstance(q, ConstantScoreQuery):
+        docs, _ = eval_query(q.inner, seg, ctx, scoring=False)
+        return docs, np.full(len(docs), np.float64(np.float32(q.boost)) if ctx.f32 else q.boost)
+    if isinstance(q, BoostQuery):
+        docs, scores = eval_query(q.inner, seg, ctx, scoring)
+        if scoring:
+            scores = scores * q.boost
+            if ctx.f32:
+                scores = scores.astype(np.float32).astype(np.float64)
+        return docs, scores
+    if isinstance(q, SynonymQuery):
+        return _eval_synonym(q, seg, ctx, scoring)
+    if isinstance(q, DisjunctionMaxQuery):
+        return _eval_dismax(q, seg, ctx, scoring)
     raise TypeError(f"unknown query type {type(q)}")
+
+
+def _eval_synonym(q: SynonymQuery, seg: SegmentPostings, ctx: QueryContext, scoring: bool):
+    """Union with freq-sum, scored as one pseudo-term (SynonymScorer.freq)."""
+    pairs = [seg.docs_freqs(t) for t in q.syn_terms]
+    non_empty = [(d, f.astype(np.float64)) for d, f in pairs if len(d)]
+    if not non_empty:
+        return _EMPTY_I, _EMPTY_F
+    docs = np.concatenate([d for d, _ in non_empty])
+    freqs = np.concatenate([f for _, f in non_empty])
+    uniq, inv = np.unique(docs, return_inverse=True)
+    fsum = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(fsum, inv, freqs)
+    if not scoring:
+        return uniq, np.zeros(len(uniq), dtype=np.float64)
+    w = ctx.synonym_weight(q.syn_terms)
+    return uniq, ctx.score(fsum, seg.norms[uniq], w)
+
+
+def _eval_dismax(q: DisjunctionMaxQuery, seg: SegmentPostings, ctx: QueryContext, scoring: bool):
+    """max + tiebreak·(sum − max) over disjuncts (DisjunctionMaxScorer)."""
+    results = [eval_query(d, seg, ctx, scoring) for d in q.disjuncts]
+    non_empty = [(d, s) for d, s in results if len(d)]
+    if not non_empty:
+        return _EMPTY_I, _EMPTY_F
+    docs = np.concatenate([d for d, _ in non_empty])
+    scores = np.concatenate([s for _, s in non_empty])
+    uniq, inv = np.unique(docs, return_inverse=True)
+    if not scoring:
+        return uniq, np.zeros(len(uniq), dtype=np.float64)
+    mx = np.full(len(uniq), -np.inf)
+    np.maximum.at(mx, inv, scores)
+    sm = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(sm, inv, scores)
+    out = mx + q.tiebreak * (sm - mx)
+    if ctx.f32:
+        out = out.astype(np.float32).astype(np.float64)
+    return uniq, out
 
 
 def _eval_phrase(q: PhraseQuery, seg: SegmentPostings, ctx: QueryContext, scoring: bool):
@@ -280,6 +410,92 @@ def topk(docs: np.ndarray, scores: np.ndarray, k: int, f32: bool = True):
     return docs[order], s32[order]
 
 
+def topk_or_pruned(terms: list[str], seg: SegmentPostings, ctx: QueryContext, k: int):
+    """Block-max WAND for a pure term disjunction (``WANDScorer.java:45``,
+    Broder et al. WAND + Ding & Suel block-max), bulk-evaluated:
+
+    1. *theta seed*: per-term top-k blocks give candidate docs; their EXACT
+       disjunction scores (searchsorted lookup into every term's postings)
+       seed ``theta`` = kth-best candidate — a lower bound on the true kth
+       score (kth-largest over a subset ≤ kth-largest overall).
+    2. *block sweep*: elementary doc ranges are the union of all terms' block
+       boundaries; each range's bound = Σ_i ub_i(block covering it) — the
+       ``MaxScoreSumPropagator``/``WANDScorer`` head-sum at block granularity.
+       Ranges with bound < theta are skipped wholesale (strict <, so an
+       excluded doc's exact score is strictly below the kth — pruning can
+       never change the (score desc, doc asc) top-k; property-tested).
+    3. survivors are union-summed and top-k'd exactly.
+    """
+    present = [t for t in terms if t in seg.rows and ctx.weights.get(t, 0.0) != 0.0]
+    if seg.deleted is not None or len(present) < 2:
+        q = BooleanQuery(should=tuple(TermQuery(t) for t in terms))
+        docs, scores = eval_query(q, seg, ctx)
+        return topk(docs, scores, k, ctx.f32)
+
+    blocks = {t: seg.blocks(t) for t in present}
+    posting = {t: seg.docs_freqs_raw(t) for t in present}
+    ubs = {
+        t: ctx.score(blocks[t][3].astype(np.float64), blocks[t][4], ctx.weights[t])
+        for t in present
+    }
+    exact = {
+        t: ctx.score(posting[t][1], seg.norms[posting[t][0]], ctx.weights[t])
+        for t in present
+    }
+
+    def _sum_at(cand: np.ndarray) -> np.ndarray:
+        total = np.zeros(len(cand), dtype=np.float64)
+        for t in present:
+            docs_t = posting[t][0]
+            idx = np.searchsorted(docs_t, cand)
+            idx_c = np.minimum(idx, len(docs_t) - 1)
+            hit = docs_t[idx_c] == cand
+            total[hit] += exact[t][idx_c[hit]]
+        if ctx.f32:
+            total = total.astype(np.float32).astype(np.float64)
+        return total
+
+    # phase 1: theta seed from per-term best blocks
+    seeds = []
+    for t in present:
+        order = np.argsort(-ubs[t], kind="stable")
+        got = 0
+        starts, ends = blocks[t][0], blocks[t][1]
+        for bi in order:
+            seeds.append(posting[t][0][starts[bi] : ends[bi]])
+            got += int(ends[bi] - starts[bi])
+            if got >= k:
+                break
+    cand = np.unique(np.concatenate(seeds))
+    cand_scores = _sum_at(cand)
+    if len(cand) >= k:
+        theta = float(np.partition(cand_scores, len(cand) - k)[len(cand) - k])
+    else:
+        theta = -np.inf
+
+    # phase 2: block sweep — elementary ranges from all block last-docs
+    boundaries = np.unique(np.concatenate([blocks[t][2] for t in present]).astype(np.int64))
+    range_ub = np.zeros(len(boundaries), dtype=np.float64)
+    for t in present:
+        last = blocks[t][2].astype(np.int64)
+        idx = np.searchsorted(last, boundaries)  # block covering each range end
+        covered = idx < len(last)
+        range_ub[covered] += ubs[t][idx[covered]]
+    live_range = range_ub >= theta
+
+    kept_docs, kept_scores = [], []
+    for t in present:
+        docs_t = posting[t][0]
+        rid = np.searchsorted(boundaries, docs_t)  # boundaries are inclusive ends
+        keep = live_range[np.minimum(rid, len(boundaries) - 1)]
+        kept_docs.append(docs_t[keep])
+        kept_scores.append(exact[t][keep])
+    docs_u, scores_u, _ = _union_sum(list(zip(kept_docs, kept_scores)))
+    if ctx.f32:
+        scores_u = scores_u.astype(np.float32).astype(np.float64)
+    return topk(docs_u, scores_u, k, ctx.f32)
+
+
 def topk_term_pruned(term: str, seg: SegmentPostings, ctx: QueryContext, k: int):
     """Block-max pruned top-k for a single term (ImpactsDISI analogue).
 
@@ -289,7 +505,11 @@ def topk_term_pruned(term: str, seg: SegmentPostings, ctx: QueryContext, k: int)
     """
     if term not in seg.rows:
         return _EMPTY_I, np.empty(0, np.float32 if ctx.f32 else np.float64)
-    blk_last, blk_maxf, blk_minn = seg.blocks(term)
+    if seg.deleted is not None:
+        # deletes break block alignment of the masked arrays — exhaustive path
+        docs, scores = eval_query(TermQuery(term), seg, ctx)
+        return topk(docs, scores, k, ctx.f32)
+    blk_start, blk_end, blk_last, blk_maxf, blk_minn = seg.blocks(term)
     w = ctx.weights[term]
     # admissible block bound: score(max_freq, min_norm) — monotone in both
     # (CompetitiveImpactAccumulator/MaxScoreCache role, SURVEY §2.3)
@@ -298,7 +518,7 @@ def topk_term_pruned(term: str, seg: SegmentPostings, ctx: QueryContext, k: int)
     if nblocks <= 2:
         docs, scores = eval_query(TermQuery(term), seg, ctx)
         return topk(docs, scores, k, ctx.f32)
-    docs, freqs = seg.docs_freqs(term)  # decode once; pruning saves scoring
+    docs, freqs = seg.docs_freqs_raw(term)  # decode once; pruning saves scoring
     order = np.argsort(-ubs, kind="stable")
     out_docs: list[np.ndarray] = []
     out_scores: list[np.ndarray] = []
@@ -307,8 +527,8 @@ def topk_term_pruned(term: str, seg: SegmentPostings, ctx: QueryContext, k: int)
     for bi in order:
         if ubs[bi] < theta:
             break
-        s = bi * BLOCK_SIZE
-        e = min(s + BLOCK_SIZE, len(docs))
+        s = int(blk_start[bi])
+        e = int(blk_end[bi])
         d = docs[s:e]
         out_docs.append(d)
         out_scores.append(ctx.score(freqs[s:e], seg.norms[d], w))

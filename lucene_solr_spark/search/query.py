@@ -54,6 +54,127 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class SynonymQuery(Query):
+    """Scores multiple terms as one pseudo-term (``search/SynonymQuery.java:55``):
+    freq = Σ term freqs per doc; pseudo-stats df = max(df_i), ttf = Σ ttf_i
+    (SynonymQuery.java:204-218)."""
+
+    syn_terms: tuple[str, ...]
+
+    def terms(self):
+        return set(self.syn_terms)
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """score = max(disjunct scores) + tiebreak · Σ(other scores)
+    (``search/DisjunctionMaxQuery.java:45,50-66``)."""
+
+    disjuncts: tuple[Query, ...]
+    tiebreak: float = 0.0
+
+    def terms(self):
+        out: set[str] = set()
+        for d in self.disjuncts:
+            out |= d.terms()
+        return out
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    """Matching docs all score ``boost`` (``search/ConstantScoreQuery.java:32``)."""
+
+    inner: Query
+    boost: float = 1.0
+
+    def terms(self):
+        return self.inner.terms()
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    """Multiplicative boost wrapper (``search/BoostQuery.java:34``)."""
+
+    inner: Query
+    boost: float = 1.0
+
+    def terms(self):
+        return self.inner.terms()
+
+
+# ---- MultiTermQuery family (``search/MultiTermQuery.java:66``): expanded
+# against the term dictionary at plan time (IndexSearcher.expand), with the
+# reference's rewrite methods: CONSTANT_SCORE_REWRITE (default, :68,94),
+# SCORING_BOOLEAN_REWRITE (maxClauseCount-capped), top_terms_N.
+
+CONSTANT_SCORE = "constant_score"
+SCORING_BOOLEAN = "scoring_boolean"
+MAX_CLAUSE_COUNT = 1024  # IndexSearcher.maxClauseCount
+
+
+class MultiTermQuery(Query):
+    rewrite_method: str = CONSTANT_SCORE
+
+
+@dataclass(frozen=True)
+class PrefixQuery(MultiTermQuery):
+    """``search/PrefixQuery.java:31``"""
+
+    prefix: str = ""
+    rewrite_method: str = CONSTANT_SCORE
+
+
+@dataclass(frozen=True)
+class WildcardQuery(MultiTermQuery):
+    """``search/WildcardQuery.java:42`` — ``*`` any run, ``?`` one char."""
+
+    pattern: str = ""
+    rewrite_method: str = CONSTANT_SCORE
+
+
+@dataclass(frozen=True)
+class RegexpQuery(MultiTermQuery):
+    """``search/RegexpQuery.java:48`` — anchored regex over the term dict."""
+
+    pattern: str = ""
+    rewrite_method: str = CONSTANT_SCORE
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(MultiTermQuery):
+    """``search/FuzzyQuery.java:54`` — Levenshtein expansion. The reference's
+    default rewrite blends term stats (TopTermsBlendedFreqScoringRewrite);
+    here constant-score is the default, scoring_boolean available."""
+
+    term: str = ""
+    max_edits: int = 2
+    prefix_len: int = 0
+    rewrite_method: str = CONSTANT_SCORE
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(MultiTermQuery):
+    """``search/TermRangeQuery.java:41``"""
+
+    lower: str | None = None
+    upper: str | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+    rewrite_method: str = CONSTANT_SCORE
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(Query):
+    """``search/TermInSetQuery.java:67`` — semi-join against a term set;
+    constant-score like the reference (it scores 1.0 per match)."""
+
+    set_terms: tuple[str, ...] = ()
+
+    def terms(self):
+        return set(self.set_terms)
+
+
+@dataclass(frozen=True)
 class MatchAllQuery(Query):
     pass
 

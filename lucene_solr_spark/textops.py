@@ -39,7 +39,7 @@ def docs_index_dir(spark: SparkSession, sf_dir: str) -> str:
     key = os.path.realpath(sf_dir)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
-    tag = hashlib.sha1(key.encode()).hexdigest()[:12]
+    tag = hashlib.sha1(f"{key}:layout-v2".encode()).hexdigest()[:12]
     index_dir = f"/tmp/lss_docs_index/{tag}"
     marker = os.path.join(index_dir, "_built")
     if not os.path.exists(marker):
@@ -71,8 +71,9 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return _SEARCHER_CACHE[d]
 
 
-def _ft_search_all(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
-    """Engine search (all matches, f64) resolved back to external doc_ids."""
+def _ft_search_all(spark: SparkSession, sf_dir: str, query) -> DataFrame:
+    """Engine search (all matches, f64) resolved back to external doc_ids.
+    ``query`` may be a string (parsed) or a Query object."""
     s = _searcher(spark, sf_dir)
     hits = s.search_many({0: query}, k=None).drop("qid")
     docs = spark.read.parquet(os.path.join(s.index_dir, "docs")).select(
@@ -264,6 +265,143 @@ def ft_norms(spark, sf_dir):
     )
 
 
+# ---- MultiTermQuery family / DisMax / Synonym over the documents index ----
+
+def ft_prefix(spark, sf_dir):
+    from .search.query import PrefixQuery
+
+    return _ft_search_all(spark, sf_dir, PrefixQuery(prefix="spar"))
+
+
+FT_PREFIX_SQL = (
+    _BM25_CTE
+    + """
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf WHERE term LIKE 'spar%'
+"""
+)
+
+
+def ft_wildcard(spark, sf_dir):
+    from .search.query import WildcardQuery
+
+    return _ft_search_all(spark, sf_dir, WildcardQuery(pattern="h*sh"))
+
+
+FT_WILDCARD_SQL = (
+    _BM25_CTE
+    + """
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf WHERE term LIKE 'h%sh'
+"""
+)
+
+
+def ft_term_range(spark, sf_dir):
+    from .search.query import TermRangeQuery
+
+    return _ft_search_all(spark, sf_dir, TermRangeQuery(lower="tab", upper="tac"))
+
+
+FT_RANGE_SQL = (
+    _BM25_CTE
+    + """
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf
+WHERE term >= 'tab' AND term <= 'tac'
+"""
+)
+
+
+def ft_fuzzy(spark, sf_dir):
+    from .search.query import FuzzyQuery
+
+    return _ft_search_all(spark, sf_dir, FuzzyQuery(term="hashe", max_edits=1))
+
+
+FT_FUZZY_SQL = (
+    _BM25_CTE
+    + """
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf
+WHERE length(term) BETWEEN 4 AND 6 AND levenshtein(term, 'hashe') <= 1
+"""
+)
+
+
+def ft_term_in_set(spark, sf_dir):
+    from .search.query import TermInSetQuery
+
+    return _ft_search_all(
+        spark, sf_dir, TermInSetQuery(set_terms=("spark", "vector", "nosuchterm"))
+    )
+
+
+FT_IN_SET_SQL = (
+    _BM25_CTE
+    + """
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf
+WHERE term IN ('spark', 'vector', 'nosuchterm')
+"""
+)
+
+
+def ft_dismax(spark, sf_dir):
+    from .search.query import DisjunctionMaxQuery, TermQuery
+
+    q = DisjunctionMaxQuery((TermQuery("table"), TermQuery("hash")), tiebreak=0.1)
+    return _ft_search_all(spark, sf_dir, q)
+
+
+FT_DISMAX_SQL = (
+    _BM25_CTE
+    + _SCORES_CTE.format(terms=_terms_list(["table", "hash"]))
+    + """
+SELECT doc_id,
+       round(max(s) + 0.1 * (sum(s) - max(s)), 4) AS score
+FROM scores GROUP BY doc_id
+"""
+)
+
+
+def ft_synonym(spark, sf_dir):
+    from .search.query import SynonymQuery
+
+    return _ft_search_all(spark, sf_dir, SynonymQuery(syn_terms=("table", "tables")))
+
+
+# SynonymQuery pseudo-stats: freq = Σ tf, df = max(df) (SynonymQuery.java:204-218)
+FT_SYNONYM_SQL = (
+    _BM25_CTE
+    + """
+, syn AS (
+  SELECT doc_id, sum(tf) AS fsum FROM tf WHERE term IN ('table', 'tables') GROUP BY doc_id
+),
+sdf AS (SELECT max(df) AS df FROM dft WHERE term IN ('table', 'tables'))
+SELECT syn.doc_id,
+       round(ln(1 + (cstats.n - sdf.df + 0.5) / (sdf.df + 0.5)) *
+             (syn.fsum / (syn.fsum + 1.2 * (0.25 + 0.75 * dld.dlq / (cstats.st * 1.0 / cstats.n)))), 4) AS score
+FROM syn JOIN dld ON syn.doc_id = dld.doc_id, sdf, cstats
+"""
+)
+
+
+def ft_boost(spark, sf_dir):
+    from .search.query import BooleanQuery, BoostQuery, TermQuery
+
+    q = BooleanQuery(
+        should=(BoostQuery(TermQuery("table"), 2.0), TermQuery("hash"))
+    )
+    return _ft_search_all(spark, sf_dir, q)
+
+
+FT_BOOST_SQL = (
+    _BM25_CTE
+    + _SCORES_CTE.format(terms=_terms_list(["table", "hash"]))
+    + """
+SELECT doc_id,
+       round(sum(CASE WHEN term = 'table' THEN 2.0 * s ELSE s END), 4) AS score
+FROM scores GROUP BY doc_id
+"""
+)
+
+
 FT_OPS: dict[str, tuple] = {
     "ft_term_spark": (ft_term_spark, ft_term_sql("spark")),
     "ft_bool_and": (ft_bool_and, ft_and_sql(["vector", "hash"])),
@@ -273,6 +411,14 @@ FT_OPS: dict[str, tuple] = {
     "ft_term_tf": (ft_term_tf, FT_TF_SQL),
     "ft_df_stats": (ft_df_stats, FT_DF_SQL),
     "ft_norms": (ft_norms, FT_NORMS_SQL),
+    "ft_prefix": (ft_prefix, FT_PREFIX_SQL),
+    "ft_wildcard": (ft_wildcard, FT_WILDCARD_SQL),
+    "ft_term_range": (ft_term_range, FT_RANGE_SQL),
+    "ft_fuzzy": (ft_fuzzy, FT_FUZZY_SQL),
+    "ft_term_in_set": (ft_term_in_set, FT_IN_SET_SQL),
+    "ft_dismax": (ft_dismax, FT_DISMAX_SQL),
+    "ft_synonym": (ft_synonym, FT_SYNONYM_SQL),
+    "ft_boost": (ft_boost, FT_BOOST_SQL),
 }
 
 
@@ -597,7 +743,36 @@ FROM documents
 """
 
 
+# KnnStream / MoreLikeThis (SolrJ KnnStream.java:56): k-nearest docs to a
+# target doc by (idf-weighted) term overlap — here the overlap-count core,
+# threshold form to avoid top-k tie boundaries
+def mlt_shared_terms(spark, sf_dir):
+    tok = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(_TOK_EXPR)).alias("term"))
+        .distinct()
+    )
+    target = tok.filter(F.col("doc_id") == 0).select(F.col("term").alias("t_term"))
+    return (
+        tok.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(target), tok.term == F.col("t_term"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 5)
+    )
+
+
+MLT_SQL = f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOK_EXPR}) AS term FROM documents),
+tgt AS (SELECT term FROM tok WHERE doc_id = 0)
+SELECT tok.doc_id, count(*) AS shared
+FROM tok JOIN tgt USING (term) WHERE tok.doc_id != 0
+GROUP BY tok.doc_id HAVING count(*) >= 5
+"""
+
+
 TRAINING_OPS: dict[str, tuple] = {
+    "mlt_shared_terms": (mlt_shared_terms, MLT_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),

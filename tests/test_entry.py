@@ -63,11 +63,12 @@ def _all_ops():
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from lucene_solr_spark.multimodal import MULTIMODAL_OPS
     from lucene_solr_spark.relational import RELATIONAL_OPS
     from lucene_solr_spark.textops import FT_OPS, TRAINING_OPS
 
     ops = {}
-    for reg in (FT_OPS, RELATIONAL_OPS, TRAINING_OPS):
+    for reg in (FT_OPS, RELATIONAL_OPS, TRAINING_OPS, MULTIMODAL_OPS):
         ops.update(reg)
     return ops
 

@@ -144,7 +144,7 @@ def test_wand_pruning_equals_exhaustive(spark, tiny_index):
     normsdf = idx.filter(F.col("kind") == 1).select("segment_id", "doc_blob", "max_doc").toPandas()
     for seg_id in normsdf.segment_id.unique():
         rows = {
-            r["term"]: r
+            r["term"]: [r]
             for _, r in post[post.segment_id == seg_id].iterrows()
         }
         nb = normsdf[normsdf.segment_id == seg_id]
