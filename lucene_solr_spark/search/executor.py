@@ -129,20 +129,33 @@ class IndexSearcher:
             self.avgdl = self.sum_total_term_freq / max(self.doc_count, 1)
             table = byte4_to_int(np.arange(256, dtype=np.uint8)).astype(np.float64)
             self.cache = 1.2 * (0.25 + 0.75 * table / self.avgdl)
+        # memoized global term stats (the reference caches resolved TermStates
+        # per reader too — TermStates.build once per query term per reader);
+        # repeated query terms never re-hit the stats table
+        self._stats_cache: dict[str, int] = {}
+        # one-time DataFrame handles: parquet file listing + schema resolution
+        # happen once per searcher, not once per query
+        idx_path = os.path.join(index_dir, "index")
+        self._postings_df = spark.read.parquet(idx_path)
+        self._term_stats_df = spark.read.parquet(os.path.join(index_dir, "term_stats"))
 
     # -------------------------------------------------------------- stats --
     def term_stats(self, terms: set[str]) -> dict[str, int]:
         """Global df per term — pushdown-filtered read of the stats table
-        (IndexSearcher.termStatistics, :875)."""
+        (IndexSearcher.termStatistics, :875), memoized per searcher."""
         if not terms:
             return {}
-        ts = (
-            self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
-            .filter(F.col("term").isin(*terms))
-            .select("term", "df")
-            .collect()
-        )
-        return {r.term: int(r.df) for r in ts}
+        missing = [t for t in terms if t not in self._stats_cache]
+        if missing:
+            ts = (
+                self._term_stats_df.filter(F.col("term").isin(*missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r.term: int(r.df) for r in ts}
+            for t in missing:
+                self._stats_cache[t] = found.get(t, 0)
+        return {t: self._stats_cache[t] for t in terms if self._stats_cache[t] > 0}
 
     def weights_for(self, terms: set[str]) -> dict[str, float]:
         import math
@@ -163,7 +176,7 @@ class IndexSearcher:
 
     # ------------------------------------------- multi-term expansion ------
     def _terms_df(self):
-        return self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+        return self._term_stats_df
 
     def matching_terms(self, q: MultiTermQuery, cap: int = 65536) -> list[str]:
         """Expand a MultiTermQuery against the term dictionary
@@ -288,17 +301,16 @@ class IndexSearcher:
             schema = RESULT_SCHEMA if k is None else RESULT_SCHEMA + ", rank int"
             return spark.createDataFrame([], schema)
 
-        idx_path = os.path.join(self.index_dir, "index")
         live_segs = self.live
         postings = (
-            spark.read.parquet(idx_path)
+            self._postings_df
             .filter((F.col("kind") == 0) & F.col("segment_id").isin(live_segs))
             .filter(F.col("term").isin(*all_terms))
             .select(*POSTING_COLS)
         )
         # kind=1 norms + kind=3 tombstones ride the same cogroup side
         norms = (
-            spark.read.parquet(idx_path)
+            self._postings_df
             .filter(F.col("kind").isin(1, 3) & F.col("segment_id").isin(live_segs))
             .select("segment_id", "kind", F.col("doc_blob").alias("blob"), "max_doc")
         )

@@ -1,0 +1,98 @@
+"""Physical-plan assertions — the scale contract, checked via explain().
+
+At 100 TB these properties are the difference between O(query) and O(corpus):
+- the postings read pushes the term predicate into the parquet scan
+  (PushedFilters) and prunes blob columns for non-query terms (ReadSchema);
+- the term-stats lookup is a pushdown point-read on the term-sorted table;
+- dimension joins broadcast (no shuffle of the fact table);
+- aggregations are partial+final (map-side combine).
+"""
+
+import io
+import os
+from contextlib import redirect_stdout
+
+import pytest
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_postings_scan_pushes_term_filter(spark, tiny_index):
+    import pyspark.sql.functions as F
+
+    index_dir, _ = tiny_index
+    df = (
+        spark.read.parquet(os.path.join(index_dir, "index"))
+        .filter((F.col("kind") == 0) & F.col("term").isin("parse", "http"))
+        .select("segment_id", "term", "doc_blob")
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "In(term" in plan or "term" in plan.split("PushedFilters", 1)[1][:200]
+    # column pruning: pos_blob et al. must NOT be read
+    read_schema = plan.split("ReadSchema", 1)[1][:400]
+    assert "pos_blob" not in read_schema
+    assert "freq_blob" not in read_schema
+
+
+def test_term_stats_scan_pushes_filter(spark, tiny_index):
+    import pyspark.sql.functions as F
+
+    index_dir, _ = tiny_index
+    df = (
+        spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        .filter(F.col("term").isin("parse", "http"))
+        .select("term", "df")
+    )
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters", 1)[1][:200]
+    assert "term" in pushed
+
+
+def test_dimension_join_broadcasts(spark):
+    from lucene_solr_spark.relational import hash_join_part_revenue
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(hash_join_part_revenue(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rollup_is_partial_final(spark):
+    from lucene_solr_spark.relational import rollup_lineitem
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(rollup_lineitem(spark, sf))
+    # two HashAggregate nodes (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+    # lineitem scan reads only the needed columns
+    read_schema = plan.split("ReadSchema", 1)[1][:500]
+    assert "l_comment" not in read_schema
+
+
+def test_shipdate_range_pushdown(spark):
+    from lucene_solr_spark.relational import point_range_shipdate
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(point_range_shipdate(spark, sf))
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "l_shipdate" in pushed
+
+
+def test_search_shuffles_only_topk(spark, tiny_index):
+    """The per-segment search emits ≤ k rows per (query, segment) into the
+    final rank window — verify the materialized intermediate is tiny."""
+    from lucene_solr_spark.search import IndexSearcher
+
+    index_dir, _ = tiny_index
+    s = IndexSearcher(spark, index_dir, analyzer="code")
+    hits = s.search_many({0: "parse", 1: "buffer OR stream"}, k=5)
+    n = hits.count()
+    n_segments = len(s.live)
+    assert n <= 2 * 5  # k per query after the global limit
+    assert n_segments >= 1

@@ -1,0 +1,81 @@
+"""Source wrappers: CSV/JSON/text ingest → canonical doc schema → index →
+search parity with the parquet path (format must not change results)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf(tiny_corpus):
+    return tiny_corpus
+
+
+def _search_scores(spark, index_dir, q="parse AND http"):
+    from lucene_solr_spark.search import IndexSearcher
+
+    s = IndexSearcher(spark, index_dir, analyzer="code")
+    return sorted(
+        float(np.float32(r.score)) for r in s.search(q, k=None).collect()
+    )
+
+
+def test_csv_roundtrip_index(spark, corpus_pdf, tmp_path_factory):
+    from lucene_solr_spark.sources import index_docs, read_docs
+
+    root = tmp_path_factory.mktemp("src")
+    csv_path = str(root / "docs_csv")
+    df = spark.createDataFrame(corpus_pdf)
+    df.select("repo", "path", "commit", "lang", "content").write.option(
+        "header", True
+    ).option("escape", '"').csv(csv_path)
+
+    docs = read_docs(spark, csv_path, fmt="csv")
+    assert sorted(docs.columns) == sorted(["repo", "path", "commit", "lang", "content"])
+    assert docs.count() == len(corpus_pdf)
+
+    idx = str(root / "idx_csv")
+    metrics = index_docs(spark, csv_path, idx, fmt="csv", num_segments=4)
+    assert metrics["max_doc"] == len(corpus_pdf)
+
+    # parity with the parquet-built index
+    pq_idx = str(root / "idx_pq")
+    from lucene_solr_spark.index import build_index
+
+    build_index(spark, df, pq_idx, num_segments=4, analyzer="code")
+    assert _search_scores(spark, idx) == _search_scores(spark, pq_idx)
+
+
+def test_json_ingest_with_mapping(spark, corpus_pdf, tmp_path_factory):
+    from lucene_solr_spark.sources import read_docs
+
+    root = tmp_path_factory.mktemp("srcj")
+    json_path = str(root / "docs_json")
+    df = spark.createDataFrame(corpus_pdf)
+    df.selectExpr(
+        "repo AS repository", "path AS file_path", "commit", "lang", "content AS body"
+    ).write.json(json_path)
+
+    docs = read_docs(
+        spark,
+        json_path,
+        fmt="json",
+        mapping={"repo": "repository", "path": "file_path", "content": "body"},
+    )
+    assert docs.count() == len(corpus_pdf)
+    orig = {(r.repo, r.path) for r in df.select("repo", "path").collect()}
+    got = {(r.repo, r.path) for r in docs.select("repo", "path").collect()}
+    assert got == orig
+
+
+def test_text_ingest_synthesizes_keys(spark, tmp_path_factory):
+    from lucene_solr_spark.sources import normalize_docs
+
+    df = spark.createDataFrame(
+        [("some parse http content",), ("another buffer line",)], ["content"]
+    )
+    docs = normalize_docs(df)
+    rows = docs.collect()
+    assert {r.repo for r in rows} == {"default"}
+    assert all(len(r.path) == 64 for r in rows)  # sha256 identity
