@@ -273,6 +273,8 @@ def build_index(
     resume: bool = True,
     stored_cols: tuple = (),
     segment_base: int = 0,
+    auto_merge: bool = False,
+    merge_policy: dict | None = None,
 ) -> dict:
     """Build (or resume) the full index. Returns build metrics.
 
@@ -364,7 +366,18 @@ def build_index(
         .parquet(os.path.join(index_dir, "term_stats"))
     )
 
-    man = spark.read.parquet(manifest_path)
+    # background merging analogue: ConcurrentMergeScheduler runs beside the
+    # writer; here the merge loop runs after the flush when requested
+    merges = []
+    if auto_merge:
+        from .merge import run_merges
+
+        merges = run_merges(spark, index_dir, **(merge_policy or {}))
+
+    from .manifest import live_segments as _live_final
+
+    live_now = _live_final(spark, index_dir)
+    man = spark.read.parquet(manifest_path).filter(F.col("segment_id").isin(live_now))
     agg = man.agg(
         F.count("*").alias("segments"),
         F.sum("max_doc").alias("max_doc"),
@@ -375,6 +388,7 @@ def build_index(
     ).collect()[0]
     return {
         "seconds": time.time() - t0,
+        "merges": len(merges),
         "segments": agg.segments,
         "max_doc": agg.max_doc,
         "doc_count": agg.doc_count,

@@ -35,6 +35,7 @@ from .query import (
     DisjunctionMaxQuery,
     MatchAllQuery,
     MatchNoneQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     Query,
     SynonymQuery,
@@ -265,6 +266,8 @@ def eval_query(q: Query, seg: SegmentPostings, ctx: QueryContext, scoring: bool 
         return docs, ctx.score(freqs, seg.norms[docs], ctx.weights[q.term])
     if isinstance(q, PhraseQuery):
         return _eval_phrase(q, seg, ctx, scoring)
+    if isinstance(q, MultiPhraseQuery):
+        return _eval_multi_phrase(q, seg, ctx, scoring)
     if isinstance(q, BooleanQuery):
         return _eval_bool(q, seg, ctx, scoring)
     if isinstance(q, ConstantScoreQuery):
@@ -346,6 +349,37 @@ def _eval_phrase(q: PhraseQuery, seg: SegmentPostings, ctx: QueryContext, scorin
     if not scoring:
         return uniq, np.zeros(len(uniq), dtype=np.float64)
     w = ctx.phrase_weight(q.phrase_terms)
+    return uniq, ctx.score(counts, seg.norms[uniq], w)
+
+
+def _eval_multi_phrase(
+    q: MultiPhraseQuery, seg: SegmentPostings, ctx: QueryContext, scoring: bool
+):
+    """MultiPhraseQuery (``search/MultiPhraseQuery.java:56``): per slot, the
+    occurrence keys are the UNION over the slot's alternatives (a union of
+    ``doc·2³² + (pos − rel)`` arrays), then slots intersect exactly like the
+    exact-phrase matcher. idf = Σ idf over all alternative terms."""
+    keys = None
+    for slot, rel in zip(q.slots, q.positions):
+        slot_keys = []
+        for term in slot:
+            docs, freqs = seg.docs_freqs(term)
+            if len(docs) == 0:
+                continue
+            pos, _ = seg.positions(term)
+            doc_of_occ = np.repeat(docs, freqs)
+            slot_keys.append(doc_of_occ * _POS_SHIFT + (pos - np.int64(rel)))
+        if not slot_keys:
+            return _EMPTY_I, _EMPTY_F
+        k = np.unique(np.concatenate(slot_keys))
+        keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+        if len(keys) == 0:
+            return _EMPTY_I, _EMPTY_F
+    match_docs = (keys >> np.int64(32)).astype(np.int64)
+    uniq, counts = np.unique(match_docs, return_counts=True)
+    if not scoring:
+        return uniq, np.zeros(len(uniq), dtype=np.float64)
+    w = ctx.phrase_weight([t for slot in q.slots for t in slot])
     return uniq, ctx.score(counts, seg.norms[uniq], w)
 
 

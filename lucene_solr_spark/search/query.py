@@ -54,6 +54,20 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase where each slot admits alternative terms
+    (``search/MultiPhraseQuery.java:56``): positions of a slot are the union
+    over its alternatives; idf = Σ over ALL alternative terms (the weight is
+    built from every term's stats, like the reference)."""
+
+    slots: tuple[tuple[str, ...], ...]
+    positions: tuple[int, ...]
+
+    def terms(self):
+        return {t for slot in self.slots for t in slot}
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     """Scores multiple terms as one pseudo-term (``search/SynonymQuery.java:55``):
     freq = Σ term freqs per doc; pseudo-stats df = max(df_i), ttf = Σ ttf_i

@@ -402,6 +402,37 @@ FROM scores GROUP BY doc_id
 )
 
 
+def ft_multi_phrase(spark, sf_dir):
+    """MultiPhraseQuery: ("table"|"tables") followed by "hash"."""
+    from .search.query import MultiPhraseQuery
+
+    q = MultiPhraseQuery(slots=(("table", "tables"), ("hash",)), positions=(0, 1))
+    return _ft_search_all(spark, sf_dir, q)
+
+
+FT_MULTI_PHRASE_SQL = (
+    _BM25_CTE
+    + """
+, tokp AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM documents)
+),
+phr AS (
+  SELECT a.doc_id, count(*) AS freq
+  FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN ('table', 'tables') AND b.term = 'hash' GROUP BY 1
+),
+pw AS (
+  SELECT sum(ln(1 + (cstats.n - dft.df + 0.5) / (dft.df + 0.5))) AS w
+  FROM dft, cstats WHERE dft.term IN ('table', 'tables', 'hash')
+)
+SELECT phr.doc_id,
+       round(pw.w * (phr.freq / (phr.freq + 1.2 * (0.25 + 0.75 * dld.dlq / (cstats.st * 1.0 / cstats.n)))), 4) AS score
+FROM phr JOIN dld ON phr.doc_id = dld.doc_id, pw, cstats
+"""
+)
+
+
 def ft_bool_msm(spark, sf_dir):
     """minimumNumberShouldMatch=2 of 3 (MinShouldMatchSumScorer)."""
     from .search.query import BooleanQuery, TermQuery
@@ -443,6 +474,7 @@ WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'hash')
 
 
 FT_OPS: dict[str, tuple] = {
+    "ft_multi_phrase": (ft_multi_phrase, FT_MULTI_PHRASE_SQL),
     "ft_bool_msm": (ft_bool_msm, FT_MSM_SQL),
     "ft_bool_filter": (ft_bool_filter, FT_FILTER_SQL),
     "ft_term_spark": (ft_term_spark, ft_term_sql("spark")),

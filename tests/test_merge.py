@@ -302,3 +302,18 @@ def test_run_merges_converges(spark, corpus_df, tmp_path_factory):
     assert results  # at least one merge happened
     assert len(live_segments(spark, d)) < 12
     assert _results_by_key(spark, d, QUERIES, k=None) == before
+
+
+def test_build_with_auto_merge(spark, corpus_df, tmp_path_factory):
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.index.manifest import live_segments
+
+    d = str(tmp_path_factory.mktemp("merge") / "am")
+    m = build_index(
+        spark, corpus_df, d, num_segments=12, analyzer="code",
+        auto_merge=True,
+        merge_policy={"segs_per_tier": 2, "max_merge_at_once": 4, "floor_size": 100_000},
+    )
+    assert m["merges"] >= 1
+    assert len(live_segments(spark, d)) < 12
+    assert m["max_doc"] == corpus_df.count()

@@ -147,3 +147,25 @@ def test_multiterm_inside_boolean(searcher):
     hits = _hits(searcher, q)
     buf = set(_hits(searcher, TermQuery("buffer")))
     assert hits and not (set(hits) & buf)
+
+
+def test_multi_phrase_union_of_exact(searcher):
+    """MultiPhrase("parse"|"index", X) ≡ union of the two exact phrases on
+    doc sets; freq = sum when both alternatives match at different spots."""
+    from lucene_solr_spark.search.query import MultiPhraseQuery, PhraseQuery
+
+    mp = MultiPhraseQuery(slots=(("index", "merge"), ("writer",)), positions=(0, 1))
+    got = _hits(searcher, mp)
+    p1 = set(_hits(searcher, PhraseQuery(("index", "writer"), (0, 1))))
+    p2 = set(_hits(searcher, PhraseQuery(("merge", "writer"), (0, 1))))
+    assert set(got) == p1 | p2
+    assert got  # corpus contains "index writer"
+
+
+def test_multi_phrase_single_slot_equals_phrase_docs(searcher):
+    from lucene_solr_spark.search.query import MultiPhraseQuery, PhraseQuery
+
+    mp = MultiPhraseQuery(slots=(("index",), ("writer",)), positions=(0, 1))
+    ph = PhraseQuery(("index", "writer"), (0, 1))
+    # same docs and same freqs -> same tf part; idf identical (same term set)
+    assert _hits(searcher, mp) == _hits(searcher, ph)
