@@ -448,6 +448,47 @@ GROUP BY l_returnflag
 """
 
 
+# Solr `geodist` function query (ValueSourceParser geo functions, SURVEY
+# §2.10): haversine distance as a Catalyst expression. Coordinates are
+# derived deterministically from the key (the driver tables carry no geo
+# columns); the point is the function surface, identical in both engines.
+def geodist_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") % 180) - 90 + 0.5
+    lon = (F.col("c_custkey") % 360) - 180 + 0.5
+    lat0, lon0 = F.lit(40.7), F.lit(-74.0)
+    # haversine, earth radius 6371 km
+    dlat = F.radians(lat - lat0)
+    dlon = F.radians(lon - lon0)
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians(lat0)) * F.cos(F.radians(lat)) * F.pow(F.sin(dlon / 2), 2)
+    )
+    dist = 2 * 6371 * F.asin(F.sqrt(a))
+    return (
+        c.select("c_custkey", F.round(dist, 2).alias("dist_km"))
+        .filter(F.col("dist_km") < 5000)
+    )
+
+
+GEODIST_SQL = """
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey % 180) - 90 + 0.5 AS lat,
+         (c_custkey % 360) - 180 + 0.5 AS lon
+  FROM customer
+)
+SELECT c_custkey, dist_km FROM (
+  SELECT c_custkey,
+         round(2 * 6371 * asin(sqrt(
+           pow(sin(radians(lat - 40.7) / 2), 2) +
+           cos(radians(40.7)) * cos(radians(lat)) * pow(sin(radians(lon - (-74.0)) / 2), 2)
+         )), 2) AS dist_km
+  FROM pts
+) WHERE dist_km < 5000
+"""
+
+
 # PercentileAgg (solr/core/.../facet/PercentileAgg.java:32): exact
 # interpolated percentiles per bucket — Spark `percentile` == DuckDB
 # `quantile_cont` (both linear interpolation). The approx variants
@@ -475,6 +516,7 @@ FROM lineitem GROUP BY l_returnflag
 
 
 RELATIONAL_OPS: dict[str, tuple] = {
+    "geodist_customers": (geodist_customers, GEODIST_SQL),
     "percentile_quantity": (percentile_quantity, PERCENTILE_SQL),
     "rollup_lineitem": (rollup_lineitem, ROLLUP_SQL),
     "facet_field_mktsegment": (facet_field_mktsegment, FACET_FIELD_SQL),

@@ -317,3 +317,31 @@ def test_build_with_auto_merge(spark, corpus_df, tmp_path_factory):
     assert m["merges"] >= 1
     assert len(live_segments(spark, d)) < 12
     assert m["max_doc"] == corpus_df.count()
+
+
+def test_snapshot_isolation_across_merge(spark, corpus_df, tmp_path_factory):
+    """A searcher opened before a merge keeps serving its commit point
+    (point-in-time reader, DirectoryReader semantics): old segment rows are
+    immutable and stay on disk after the merge flips the live set."""
+    from lucene_solr_spark.index.manifest import live_segments
+    from lucene_solr_spark.index.merge import merge_segments
+    from lucene_solr_spark.search import IndexSearcher
+
+    d = _build(spark, corpus_df, tmp_path_factory, "snap1")
+    old_reader = IndexSearcher(spark, d, analyzer="code")
+    before = {
+        (r.segment_id, r.doc_id): float(np.float32(r.score))
+        for r in old_reader.search("parse", k=None).collect()
+    }
+    merge_segments(spark, d, live_segments(spark, d))
+    # old reader: same snapshot, identical results from the dead segments
+    after_old = {
+        (r.segment_id, r.doc_id): float(np.float32(r.score))
+        for r in old_reader.search("parse", k=None).collect()
+    }
+    assert after_old == before
+    # a fresh reader sees the merged commit point with equal scores
+    new_reader = IndexSearcher(spark, d, analyzer="code")
+    assert sorted(before.values()) == sorted(
+        float(np.float32(r.score)) for r in new_reader.search("parse", k=None).collect()
+    )
