@@ -67,6 +67,31 @@ from .query import (
 )
 
 
+def _position_terms(q: Query) -> set[str]:
+    """Terms whose POSITIONS the query needs (phrase matching). Everything
+    else only needs docs+freqs — their (large) position blobs are never
+    shuffled or shipped to the kernel."""
+    from .query import MultiPhraseQuery, PhraseQuery
+
+    if isinstance(q, PhraseQuery):
+        return set(q.phrase_terms)
+    if isinstance(q, MultiPhraseQuery):
+        return {t for slot in q.slots for t in slot}
+    if isinstance(q, BooleanQuery):
+        out: set[str] = set()
+        for c in (*q.must, *q.should, *q.must_not, *q.filter):
+            out |= _position_terms(c)
+        return out
+    if isinstance(q, DisjunctionMaxQuery):
+        out = set()
+        for d in q.disjuncts:
+            out |= _position_terms(d)
+        return out
+    if isinstance(q, (ConstantScoreQuery, BoostQuery)):
+        return _position_terms(q.inner)
+    return set()
+
+
 def _pure_or_terms(q: Query) -> list[str] | None:
     """Terms of a pure term-disjunction (WAND-eligible, the TOP_SCORES
     disjunction dispatch of ``Boolean2ScorerSupplier.java:100-206``)."""
@@ -302,11 +327,27 @@ class IndexSearcher:
             return spark.createDataFrame([], schema)
 
         live_segs = self.live
+        pos_terms: set[str] = set()
+        for q in live.values():
+            pos_terms |= _position_terms(q)
+        cols = [c for c in POSTING_COLS if c != "pos_blob"]
+        if not pos_terms:
+            pos_col = F.lit(None).cast("binary").alias("pos_blob")
+        elif pos_terms >= all_terms:
+            pos_col = F.col("pos_blob")
+        else:
+            # ship position blobs only for phrase terms — they dominate blob
+            # volume (one entry per occurrence vs one per doc)
+            pos_col = (
+                F.when(F.col("term").isin(*pos_terms), F.col("pos_blob"))
+                .otherwise(F.lit(None))
+                .alias("pos_blob")
+            )
         postings = (
             self._postings_df
             .filter((F.col("kind") == 0) & F.col("segment_id").isin(live_segs))
             .filter(F.col("term").isin(*all_terms))
-            .select(*POSTING_COLS)
+            .select(*cols, pos_col)
         )
         # kind=1 norms + kind=3 tombstones ride the same cogroup side
         norms = (
