@@ -473,7 +473,57 @@ WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'hash')
 )
 
 
+# FeatureQuery / FeatureField (document/FeatureField.java:109): a static
+# per-doc ranking feature folded additively into the relevance score. The
+# feature here is ln(1 + n_chars) — the "document quality/popularity signal"
+# pattern — joined as a column, never per-row Python.
+def ft_feature_boost(spark, sf_dir):
+    base = _ft_search_all(spark, sf_dir, "spark")
+    feats = _docs(spark, sf_dir).select(
+        "doc_id", F.log(F.lit(1.0) + F.col("n_chars").cast("double")).alias("feat")
+    )
+    return (
+        base.withColumnRenamed("score", "bm25")
+        .join(feats, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("bm25") + 0.1 * F.col("feat"), 4).alias("score"),
+        )
+    )
+
+
+FT_FEATURE_SQL = (
+    _BM25_CTE
+    + _SCORES_CTE.format(terms=_terms_list(["spark"]))
+    + """
+SELECT s.doc_id, round(round(s.s, 4) + 0.1 * ln(1 + d.n_chars), 4) AS score
+FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+"""
+)
+
+
+# Lucene expressions module (lucene/expressions/, SURVEY §2.10): arbitrary
+# arithmetic over doc values compiled to a DoubleValuesSource → a Spark SQL
+# expression; rank events by a computed expression, top-N
+def expr_ranked_events(spark, sf_dir):
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    score = F.log(F.lit(1.0) + F.abs(F.col("value"))) + 0.01 * F.dayofmonth("ts")
+    return (
+        e.select("event_id", F.round(score, 4).alias("expr_score"))
+        .orderBy(F.col("expr_score").desc(), F.col("event_id").asc())
+        .limit(25)
+    )
+
+
+EXPR_RANKED_SQL = """
+SELECT event_id, round(ln(1 + abs(value)) + 0.01 * date_part('day', ts), 4) AS expr_score
+FROM events ORDER BY expr_score DESC, event_id ASC LIMIT 25
+"""
+
+
 FT_OPS: dict[str, tuple] = {
+    "ft_feature_boost": (ft_feature_boost, FT_FEATURE_SQL),
+    "expr_ranked_events": (expr_ranked_events, EXPR_RANKED_SQL),
     "ft_multi_phrase": (ft_multi_phrase, FT_MULTI_PHRASE_SQL),
     "ft_bool_msm": (ft_bool_msm, FT_MSM_SQL),
     "ft_bool_filter": (ft_bool_filter, FT_FILTER_SQL),
