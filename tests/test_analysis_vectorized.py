@@ -1,0 +1,83 @@
+"""The vectorized analysis chain must be BIT-IDENTICAL to the naive
+per-token reference chain (the original straight-line transcription of the
+reference semantics) — terms, positions, and norms lengths. Hypothesis
+generates adversarial identifier soup; the synthetic corpus covers the
+realistic distribution."""
+
+import re
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from lucene_solr_spark.analysis import (
+    ENGLISH_STOP_WORDS,
+    MAX_TOKEN_LENGTH,
+    analyze_batch,
+    analyze_code,
+)
+from lucene_solr_spark.corpus import synth_corpus_local
+
+_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+_SUBWORD_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z]*|[a-z]+|[0-9]+")
+
+
+def naive_chain(text: str):
+    """Reference implementation: per-token loop, exactly the documented
+    StandardTokenizer → WordDelimiter → LowerCase → Stop semantics."""
+    terms, positions, pos = [], [], -1
+    for m in _TOKEN_RE.finditer(text):
+        tok = m.group()
+        if len(tok) > MAX_TOKEN_LENGTH:
+            continue
+        for part in _SUBWORD_RE.findall(tok):
+            pos += 1
+            low = part.lower()
+            if low in ENGLISH_STOP_WORDS:
+                continue
+            terms.append(low)
+            positions.append(pos)
+    return terms, positions
+
+
+ident_chars = st.sampled_from(
+    list("abcXYZ_09 \t\n.,;(){}") + ["Http", "XML", "SD500", "the", "The", "x" * 260]
+)
+texts = st.lists(ident_chars, min_size=0, max_size=60).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(texts)
+def test_scalar_matches_naive(text):
+    assert analyze_code(text) == naive_chain(text)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(texts, min_size=0, max_size=8))
+def test_batch_matches_naive(batch):
+    t_flat, p_flat, lens, starts = analyze_batch(batch, "code")
+    off = 0
+    for i, t in enumerate(batch):
+        nt, npos = naive_chain(t)
+        assert list(t_flat[off : off + lens[i]]) == nt
+        assert list(p_flat[off : off + lens[i]]) == npos
+        off += lens[i]
+    assert off == len(t_flat)
+
+
+def test_corpus_parity():
+    content = synth_corpus_local(300)["content"].tolist()
+    t_flat, p_flat, lens, starts = analyze_batch(content, "code")
+    off = 0
+    for i, t in enumerate(content):
+        nt, npos = naive_chain(t)
+        assert list(t_flat[off : off + lens[i]]) == nt, i
+        assert list(p_flat[off : off + lens[i]]) == npos, i
+        off += lens[i]
+
+
+def test_long_token_dropped_whole():
+    text = "x" * 300 + " parseHttp the SD500"
+    terms, pos = analyze_code(text)
+    assert terms == ["parse", "http", "sd", "500"]
+    # "the" consumed position 2 (gap), long token emitted nothing
+    assert pos == [0, 1, 3, 4]
