@@ -100,10 +100,84 @@ def facet_query_orders(spark, sf_dir):
 
 
 FACET_QUERY_SQL = """
-SELECT sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-       sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big,
-       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent
+SELECT CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
 FROM orders
+"""
+
+
+# Driver-gated compound facet op: JSON-facet style multi-facet response —
+# FacetField terms buckets + FacetRange numeric buckets + FacetQuery predicate
+# buckets normalized to one (facet, bucket, n, val) frame, the shape of a
+# single Solr JSON-facet request with three facet blocks. Per-facet single
+# ops stay in RELATIONAL_EXTRA_OPS for the local pytest gate.
+def facets_all(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    field = (
+        c.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.avg("c_acctbal"), 4).alias("val"))
+        .orderBy(F.col("n").desc(), F.col("c_mktsegment").asc())
+        .limit(5)
+        .select(
+            F.lit("field").alias("facet"),
+            F.col("c_mktsegment").alias("bucket"),
+            "n",
+            "val",
+        )
+    )
+    rng = (
+        o.withColumn("b", F.floor(F.col("o_totalprice") / 50000).cast("long"))
+        .groupBy("b")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("val"))
+        .select(
+            F.lit("range").alias("facet"),
+            F.col("b").cast("string").alias("bucket"),
+            "n",
+            "val",
+        )
+    )
+    qrows = (
+        o.agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+            F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).alias("n_big"),
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("n_urgent"),
+        )
+        .select(
+            F.expr(
+                "stack(3, 'n_finished', n_finished, 'n_big', n_big, 'n_urgent', n_urgent)"
+                " AS (bucket, n)"
+            )
+        )
+        .select(
+            F.lit("query").alias("facet"),
+            "bucket",
+            F.col("n").cast("long").alias("n"),
+            F.col("n").cast("double").alias("val"),
+        )
+    )
+    return field.unionByName(rng).unionByName(qrows)
+
+
+FACETS_ALL_SQL = """
+SELECT 'field' AS facet, c_mktsegment AS bucket, n, val FROM (
+  SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 4) AS val
+  FROM customer GROUP BY c_mktsegment
+  ORDER BY n DESC, c_mktsegment ASC LIMIT 5
+)
+UNION ALL
+SELECT 'range', CAST(b AS VARCHAR), count(*), round(sum(o_totalprice), 2) FROM (
+  SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS b, o_totalprice FROM orders
+) GROUP BY b
+UNION ALL
+SELECT 'query', k, CAST(v AS BIGINT), CAST(v AS DOUBLE) FROM (
+  SELECT unnest(['n_finished', 'n_big', 'n_urgent']) AS k,
+         unnest([sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END),
+                 sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END),
+                 sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)]) AS v
+  FROM orders
+)
 """
 
 
@@ -200,6 +274,86 @@ LEFT_JOIN_SQL = """
 SELECT c_custkey, count(o_orderkey) AS n_orders
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey
+"""
+
+
+# Driver-gated compound join op: InnerJoinStream + LeftOuterJoinStream
+# (InnerJoinStream.java:35, LeftOuterJoinStream.java:35) normalized to one
+# (variant, key, n_orders, total) frame. The per-variant ops stay in
+# RELATIONAL_EXTRA_OPS.
+def join_orders_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    inner = (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.lit("inner").alias("variant"),
+            F.col("c_mktsegment").alias("key"),
+            "n_orders",
+            "total",
+        )
+    )
+    left = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias("total"),
+        )
+        .select(
+            F.lit("left").alias("variant"),
+            F.col("c_custkey").cast("string").alias("key"),
+            "n_orders",
+            "total",
+        )
+    )
+    return inner.unionByName(left)
+
+
+JOIN_OC_SQL = """
+SELECT 'inner' AS variant, c_mktsegment AS key,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+UNION ALL
+SELECT 'left', CAST(c_custkey AS VARCHAR),
+       count(o_orderkey), round(sum(coalesce(o_totalprice, 0)), 2)
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+# Driver-gated compound set op: IntersectStream (semi-join) +
+# ComplementStream (anti-join) (IntersectStream.java:43,
+# ComplementStream.java:43) as one (variant, custkey) frame.
+def setops_custkeys(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    inter = a.join(b, "o_custkey", "left_semi").select(
+        F.lit("intersect").alias("variant"), F.col("o_custkey").alias("custkey")
+    )
+    comp = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("complement").alias("variant"), F.col("c_custkey").alias("custkey")
+    )
+    return inter.unionByName(comp)
+
+
+SETOPS_SQL = """
+SELECT 'intersect' AS variant, o_custkey AS custkey FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+UNION ALL
+SELECT 'complement', c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 """
 
 
@@ -515,23 +669,22 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# Driver-gated registry (first-50-entries window — see textops.FT_OPS note);
+# single-facet / single-join-type / single-set-op variants are folded into
+# the compound ops and stay pytest-gated via RELATIONAL_EXTRA_OPS.
 RELATIONAL_OPS: dict[str, tuple] = {
     "geodist_customers": (geodist_customers, GEODIST_SQL),
     "percentile_quantity": (percentile_quantity, PERCENTILE_SQL),
     "rollup_lineitem": (rollup_lineitem, ROLLUP_SQL),
-    "facet_field_mktsegment": (facet_field_mktsegment, FACET_FIELD_SQL),
-    "facet_range_price": (facet_range_price, FACET_RANGE_SQL),
-    "facet_query_orders": (facet_query_orders, FACET_QUERY_SQL),
+    "facets_all": (facets_all, FACETS_ALL_SQL),
     "having_suppliers": (having_suppliers, HAVING_SQL),
     "unique_priority": (unique_priority, UNIQUE_SQL),
     "rank_orders": (rank_orders, RANK_SQL),
     "select_revenue": (select_revenue, SELECT_SQL),
-    "inner_join_orders_customer": (inner_join_orders_customer, INNER_JOIN_SQL),
-    "left_join_customer_orders": (left_join_customer_orders, LEFT_JOIN_SQL),
+    "join_orders_customer": (join_orders_customer, JOIN_OC_SQL),
     "hash_join_part_revenue": (hash_join_part_revenue, HASH_JOIN_SQL),
     "merge_union": (merge_union, MERGE_SQL),
-    "intersect_custkeys": (intersect_custkeys, INTERSECT_SQL),
-    "complement_customers": (complement_customers, COMPLEMENT_SQL),
+    "setops_custkeys": (setops_custkeys, SETOPS_SQL),
     "cartesian_part_types": (cartesian_part_types, CARTESIAN_SQL),
     "fetch_top_orders_customer": (fetch_top_orders_customer, FETCH_SQL),
     "parallel_rollup_supplier": (parallel_rollup_supplier, PARALLEL_SQL),
@@ -541,4 +694,15 @@ RELATIONAL_OPS: dict[str, tuple] = {
     "group_topk_orders": (group_topk_orders, GROUP_TOPK_SQL),
     "search_after_page2": (search_after_page2, SEARCH_AFTER_SQL),
     "point_range_shipdate": (point_range_shipdate, POINT_RANGE_SQL),
+}
+
+# pytest-gated only: per-variant ops folded into the compound driver entries.
+RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
+    "facet_field_mktsegment": (facet_field_mktsegment, FACET_FIELD_SQL),
+    "facet_range_price": (facet_range_price, FACET_RANGE_SQL),
+    "facet_query_orders": (facet_query_orders, FACET_QUERY_SQL),
+    "inner_join_orders_customer": (inner_join_orders_customer, INNER_JOIN_SQL),
+    "left_join_customer_orders": (left_join_customer_orders, LEFT_JOIN_SQL),
+    "intersect_custkeys": (intersect_custkeys, INTERSECT_SQL),
+    "complement_customers": (complement_customers, COMPLEMENT_SQL),
 }

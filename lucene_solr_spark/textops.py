@@ -203,7 +203,7 @@ FT_TF_SQL = (
 FT_DF_SQL = (
     _BM25_CTE
     + """
-SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf FROM tf
 WHERE term IN ('spark', 'vector', 'hash', 'table', 'the') GROUP BY term
 """
 )
@@ -266,6 +266,85 @@ def ft_norms(spark, sf_dir):
 
 
 # ---- MultiTermQuery family / DisMax / Synonym over the documents index ----
+
+# Driver-gated compound op: one batched search_many() job exercising every
+# MultiTermQuery rewrite surface (``search/MultiTermQuery.java:66``) — prefix,
+# wildcard, anchored regexp, fuzzy (Levenshtein), term range and TermInSet —
+# each tagged with its variant name. The per-variant single ops below remain
+# in FT_EXTRA_OPS for the local pytest gate.
+def ft_multiterm(spark, sf_dir):
+    from .search.query import (
+        FuzzyQuery,
+        PrefixQuery,
+        RegexpQuery,
+        TermInSetQuery,
+        TermRangeQuery,
+        WildcardQuery,
+    )
+
+    variants = [
+        ("prefix", PrefixQuery(prefix="spar")),
+        ("wildcard", WildcardQuery(pattern="h*sh")),
+        ("regexp", RegexpQuery(pattern="ha.h")),
+        ("fuzzy", FuzzyQuery(term="hashe", max_edits=1)),
+        ("range", TermRangeQuery(lower="tab", upper="tac")),
+        ("in_set", TermInSetQuery(set_terms=("spark", "vector", "nosuchterm"))),
+    ]
+    s = _searcher(spark, sf_dir)
+    hits = s.search_many({i: q for i, (_, q) in enumerate(variants)}, k=None)
+    docs = spark.read.parquet(os.path.join(s.index_dir, "docs")).select(
+        "segment_id", "doc_id", "ext_id"
+    )
+    vmap = F.array(*[F.lit(n) for n, _ in variants])
+    return (
+        hits.join(docs, ["segment_id", "doc_id"])
+        .select(
+            F.element_at(vmap, F.col("qid") + 1).alias("variant"),
+            F.col("ext_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+FT_MULTITERM_SQL = (
+    _BM25_CTE
+    + """
+SELECT 'prefix' AS variant, doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'spar%')
+UNION ALL
+SELECT 'wildcard', doc_id, CAST(1.0 AS DOUBLE)
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'h%sh')
+UNION ALL
+SELECT 'regexp', doc_id, CAST(1.0 AS DOUBLE)
+FROM (SELECT DISTINCT doc_id FROM tf WHERE regexp_full_match(term, 'ha.h'))
+UNION ALL
+SELECT 'fuzzy', doc_id, CAST(1.0 AS DOUBLE)
+FROM (SELECT DISTINCT doc_id FROM tf
+      WHERE length(term) BETWEEN 4 AND 6 AND levenshtein(term, 'hashe') <= 1)
+UNION ALL
+SELECT 'range', doc_id, CAST(1.0 AS DOUBLE)
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term >= 'tab' AND term <= 'tac')
+UNION ALL
+SELECT 'in_set', doc_id, CAST(1.0 AS DOUBLE)
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term IN ('spark', 'vector', 'nosuchterm'))
+"""
+)
+
+
+def ft_regexp(spark, sf_dir):
+    from .search.query import RegexpQuery
+
+    return _ft_search_all(spark, sf_dir, RegexpQuery(pattern="ha.h"))
+
+
+FT_REGEXP_SQL = (
+    _BM25_CTE
+    + """
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf
+WHERE regexp_full_match(term, 'ha.h')
+"""
+)
+
 
 def ft_prefix(spark, sf_dir):
     from .search.query import PrefixQuery
@@ -343,9 +422,15 @@ WHERE term IN ('spark', 'vector', 'nosuchterm')
 
 
 def ft_dismax(spark, sf_dir):
-    from .search.query import DisjunctionMaxQuery, TermQuery
+    """DisjunctionMaxQuery with a boosted disjunct — exercises both the
+    max+tiebreak combiner (``search/DisjunctionMaxQuery.java:45``) and the
+    multiplicative ``BoostQuery`` wrapper (``search/BoostQuery.java:34``) in
+    one gated op (the Solr dismax ``qf=field^2`` shape)."""
+    from .search.query import BoostQuery, DisjunctionMaxQuery, TermQuery
 
-    q = DisjunctionMaxQuery((TermQuery("table"), TermQuery("hash")), tiebreak=0.1)
+    q = DisjunctionMaxQuery(
+        (BoostQuery(TermQuery("table"), 2.0), TermQuery("hash")), tiebreak=0.1
+    )
     return _ft_search_all(spark, sf_dir, q)
 
 
@@ -353,9 +438,12 @@ FT_DISMAX_SQL = (
     _BM25_CTE
     + _SCORES_CTE.format(terms=_terms_list(["table", "hash"]))
     + """
+, boosted AS (
+  SELECT doc_id, CASE WHEN term = 'table' THEN 2.0 * s ELSE s END AS s FROM scores
+)
 SELECT doc_id,
        round(max(s) + 0.1 * (sum(s) - max(s)), 4) AS score
-FROM scores GROUP BY doc_id
+FROM boosted GROUP BY doc_id
 """
 )
 
@@ -521,6 +609,10 @@ FROM events ORDER BY expr_score DESC, event_id ASC LIMIT 25
 """
 
 
+# Driver-gated registry (the driver checks the first 50 queries() entries —
+# every family must land inside that window, so near-duplicate constant-score
+# variants are folded into ft_multiterm and BoostQuery into ft_dismax; the
+# individual ops stay pytest-gated via FT_EXTRA_OPS).
 FT_OPS: dict[str, tuple] = {
     "ft_feature_boost": (ft_feature_boost, FT_FEATURE_SQL),
     "expr_ranked_events": (expr_ranked_events, EXPR_RANKED_SQL),
@@ -535,13 +627,20 @@ FT_OPS: dict[str, tuple] = {
     "ft_term_tf": (ft_term_tf, FT_TF_SQL),
     "ft_df_stats": (ft_df_stats, FT_DF_SQL),
     "ft_norms": (ft_norms, FT_NORMS_SQL),
+    "ft_multiterm": (ft_multiterm, FT_MULTITERM_SQL),
+    "ft_dismax": (ft_dismax, FT_DISMAX_SQL),
+    "ft_synonym": (ft_synonym, FT_SYNONYM_SQL),
+}
+
+# pytest-gated only (tests/test_entry.py runs main + extra registries against
+# DuckDB): the per-variant ops folded into the compound driver entries above.
+FT_EXTRA_OPS: dict[str, tuple] = {
     "ft_prefix": (ft_prefix, FT_PREFIX_SQL),
     "ft_wildcard": (ft_wildcard, FT_WILDCARD_SQL),
+    "ft_regexp": (ft_regexp, FT_REGEXP_SQL),
     "ft_term_range": (ft_term_range, FT_RANGE_SQL),
     "ft_fuzzy": (ft_fuzzy, FT_FUZZY_SQL),
     "ft_term_in_set": (ft_term_in_set, FT_IN_SET_SQL),
-    "ft_dismax": (ft_dismax, FT_DISMAX_SQL),
-    "ft_synonym": (ft_synonym, FT_SYNONYM_SQL),
     "ft_boost": (ft_boost, FT_BOOST_SQL),
 }
 
@@ -867,30 +966,48 @@ FROM documents
 """
 
 
-# KnnStream / MoreLikeThis (SolrJ KnnStream.java:56): k-nearest docs to a
-# target doc by (idf-weighted) term overlap — here the overlap-count core,
-# threshold form to avoid top-k tie boundaries
+# KnnStream / MoreLikeThis (SolrJ KnnStream.java:56, MoreLikeThis.java:64):
+# k-nearest docs to a target doc by idf-weighted term overlap — the reference
+# scores shared terms by similarity (tf·idf), not raw overlap. Here: BM25-idf
+# per shared term, summed per candidate. df is computed over ALL docs but the
+# aggregation is semi-join-pruned to the target's terms first (at 100 TB the
+# df table for one doc's terms is tiny → broadcast).
 def mlt_shared_terms(spark, sf_dir):
-    tok = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(F.expr(_TOK_EXPR)).alias("term"))
-        .distinct()
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(F.expr(_TOK_EXPR)).alias("term")).distinct()
+    target = tok.filter(F.col("doc_id") == 0).select("term")
+    dfs = (
+        tok.join(F.broadcast(target), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
     )
-    target = tok.filter(F.col("doc_id") == 0).select(F.col("term").alias("t_term"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
     return (
         tok.filter(F.col("doc_id") != 0)
-        .join(F.broadcast(target), tok.term == F.col("t_term"))
+        .join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(n))
         .groupBy("doc_id")
-        .agg(F.count("*").alias("shared"))
+        .agg(
+            F.count("*").alias("shared"),
+            F.round(F.sum(idf), 4).alias("mlt_score"),
+        )
         .filter(F.col("shared") >= 5)
     )
 
 
 MLT_SQL = f"""
 WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOK_EXPR}) AS term FROM documents),
-tgt AS (SELECT term FROM tok WHERE doc_id = 0)
-SELECT tok.doc_id, count(*) AS shared
-FROM tok JOIN tgt USING (term) WHERE tok.doc_id != 0
+tgt AS (SELECT term FROM tok WHERE doc_id = 0),
+dfs AS (SELECT term, count(*) AS df FROM tok
+        WHERE term IN (SELECT term FROM tgt) GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tok.doc_id, count(*) AS shared,
+       round(sum(ln(1 + (n.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))), 4) AS mlt_score
+FROM tok JOIN dfs USING (term), n
+WHERE tok.doc_id != 0
 GROUP BY tok.doc_id HAVING count(*) >= 5
 """
 
@@ -951,16 +1068,114 @@ SELECT e.vec_id, e.bucket, round(cosine, 4) AS cosine FROM (
 """
 
 
+# text_metrics: language-ID + quality score + token counting in ONE scan —
+# the single-pass text-analysis profile of a web-scale pipeline (each metric
+# is a pure Catalyst expression over the same tokenization; no shuffle at
+# all). Zero-token docs get explicit guards (pred='other', quality=0.0)
+# instead of null/NaN division.
+def text_metrics(spark, sf_dir):
+    d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
+    stop_arr = ", ".join(f"'{w}'" for w in _STOP10)
+    n_stop = F.expr(f"size(filter(arr, x -> x IN ({stop_arr})))")
+    n_tok = F.size("arr")
+    pred = (
+        F.when(n_tok == 0, F.lit("other"))
+        .when(n_stop / n_tok > 0.03, F.lit("en"))
+        .otherwise(F.lit("other"))
+    )
+    quality = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.round(F.least(n_tok / F.lit(60.0), F.lit(1.0)) * (1 - n_stop / n_tok), 4)
+    )
+    n_pieces = F.size(
+        F.expr("regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]{1,4}', 0)")
+    )
+    return d.select(
+        "doc_id",
+        n_stop.cast("long").alias("n_stop"),
+        n_tok.cast("long").alias("n_tok"),
+        pred.alias("pred"),
+        quality.alias("quality"),
+        n_pieces.cast("long").alias("n_pieces"),
+    )
+
+
+TEXT_METRICS_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_TOK_EXPR} AS arr FROM documents),
+c AS (
+  SELECT doc_id, text,
+         len(list_filter(arr, x -> x IN ({", ".join(f"'{w}'" for w in _STOP10)}))) AS n_stop,
+         len(arr) AS n_tok
+  FROM t
+)
+SELECT doc_id, n_stop, n_tok,
+       CASE WHEN n_tok = 0 THEN 'other'
+            WHEN n_stop * 1.0 / n_tok > 0.03 THEN 'en' ELSE 'other' END AS pred,
+       CASE WHEN n_tok = 0 THEN 0.0
+            ELSE round(least(n_tok / 60.0, 1.0) * (1 - n_stop * 1.0 / n_tok), 4)
+       END AS quality,
+       len(regexp_extract_all(lower(text), '[a-z]{{1,4}}|[0-9]{{1,4}}')) AS n_pieces
+FROM c
+"""
+
+
+# doc_signatures: SimHash-16 + sorted-token-set fingerprint in ONE narrow
+# scan. The simhash here is computed with higher-order array functions
+# (transform/filter) instead of explode+groupBy — zero shuffle, which is the
+# plan you want when fingerprinting 10^12 docs (the legacy exploded simhash16
+# stays in TRAINING_EXTRA_OPS). Empty docs get simhash 0 (all bit-majorities
+# are ties) rather than being dropped.
+def doc_signatures(spark, sf_dir):
+    d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
+    d = d.withColumn(
+        "hs",
+        F.expr("transform(arr, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"),
+    )
+    sim = None
+    for i in range(16):
+        cnt = F.expr(f"size(filter(hs, h -> ((shiftright(h, {i}) & 1)) = 1))")
+        bit = F.when(2 * cnt - F.size("arr") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return d.select(
+        "doc_id",
+        sim.cast("long").alias("simhash"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct("arr")))).alias("fp"),
+    )
+
+
+_SIG_BITS_SQL = " + ".join(
+    f"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {i}) & 1) = 1)) - len(arr) > 0"
+    f" THEN {1 << i} ELSE 0 END)"
+    for i in range(16)
+)
+DOC_SIGNATURES_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOK_EXPR} AS arr FROM documents),
+h AS (SELECT doc_id, arr,
+             list_transform(arr, x -> (('0x' || substr(md5(x), 1, 8)))::BIGINT) AS hs
+      FROM t)
+SELECT doc_id,
+       CAST({_SIG_BITS_SQL} AS BIGINT) AS simhash,
+       md5(array_to_string(list_sort(list_distinct(arr)), ' ')) AS fp
+FROM h
+"""
+
+
 TRAINING_OPS: dict[str, tuple] = {
     "mlt_shared_terms": (mlt_shared_terms, MLT_SQL),
     "emb_ivf_probe": (emb_ivf_probe, EMB_IVF_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
-    "simhash16": (simhash16, SIMHASH_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "emb_cosine_pairs": (emb_cosine_pairs, EMB_COSINE_SQL),
     "emb_knn_threshold": (emb_knn_threshold, EMB_KNN_SQL),
+    "text_metrics": (text_metrics, TEXT_METRICS_SQL),
+    "doc_signatures": (doc_signatures, DOC_SIGNATURES_SQL),
+}
+
+# pytest-gated only: the single-metric ops folded into text_metrics /
+# doc_signatures above.
+TRAINING_EXTRA_OPS: dict[str, tuple] = {
+    "simhash16": (simhash16, SIMHASH_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
