@@ -1,15 +1,18 @@
 """Multimodal (binary-payload) column plumbing for training-data pipelines.
 
 At 100-TB scale, image/audio/video assets ride through Spark as opaque
-``binary`` columns with typed metadata; decode / feature-extraction / frame
-sampling run as Arrow-batched ``mapInPandas`` kernels so raw bytes never
-cross a row-at-a-time Python boundary.
+``binary`` columns with typed metadata. Two execution paths:
 
-The actual media decoders (PIL/ffmpeg/soundfile) are NOT in this container —
-``decode_image`` is an explicit stub (NotImplementedError) and the pipeline
-uses a deterministic byte-level feature extractor instead. Everything
-Spark-side is real and tested: schema (binary + metadata struct), partition
-behavior, UDF signature, Arrow batch shape.
+1. **Catalyst path** (default, used by the driver-gated ops): byte-level
+   features and frame sampling as pure built-in expressions — ``octet_length``
+   / ``md5`` / ``substring`` on binary, ``sequence``+``explode`` for frames,
+   ``aggregate(transform(...))`` for byte sums. Whole-stage-codegen'd, no
+   Python in the plan at all.
+2. **Arrow path** (``extract_features_arrow`` / ``sample_frames_arrow``): the
+   ``mapInPandas`` kernels that a REAL media decoder (PIL/ffmpeg/soundfile)
+   would plug into — the decoders themselves are absent in this container, so
+   ``decode_image`` is an explicit stub, but the batching/schema/partitioning
+   plumbing is real and pytest-asserted equal to the Catalyst path.
 
 Test payloads derive deterministically from the driver's ``documents`` table
 (``CAST(text AS BINARY)``, pure ASCII → byte semantics equal character
@@ -52,10 +55,58 @@ def with_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- Catalyst --
+
+# byte values via lossless latin-1 round-trip: decode(payload,'ISO-8859-1')
+# maps byte b -> codepoint b, so ascii(char) == byte value for ALL bytes
+_BYTE_SUM = (
+    "aggregate(transform(filter(split(decode(payload, 'ISO-8859-1'), ''),"
+    " c -> c <> ''), c -> cast(ascii(c) AS BIGINT)),"
+    " cast(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+
+
 def extract_features(payloads: DataFrame) -> DataFrame:
-    """Byte-level feature extraction over binary payloads via ``mapInPandas``
-    (Arrow batches; numpy over a flat byte buffer per batch — no per-row
-    Python beyond the buffer slicing)."""
+    """Byte-level feature extraction as pure Catalyst expressions — the plan
+    is one whole-stage-codegen'd projection, no Python anywhere."""
+    n_bytes = F.octet_length("payload")
+    return payloads.select(
+        "doc_id",
+        n_bytes.cast("long").alias("n_bytes"),
+        F.ceil(n_bytes / F.lit(float(FRAME_BYTES))).cast("long").alias("n_frames"),
+        F.expr(_BYTE_SUM).alias("byte_sum"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+def sample_frames(payloads: DataFrame, every: int = 4) -> DataFrame:
+    """Frame sampling via ``sequence``+``explode``+``substring`` on the raw
+    binary — one row per kept frame, fully JVM-side. Empty payloads produce
+    no frames (same as the Arrow kernel)."""
+    n_frames = F.ceil(F.octet_length("payload") / F.lit(float(FRAME_BYTES))).cast("int")
+    kept = payloads.filter(F.octet_length("payload") > 0).select(
+        "doc_id",
+        "payload",
+        F.explode(
+            F.sequence(F.lit(0), n_frames - 1, F.lit(int(every)))
+        ).alias("frame_id"),
+    )
+    chunk = F.expr(f"substring(payload, frame_id * {FRAME_BYTES} + 1, {FRAME_BYTES})")
+    return kept.select(
+        "doc_id",
+        F.col("frame_id").cast("long").alias("frame_id"),
+        F.octet_length(chunk).cast("long").alias("frame_bytes"),
+        F.md5(chunk).alias("frame_md5"),
+    )
+
+
+# ------------------------------------------------------------------ Arrow --
+
+def extract_features_arrow(payloads: DataFrame) -> DataFrame:
+    """Arrow-batched ``mapInPandas`` form of :func:`extract_features` — the
+    seam a real media decoder plugs into (swap the numpy byte pass for
+    ``decode_image``/ffmpeg per batch). pytest asserts it equals the Catalyst
+    path on the same payloads."""
 
     schema = "doc_id bigint, n_bytes bigint, n_frames bigint, byte_sum bigint, payload_md5 string"
 
@@ -83,10 +134,8 @@ def extract_features(payloads: DataFrame) -> DataFrame:
     return payloads.select("doc_id", "payload").mapInPandas(kernel, schema)
 
 
-def sample_frames(payloads: DataFrame, every: int = 4) -> DataFrame:
-    """Frame sampling: split each payload into FRAME_BYTES frames, keep every
-    ``every``-th — the video-keyframe pattern. One row per kept frame with its
-    own md5 (dedup-able downstream)."""
+def sample_frames_arrow(payloads: DataFrame, every: int = 4) -> DataFrame:
+    """Arrow-batched form of :func:`sample_frames` (keyframe-decoder seam)."""
 
     schema = "doc_id bigint, frame_id bigint, frame_bytes bigint, frame_md5 string"
 
