@@ -97,7 +97,9 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
     per_seg = posts.groupBy("term").agg(
         F.sum("df").alias("df2"), F.sum("ttf").alias("ttf2")
     )
-    ts = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+    from .index.manifest import latest_term_stats_dir
+
+    ts = spark.read.parquet(latest_term_stats_dir(index_dir))
     joined = ts.join(per_seg, "term", "full_outer").filter(
         (F.col("df") != F.col("df2"))
         | (F.col("ttf") != F.col("ttf2"))

@@ -275,6 +275,7 @@ def build_index(
     segment_base: int = 0,
     auto_merge: bool = False,
     merge_policy: dict | None = None,
+    extra_lineage: dict | None = None,
 ) -> dict:
     """Build (or resume) the full index. Returns build metrics.
 
@@ -283,20 +284,53 @@ def build_index(
     shuffled (column pruning). Segment size is governed by num_segments
     (the FlushByRamOrCountsPolicy analogue: pick num_segments so a segment's
     docs fit an executor ~ Lucene's 16MB RAM budget scaled up).
+
+    Crash-safe resume: the three persisted artifacts (index rows, docs rows,
+    manifest rows) are each an atomic Spark job commit, written in that
+    order. Resume tracks completion PER ARTIFACT — segments already present
+    in the index parquet are not re-built, segments already in docs are not
+    re-written, manifest append covers whatever the manifest is missing — so
+    a replay after a crash between any two commits converges to exactly-once
+    (no duplicate rows) instead of double-appending. The manifest row is the
+    commit point: a segment is invisible to readers until it lands.
     """
     t0 = time.time()
     key_cols = list(key_cols)
-    done: set[int] = set()
     manifest_path = os.path.join(index_dir, "manifest")
-    if resume and _exists(manifest_path):
-        done = {
-            r.segment_id for r in spark.read.parquet(manifest_path).select("segment_id").collect()
-        }
+    idx_path = os.path.join(index_dir, "index")
+    docs_path = os.path.join(index_dir, "docs")
+
+    done_manifest: set[int] = set()
+    done_index: set[int] = set()
+    done_docs: set[int] = set()
+    if resume:
+        if _exists(manifest_path):
+            done_manifest = {
+                r.segment_id
+                for r in spark.read.parquet(manifest_path).select("segment_id").collect()
+            }
+        # restrict to this build's id range — min/max row-group pruning keeps
+        # the presence probes cheap for streaming micro-batches
+        if _exists(idx_path):
+            done_index = {
+                r.segment_id
+                for r in spark.read.parquet(idx_path)
+                .filter((F.col("kind") == KIND_STATS) & (F.col("segment_id") >= segment_base))
+                .select("segment_id")
+                .distinct()
+                .collect()
+            }
+        if _exists(docs_path):
+            done_docs = {
+                r.segment_id
+                for r in spark.read.parquet(docs_path)
+                .filter(F.col("segment_id") >= segment_base)
+                .select("segment_id")
+                .distinct()
+                .collect()
+            }
 
     tagged = with_segment_id(docs, num_segments, key_cols, segment_base)
-    if done:
-        tagged = tagged.filter(~F.col("segment_id").isin(*[int(s) for s in done]))
-
     sort_cols = key_cols
 
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -305,29 +339,32 @@ def build_index(
         doc_ids = np.arange(len(pdf), dtype=np.int64)
         return build_segment_frame(pdf[content_col].tolist(), doc_ids, seg, analyzer)
 
-    unified = tagged.groupBy("segment_id").applyInPandas(build_group, UNIFIED_SCHEMA)
-    (
-        unified.write.mode("append")
-        .partitionBy("kind")
-        .parquet(os.path.join(index_dir, "index"))
-    )
+    to_build = tagged
+    if done_index:
+        to_build = to_build.filter(~F.col("segment_id").isin(*[int(s) for s in done_index]))
+    unified = to_build.groupBy("segment_id").applyInPandas(build_group, UNIFIED_SCHEMA)
+    unified.write.mode("append").partitionBy("kind").parquet(idx_path)
 
     # ---- stored-fields table (docs) with deterministic (segment, doc) ids --
     from pyspark.sql import Window
 
+    to_store = tagged
+    if done_docs:
+        to_store = to_store.filter(~F.col("segment_id").isin(*[int(s) for s in done_docs]))
     w = Window.partitionBy("segment_id").orderBy(*sort_cols)
     docs_out = (
-        tagged.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
+        to_store.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
         .withColumn("content_sha256", F.sha2(F.col(content_col), 256))
     )
     keep = ["segment_id", "doc_id", *key_cols, *stored_cols, content_col, "content_sha256"]
     seen = set()
     keep = [c for c in keep if not (c in seen or seen.add(c))]
-    docs_out.select(*keep).write.mode("append").parquet(os.path.join(index_dir, "docs"))
+    docs_out.select(*keep).write.mode("append").parquet(docs_path)
 
     # ---- manifest (lineage + metrics per segment; drives resume + merge) ---
+    # the COMMIT POINT: only segments recorded here are visible to readers
     stats = (
-        spark.read.parquet(os.path.join(index_dir, "index"))
+        spark.read.parquet(idx_path)
         .filter(F.col("kind") == KIND_STATS)
         .select(
             "segment_id",
@@ -338,32 +375,45 @@ def build_index(
             "sum_len",
         )
     )
-    if done:
-        stats = stats.filter(~F.col("segment_id").isin(*[int(s) for s in done]))
-    lineage = json.dumps(
-        {"analyzer": analyzer, "key": key_cols, "num_segments": num_segments, "built_at": t0}
+    if done_manifest:
+        stats = stats.filter(~F.col("segment_id").isin(*[int(s) for s in done_manifest]))
+    if segment_base:
+        # incremental builds only commit their own id range — never re-commit
+        # (or steal) another build's orphaned rows
+        stats = stats.filter(F.col("segment_id") >= segment_base)
+    lineage_d = {
+        "analyzer": analyzer,
+        "key": key_cols,
+        "num_segments": num_segments,
+        "built_at": t0,
+    }
+    if extra_lineage:
+        lineage_d.update(extra_lineage)
+    lineage = json.dumps(lineage_d)
+    (
+        stats.withColumn("generation", F.lit(0))
+        .withColumn("lineage", F.lit(lineage))
+        .coalesce(1)  # single-file append → the commit flip is atomic
+        .write.mode("append")
+        .parquet(manifest_path)
     )
-    stats.withColumn("generation", F.lit(0)).withColumn("lineage", F.lit(lineage)).write.mode(
-        "append"
-    ).parquet(manifest_path)
 
     # ---- global term stats over LIVE segments, term-sorted for pushdown ---
-    from .manifest import live_segments as _live
+    from .manifest import live_segments as _live, publish_term_stats
 
     live = _live(spark, index_dir)
     post = (
-        spark.read.parquet(os.path.join(index_dir, "index"))
+        spark.read.parquet(idx_path)
         .filter((F.col("kind") == KIND_POSTING) & F.col("segment_id").isin(live))
         .select("term", "df", "ttf")
     )
     nparts = max(1, len(live) // 8)
-    (
+    publish_term_stats(
         post.groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
         .repartitionByRange(nparts, "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(os.path.join(index_dir, "term_stats"))
+        .sortWithinPartitions("term"),
+        index_dir,
     )
 
     # background merging analogue: ConcurrentMergeScheduler runs beside the
@@ -395,7 +445,7 @@ def build_index(
         "sum_len": agg.sum_len,
         "n_terms": agg.n_terms,
         "n_postings": agg.n_postings,
-        "skipped_segments": len(done),
+        "skipped_segments": len(done_index),
     }
 
 

@@ -23,6 +23,55 @@ def manifest_path(index_dir: str) -> str:
     return os.path.join(index_dir, "manifest")
 
 
+# ---------------------------------------------------------------------------
+# term_stats generations — snapshot isolation for the global stats table.
+#
+# term_stats is the ONE derived table that must be recomputed when the live
+# set changes (builds, delete-compacting merges). Overwriting it in place
+# would break open searchers (their cached DataFrame handle points at deleted
+# files). Instead each recompute publishes a NEW ``gen=N`` subdirectory
+# (written to a tmp dir, then atomically renamed in) and readers bind to the
+# latest generation at open — the SearcherManager snapshot semantics the
+# append-only index/docs tables already have. Old generations are left for
+# storage GC, like dead segments.
+
+def term_stats_root(index_dir: str) -> str:
+    return os.path.join(index_dir, "term_stats")
+
+
+def _term_stats_gens(index_dir: str) -> list[int]:
+    root = term_stats_root(index_dir)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        int(d[4:]) for d in os.listdir(root) if d.startswith("gen=") and d[4:].isdigit()
+    )
+
+
+def latest_term_stats_dir(index_dir: str) -> str:
+    """Directory of the newest published term_stats generation (falls back to
+    the flat legacy layout if no generation subdir exists)."""
+    gens = _term_stats_gens(index_dir)
+    if not gens:
+        return term_stats_root(index_dir)
+    return os.path.join(term_stats_root(index_dir), f"gen={gens[-1]}")
+
+
+def publish_term_stats(df: DataFrame, index_dir: str) -> str:
+    """Write a new term_stats generation: parquet into a tmp dir, then one
+    atomic rename to ``gen=N`` (single-writer; a concurrent publisher loses
+    the rename and fails loudly rather than corrupting)."""
+    root = term_stats_root(index_dir)
+    os.makedirs(root, exist_ok=True)
+    gens = _term_stats_gens(index_dir)
+    gen = (gens[-1] + 1) if gens else 0
+    tmp = os.path.join(root, f"_tmp_gen_{gen}")
+    df.write.mode("overwrite").parquet(tmp)
+    final = os.path.join(root, f"gen={gen}")
+    os.rename(tmp, final)
+    return final
+
+
 def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(manifest_path(index_dir))
 

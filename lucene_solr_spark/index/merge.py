@@ -87,11 +87,19 @@ def plan_merges(
     """``TieredMergePolicy.findMerges`` (:312,378-530) over manifest rows.
 
     ``segments`` are live-segment manifest dicts; size proxy = token count
-    (``sum_len``), the analogue of segment bytes. Returns a list of merges,
-    each a list of source segment_ids.
+    (``sum_len``), the analogue of segment bytes. An optional ``del_count``
+    key per segment feeds the nonDelRatio² reward of ``merge_score`` —
+    windows rich in tombstoned docs score better (lower), so delete
+    reclamation is prioritized exactly like TieredMergePolicy. Returns a
+    list of merges, each a list of source segment_ids.
     """
     segs = [
-        {"id": int(s["segment_id"]), "size": max(int(s[size_key]), 1)}
+        {
+            "id": int(s["segment_id"]),
+            "size": max(int(s[size_key]), 1),
+            "dels": int(s.get("del_count", 0) or 0),
+            "docs": max(int(s.get("max_doc", 0) or 0), 1),
+        }
         for s in segments
     ]
     if len(segs) <= 1:
@@ -128,7 +136,10 @@ def plan_merges(
             wsize += s["size"]
         if len(window) < 2:
             continue
-        score = merge_score([floored(s["size"]) for s in window])
+        w_dels = sum(s["dels"] for s in window)
+        w_docs = sum(s["docs"] for s in window)
+        del_ratio = min(w_dels / w_docs, 1.0) if w_docs else 0.0
+        score = merge_score([floored(s["size"]) for s in window], del_ratio)
         if best_score is None or score < best_score:
             best, best_score = window, score
     if best is None:
@@ -144,41 +155,50 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_keys: DataFrame) -> int
     (``codecs/lucene50/Lucene50LiveDocsFormat.java``). Append-only kind=3 rows
     in the index table: doc_blob = int64 array of deleted local doc ids.
     Updates in the reference are delete + re-add (``IndexWriter.java:1276``).
+
+    Fully distributed: tombstones are encoded per segment inside
+    ``applyInPandas`` — no key ever passes through the driver (deleting 1% of
+    10^12 docs stays a one-shuffle Spark job).
     """
-    rows = doc_keys.select("segment_id", "doc_id").distinct().collect()
-    by_seg: dict[int, list[int]] = {}
-    for r in rows:
-        by_seg.setdefault(int(r.segment_id), []).append(int(r.doc_id))
-    if not by_seg:
+    keys = doc_keys.select(
+        F.col("segment_id").cast("int"), F.col("doc_id").cast("bigint")
+    ).distinct()
+    n = keys.count()
+    if n == 0:
         return 0
-    recs = []
-    for seg, ids in sorted(by_seg.items()):
-        arr = np.array(sorted(ids), dtype=np.int64)
-        recs.append(
+
+    def to_tombstone(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["segment_id"].iloc[0])
+        arr = np.sort(pdf["doc_id"].to_numpy(np.int64))
+        return pd.DataFrame(
             {
-                "segment_id": seg,
-                "kind": KIND_DELETES,
-                "term": None,
-                "df": len(ids),
-                "ttf": 0,
-                "doc_blob": arr.tobytes(),
-                "freq_blob": b"",
-                "pos_blob": b"",
-                "blk_last": b"",
-                "blk_maxf": b"",
-                "blk_minn": b"",
-                "blk_len": b"",
-                "max_doc": -1,
-                "doc_count": -1,
-                "sum_len": -1,
-                "shard": 0,
+                "segment_id": np.array([seg], dtype=np.int32),
+                "kind": np.array([KIND_DELETES], dtype=np.int32),
+                "term": [None],
+                "df": np.array([len(arr)], dtype=np.int64),
+                "ttf": np.array([0], dtype=np.int64),
+                "doc_blob": [arr.tobytes()],
+                "freq_blob": [b""],
+                "pos_blob": [b""],
+                "blk_last": [b""],
+                "blk_maxf": [b""],
+                "blk_minn": [b""],
+                "blk_len": [b""],
+                "max_doc": np.array([-1], dtype=np.int64),
+                "doc_count": np.array([-1], dtype=np.int64),
+                "sum_len": np.array([-1], dtype=np.int64),
+                "shard": np.array([0], dtype=np.int32),
             }
         )
-    pdf = pd.DataFrame(recs)
-    spark.createDataFrame(pdf, schema=UNIFIED_SCHEMA).write.mode("append").partitionBy(
-        "kind"
-    ).parquet(os.path.join(index_dir, "index"))
-    return sum(len(v) for v in by_seg.values())
+
+    (
+        keys.groupBy("segment_id")
+        .applyInPandas(to_tombstone, UNIFIED_SCHEMA)
+        .write.mode("append")
+        .partitionBy("kind")
+        .parquet(os.path.join(index_dir, "index"))
+    )
+    return n
 
 
 def deleted_docs_by_segment(
@@ -299,6 +319,14 @@ def merge_segments(
         np.concatenate(new_norm_parts) if new_norm_parts else np.empty(0, np.uint8)
     )
     merged_max_doc = int(base)
+    # block metadata (blk_last) and the merge rebase arithmetic are int32 —
+    # fail loudly before a doc id silently wraps (the per-segment ceiling is
+    # Lucene's own IndexWriter.MAX_DOCS ~ 2^31; shard across segments instead)
+    if merged_max_doc >= 2**31:
+        raise ValueError(
+            f"merged segment would have {merged_max_doc} docs >= 2^31 — "
+            "doc ids and block metadata are int32; lower max_merged_size"
+        )
     merged_doc_count = int((merged_norms != 0).sum())
 
     dirty = {s for s in sources if s in deleted and len(deleted[s])}
@@ -602,21 +630,23 @@ def merge_segments(
 
 def rebuild_term_stats(spark: SparkSession, index_dir: str) -> None:
     """Recompute global (term, df, ttf) from the LIVE posting rows —
-    term-sorted for parquet min/max pushdown (the FST term-index analogue)."""
+    term-sorted for parquet min/max pushdown (the FST term-index analogue).
+    Publishes a NEW term_stats generation (manifest.publish_term_stats);
+    open searchers keep reading their own generation."""
+    from .manifest import publish_term_stats
+
     live = live_segments(spark, index_dir)
     post = (
         spark.read.parquet(os.path.join(index_dir, "index"))
         .filter((F.col("kind") == KIND_POSTING) & F.col("segment_id").isin(live))
         .select("term", "df", "ttf")
     )
-    out = os.path.join(index_dir, "term_stats")
-    (
+    publish_term_stats(
         post.groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
         .repartitionByRange(max(1, len(live) // 8), "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(out)
+        .sortWithinPartitions("term"),
+        index_dir,
     )
 
 
@@ -642,6 +672,18 @@ def run_merges(
             for r in read_manifest(spark, index_dir).collect()
             if int(r["segment_id"]) in live
         ]
+        # tombstone counts per live segment (sum of kind=3 row dfs — an upper
+        # bound when a doc is deleted twice; plan_merges caps the ratio at 1)
+        del_rows = (
+            spark.read.parquet(os.path.join(index_dir, "index"))
+            .filter((F.col("kind") == KIND_DELETES) & F.col("segment_id").isin(list(live)))
+            .groupBy("segment_id")
+            .agg(F.sum("df").alias("dels"))
+            .collect()
+        )
+        dels = {int(r.segment_id): int(r.dels) for r in del_rows}
+        for r in rows:
+            r["del_count"] = dels.get(int(r["segment_id"]), 0)
         plans = plan_merges(
             rows,
             segs_per_tier=segs_per_tier,

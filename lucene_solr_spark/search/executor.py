@@ -159,10 +159,16 @@ class IndexSearcher:
         # repeated query terms never re-hit the stats table
         self._stats_cache: dict[str, int] = {}
         # one-time DataFrame handles: parquet file listing + schema resolution
-        # happen once per searcher, not once per query
+        # happen once per searcher, not once per query. term_stats binds to
+        # the LATEST GENERATION at open (manifest.latest_term_stats_dir):
+        # rebuilds publish new gen= dirs and never touch this one, so the
+        # handle stays valid for the searcher's lifetime (snapshot isolation,
+        # SearcherManager semantics).
+        from ..index.manifest import latest_term_stats_dir
+
         idx_path = os.path.join(index_dir, "index")
         self._postings_df = spark.read.parquet(idx_path)
-        self._term_stats_df = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        self._term_stats_df = spark.read.parquet(latest_term_stats_dir(index_dir))
 
     # -------------------------------------------------------------- stats --
     def term_stats(self, terms: set[str]) -> dict[str, int]:

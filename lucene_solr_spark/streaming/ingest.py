@@ -17,10 +17,14 @@ Spark-native shape:
   new segments (reader refresh); existing searchers keep their snapshot
   (SearcherManager semantics via the manifest snapshot taken at open).
 - **Exactly-once across restarts**: foreachBatch may replay an epoch after a
-  failure. Each (checkpoint, epoch) commit is recorded in
-  ``<index_dir>/stream_commits``; a replayed epoch is skipped — combined with
-  the per-partition resume of ``build_index`` this is the north-rule
-  checkpoint/lineage story extended to continuous ingest.
+  failure. The commit marker IS the manifest row — each batch's manifest rows
+  carry ``{"stream": <stream_id>, "epoch": N}`` in their lineage json, keyed
+  by the stream's checkpoint identity (so a second stream, or the same stream
+  restarted with a fresh checkpoint dir whose epochs restart at 0, never
+  collides). There is no separate marker file, hence no crash window between
+  data commit and marker: segments are visible exactly when the epoch is
+  committed, and ``build_index``'s per-artifact resume makes a half-written
+  replay converge without duplicate rows.
 - Merges keep running as ordinary jobs over the manifest
   (``run_merges``) — exactly the reference's ConcurrentMergeScheduler
   running beside the writer.
@@ -37,26 +41,22 @@ from ..index.build import DEFAULT_KEY, build_index
 from ..index.manifest import next_segment_id, read_manifest
 
 
-def _commits_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "stream_commits")
-
-
-def _committed_epochs(index_dir: str) -> dict[str, int]:
-    p = _commits_path(index_dir)
-    if not os.path.exists(p):
-        return {}
-    with open(p) as f:
-        return json.load(f)
-
-
-def _record_epoch(index_dir: str, epoch_id: int, base: int) -> None:
-    commits = _committed_epochs(index_dir)
-    commits[str(epoch_id)] = base
-    p = _commits_path(index_dir)
-    tmp = p + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(commits, f)
-    os.replace(tmp, p)  # atomic commit marker
+def _epoch_committed(
+    spark: SparkSession, index_dir: str, stream_id: str, epoch_id: int
+) -> bool:
+    """True iff some manifest row's lineage records this (stream, epoch) —
+    the manifest is the commit log, no side files."""
+    if not os.path.exists(os.path.join(index_dir, "manifest")):
+        return False
+    rows = read_manifest(spark, index_dir).select("lineage").distinct().collect()
+    for r in rows:
+        try:
+            lin = json.loads(r.lineage or "{}")
+        except ValueError:
+            continue
+        if lin.get("stream") == stream_id and lin.get("epoch") == epoch_id:
+            return True
+    return False
 
 
 def ingest_batch(
@@ -68,17 +68,19 @@ def ingest_batch(
     key_cols=DEFAULT_KEY,
     content_col: str = "content",
     stored_cols: tuple = (),
+    stream_id: str = "default",
 ) -> dict | None:
     """foreachBatch body: one micro-batch → ``segments_per_batch`` new
-    segments. Idempotent per epoch (replay-safe)."""
-    if str(epoch_id) in _committed_epochs(index_dir):
-        return None  # epoch replayed after failure — already committed
+    segments. Idempotent per (stream_id, epoch) — replay-safe; the manifest
+    append inside build_index is the atomic commit."""
     spark = batch_df.sparkSession
+    if _epoch_committed(spark, index_dir, stream_id, int(epoch_id)):
+        return None  # epoch replayed after failure — already committed
     if os.path.exists(os.path.join(index_dir, "manifest")):
         base = next_segment_id(spark, index_dir)
     else:
         base = 0
-    metrics = build_index(
+    return build_index(
         spark,
         batch_df,
         index_dir,
@@ -89,9 +91,8 @@ def ingest_batch(
         stored_cols=stored_cols,
         segment_base=base,
         resume=True,
+        extra_lineage={"stream": stream_id, "epoch": int(epoch_id)},
     )
-    _record_epoch(index_dir, epoch_id, base)
-    return metrics
 
 
 def topic_stream(
@@ -101,15 +102,24 @@ def topic_stream(
     checkpoint_path: str,
     k: int | None = None,
     analyzer: str = "code",
+    auto_commit: bool = True,
 ):
     """TopicStream analogue (``solr/solrj/.../io/stream/TopicStream.java:71``):
     a checkpointed pub/sub over query results — each call returns hits from
-    segments that appeared since the last call, then advances the checkpoint.
+    segments that appeared since the last call.
 
     Segments are immutable and the manifest is append-only, so "new docs
     since checkpoint" ≡ "docs in segments not yet seen" (a merge republishes
     nothing: merged segments contain only already-seen docs, so merge outputs
-    whose sources were all seen are marked seen too).
+    whose sources were ALL seen are marked seen too; a merge with any unseen
+    source is delivered whole, which re-emits its seen sources' docs — the
+    documented at-least-once corner, same as TopicStream after a shard merge).
+
+    Delivery contract: with ``auto_commit=True`` (default) the checkpoint
+    advances eagerly — at-most-once if the consumer's downstream action fails.
+    With ``auto_commit=False`` the call returns ``(hits, commit)``; invoke
+    ``commit()`` AFTER the hits are durably consumed for at-least-once (the
+    checkpointed TopicStream contract).
     """
     import json as _json
 
@@ -145,11 +155,16 @@ def topic_stream(
     )
     out = hits.drop("qid") if "qid" in hits.columns else hits
 
-    tmp = checkpoint_path + ".tmp"
-    with open(tmp, "w") as f:
-        _json.dump({"seen_segments": sorted(seen | live)}, f)
-    os.replace(tmp, checkpoint_path)
-    return out
+    def commit() -> None:
+        tmp = checkpoint_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"seen_segments": sorted(seen | live)}, f)
+        os.replace(tmp, checkpoint_path)
+
+    if auto_commit:
+        commit()
+        return out
+    return out, commit
 
 
 def index_stream(
@@ -167,6 +182,10 @@ def index_stream(
     (drain-and-stop, the CommitStream pattern); pass
     ``{"processingTime": "10 seconds"}`` for a DaemonStream-style loop."""
 
+    # commit identity = the stream's checkpoint dir: epochs restart at 0 in a
+    # fresh checkpoint, so the (stream_id, epoch) pair stays unique per stream
+    stream_id = os.path.realpath(checkpoint_dir)
+
     def _body(df: DataFrame, epoch: int) -> None:
         ingest_batch(
             df,
@@ -177,6 +196,7 @@ def index_stream(
             key_cols=key_cols,
             content_col=content_col,
             stored_cols=stored_cols,
+            stream_id=stream_id,
         )
 
     writer = stream_df.writeStream.foreachBatch(_body).option(

@@ -39,7 +39,7 @@ def docs_index_dir(spark: SparkSession, sf_dir: str) -> str:
     key = os.path.realpath(sf_dir)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
-    tag = hashlib.sha1(f"{key}:layout-v2".encode()).hexdigest()[:12]
+    tag = hashlib.sha1(f"{key}:layout-v3".encode()).hexdigest()[:12]
     index_dir = f"/tmp/lss_docs_index/{tag}"
     marker = os.path.join(index_dir, "_built")
     if not os.path.exists(marker):
@@ -248,7 +248,7 @@ def ft_term_tf(spark, sf_dir):
 def ft_df_stats(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     return (
-        spark.read.parquet(os.path.join(s.index_dir, "term_stats"))
+        s._term_stats_df
         .filter(F.col("term").isin("spark", "vector", "hash", "table", "the"))
         .select("term", "df", "ttf")
     )

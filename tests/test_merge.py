@@ -86,6 +86,21 @@ def test_merge_score_rewards_deletes():
     assert merge_score([100, 100], del_ratio=0.5) < merge_score([100, 100], 0.0)
 
 
+def test_plan_merges_prefers_delete_rich_window():
+    from lucene_solr_spark.index.merge import plan_merges
+
+    # equal sizes; two segments carry 50% tombstones — the planner must pick
+    # the delete-rich window (nonDelRatio^2 reward in merge_score)
+    segs = [
+        {"segment_id": 0, "sum_len": 1000, "max_doc": 100, "del_count": 0},
+        {"segment_id": 1, "sum_len": 1000, "max_doc": 100, "del_count": 0},
+        {"segment_id": 2, "sum_len": 1000, "max_doc": 100, "del_count": 50},
+        {"segment_id": 3, "sum_len": 1000, "max_doc": 100, "del_count": 50},
+    ]
+    plans = plan_merges(segs, segs_per_tier=2, max_merge_at_once=2, floor_size=1000)
+    assert plans and set(plans[0]) == {2, 3}
+
+
 def test_plan_merges_budget():
     from lucene_solr_spark.index.merge import plan_merges
 

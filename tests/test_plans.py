@@ -43,9 +43,11 @@ def test_postings_scan_pushes_term_filter(spark, tiny_index):
 def test_term_stats_scan_pushes_filter(spark, tiny_index):
     import pyspark.sql.functions as F
 
+    from lucene_solr_spark.index.manifest import latest_term_stats_dir
+
     index_dir, _ = tiny_index
     df = (
-        spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        spark.read.parquet(latest_term_stats_dir(index_dir))
         .filter(F.col("term").isin("parse", "http"))
         .select("term", "df")
     )

@@ -93,6 +93,102 @@ def test_epoch_replay_is_noop(spark, tiny_corpus, tmp_path_factory):
     assert _results_by_key(spark, index_dir, QUERIES, k=None) == r1
 
 
+def test_torn_commit_replay_converges(spark, tiny_corpus, tmp_path_factory):
+    """Crash window: epoch data (index+docs) written but the manifest commit
+    lost. The replay must skip the already-written artifacts and just commit
+    — no duplicate posting/doc rows, results equal a clean build."""
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.streaming import ingest_batch
+
+    root = tmp_path_factory.mktemp("torn")
+    index_dir = str(root / "idx")
+    df = spark.createDataFrame(tiny_corpus).withColumn("_h", F.abs(F.hash("path")) % 2)
+    d0, d1 = df.filter("_h = 0").drop("_h"), df.filter("_h = 1").drop("_h")
+
+    ingest_batch(d0, 0, index_dir, segments_per_batch=2)
+    man_dir = os.path.join(index_dir, "manifest")
+    before = set(os.listdir(man_dir))
+    assert ingest_batch(d1, 1, index_dir, segments_per_batch=2) is not None
+    # simulate the crash: drop the manifest files epoch 1 just appended
+    for f in set(os.listdir(man_dir)) - before:
+        if f.startswith("part-"):
+            os.remove(os.path.join(man_dir, f))
+    # replay epoch 1 — must detect the uncommitted epoch and converge
+    m = ingest_batch(d1, 1, index_dir, segments_per_batch=2)
+    assert m is not None and m["skipped_segments"] >= 1
+
+    # no duplicate posting rows for any (segment, term, shard)
+    dup = (
+        spark.read.parquet(os.path.join(index_dir, "index"))
+        .filter(F.col("kind") == 0)
+        .groupBy("segment_id", "term", "shard")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    # no duplicate doc rows either
+    ddup = (
+        spark.read.parquet(os.path.join(index_dir, "docs"))
+        .groupBy("segment_id", "doc_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert ddup == 0
+
+    batch_dir = str(root / "batch")
+    build_index(spark, df.drop("_h"), batch_dir, num_segments=4, analyzer="code")
+    assert _results_by_key(spark, index_dir, QUERIES, k=None) == _results_by_key(
+        spark, batch_dir, QUERIES, k=None
+    )
+
+
+def test_new_checkpoint_same_epoch_still_ingests(spark, tiny_corpus, tmp_path_factory):
+    """Commits are keyed by (stream_id, epoch): a different stream's epoch 0
+    must NOT be mistaken for an already-committed replay."""
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.index.manifest import live_segments
+    from lucene_solr_spark.streaming import ingest_batch
+
+    root = tmp_path_factory.mktemp("twostreams")
+    index_dir = str(root / "idx")
+    df = spark.createDataFrame(tiny_corpus).withColumn("_h", F.abs(F.hash("path")) % 2)
+    ingest_batch(df.filter("_h = 0").drop("_h"), 0, index_dir, stream_id="ckpt-A")
+    n1 = len(live_segments(spark, index_dir))
+    m = ingest_batch(df.filter("_h = 1").drop("_h"), 0, index_dir, stream_id="ckpt-B")
+    assert m is not None
+    assert len(live_segments(spark, index_dir)) > n1
+    # but a true replay (same stream, same epoch) is still a no-op
+    assert ingest_batch(df.filter("_h = 1").drop("_h"), 0, index_dir, stream_id="ckpt-B") is None
+
+
+def test_term_stats_snapshot_survives_rebuild(spark, tiny_corpus, tmp_path_factory):
+    """An open searcher keeps a valid term_stats handle across
+    rebuild_term_stats (generations are append-only; no overwrite races)."""
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.index.merge import rebuild_term_stats
+    from lucene_solr_spark.search import IndexSearcher
+
+    root = tmp_path_factory.mktemp("tsgen")
+    index_dir = str(root / "idx")
+    df = spark.createDataFrame(tiny_corpus)
+    build_index(spark, df, index_dir, num_segments=3, analyzer="code")
+    s = IndexSearcher(spark, index_dir, analyzer="code")
+    rebuild_term_stats(spark, index_dir)
+    rebuild_term_stats(spark, index_dir)
+    # resolve a term the old searcher has NOT cached yet — with an overwritten
+    # flat layout this raised FileNotFoundException
+    stats = s.term_stats({"parse"})
+    assert stats.get("parse", 0) > 0
+    # a fresh searcher binds to the newest generation and agrees
+    s2 = IndexSearcher(spark, index_dir, analyzer="code")
+    assert s2.term_stats({"parse"}) == stats
+
+
 def test_stream_then_merge(spark, tiny_corpus, tmp_path_factory):
     """Segments from different epochs merge like any others."""
     from lucene_solr_spark.index.manifest import live_segments
