@@ -206,7 +206,7 @@ def main() -> None:
     t0 = time.time()
     textops.FT_OPS["ft_bool_and"][0](spark, SF_DIR).count()
     results["ft_bool_and"] = round(time.time() - t0, 3)
-    for name in ("minhash_signatures", "simhash16", "emb_knn_threshold"):
+    for name in ("minhash_signatures", "doc_signatures", "emb_knn_threshold"):
         fn, _ = textops.TRAINING_OPS[name]
         t0 = time.time()
         fn(spark, SF_DIR).count()

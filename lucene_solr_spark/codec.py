@@ -128,6 +128,395 @@ def for_unpack(buf: np.ndarray, n: int, width: int) -> np.ndarray:
     return vals & mask
 
 
+# ------------------------------------------------- blocked posting format --
+#
+# Wire format v2 — the FOR(128)-blocked layout of
+# ``Lucene50PostingsWriter.java:223-399`` + ``ForUtil.java:157-204`` adapted
+# to self-contained parquet rows:
+#
+# - a posting list is split at 128-entry boundaries (BLOCK_SIZE); deltas form
+#   ONE continuous chain across blocks (block b's first delta is relative to
+#   the previous block's last doc; block 0's first delta is absolute), so a
+#   full decode is still a single flat pass + cumsum, and any block decodes
+#   independently given blk_last[b-1].
+# - FULL blocks (len == 128): ``vbyte(first_delta)`` prefix + FOR-packed
+#   remaining 127 deltas padded to 128 values at width w (the vbyte prefix is
+#   what merge chain-patching rewrites — packed bits are never touched).
+#   Packed size is exactly 16·w bytes, so w is derivable from the block's
+#   byte length. ``prefix=False`` (freqs) drops the prefix and packs all 128
+#   values (w = nbytes/16).
+# - PARTIAL blocks (len < 128, the VInt-tail analogue): pure VByte.
+# - per-block BYTE OFFSETS ride in the row metadata (blk_*_boff) — the file-
+#   pointer role of ``Lucene50SkipWriter.java:153-205``: block-max pruning
+#   slices and decodes only surviving blocks.
+
+_MAXW = 33  # deltas/freqs are < 2^32 (doc ids are int32-bounded)
+
+
+def _bit_widths(block_max: np.ndarray) -> np.ndarray:
+    """bits needed per block given its max value (0 for all-zero blocks)."""
+    m = np.asarray(block_max, dtype=np.uint64)
+    w = np.zeros(len(m), dtype=np.int64)
+    nz = m > 0
+    w[nz] = np.floor(np.log2(m[nz].astype(np.float64))).astype(np.int64) + 1
+    return w
+
+
+def _vbyte_lens(values: np.ndarray) -> np.ndarray:
+    v = np.asarray(values, dtype=np.uint64) >> np.uint64(7)
+    nb = np.ones(len(v), dtype=np.int64)
+    while v.any():
+        nb += (v > 0).astype(np.int64)
+        v >>= np.uint64(7)
+    return nb
+
+
+def _region_copy_idx(src_starts, tgt_starts, lens):
+    """Index arrays for copying variable-length byte regions in one shot."""
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    reps = np.repeat(np.arange(len(lens)), lens)
+    intra = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+    )
+    return (
+        np.asarray(src_starts, np.int64)[reps] + intra,
+        np.asarray(tgt_starts, np.int64)[reps] + intra,
+    )
+
+
+def encode_blocked(
+    values: np.ndarray,
+    blk_flat: np.ndarray,
+    blk_len: np.ndarray,
+    blk_list: np.ndarray,
+    n_lists: int,
+    prefix: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Encode a flat multi-list value array into the blocked format.
+
+    ``values``: all lists' values concatenated (uint-compatible);
+    ``blk_flat``/``blk_len``/``blk_list``: per-block start index, length and
+    owning list (from :func:`block_starts_for_lists`). Returns
+    ``(buf uint8, list_byte_off int64[n_lists+1], blk_boff int32 flat)`` where
+    blk_boff is each block's byte offset RELATIVE to its list's blob start.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    blk_flat = np.asarray(blk_flat, dtype=np.int64)
+    blk_len = np.asarray(blk_len, dtype=np.int64)
+    nblk = len(blk_flat)
+    if nblk == 0:
+        return (
+            np.empty(0, np.uint8),
+            np.zeros(n_lists + 1, np.int64),
+            np.empty(0, np.int32),
+        )
+    full = blk_len == BLOCK_SIZE
+
+    # width per full block over its packed values (exclude the prefixed first
+    # delta when prefix=True: zero it before the segmented max)
+    if prefix:
+        v2 = v.copy()
+        v2[blk_flat[full]] = 0
+    else:
+        v2 = v
+    blk_max = np.zeros(nblk, dtype=np.uint64)
+    if full.any():
+        # reduceat over [start, start+128) — consecutive full blocks may be
+        # interleaved with partial blocks, so reduceat over all block starts
+        # then select the full ones (partial results are ignored)
+        seg_max = np.maximum.reduceat(v2, blk_flat)
+        blk_max[:] = seg_max
+    widths = np.zeros(nblk, dtype=np.int64)
+    widths[full] = _bit_widths(blk_max[full])
+
+    # ---- vbyte stream: prefixes of full blocks (prefix=True) + all values
+    # of partial blocks, in block order
+    per_blk_vcount = np.where(full, 1 if prefix else 0, blk_len)
+    order_sel = np.flatnonzero(per_blk_vcount > 0)
+    blk_vbytes = np.zeros(nblk, dtype=np.int64)
+    vb_buf = np.empty(0, np.uint8)
+    if len(order_sel):
+        reps = per_blk_vcount[order_sel]
+        base = np.repeat(blk_flat[order_sel], reps)
+        intra = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+        )
+        vb_vals = v[base + intra]
+        vb_buf, vb_nb = vbyte_encode(vb_vals)
+        blk_vbytes[order_sel] = np.add.reduceat(
+            vb_nb, np.concatenate(([0], np.cumsum(reps)[:-1]))
+        )
+
+    # ---- per-block byte length + offsets
+    blk_nbytes = np.where(full, blk_vbytes + 16 * widths, blk_vbytes)
+    gstart = np.concatenate(([0], np.cumsum(blk_nbytes)[:-1]))
+    total = int(blk_nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+
+    # ---- scatter vbyte regions (each block's vbyte piece leads the block)
+    if len(order_sel):
+        # stream offset of each selected block's first value
+        stream_starts = np.concatenate(([0], np.cumsum(vb_nb)))[
+            np.concatenate(([0], np.cumsum(reps)[:-1]))
+        ]
+        src, tgt = _region_copy_idx(
+            stream_starts, gstart[order_sel], blk_vbytes[order_sel]
+        )
+        out[tgt] = vb_buf[src]
+
+    # ---- pack + scatter FOR regions, grouped by width
+    full_idx = np.flatnonzero(full & (widths > 0))
+    for w in np.unique(widths[full_idx]):
+        grp = full_idx[widths[full_idx] == w]
+        k = len(grp)
+        # packed values per block: BLOCK_SIZE values (prefix=True pads the
+        # 127 non-prefixed deltas with one trailing zero)
+        if prefix:
+            mat = np.zeros((k, BLOCK_SIZE), dtype=np.uint64)
+            gather = (blk_flat[grp][:, None] + np.arange(1, BLOCK_SIZE)[None, :]).ravel()
+            mat[:, : BLOCK_SIZE - 1] = v[gather].reshape(k, BLOCK_SIZE - 1)
+        else:
+            gather = (blk_flat[grp][:, None] + np.arange(BLOCK_SIZE)[None, :]).ravel()
+            mat = v[gather].reshape(k, BLOCK_SIZE)
+        packed = for_pack(mat.ravel(), int(w))  # k*16*w bytes, byte-aligned per block
+        src, tgt = _region_copy_idx(
+            np.arange(k, dtype=np.int64) * 16 * w,
+            gstart[grp] + blk_vbytes[grp],
+            np.full(k, 16 * w, dtype=np.int64),
+        )
+        out[tgt] = packed[src]
+
+    # ---- per-list byte offsets + list-relative block offsets
+    nblk_per_list = np.bincount(blk_list, minlength=n_lists)
+    list_first_blk = np.concatenate(([0], np.cumsum(nblk_per_list)[:-1]))
+    list_byte_off = np.zeros(n_lists + 1, dtype=np.int64)
+    list_byte_off[1:] = np.cumsum(
+        np.add.reduceat(blk_nbytes, list_first_blk) * (nblk_per_list > 0)
+    ) if nblk else 0
+    # handle lists with zero blocks (shouldn't occur, but keep offsets sane)
+    blk_boff = (gstart - np.repeat(gstart[list_first_blk], nblk_per_list)).astype(
+        np.int32
+    )
+    return out, list_byte_off, blk_boff
+
+
+def decode_blocked(
+    blob: np.ndarray,
+    boffs: np.ndarray,
+    nbytes: np.ndarray,
+    lens: np.ndarray,
+    prefix: bool,
+) -> np.ndarray:
+    """Decode selected blocks of a blocked blob → flat uint64 values
+    (concatenated in the given block order). ``boffs``/``nbytes``/``lens``
+    describe each selected block; blocks need not be contiguous — this is the
+    decode-skip entry point."""
+    blob = np.asarray(blob, dtype=np.uint8)
+    boffs = np.asarray(boffs, dtype=np.int64)
+    nbytes = np.asarray(nbytes, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    n = len(boffs)
+    out = np.zeros(int(lens.sum()), dtype=np.uint64)
+    if n == 0:
+        return out
+    out_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    full = lens == BLOCK_SIZE
+
+    # ---- full blocks: optional vbyte prefix, then FOR region
+    fidx = np.flatnonzero(full)
+    if len(fidx):
+        if prefix:
+            # parse the leading vbyte of each full block (≤ 5 bytes)
+            vlen = np.ones(len(fidx), dtype=np.int64)
+            val = (blob[boffs[fidx]] & np.uint8(0x7F)).astype(np.uint64)
+            cont = blob[boffs[fidx]] >= 0x80
+            j = 1
+            while cont.any():
+                b = blob[boffs[fidx[cont]] + j]
+                val[cont] |= (b.astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)
+                vlen[cont] += 1
+                cont2 = cont.copy()
+                cont2[cont] = b >= 0x80
+                cont = cont2
+                j += 1
+            out[out_starts[fidx]] = val
+            packed_off = boffs[fidx] + vlen
+            packed_bytes = nbytes[fidx] - vlen
+            pack_n = BLOCK_SIZE - 1
+        else:
+            packed_off = boffs[fidx]
+            packed_bytes = nbytes[fidx]
+            pack_n = BLOCK_SIZE
+        widths = packed_bytes // 16
+        for w in np.unique(widths):
+            grp = np.flatnonzero(widths == w)
+            if w == 0:
+                continue  # all-zero packed values — out already zeroed
+            src, _ = _region_copy_idx(
+                packed_off[grp], np.zeros(len(grp)), np.full(len(grp), 16 * w)
+            )
+            vals = for_unpack(blob[src], len(grp) * BLOCK_SIZE, int(w)).reshape(
+                len(grp), BLOCK_SIZE
+            )
+            tgt_block = fidx[grp]
+            if prefix:
+                gat = (out_starts[tgt_block][:, None] + 1 + np.arange(pack_n)[None, :]).ravel()
+                out[gat] = vals[:, :pack_n].ravel()
+            else:
+                gat = (out_starts[tgt_block][:, None] + np.arange(pack_n)[None, :]).ravel()
+                out[gat] = vals.ravel()
+
+    # ---- partial blocks: concatenated vbyte decode + scatter
+    pidx = np.flatnonzero(~full)
+    if len(pidx):
+        src, _ = _region_copy_idx(
+            boffs[pidx], np.concatenate(([0], np.cumsum(nbytes[pidx])[:-1])), nbytes[pidx]
+        )
+        vals = vbyte_decode(blob[src])
+        reps = lens[pidx]
+        base = np.repeat(out_starts[pidx], reps)
+        intra = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+        )
+        out[base + intra] = vals
+    return out
+
+
+# ---- per-row helpers (read path + merge) ----
+
+def decode_doc_deltas(doc_blob, blk_doc_boff, blk_len) -> np.ndarray:
+    """Decode one posting row's doc-delta chain (int64). ``cumsum`` of the
+    result gives doc ids (the first delta is absolute)."""
+    # fast path: a single partial block (df < 128 — the vast majority of the
+    # term dictionary under Zipf) is a plain VByte blob
+    if len(blk_len) == 4:
+        n = int(np.frombuffer(blk_len, np.int32)[0])
+        if n < BLOCK_SIZE:
+            return vbyte_decode(np.frombuffer(doc_blob, np.uint8)).astype(np.int64)
+    blob = np.frombuffer(doc_blob, np.uint8)
+    boffs = np.frombuffer(blk_doc_boff, np.int32).astype(np.int64)
+    lens = np.frombuffer(blk_len, np.int32).astype(np.int64)
+    nbytes = np.diff(np.append(boffs, len(blob)))
+    return decode_blocked(blob, boffs, nbytes, lens, prefix=True).astype(np.int64)
+
+
+def decode_freq_values(freq_blob, blk_freq_boff, blk_len) -> np.ndarray:
+    """Decode one posting row's freqs (int64)."""
+    if len(blk_len) == 4:
+        n = int(np.frombuffer(blk_len, np.int32)[0])
+        if n < BLOCK_SIZE:
+            return vbyte_decode(np.frombuffer(freq_blob, np.uint8)).astype(np.int64)
+    blob = np.frombuffer(freq_blob, np.uint8)
+    boffs = np.frombuffer(blk_freq_boff, np.int32).astype(np.int64)
+    lens = np.frombuffer(blk_len, np.int32).astype(np.int64)
+    nbytes = np.diff(np.append(boffs, len(blob)))
+    return decode_blocked(blob, boffs, nbytes, lens, prefix=False).astype(np.int64)
+
+
+def encode_vbyte_fixed5(value: int) -> bytes:
+    """VByte with exactly 5 groups (zero-padded continuations) — a fixed-width
+    leading vbyte keeps blob lengths invariant under merge chain-patching, so
+    byte offsets can be rebased with plain int adds."""
+    v = int(value)
+    out = bytearray()
+    for i in range(5):
+        b = (v >> (7 * i)) & 0x7F
+        out.append(b | (0x80 if i < 4 else 0))
+    return bytes(out)
+
+
+def first_vbyte_len(blob: bytes) -> int:
+    i = 0
+    while blob[i] & 0x80:
+        i += 1
+    return i + 1
+
+
+def first_vbyte_val(blob: bytes) -> int:
+    v, shift, i = 0, 0, 0
+    while True:
+        b = blob[i]
+        v |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return v
+        shift += 7
+        i += 1
+
+
+def normalize_first_vbyte(doc_blob: bytes, blk_doc_boff: np.ndarray):
+    """Rewrite the blob's leading vbyte (block 0's prefix / first value) to
+    the fixed 5-byte form; shift the other blocks' byte offsets accordingly.
+    Returns (blob bytes, boffs int32 array, first_value int)."""
+    v0 = first_vbyte_len(doc_blob)
+    val = first_vbyte_val(doc_blob)
+    if v0 == 5:
+        return doc_blob, np.asarray(blk_doc_boff, np.int32), val
+    blob = encode_vbyte_fixed5(val) + doc_blob[v0:]
+    boffs = np.asarray(blk_doc_boff, np.int32).copy()
+    boffs[1:] += np.int32(5 - v0)
+    return blob, boffs, val
+
+
+def encode_posting_row(docs: np.ndarray, freqs: np.ndarray) -> dict:
+    """Encode ONE posting list (local doc ids + freqs) into blocked blobs +
+    block byte offsets. Used by the merge's re-encode (dirty) path; block
+    impact metadata (last/maxf/minn) stays with the caller."""
+    docs = np.asarray(docs, dtype=np.int64)
+    n = len(docs)
+    starts = np.array([0], dtype=np.int64)
+    blk_flat, blk_list = block_starts_for_lists(starts, n)
+    blk_end = np.minimum(np.append(blk_flat[1:], n), n)
+    blk_len = blk_end - blk_flat
+    deltas = delta_encode_lists(docs, starts).astype(np.uint64)
+    dbuf, _, dboff = encode_blocked(deltas, blk_flat, blk_len, blk_list, 1, prefix=True)
+    fbuf, _, fboff = encode_blocked(
+        np.asarray(freqs, np.uint64), blk_flat, blk_len, blk_list, 1, prefix=False
+    )
+    return {
+        "doc_blob": dbuf.tobytes(),
+        "freq_blob": fbuf.tobytes(),
+        "blk_doc_boff": dboff.tobytes(),
+        "blk_freq_boff": fboff.tobytes(),
+        "blk_flat": blk_flat,
+        "blk_len": blk_len.astype(np.int32),
+    }
+
+
+# ---- naive reference implementations (test oracles) ----
+
+def ref_encode_blocked(lists: list[np.ndarray], prefix: bool):
+    """Pure-python reference for encode_blocked: returns (per-list blobs,
+    per-list block boffs)."""
+    blobs, boffs_all = [], []
+    for vals in lists:
+        vals = np.asarray(vals, dtype=np.uint64)
+        blob = bytearray()
+        boffs = []
+        for s in range(0, len(vals), BLOCK_SIZE):
+            blk = vals[s : s + BLOCK_SIZE]
+            boffs.append(len(blob))
+            if len(blk) == BLOCK_SIZE:
+                if prefix:
+                    b, _ = vbyte_encode(blk[:1])
+                    blob += b.tobytes()
+                    rest = np.zeros(BLOCK_SIZE, dtype=np.uint64)
+                    rest[: BLOCK_SIZE - 1] = blk[1:]
+                    w = int(rest.max()).bit_length()
+                    blob += for_pack(rest, w).tobytes()
+                else:
+                    w = int(blk.max()).bit_length()
+                    blob += for_pack(blk, w).tobytes()
+            else:
+                b, _ = vbyte_encode(blk)
+                blob += b.tobytes()
+        blobs.append(bytes(blob))
+        boffs_all.append(np.array(boffs, dtype=np.int32))
+    return blobs, boffs_all
+
+
 # --------------------------------------------- flat multi-list encoding ----
 
 def delta_encode_lists(values: np.ndarray, list_starts: np.ndarray) -> np.ndarray:

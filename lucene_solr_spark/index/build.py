@@ -53,6 +53,7 @@ from ..codec import (
     BLOCK_SIZE,
     block_starts_for_lists,
     delta_encode_lists,
+    encode_blocked,
     vbyte_encode,
 )
 from ..smallfloat import int_to_byte4
@@ -61,6 +62,7 @@ UNIFIED_SCHEMA = (
     "segment_id int, kind int, term string, df bigint, ttf bigint, "
     "doc_blob binary, freq_blob binary, pos_blob binary, "
     "blk_last binary, blk_maxf binary, blk_minn binary, blk_len binary, "
+    "blk_doc_boff binary, blk_freq_boff binary, blk_pos_boff binary, "
     "max_doc bigint, doc_count bigint, sum_len bigint, shard int"
 )
 
@@ -148,17 +150,25 @@ def build_segment_frame(
         df_per_term = np.diff(np.append(term_start, n_post)).astype(np.int64)
         ttf_per_term = np.add.reduceat(freqs, term_start)
 
-        # ---- encode docID deltas + freqs (flat VByte over all terms) ----
-        doc_deltas = delta_encode_lists(post_doc, term_start)
-        doc_buf, doc_nb = vbyte_encode(doc_deltas.astype(np.uint64))
-        freq_buf, freq_nb = vbyte_encode(freqs.astype(np.uint64))
-        doc_off = np.zeros(len(term_start) + 1, dtype=np.int64)
-        freq_off = np.zeros(len(term_start) + 1, dtype=np.int64)
-        byte_cum_d = np.concatenate(([0], np.cumsum(doc_nb)))
-        byte_cum_f = np.concatenate(([0], np.cumsum(freq_nb)))
+        # ---- block structure first (the encoder is block-aware) ----
         ends = np.append(term_start[1:], n_post)
-        doc_off[1:] = byte_cum_d[ends]
-        freq_off[1:] = byte_cum_f[ends]
+        blk_flat, blk_list = block_starts_for_lists(term_start, n_post)
+        blk_ends = np.append(blk_flat[1:], n_post)
+        # a block's end is min(next block start, its own list end)
+        list_end = ends[blk_list]
+        blk_end = np.minimum(blk_ends, list_end)
+        blk_len = (blk_end - blk_flat).astype(np.int64)
+
+        # ---- encode docID deltas + freqs: FOR(128) full blocks + VByte
+        # tails (codec.encode_blocked — Lucene50PostingsWriter layout) ----
+        n_terms = len(term_start)
+        doc_deltas = delta_encode_lists(post_doc, term_start)
+        doc_buf, doc_off, blk_doc_boff = encode_blocked(
+            doc_deltas.astype(np.uint64), blk_flat, blk_len, blk_list, n_terms, prefix=True
+        )
+        freq_buf, freq_off, blk_freq_boff = encode_blocked(
+            freqs.astype(np.uint64), blk_flat, blk_len, blk_list, n_terms, prefix=False
+        )
 
         # ---- positions: delta per occurrence within (term, doc) ----
         pos_deltas = delta_encode_lists(pc, occ_start)
@@ -171,26 +181,20 @@ def build_segment_frame(
         pos_off = np.zeros(len(term_start) + 1, dtype=np.int64)
         pos_off[0] = byte_cum_p[tok_starts[0]]
         pos_off[1:] = byte_cum_p[tok_ends]
+        # per-block byte offset into the term's pos blob (skip-pointer role)
+        blk_pos_boff = (
+            byte_cum_p[occ_start[blk_flat]] - pos_off[blk_list]
+        ).astype(np.int32)
 
         # ---- per-128-posting block impact metadata ----
-        blk_flat, blk_list = block_starts_for_lists(term_start, n_post)
-        blk_last = np.empty(len(blk_flat), dtype=np.int32)
-        blk_ends = np.append(blk_flat[1:], n_post)
-        # a block's end is min(next block start, its own list end)
-        list_end = ends[blk_list]
-        blk_end = np.minimum(blk_ends, list_end)
-        blk_last[:] = post_doc[blk_end - 1]
+        blk_last = post_doc[blk_end - 1].astype(np.int32)
         blk_maxf = np.maximum.reduceat(freqs, blk_flat).astype(np.int32)
         norm_of_post = norm_bytes[np.searchsorted(doc_ids, post_doc)]
         blk_minn = np.minimum.reduceat(norm_of_post, blk_flat).astype(np.uint8)
-        # explicit per-block posting counts: block boundaries stay recoverable
-        # after merge-time blob concatenation (blocks are per-source there)
-        blk_len = (blk_end - blk_flat).astype(np.int32)
         # per-term block count for slicing
-        nblk_per_term = np.bincount(blk_list, minlength=len(term_start))
+        nblk_per_term = np.bincount(blk_list, minlength=n_terms)
         blk_off = np.concatenate(([0], np.cumsum(nblk_per_term)))
 
-        n_terms = len(term_start)
         rows = {
             "segment_id": np.full(n_terms, segment_id, dtype=np.int32),
             "kind": np.full(n_terms, KIND_POSTING, dtype=np.int32),
@@ -203,7 +207,10 @@ def build_segment_frame(
             "blk_last": _slice_blob(blk_last.view(np.uint8), blk_off * 4),
             "blk_maxf": _slice_blob(blk_maxf.view(np.uint8), blk_off * 4),
             "blk_minn": _slice_blob(blk_minn, blk_off),
-            "blk_len": _slice_blob(blk_len.view(np.uint8), blk_off * 4),
+            "blk_len": _slice_blob(blk_len.astype(np.int32).view(np.uint8), blk_off * 4),
+            "blk_doc_boff": _slice_blob(blk_doc_boff.view(np.uint8), blk_off * 4),
+            "blk_freq_boff": _slice_blob(blk_freq_boff.view(np.uint8), blk_off * 4),
+            "blk_pos_boff": _slice_blob(blk_pos_boff.view(np.uint8), blk_off * 4),
             "max_doc": np.full(n_terms, -1, dtype=np.int64),
             "doc_count": np.full(n_terms, -1, dtype=np.int64),
             "sum_len": np.full(n_terms, -1, dtype=np.int64),
@@ -233,6 +240,9 @@ def build_segment_frame(
             "blk_maxf": [b"", b""],
             "blk_minn": [b"", b""],
             "blk_len": [b"", b""],
+            "blk_doc_boff": [b"", b""],
+            "blk_freq_boff": [b"", b""],
+            "blk_pos_boff": [b"", b""],
             "max_doc": np.array([max_doc, max_doc], dtype=np.int64),
             "doc_count": np.array([doc_count, doc_count], dtype=np.int64),
             "sum_len": np.array([sum_len, sum_len], dtype=np.int64),
@@ -255,6 +265,9 @@ _EMPTY_DTYPES = {
     "blk_maxf": "object",
     "blk_minn": "object",
     "blk_len": "object",
+    "blk_doc_boff": "object",
+    "blk_freq_boff": "object",
+    "blk_pos_boff": "object",
     "max_doc": "int64",
     "doc_count": "int64",
     "sum_len": "int64",

@@ -52,7 +52,19 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from ..codec import BLOCK_SIZE, delta_decode_lists, delta_encode_lists, vbyte_decode, vbyte_encode
+from ..codec import (
+    BLOCK_SIZE,
+    decode_doc_deltas,
+    decode_freq_values,
+    delta_decode_lists,
+    delta_encode_lists,
+    encode_posting_row,
+    encode_vbyte_fixed5,
+    first_vbyte_val,
+    normalize_first_vbyte,
+    vbyte_decode,
+    vbyte_encode,
+)
 from .build import KIND_NORMS, KIND_POSTING, KIND_STATS, UNIFIED_SCHEMA
 from .manifest import live_segments, manifest_path, next_segment_id, read_manifest
 
@@ -184,6 +196,9 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_keys: DataFrame) -> int
                 "blk_maxf": [b""],
                 "blk_minn": [b""],
                 "blk_len": [b""],
+                "blk_doc_boff": [b""],
+                "blk_freq_boff": [b""],
+                "blk_pos_boff": [b""],
                 "max_doc": np.array([-1], dtype=np.int64),
                 "doc_count": np.array([-1], dtype=np.int64),
                 "sum_len": np.array([-1], dtype=np.int64),
@@ -225,37 +240,6 @@ def deleted_docs_by_segment(
 
 # ---------------------------------------------------------------------------
 # merge executor
-
-def _encode_vbyte_one(value: int) -> bytes:
-    out = bytearray()
-    v = int(value)
-    while True:
-        b = v & 0x7F
-        v >>= 7
-        if v:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
-
-
-def _first_vbyte_len(blob: bytes) -> int:
-    i = 0
-    while blob[i] & 0x80:
-        i += 1
-    return i + 1
-
-
-def _first_vbyte_val(blob: bytes) -> int:
-    v, shift, i = 0, 0, 0
-    while True:
-        b = blob[i]
-        v |= (b & 0x7F) << shift
-        if not (b & 0x80):
-            return v
-        shift += 7
-        i += 1
-
 
 def _block_meta(docs: np.ndarray, freqs: np.ndarray, norms_of_doc: np.ndarray):
     """(blk_last, blk_maxf, blk_minn) for one posting list (local doc ids)."""
@@ -349,24 +333,31 @@ def merge_segments(
             "segment_id", "shard", "term", "df", "ttf",
             "doc_blob", "freq_blob", "pos_blob",
             "blk_last", "blk_maxf", "blk_minn", "blk_len",
+            "blk_doc_boff", "blk_freq_boff", "blk_pos_boff",
         )
     )
 
+    BLOB_COLS = [
+        "doc_blob", "freq_blob", "pos_blob",
+        "blk_last", "blk_maxf", "blk_minn", "blk_len",
+        "blk_doc_boff", "blk_freq_boff", "blk_pos_boff",
+    ]
     PASS1_SCHEMA = (
         "seg_order int, shard int, term string, df bigint, ttf bigint, "
-        "doc_blob binary, freq_blob binary, pos_blob binary, "
-        "blk_last binary, blk_maxf binary, blk_minn binary, blk_len binary, "
-        "first_doc bigint, last_doc bigint"
+        + ", ".join(f"{c} binary" for c in BLOB_COLS)
+        + ", first_doc bigint, last_doc bigint"
     )
 
     def pass1(it):
         st = bc.value
         for pdf in it:
-            out = {k: [] for k in (
-                "seg_order", "shard", "term", "df", "ttf", "doc_blob", "freq_blob",
-                "pos_blob", "blk_last", "blk_maxf", "blk_minn", "blk_len",
-                "first_doc", "last_doc",
-            )}
+            out = {
+                k: []
+                for k in (
+                    "seg_order", "shard", "term", "df", "ttf",
+                    *BLOB_COLS, "first_doc", "last_doc",
+                )
+            }
             for r in pdf.itertuples(index=False):
                 seg = int(r.segment_id)
                 b = st["bases"][seg]
@@ -374,9 +365,9 @@ def merge_segments(
                     # full re-encode with deleted docs dropped + ids compacted
                     mask = st["alive"][seg]
                     newid = np.cumsum(mask) - 1  # old local id -> new local id
-                    deltas = vbyte_decode(np.frombuffer(r.doc_blob, np.uint8)).astype(np.int64)
+                    deltas = decode_doc_deltas(r.doc_blob, r.blk_doc_boff, r.blk_len)
                     docs = np.cumsum(deltas)
-                    freqs = vbyte_decode(np.frombuffer(r.freq_blob, np.uint8)).astype(np.int64)
+                    freqs = decode_freq_values(r.freq_blob, r.blk_freq_boff, r.blk_len)
                     keep = mask[docs]
                     if not keep.any():
                         continue
@@ -390,39 +381,52 @@ def merge_segments(
                     pos2 = pos[occ_keep]
                     occ_starts2 = np.zeros(len(freqs2), dtype=np.int64)
                     np.cumsum(freqs2[:-1], out=occ_starts2[1:])
-                    d_enc, _ = vbyte_encode(
-                        delta_encode_lists(docs2, np.array([0], np.int64)).astype(np.uint64)
-                    )
-                    f_enc, _ = vbyte_encode(freqs2.astype(np.uint64))
-                    p_enc, _ = vbyte_encode(
+                    enc = encode_posting_row(docs2, freqs2)
+                    p_enc, p_nb = vbyte_encode(
                         delta_encode_lists(pos2, occ_starts2).astype(np.uint64)
                     )
+                    byte_cum_p = np.concatenate(([0], np.cumsum(p_nb)))
+                    blk_pos_boff = byte_cum_p[occ_starts2[enc["blk_flat"]]].astype(np.int32)
                     norms_alive = st["norms"][seg][mask]
-                    bl, bm, bn, blen = _block_meta(docs2, freqs2, norms_alive[docs2])
+                    bl, bm, bn, _ = _block_meta(docs2, freqs2, norms_alive[docs2])
                     bl_g = (np.frombuffer(bl, np.int32) + b).astype(np.int32).tobytes()
+                    # normalize the leading vbyte to the fixed 5-byte form so
+                    # the later chain-patch is length-invariant
+                    dblob, dboff, _ = normalize_first_vbyte(
+                        enc["doc_blob"], np.frombuffer(enc["blk_doc_boff"], np.int32)
+                    )
                     out["df"].append(len(docs2))
                     out["ttf"].append(int(freqs2.sum()))
-                    out["doc_blob"].append(d_enc.tobytes())
-                    out["freq_blob"].append(f_enc.tobytes())
+                    out["doc_blob"].append(dblob)
+                    out["freq_blob"].append(enc["freq_blob"])
                     out["pos_blob"].append(p_enc.tobytes())
                     out["blk_last"].append(bl_g)
                     out["blk_maxf"].append(bm)
                     out["blk_minn"].append(bn)
-                    out["blk_len"].append(blen)
+                    out["blk_len"].append(enc["blk_len"].tobytes())
+                    out["blk_doc_boff"].append(dboff.tobytes())
+                    out["blk_freq_boff"].append(enc["blk_freq_boff"])
+                    out["blk_pos_boff"].append(blk_pos_boff.tobytes())
                     out["first_doc"].append(int(docs2[0]) + b)
                     out["last_doc"].append(int(docs2[-1]) + b)
                 else:
                     blk_last = np.frombuffer(r.blk_last, np.int32)
+                    dblob, dboff, first_val = normalize_first_vbyte(
+                        r.doc_blob, np.frombuffer(r.blk_doc_boff, np.int32)
+                    )
                     out["df"].append(int(r.df))
                     out["ttf"].append(int(r.ttf))
-                    out["doc_blob"].append(r.doc_blob)
+                    out["doc_blob"].append(dblob)
                     out["freq_blob"].append(r.freq_blob)
                     out["pos_blob"].append(r.pos_blob)
                     out["blk_last"].append((blk_last + b).astype(np.int32).tobytes())
                     out["blk_maxf"].append(r.blk_maxf)
                     out["blk_minn"].append(r.blk_minn)
                     out["blk_len"].append(r.blk_len)
-                    out["first_doc"].append(_first_vbyte_val(r.doc_blob) + b)
+                    out["blk_doc_boff"].append(dboff.tobytes())
+                    out["blk_freq_boff"].append(r.blk_freq_boff)
+                    out["blk_pos_boff"].append(r.blk_pos_boff)
+                    out["first_doc"].append(first_val + b)
                     out["last_doc"].append(int(blk_last[-1]) + b)
                 out["seg_order"].append(st["order"][seg])
                 out["shard"].append(int(r.shard))
@@ -433,10 +437,14 @@ def merge_segments(
 
     # ---- chaining window + first-VByte patch (one shuffle on term) ---------
     w = Window.partitionBy("term").orderBy("seg_order", "shard")
+    wb = w.rowsBetween(Window.unboundedPreceding, -1)
     # cold rows get a chaining delta (they will be concatenated into one
     # blob); hot rows stay separate shard rows and must remain SELF-CONTAINED
     # (first VByte = absolute global docid) so any future merge can rebase
-    # them again — this invariant is what makes merges composable.
+    # them again — this invariant is what makes merges composable. The *_bbase
+    # sums are each row's byte offset inside the concatenated cold blobs
+    # (pass1 normalized every leading vbyte to 5 bytes, so post-patch lengths
+    # equal these pre-patch lengths).
     p2 = (
         p1.withColumn("prev_last", F.lag("last_doc").over(w))
         .withColumn("term_df", F.sum("df").over(Window.partitionBy("term")))
@@ -449,27 +457,53 @@ def merge_segments(
             ),
         )
         .withColumn("out_shard", F.row_number().over(w) - 1)
+        .withColumn("doc_bbase", F.coalesce(F.sum(F.octet_length("doc_blob")).over(wb), F.lit(0)))
+        .withColumn("freq_bbase", F.coalesce(F.sum(F.octet_length("freq_blob")).over(wb), F.lit(0)))
+        .withColumn("pos_bbase", F.coalesce(F.sum(F.octet_length("pos_blob")).over(wb), F.lit(0)))
     )
 
     PATCH_SCHEMA = (
         "seg_order int, shard int, out_shard int, term string, df bigint, "
         "ttf bigint, term_df bigint, "
-        "doc_blob binary, freq_blob binary, pos_blob binary, "
-        "blk_last binary, blk_maxf binary, blk_minn binary, blk_len binary"
+        + ", ".join(f"{c} binary" for c in BLOB_COLS)
     )
 
     def patch(it):
         for pdf in it:
-            blobs = []
-            for blob, val in zip(pdf["doc_blob"], pdf["patch_val"]):
-                n = _first_vbyte_len(blob)
-                blobs.append(_encode_vbyte_one(int(val)) + blob[n:])
-            pdf = pdf[[
+            hot_mask = (pdf["term_df"] > hot_df_threshold).to_numpy()
+            doc_blobs, dboffs, fboffs, pboffs = [], [], [], []
+            for blob, val, is_hot, db, fb, pb, dbb, fbb, pbb in zip(
+                pdf["doc_blob"], pdf["patch_val"], hot_mask,
+                pdf["blk_doc_boff"], pdf["blk_freq_boff"], pdf["blk_pos_boff"],
+                pdf["doc_bbase"], pdf["freq_bbase"], pdf["pos_bbase"],
+            ):
+                # leading vbyte is 5 bytes (pass1 normalized) — length-stable
+                doc_blobs.append(encode_vbyte_fixed5(int(val)) + blob[5:])
+                if is_hot:
+                    dboffs.append(db)
+                    fboffs.append(fb)
+                    pboffs.append(pb)
+                else:
+                    # rebase byte offsets into the concatenated cold blobs
+                    dboffs.append(
+                        (np.frombuffer(db, np.int32) + np.int32(dbb)).tobytes()
+                    )
+                    fboffs.append(
+                        (np.frombuffer(fb, np.int32) + np.int32(fbb)).tobytes()
+                    )
+                    pboffs.append(
+                        (np.frombuffer(pb, np.int32) + np.int32(pbb)).tobytes()
+                    )
+            cols = [
                 "seg_order", "shard", "out_shard", "term", "df", "ttf", "term_df",
                 "freq_blob", "pos_blob", "blk_last", "blk_maxf", "blk_minn", "blk_len",
-            ]].copy()
-            pdf.insert(7, "doc_blob", blobs)
-            yield pdf
+            ]
+            pdf2 = pdf[cols].copy()
+            pdf2.insert(7, "doc_blob", doc_blobs)
+            pdf2["blk_doc_boff"] = dboffs
+            pdf2["blk_freq_boff"] = fboffs
+            pdf2["blk_pos_boff"] = pboffs
+            yield pdf2
 
     patched = p2.mapInPandas(patch, PATCH_SCHEMA)
 
@@ -490,28 +524,20 @@ def merge_segments(
     cold_m = cold.groupBy("term").agg(
         F.sum("df").alias("df"),
         F.sum("ttf").alias("ttf"),
-        _concat("doc_blob"),
-        _concat("freq_blob"),
-        _concat("pos_blob"),
-        _concat("blk_last"),
-        _concat("blk_maxf"),
-        _concat("blk_minn"),
-        _concat("blk_len"),
+        *[_concat(c) for c in BLOB_COLS],
     ).withColumn("shard", F.lit(0))
 
     # salted path: shard id = dense rank of (source, source-shard) — query-time
     # decode concatenates shards in shard order (SegmentPostings)
     hot_m = hot.select(
-        "term", "df", "ttf", "doc_blob", "freq_blob", "pos_blob",
-        "blk_last", "blk_maxf", "blk_minn", "blk_len",
+        "term", "df", "ttf", *BLOB_COLS,
         F.col("out_shard").alias("shard"),
     )
 
     merged = cold_m.unionByName(hot_m).select(
         F.lit(new_segment_id).cast("int").alias("segment_id"),
         F.lit(KIND_POSTING).alias("kind"),
-        "term", "df", "ttf", "doc_blob", "freq_blob", "pos_blob",
-        "blk_last", "blk_maxf", "blk_minn", "blk_len",
+        "term", "df", "ttf", *BLOB_COLS,
         F.lit(-1).cast("bigint").alias("max_doc"),
         F.lit(-1).cast("bigint").alias("doc_count"),
         F.lit(-1).cast("bigint").alias("sum_len"),
@@ -547,6 +573,9 @@ def merge_segments(
             "blk_maxf": [b"", b""],
             "blk_minn": [b"", b""],
             "blk_len": [b"", b""],
+            "blk_doc_boff": [b"", b""],
+            "blk_freq_boff": [b"", b""],
+            "blk_pos_boff": [b"", b""],
             "max_doc": [merged_max_doc, merged_max_doc],
             "doc_count": [merged_doc_count, merged_doc_count],
             "sum_len": [merged_sum_len, merged_sum_len],

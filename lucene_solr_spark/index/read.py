@@ -16,7 +16,12 @@ import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..codec import delta_decode_lists, vbyte_decode
+from ..codec import (
+    decode_doc_deltas,
+    decode_freq_values,
+    delta_decode_lists,
+    vbyte_decode,
+)
 
 
 def term_postings(spark: SparkSession, index_dir: str, terms=None) -> DataFrame:
@@ -24,7 +29,10 @@ def term_postings(spark: SparkSession, index_dir: str, terms=None) -> DataFrame:
     df = (
         spark.read.parquet(os.path.join(index_dir, "index"))
         .filter(F.col("kind") == 0)
-        .select("segment_id", "term", "doc_blob", "freq_blob")
+        .select(
+            "segment_id", "term", "doc_blob", "freq_blob",
+            "blk_doc_boff", "blk_freq_boff", "blk_len",
+        )
     )
     if terms:
         df = df.filter(F.col("term").isin(*list(terms)))
@@ -34,10 +42,8 @@ def term_postings(spark: SparkSession, index_dir: str, terms=None) -> DataFrame:
             pdf = batch.to_pandas()
             segs, ts, docs, freqs = [], [], [], []
             for _, r in pdf.iterrows():
-                d = np.cumsum(
-                    vbyte_decode(np.frombuffer(r["doc_blob"], np.uint8)).astype(np.int64)
-                )
-                f = vbyte_decode(np.frombuffer(r["freq_blob"], np.uint8)).astype(np.int64)
+                d = np.cumsum(decode_doc_deltas(r["doc_blob"], r["blk_doc_boff"], r["blk_len"]))
+                f = decode_freq_values(r["freq_blob"], r["blk_freq_boff"], r["blk_len"])
                 segs.append(np.full(len(d), r["segment_id"], np.int32))
                 ts.extend([r["term"]] * len(d))
                 docs.append(d)
@@ -87,7 +93,10 @@ def positions_postings(spark: SparkSession, index_dir: str, terms=None) -> DataF
     df = (
         spark.read.parquet(os.path.join(index_dir, "index"))
         .filter(F.col("kind") == 0)
-        .select("segment_id", "term", "doc_blob", "freq_blob", "pos_blob")
+        .select(
+            "segment_id", "term", "doc_blob", "freq_blob", "pos_blob",
+            "blk_doc_boff", "blk_freq_boff", "blk_len",
+        )
     )
     if terms:
         df = df.filter(F.col("term").isin(*list(terms)))
@@ -96,10 +105,8 @@ def positions_postings(spark: SparkSession, index_dir: str, terms=None) -> DataF
         for batch in it:
             pdf = batch.to_pandas()
             for _, r in pdf.iterrows():
-                d = np.cumsum(
-                    vbyte_decode(np.frombuffer(r["doc_blob"], np.uint8)).astype(np.int64)
-                )
-                f = vbyte_decode(np.frombuffer(r["freq_blob"], np.uint8)).astype(np.int64)
+                d = np.cumsum(decode_doc_deltas(r["doc_blob"], r["blk_doc_boff"], r["blk_len"]))
+                f = decode_freq_values(r["freq_blob"], r["blk_freq_boff"], r["blk_len"])
                 deltas = vbyte_decode(np.frombuffer(r["pos_blob"], np.uint8)).astype(np.int64)
                 occ_starts = np.zeros(len(f), dtype=np.int64)
                 np.cumsum(f[:-1], out=occ_starts[1:])

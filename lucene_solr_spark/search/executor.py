@@ -120,6 +120,9 @@ POSTING_COLS = [
     "blk_maxf",
     "blk_minn",
     "blk_len",
+    "blk_doc_boff",
+    "blk_freq_boff",
+    "blk_pos_boff",
 ]
 
 

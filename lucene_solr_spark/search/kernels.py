@@ -26,7 +26,14 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..codec import BLOCK_SIZE, delta_decode_lists, vbyte_decode
+from ..codec import (
+    BLOCK_SIZE,
+    decode_blocked,
+    decode_doc_deltas,
+    decode_freq_values,
+    delta_decode_lists,
+    vbyte_decode,
+)
 from . import bm25
 from .query import (
     BooleanQuery,
@@ -77,6 +84,18 @@ class SegmentPostings:
         self._raw: dict[str, tuple] = {}
         self._docs: dict[str, tuple] = {}
         self._pos: dict[str, tuple] = {}
+        self._blkinfo: dict[str, dict] = {}
+        self._partial: dict[str, "_PartialPostings"] = {}
+        # instrumentation: postings actually decoded (block-skip evidence)
+        self.decoded_postings = 0
+
+    def partial(self, term: str) -> "_PartialPostings":
+        """Segment-cached incremental decode state — partial decodes
+        accumulate ACROSS the queries of a batch (a batch shares hot terms;
+        re-decoding per query would forfeit the savings)."""
+        if term not in self._partial:
+            self._partial[term] = _PartialPostings(self, term)
+        return self._partial[term]
 
     def _cat(self, term: str, col: str) -> np.ndarray:
         parts = [np.frombuffer(r[col], dtype=np.uint8) for r in self.rows[term]]
@@ -89,14 +108,18 @@ class SegmentPostings:
         if term not in self._raw:
             rows = self.rows[term]
             # each shard row decodes independently (first value absolute)
-            docs_parts = [
-                np.cumsum(
-                    vbyte_decode(np.frombuffer(r["doc_blob"], np.uint8)).astype(np.int64)
+            docs_parts, freq_parts = [], []
+            for r in rows:
+                deltas = decode_doc_deltas(
+                    r["doc_blob"], r["blk_doc_boff"], r["blk_len"]
                 )
-                for r in rows
-            ]
+                docs_parts.append(np.cumsum(deltas))
+                freq_parts.append(
+                    decode_freq_values(r["freq_blob"], r["blk_freq_boff"], r["blk_len"])
+                )
+                self.decoded_postings += len(deltas)
             docs = docs_parts[0] if len(rows) == 1 else np.concatenate(docs_parts)
-            freqs = vbyte_decode(self._cat(term, "freq_blob")).astype(np.int64)
+            freqs = freq_parts[0] if len(rows) == 1 else np.concatenate(freq_parts)
             self._raw[term] = (docs, freqs)
         return self._raw[term]
 
@@ -136,16 +159,105 @@ class SegmentPostings:
         """Per-block (start, end, last_doc, max_freq, min_norm) over the RAW
         posting order — offsets account for shard boundaries (each shard is
         independently 128-blocked)."""
+        bi = self.block_meta(term)
+        return bi["starts"], bi["ends"], bi["last"], bi["maxf"], bi["minn"]
+
+    def block_meta(self, term: str) -> dict:
+        """Full per-block table over the term's concatenated shard rows —
+        impact metadata PLUS the byte-offset skip data (blk_*_boff), row
+        ownership and per-block byte lengths (the ``Lucene50SkipWriter``
+        file-pointer role). No blob bytes are touched here."""
+        if term in self._blkinfo:
+            return self._blkinfo[term]
         rows = self.rows[term]
-        last = np.concatenate([np.frombuffer(r["blk_last"], np.int32) for r in rows])
-        maxf = np.concatenate([np.frombuffer(r["blk_maxf"], np.int32) for r in rows])
-        minn = np.concatenate([np.frombuffer(r["blk_minn"], np.uint8) for r in rows])
-        lens = np.concatenate(
-            [np.frombuffer(r["blk_len"], np.int32) for r in rows]
-        ).astype(np.int64)
+        last_p, maxf_p, minn_p, lens_p = [], [], [], []
+        dboff_p, fboff_p, dnb_p, fnb_p, row_p, rowfirst_p = [], [], [], [], [], []
+        for i, r in enumerate(rows):
+            lens = np.frombuffer(r["blk_len"], np.int32).astype(np.int64)
+            dboff = np.frombuffer(r["blk_doc_boff"], np.int32).astype(np.int64)
+            fboff = np.frombuffer(r["blk_freq_boff"], np.int32).astype(np.int64)
+            dnb = np.diff(np.append(dboff, len(r["doc_blob"])))
+            fnb = np.diff(np.append(fboff, len(r["freq_blob"])))
+            last_p.append(np.frombuffer(r["blk_last"], np.int32))
+            maxf_p.append(np.frombuffer(r["blk_maxf"], np.int32))
+            minn_p.append(np.frombuffer(r["blk_minn"], np.uint8))
+            lens_p.append(lens)
+            dboff_p.append(dboff)
+            fboff_p.append(fboff)
+            dnb_p.append(dnb)
+            fnb_p.append(fnb)
+            row_p.append(np.full(len(lens), i, dtype=np.int64))
+            first = np.zeros(len(lens), dtype=bool)
+            if len(first):
+                first[0] = True
+            rowfirst_p.append(first)
+        cat = np.concatenate
+        lens = cat(lens_p)
         ends = np.cumsum(lens)
-        starts = ends - lens
-        return starts, ends, last, maxf, minn
+        bi = {
+            "starts": ends - lens,
+            "ends": ends,
+            "last": cat(last_p),
+            "maxf": cat(maxf_p),
+            "minn": cat(minn_p),
+            "lens": lens,
+            "doc_boff": cat(dboff_p),
+            "freq_boff": cat(fboff_p),
+            "doc_nbytes": cat(dnb_p),
+            "freq_nbytes": cat(fnb_p),
+            "row": cat(row_p),
+            "row_first": cat(rowfirst_p),
+        }
+        self._blkinfo[term] = bi
+        return bi
+
+    def decode_block_subset(self, term: str, sel: np.ndarray):
+        """Decode ONLY the selected blocks (indices into block_meta order).
+        Returns (docs, freqs, out_starts): docs/freqs concatenate the
+        selected blocks in ascending block order, out_starts marks each
+        block's slice. The ImpactsDISI skip-pointer decode path — bytes of
+        unselected blocks are never unpacked."""
+        bi = self.block_meta(term)
+        sel = np.sort(np.asarray(sel, dtype=np.int64))
+        rows = self.rows[term]
+        lens_sel = bi["lens"][sel]
+        out_starts = np.concatenate(([0], np.cumsum(lens_sel)[:-1]))
+        docs = np.empty(int(lens_sel.sum()), dtype=np.int64)
+        freqs = np.empty_like(docs)
+        # per-block doc base: previous block's last doc (row-first blocks
+        # carry an absolute first delta, base 0)
+        bases = np.zeros(len(sel), dtype=np.int64)
+        not_first = ~bi["row_first"][sel]
+        bases[not_first] = bi["last"][sel[not_first] - 1]
+        for i in np.unique(bi["row"][sel]):
+            m = bi["row"][sel] == i
+            s = sel[m]
+            r = rows[int(i)]
+            d = decode_blocked(
+                np.frombuffer(r["doc_blob"], np.uint8),
+                bi["doc_boff"][s],
+                bi["doc_nbytes"][s],
+                bi["lens"][s],
+                prefix=True,
+            ).astype(np.int64)
+            f = decode_blocked(
+                np.frombuffer(r["freq_blob"], np.uint8),
+                bi["freq_boff"][s],
+                bi["freq_nbytes"][s],
+                bi["lens"][s],
+                prefix=False,
+            ).astype(np.int64)
+            # segmented cumsum per block, then shift by each block's base
+            local_starts = np.concatenate(([0], np.cumsum(bi["lens"][s])[:-1]))
+            d = delta_decode_lists(d, local_starts) + np.repeat(bases[m], bi["lens"][s])
+            tgt = (
+                np.repeat(out_starts[m] - local_starts, bi["lens"][s])
+                + np.arange(int(bi["lens"][s].sum()))
+            )
+            docs[tgt] = d
+            freqs[tgt] = f
+            self.decoded_postings += len(d)
+        return docs, freqs, out_starts
 
 
 # ------------------------------------------------------------- combinators --
@@ -444,86 +556,160 @@ def topk(docs: np.ndarray, scores: np.ndarray, k: int, f32: bool = True):
     return docs[order], s32[order]
 
 
+class _PartialPostings:
+    """Incrementally-decoded view of one term's postings: tracks which blocks
+    are decoded and keeps (docs, freqs) merged in ascending doc order. The
+    decode-skip bookkeeping shared by the pruned kernels."""
+
+    def __init__(self, seg: SegmentPostings, term: str):
+        self.seg = seg
+        self.term = term
+        self.bi = seg.block_meta(term)
+        self.sel = np.empty(0, dtype=np.int64)
+        self.docs = np.empty(0, dtype=np.int64)
+        self.freqs = np.empty(0, dtype=np.int64)
+        self.complete = term in seg._raw
+        if self.complete:
+            self.docs, self.freqs = seg._raw[term]
+            self.sel = np.arange(len(self.bi["lens"]), dtype=np.int64)
+
+    def extend(self, new_sel: np.ndarray) -> None:
+        if self.complete:
+            return  # already fully decoded (shared _raw cache)
+        new_sel = np.setdiff1d(np.asarray(new_sel, np.int64), self.sel)
+        if not len(new_sel):
+            return
+        d, f, _ = self.seg.decode_block_subset(self.term, new_sel)
+        if len(self.docs):
+            docs = np.concatenate([self.docs, d])
+            freqs = np.concatenate([self.freqs, f])
+            order = np.argsort(docs, kind="stable")
+            self.docs, self.freqs = docs[order], freqs[order]
+        else:
+            self.docs, self.freqs = d, f
+        self.sel = np.union1d(self.sel, new_sel)
+        if len(self.sel) == len(self.bi["lens"]):
+            self.complete = True
+            # promote to the shared full-decode cache (block-ordered == doc-
+            # ordered for single rows; merged rows keep ascending order too)
+            self.seg._raw.setdefault(self.term, (self.docs, self.freqs))
+
+    def covering_blocks(self, cand: np.ndarray) -> np.ndarray:
+        """Blocks whose doc range may contain any of ``cand`` (blk_last is the
+        inclusive end of each block's range)."""
+        idx = np.searchsorted(self.bi["last"].astype(np.int64), cand)
+        return np.unique(idx[idx < len(self.bi["last"])])
+
+    def docs_in_blocks(self, sel: np.ndarray) -> np.ndarray:
+        """Docs of the given (already decoded) blocks, sliced from the merged
+        decoded arrays by doc range — block b's docs are exactly those in
+        (last[b-1], last[b]] (ranges ascend across shard rows too)."""
+        last = self.bi["last"].astype(np.int64)
+        prev = np.concatenate(([-1], last[:-1]))
+        sel = np.asarray(sel, np.int64)
+        lo = np.searchsorted(self.docs, prev[sel] + 1, side="left")
+        hi = np.searchsorted(self.docs, last[sel], side="right")
+        parts = [self.docs[a:b] for a, b in zip(lo, hi)]
+        return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+
 def topk_or_pruned(terms: list[str], seg: SegmentPostings, ctx: QueryContext, k: int):
     """Block-max WAND for a pure term disjunction (``WANDScorer.java:45``,
-    Broder et al. WAND + Ding & Suel block-max), bulk-evaluated:
+    Broder et al. WAND + Ding & Suel block-max), bulk-evaluated with DECODE
+    skip (per-block byte offsets play Lucene's skip-list file pointers):
 
-    1. *theta seed*: per-term top-k blocks give candidate docs; their EXACT
-       disjunction scores (searchsorted lookup into every term's postings)
-       seed ``theta`` = kth-best candidate — a lower bound on the true kth
-       score (kth-largest over a subset ≤ kth-largest overall).
+    1. *theta seed*: each term's top-upper-bound blocks are decoded (only
+       those); their docs' EXACT disjunction scores — resolved against the
+       blocks covering them, decoded on demand — seed ``theta`` = kth-best
+       candidate, a lower bound on the true kth score.
     2. *block sweep*: elementary doc ranges are the union of all terms' block
        boundaries; each range's bound = Σ_i ub_i(block covering it) — the
        ``MaxScoreSumPropagator``/``WANDScorer`` head-sum at block granularity.
-       Ranges with bound < theta are skipped wholesale (strict <, so an
-       excluded doc's exact score is strictly below the kth — pruning can
-       never change the (score desc, doc asc) top-k; property-tested).
+       Blocks intersecting no live range (bound ≥ theta) are NEVER DECODED;
+       postings of surviving blocks are filtered per elementary range as
+       before (strict < exclusion keeps the top-k provably identical).
     3. survivors are union-summed and top-k'd exactly.
     """
     present = [t for t in terms if t in seg.rows and ctx.weights.get(t, 0.0) != 0.0]
-    if seg.deleted is not None or len(present) < 2:
+    total_df = sum(int(r["df"]) for t in present for r in seg.rows[t])
+    if seg.deleted is not None or len(present) < 2 or total_df < 16 * BLOCK_SIZE:
+        # tiny disjunctions: pruning bookkeeping costs more than it saves
         q = BooleanQuery(should=tuple(TermQuery(t) for t in terms))
         docs, scores = eval_query(q, seg, ctx)
         return topk(docs, scores, k, ctx.f32)
 
-    blocks = {t: seg.blocks(t) for t in present}
-    posting = {t: seg.docs_freqs_raw(t) for t in present}
+    pp = {t: seg.partial(t) for t in present}
     ubs = {
-        t: ctx.score(blocks[t][3].astype(np.float64), blocks[t][4], ctx.weights[t])
-        for t in present
-    }
-    exact = {
-        t: ctx.score(posting[t][1], seg.norms[posting[t][0]], ctx.weights[t])
+        t: ctx.score(pp[t].bi["maxf"].astype(np.float64), pp[t].bi["minn"], ctx.weights[t])
         for t in present
     }
 
-    def _sum_at(cand: np.ndarray) -> np.ndarray:
-        total = np.zeros(len(cand), dtype=np.float64)
-        for t in present:
-            docs_t = posting[t][0]
-            idx = np.searchsorted(docs_t, cand)
-            idx_c = np.minimum(idx, len(docs_t) - 1)
-            hit = docs_t[idx_c] == cand
-            total[hit] += exact[t][idx_c[hit]]
-        if ctx.f32:
-            total = total.astype(np.float32).astype(np.float64)
-        return total
-
-    # phase 1: theta seed from per-term best blocks
-    seeds = []
+    # phase 1: theta seed from per-term best blocks (decode only those)
+    seed_parts = []
     for t in present:
         order = np.argsort(-ubs[t], kind="stable")
-        got = 0
-        starts, ends = blocks[t][0], blocks[t][1]
-        for bi in order:
-            seeds.append(posting[t][0][starts[bi] : ends[bi]])
-            got += int(ends[bi] - starts[bi])
+        got, take = 0, []
+        for b in order:
+            take.append(b)
+            got += int(pp[t].bi["lens"][b])
             if got >= k:
                 break
-    cand = np.unique(np.concatenate(seeds))
-    cand_scores = _sum_at(cand)
+        take = np.array(take)
+        pp[t].extend(take)
+        seed_parts.append(pp[t].docs_in_blocks(take))
+    cand = np.unique(np.concatenate(seed_parts))
+    # resolve exact disjunction scores at cand: decode the covering blocks
+    total = np.zeros(len(cand), dtype=np.float64)
+    for t in present:
+        pp[t].extend(pp[t].covering_blocks(cand))
+        docs_t, freqs_t = pp[t].docs, pp[t].freqs
+        idx = np.searchsorted(docs_t, cand)
+        idx_c = np.minimum(idx, len(docs_t) - 1) if len(docs_t) else idx
+        hit = docs_t[idx_c] == cand if len(docs_t) else np.zeros(len(cand), bool)
+        total[hit] += ctx.score(
+            freqs_t[idx_c[hit]], seg.norms[docs_t[idx_c[hit]]], ctx.weights[t]
+        )
+    if ctx.f32:
+        total = total.astype(np.float32).astype(np.float64)
     if len(cand) >= k:
-        theta = float(np.partition(cand_scores, len(cand) - k)[len(cand) - k])
+        theta = float(np.partition(total, len(cand) - k)[len(cand) - k])
     else:
         theta = -np.inf
 
     # phase 2: block sweep — elementary ranges from all block last-docs
-    boundaries = np.unique(np.concatenate([blocks[t][2] for t in present]).astype(np.int64))
+    boundaries = np.unique(
+        np.concatenate([pp[t].bi["last"] for t in present]).astype(np.int64)
+    )
     range_ub = np.zeros(len(boundaries), dtype=np.float64)
     for t in present:
-        last = blocks[t][2].astype(np.int64)
+        last = pp[t].bi["last"].astype(np.int64)
         idx = np.searchsorted(last, boundaries)  # block covering each range end
         covered = idx < len(last)
         range_ub[covered] += ubs[t][idx[covered]]
     live_range = range_ub >= theta
+    live_prefix = np.concatenate(([0], np.cumsum(live_range.astype(np.int64))))
 
     kept_docs, kept_scores = [], []
     for t in present:
-        docs_t = posting[t][0]
-        rid = np.searchsorted(boundaries, docs_t)  # boundaries are inclusive ends
-        keep = live_range[np.minimum(rid, len(boundaries) - 1)]
+        last = pp[t].bi["last"].astype(np.int64)
+        # block b spans ranges [rid(prev_last+1) .. rid(last)] — decode it only
+        # if any of those elementary ranges is live (doc ranges ascend across
+        # shard rows, so prev block's last bounds row-first blocks too)
+        prev_last = np.concatenate(([-1], last[:-1]))
+        lo = np.searchsorted(boundaries, prev_last + 1)
+        hi = np.minimum(np.searchsorted(boundaries, last), len(boundaries) - 1)
+        block_live = live_prefix[hi + 1] - live_prefix[lo] > 0
+        pp[t].extend(np.flatnonzero(block_live))
+        # per-posting filter over the decoded (live ∪ seed ∪ cover) docs
+        docs_t, freqs_t = pp[t].docs, pp[t].freqs
+        if not len(docs_t):
+            continue
+        rid = np.minimum(np.searchsorted(boundaries, docs_t), len(boundaries) - 1)
+        keep = live_range[rid]
         kept_docs.append(docs_t[keep])
-        kept_scores.append(exact[t][keep])
+        kept_scores.append(
+            ctx.score(freqs_t[keep], seg.norms[docs_t[keep]], ctx.weights[t])
+        )
     docs_u, scores_u, _ = _union_sum(list(zip(kept_docs, kept_scores)))
     if ctx.f32:
         scores_u = scores_u.astype(np.float32).astype(np.float64)
@@ -533,44 +719,51 @@ def topk_or_pruned(terms: list[str], seg: SegmentPostings, ctx: QueryContext, k:
 def topk_term_pruned(term: str, seg: SegmentPostings, ctx: QueryContext, k: int):
     """Block-max pruned top-k for a single term (ImpactsDISI analogue).
 
-    Decode blocks in decreasing upper-bound order; stop when the next block's
-    bound cannot beat the current kth score. Identical results to exhaustive
-    scoring (property-tested).
+    Blocks are visited in decreasing upper-bound order and DECODED lazily in
+    batches (per-block byte offsets = skip pointers); iteration stops when
+    the next bound cannot beat the current kth score — unvisited blocks'
+    bytes are never unpacked. Results identical to exhaustive scoring
+    (property-tested).
     """
     if term not in seg.rows:
         return _EMPTY_I, np.empty(0, np.float32 if ctx.f32 else np.float64)
-    if seg.deleted is not None:
-        # deletes break block alignment of the masked arrays — exhaustive path
+    df = sum(int(r["df"]) for r in seg.rows[term])
+    if seg.deleted is not None or df < 8 * BLOCK_SIZE or term in seg._raw:
+        # deletes break block alignment; tiny lists and already-decoded terms
+        # are cheaper exhaustive (pruning then only saves scoring)
         docs, scores = eval_query(TermQuery(term), seg, ctx)
         return topk(docs, scores, k, ctx.f32)
-    blk_start, blk_end, blk_last, blk_maxf, blk_minn = seg.blocks(term)
+    bi = seg.block_meta(term)
+    nblocks = len(bi["lens"])
     w = ctx.weights[term]
     # admissible block bound: score(max_freq, min_norm) — monotone in both
     # (CompetitiveImpactAccumulator/MaxScoreCache role, SURVEY §2.3)
-    ubs = ctx.score(blk_maxf.astype(np.float64), blk_minn, w)
-    nblocks = len(ubs)
-    if nblocks <= 2:
-        docs, scores = eval_query(TermQuery(term), seg, ctx)
-        return topk(docs, scores, k, ctx.f32)
-    docs, freqs = seg.docs_freqs_raw(term)  # decode once; pruning saves scoring
+    ubs = ctx.score(bi["maxf"].astype(np.float64), bi["minn"], w)
     order = np.argsort(-ubs, kind="stable")
     out_docs: list[np.ndarray] = []
     out_scores: list[np.ndarray] = []
     theta = -np.inf
     count = 0
-    for bi in order:
-        if ubs[bi] < theta:
+    i = 0
+    while i < nblocks:
+        if ubs[order[i]] < theta:
             break
-        s = int(blk_start[bi])
-        e = int(blk_end[bi])
-        d = docs[s:e]
+        # batch the next blocks still above theta (amortize decode calls):
+        # first batch gathers ≥ k postings to establish theta, then smaller
+        j, batch, cnt = i, [], 0
+        target = k if count < k else max(k, 8 * BLOCK_SIZE)
+        while j < nblocks and ubs[order[j]] >= theta and cnt < target:
+            batch.append(order[j])
+            cnt += int(bi["lens"][order[j]])
+            j += 1
+        d, f, _ = seg.decode_block_subset(term, np.array(batch))
         out_docs.append(d)
-        out_scores.append(ctx.score(freqs[s:e], seg.norms[d], w))
+        out_scores.append(ctx.score(f, seg.norms[d], w))
         count += len(d)
         if count >= k:
             alls = np.concatenate(out_scores)
-            if len(alls) >= k:
-                theta = np.partition(alls, len(alls) - k)[len(alls) - k]
+            theta = np.partition(alls, len(alls) - k)[len(alls) - k]
+        i = j
     docs_c = np.concatenate(out_docs) if out_docs else _EMPTY_I
     scores_c = np.concatenate(out_scores) if out_scores else _EMPTY_F
     return topk(docs_c, scores_c, k, ctx.f32)

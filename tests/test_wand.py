@@ -91,6 +91,97 @@ def test_wand_actually_prunes(seg_and_ctx):
     assert total_blocks > 3  # sanity: there is something to prune
 
 
+def _fresh_seg(seg_and_ctx):
+    """Rebuild a SegmentPostings over the same rows with a zeroed decode
+    counter (the fixture's seg caches decoded arrays)."""
+    seg, ctx, vocab = seg_and_ctx
+    return SegmentPostings(seg.rows, seg.norms, seg.max_doc), ctx, vocab
+
+
+@pytest.fixture(scope="module")
+def skewed_seg():
+    """A realistically skewed corpus: most docs mention the hot terms once in
+    long documents (low impact); a few short docs have high tf (high
+    impact) — the regime where block-max pruning pays."""
+    rng = np.random.RandomState(5)
+    docs = []
+    for i in range(3000):
+        if i < 12:
+            docs.append("alpha " * 20 + "beta " * 15)  # short, high-tf cluster
+        else:
+            filler = " ".join(f"w{rng.randint(2000)}" for _ in range(80))
+            docs.append(f"alpha beta {filler}")
+    frame = build_segment_frame(docs, np.arange(len(docs)), 0, "code")
+    norms = np.frombuffer(
+        frame[frame["kind"] == KIND_NORMS]["doc_blob"].iloc[0], np.uint8
+    )
+    posts = frame[frame["kind"] == KIND_POSTING]
+    rows = {r["term"]: [r] for r in posts.to_dict("records")}
+    doc_count = len(docs)
+    sum_len = int(frame[frame["kind"] == KIND_NORMS]["sum_len"].iloc[0])
+    dfs = dict(zip(posts["term"], posts["df"]))
+    weights = {
+        t: float(term_weight(idf(np.array([df]), doc_count)[0]))
+        for t, df in dfs.items()
+    }
+    cache = norm_cache(sum_len / doc_count)
+    ctx = QueryContext(weights, cache, f32=True)
+    return rows, norms, doc_count, ctx
+
+
+def test_decode_block_subset_equals_full(seg_and_ctx):
+    """Any block subset must decode to exactly the corresponding slices of
+    the fully-decoded postings (the skip-pointer random-access contract)."""
+    seg, ctx, vocab = seg_and_ctx
+    rng = np.random.RandomState(3)
+    for t in vocab[:20]:
+        docs, freqs = seg.docs_freqs_raw(t)
+        starts, ends, *_ = seg.blocks(t)
+        nblocks = len(starts)
+        sel = np.flatnonzero(rng.rand(nblocks) < 0.5)
+        if not len(sel):
+            sel = np.array([0])
+        d, f, out_starts = seg.decode_block_subset(t, sel)
+        exp_d = np.concatenate([docs[starts[b] : ends[b]] for b in sel])
+        exp_f = np.concatenate([freqs[starts[b] : ends[b]] for b in sel])
+        assert np.array_equal(d, exp_d), t
+        assert np.array_equal(f, exp_f), t
+
+
+def test_term_pruning_skips_decode(skewed_seg):
+    """For a hot term with small k on a skewed corpus, the pruned path must
+    decode strictly fewer postings than the term's df — the point of the
+    per-block byte offsets (VERDICT round 1, finding 4)."""
+    rows, norms, max_doc, ctx = skewed_seg
+    seg = SegmentPostings(rows, norms, max_doc)
+    df = int(rows["alpha"][0]["df"])
+    assert df >= 5 * 128  # many blocks to skip
+    topk_term_pruned("alpha", seg, ctx, 5)
+    assert 0 < seg.decoded_postings < df // 2, (seg.decoded_postings, df)
+    # and the result is still exactly the exhaustive top-k
+    seg2 = SegmentPostings(rows, norms, max_doc)
+    docs, scores = eval_query(TermQuery("alpha"), seg2, ctx)
+    d1, s1 = topk(docs, scores, 5, True)
+    seg3 = SegmentPostings(rows, norms, max_doc)
+    d2, s2 = topk_term_pruned("alpha", seg3, ctx, 5)
+    assert np.array_equal(d1, d2) and np.array_equal(s1, s2)
+
+
+def test_or_pruning_skips_decode(skewed_seg):
+    rows, norms, max_doc, ctx = skewed_seg
+    seg = SegmentPostings(rows, norms, max_doc)
+    terms = ["alpha", "beta"]
+    total_df = sum(int(rows[t][0]["df"]) for t in terms)
+    topk_or_pruned(terms, seg, ctx, 3)
+    assert 0 < seg.decoded_postings < total_df, (seg.decoded_postings, total_df)
+    # identical to exhaustive
+    seg2 = SegmentPostings(rows, norms, max_doc)
+    d1, s1 = _exhaustive_or(terms, seg2, ctx, 3)
+    seg3 = SegmentPostings(rows, norms, max_doc)
+    d2, s2 = topk_or_pruned(terms, seg3, ctx, 3)
+    assert np.array_equal(d1, d2) and np.array_equal(s1, s2)
+
+
 def test_term_pruned_matches_exhaustive_random(seg_and_ctx):
     seg, ctx, vocab = seg_and_ctx
     rng = np.random.RandomState(11)
