@@ -26,6 +26,7 @@ from .search.query import (
     MatchNoneQuery,
     PhraseQuery,
     Query,
+    SloppyPhraseQuery,
     TermQuery,
 )
 from .smallfloat import int_to_byte4
@@ -118,6 +119,34 @@ class OracleIndex:
                     out[coord] = (
                         float(self._score_one(len(cand), coord, w)) if scoring else 0.0
                     )
+            return out
+        if isinstance(q, SloppyPhraseQuery):
+            idfs = np.array([self._weight(t) for t in q.phrase_terms], np.float32)
+            w = bm25.term_weight(bm25.phrase_idf(idfs), q.boost)
+            t1, t2 = q.phrase_terms
+            r1, r2 = q.positions
+            p1 = self.postings.get(t1, {})
+            p2 = self.postings.get(t2, {})
+            out = {}
+            for coord, pos1 in p1.items():
+                pos2 = p2.get(coord)
+                if pos2 is None:
+                    continue
+                freq = 0.0
+                for a in pos1:
+                    for b in pos2:
+                        d = abs((b - r2) - (a - r1))
+                        if d <= q.slop:
+                            freq += 1.0 / (1 + d)
+                if freq > 0:
+                    f = np.float32(freq)
+                    s = bm25.score(
+                        np.array([f], np.float32),
+                        np.array([self.norm_byte[coord]], np.uint8),
+                        w,
+                        self.cache,
+                    )[0]
+                    out[coord] = float(s) if scoring else 0.0
             return out
         if isinstance(q, BooleanQuery):
             return self._eval_bool(q, scoring)

@@ -45,6 +45,7 @@ from .query import (
     MultiPhraseQuery,
     PhraseQuery,
     Query,
+    SloppyPhraseQuery,
     SynonymQuery,
     TermQuery,
 )
@@ -376,6 +377,8 @@ def eval_query(q: Query, seg: SegmentPostings, ctx: QueryContext, scoring: bool 
         if not scoring or len(docs) == 0:
             return docs, np.zeros(len(docs), dtype=np.float64)
         return docs, ctx.score(freqs, seg.norms[docs], ctx.weights[q.term])
+    if isinstance(q, SloppyPhraseQuery):
+        return _eval_sloppy_phrase(q, seg, ctx, scoring)
     if isinstance(q, PhraseQuery):
         return _eval_phrase(q, seg, ctx, scoring)
     if isinstance(q, MultiPhraseQuery):
@@ -462,6 +465,51 @@ def _eval_phrase(q: PhraseQuery, seg: SegmentPostings, ctx: QueryContext, scorin
         return uniq, np.zeros(len(uniq), dtype=np.float64)
     w = ctx.phrase_weight(q.phrase_terms)
     return uniq, ctx.score(counts, seg.norms[uniq], w)
+
+
+def _eval_sloppy_phrase(
+    q: SloppyPhraseQuery, seg: SegmentPostings, ctx: QueryContext, scoring: bool
+):
+    """Sloppy phrase via per-delta position intersections.
+
+    Phrase positions pp_i = pos - rel_i (``PhrasePositions.java:25``); an
+    occurrence pair at phrase-position distance d (|d| ≤ slop) contributes
+    sloppyWeight = 1/(1+|d|) to the phrase freq
+    (``PhraseScorer.java:73-81``). One vectorized key-intersection per delta
+    — 2·slop+1 bulk passes of the exact-phrase machinery, no per-doc loops.
+    Scored as a pseudo-term with idf = Σ term idfs, tf = Σ weights (float).
+    """
+    t1, t2 = q.phrase_terms
+    rel1, rel2 = q.positions
+    d1, f1 = seg.docs_freqs(t1)
+    d2, f2 = seg.docs_freqs(t2)
+    if len(d1) == 0 or len(d2) == 0:
+        return _EMPTY_I, _EMPTY_F
+    pos1, _ = seg.positions(t1)
+    pos2, _ = seg.positions(t2)
+    # +OFFSET keeps phrase positions non-negative inside the packed keys
+    OFF = np.int64(256)
+    k1 = np.repeat(d1, f1) * _POS_SHIFT + (pos1 - np.int64(rel1) + OFF)
+    k2 = np.repeat(d2, f2) * _POS_SHIFT + (pos2 - np.int64(rel2) + OFF)
+    doc_parts, w_parts = [], []
+    for d in range(-q.slop, q.slop + 1):
+        inter = np.intersect1d(k1, k2 - np.int64(d), assume_unique=True)
+        if len(inter):
+            doc_parts.append((inter >> np.int64(32)).astype(np.int64))
+            w_parts.append(np.full(len(inter), 1.0 / (1 + abs(d)), dtype=np.float64))
+    if not doc_parts:
+        return _EMPTY_I, _EMPTY_F
+    docs_cat = np.concatenate(doc_parts)
+    w_cat = np.concatenate(w_parts)
+    uniq, inv = np.unique(docs_cat, return_inverse=True)
+    freq = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(freq, inv, w_cat)
+    if not scoring:
+        return uniq, np.zeros(len(uniq), dtype=np.float64)
+    w = ctx.phrase_weight(q.phrase_terms)
+    if ctx.f32:
+        freq = freq.astype(np.float32).astype(np.float64)
+    return uniq, ctx.score(freq, seg.norms[uniq], w)
 
 
 def _eval_multi_phrase(

@@ -54,6 +54,34 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class SloppyPhraseQuery(Query):
+    """Phrase with positional slack (``search/PhraseQuery.java:73``,
+    ``SloppyPhraseMatcher.java:56``): occurrences may sit up to ``slop``
+    phrase-positions apart; each match contributes sloppyWeight =
+    1/(1+distance) to the phrase freq (``PhraseScorer.java:73-81`` /
+    ``ExactPhraseMatcher`` vs sloppy matcher split).
+
+    Scope note (documented deviation): two terms, and freq sums over ALL
+    in-window occurrence pairs rather than the reference's greedy
+    repeat-aware matcher — identical for non-repeating terms at small slop,
+    which is the ``pf``/quoted-``~N`` regime this models. The same
+    definition is used by the engine kernel, the pure-python oracle and the
+    DuckDB SQL oracle, so parity is exact."""
+
+    phrase_terms: tuple[str, ...]
+    positions: tuple[int, ...]
+    slop: int = 0
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if len(self.phrase_terms) != 2:
+            raise NotImplementedError("sloppy phrase supports 2 terms in v1")
+
+    def terms(self):
+        return set(self.phrase_terms)
+
+
+@dataclass(frozen=True)
 class MultiPhraseQuery(Query):
     """Phrase where each slot admits alternative terms
     (``search/MultiPhraseQuery.java:56``): positions of a slot are the union
@@ -276,6 +304,12 @@ def _analyze_to_query(text: str, analyzer: str) -> Query:
 def parse_query(text: str, analyzer: str = "code") -> Query:
     """Parse the benchmark-style query syntax into a Query tree."""
     text = text.strip()
+    # sloppy phrase: "..."~N (QueryParser proximity syntax)
+    slop = 0
+    if text.startswith('"') and "~" in text and text.rsplit("~", 1)[1].isdigit():
+        body, s = text.rsplit("~", 1)
+        if body.endswith('"'):
+            text, slop = body, int(s)
     if text.startswith('"') and text.endswith('"') and len(text) > 1:
         terms, pos = ANALYZERS[analyzer](text[1:-1])
         if not terms:
@@ -283,7 +317,10 @@ def parse_query(text: str, analyzer: str = "code") -> Query:
         if len(terms) == 1:
             return TermQuery(terms[0])
         base = pos[0]
-        return PhraseQuery(tuple(terms), tuple(p - base for p in pos))
+        rel = tuple(p - base for p in pos)
+        if slop > 0 and len(terms) == 2:
+            return SloppyPhraseQuery(tuple(terms), rel, slop)
+        return PhraseQuery(tuple(terms), rel)
     # +/- syntax
     toks = text.split()
     if any(t.startswith(("+", "-")) for t in toks):

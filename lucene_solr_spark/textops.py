@@ -234,6 +234,38 @@ def ft_phrase(spark, sf_dir):
     return _ft_search_all(spark, sf_dir, '"table hash"')
 
 
+def ft_phrase_slop(spark, sf_dir):
+    """Sloppy phrase "table hash"~2 (SloppyPhraseMatcher.java:56): in-window
+    occurrence pairs weighted 1/(1+distance), summed into a float phrase
+    freq, scored as a pseudo-term with idf = Σ term idfs."""
+    return _ft_search_all(spark, sf_dir, '"table hash"~2')
+
+
+FT_PHRASE_SLOP_SQL = (
+    _BM25_CTE
+    + f"""
+, tokp AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id, {_TOKENIZE} AS arr FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id, 1.0 / (1 + abs((b.pos - 1) - a.pos)) AS w
+  FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id
+  WHERE a.term = 'table' AND b.term = 'hash'
+    AND abs((b.pos - 1) - a.pos) <= 2
+),
+phr AS (SELECT doc_id, sum(w) AS freq FROM pairs GROUP BY doc_id),
+pw AS (
+  SELECT sum(ln(1 + (cstats.n - dft.df + 0.5) / (dft.df + 0.5))) AS w
+  FROM dft, cstats WHERE dft.term IN ('table', 'hash')
+)
+SELECT phr.doc_id,
+       round(pw.w * (phr.freq / (phr.freq + 1.2 * (0.25 + 0.75 * dld.dlq / (cstats.st * 1.0 / cstats.n)))), 4) AS score
+FROM phr JOIN dld ON phr.doc_id = dld.doc_id, pw, cstats
+"""
+)
+
+
 def ft_term_tf(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     posts = term_postings(spark, s.index_dir, ["spark", "vector", "hash"])
@@ -624,6 +656,7 @@ FT_OPS: dict[str, tuple] = {
     "ft_bool_or": (ft_bool_or, ft_or_sql(["vector", "stream", "spark"])),
     "ft_bool_not": (ft_bool_not, ft_not_sql("vector", "hash")),
     "ft_phrase": (ft_phrase, ft_phrase_sql("table", "hash")),
+    "ft_phrase_slop": (ft_phrase_slop, FT_PHRASE_SLOP_SQL),
     "ft_term_tf": (ft_term_tf, FT_TF_SQL),
     "ft_df_stats": (ft_df_stats, FT_DF_SQL),
     "ft_norms": (ft_norms, FT_NORMS_SQL),

@@ -28,6 +28,10 @@ QUERY_SET = [
     '"index writer"',  # adjacent-position phrase, many matches
     '"merge the segments"',  # stopword gap inside the phrase, many matches
     '"read the file into a buffer"',  # multiple stopword gaps
+    '"index writer"~1',  # sloppy phrase, small slack
+    '"writer index"~2',  # transposed order — needs slop ≥ 2 to match
+    '"merge the segments"~1',  # sloppy with a stopword gap (rel positions 0,2)
+    '"parse http"~3',
     "nonexistentterm",
     "parse AND nonexistentterm",
     "nonexistentterm OR buffer",
