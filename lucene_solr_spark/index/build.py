@@ -315,7 +315,6 @@ def build_index(
 
     done_manifest: set[int] = set()
     done_index: set[int] = set()
-    done_docs: set[int] = set()
     if resume:
         if _exists(manifest_path):
             done_manifest = {
@@ -323,7 +322,7 @@ def build_index(
                 for r in spark.read.parquet(manifest_path).select("segment_id").collect()
             }
         # restrict to this build's id range — min/max row-group pruning keeps
-        # the presence probes cheap for streaming micro-batches
+        # the presence probe cheap for streaming micro-batches
         if _exists(idx_path):
             done_index = {
                 r.segment_id
@@ -333,23 +332,45 @@ def build_index(
                 .distinct()
                 .collect()
             }
-        if _exists(docs_path):
-            done_docs = {
-                r.segment_id
-                for r in spark.read.parquet(docs_path)
-                .filter(F.col("segment_id") >= segment_base)
-                .select("segment_id")
-                .distinct()
-                .collect()
-            }
 
     tagged = with_segment_id(docs, num_segments, key_cols, segment_base)
     sort_cols = key_cols
+    keep = ["segment_id", "doc_id", *key_cols, *stored_cols, content_col, "content_sha256"]
+    seen = set()
+    keep = [c for c in keep if not (c in seen or seen.add(c))]
+    os.makedirs(docs_path, exist_ok=True)
 
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One segment = one task: invert the postings AND write the segment's
+        stored-fields parquet as a side-channel file (the Iceberg-writer
+        pattern — data files written by tasks, made visible by the manifest
+        commit). ONE corpus shuffle total; the old separate docs pass was a
+        second full-corpus shuffle. The per-segment file is written to a tmp
+        name and atomically renamed, so task retries/speculation are safe
+        (content is deterministic), and a crashed job's orphans are invisible
+        until a manifest row lands (or overwritten identically on replay).
+        POSIX-rename semantics assumed (local/HDFS; object stores would use
+        their committer)."""
+        import uuid
+
         pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
         seg = int(pdf["segment_id"].iloc[0])
-        doc_ids = np.arange(len(pdf), dtype=np.int64)
+        n = len(pdf)
+        stored = pdf.copy()
+        stored["doc_id"] = np.arange(n, dtype=np.int64)
+        stored["content_sha256"] = [
+            hashlib.sha256((c or "").encode("utf-8")).hexdigest()
+            for c in stored[content_col]
+        ]
+        stored = stored[keep]
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tmp = os.path.join(docs_path, f"_tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.Table.from_pandas(stored, preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(docs_path, f"part-seg{seg}.parquet"))
+
+        doc_ids = np.arange(n, dtype=np.int64)
         return build_segment_frame(pdf[content_col].tolist(), doc_ids, seg, analyzer)
 
     to_build = tagged
@@ -357,22 +378,6 @@ def build_index(
         to_build = to_build.filter(~F.col("segment_id").isin(*[int(s) for s in done_index]))
     unified = to_build.groupBy("segment_id").applyInPandas(build_group, UNIFIED_SCHEMA)
     unified.write.mode("append").partitionBy("kind").parquet(idx_path)
-
-    # ---- stored-fields table (docs) with deterministic (segment, doc) ids --
-    from pyspark.sql import Window
-
-    to_store = tagged
-    if done_docs:
-        to_store = to_store.filter(~F.col("segment_id").isin(*[int(s) for s in done_docs]))
-    w = Window.partitionBy("segment_id").orderBy(*sort_cols)
-    docs_out = (
-        to_store.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
-        .withColumn("content_sha256", F.sha2(F.col(content_col), 256))
-    )
-    keep = ["segment_id", "doc_id", *key_cols, *stored_cols, content_col, "content_sha256"]
-    seen = set()
-    keep = [c for c in keep if not (c in seen or seen.add(c))]
-    docs_out.select(*keep).write.mode("append").parquet(docs_path)
 
     # ---- manifest (lineage + metrics per segment; drives resume + merge) ---
     # the COMMIT POINT: only segments recorded here are visible to readers

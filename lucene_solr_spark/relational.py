@@ -562,12 +562,20 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
 
 
 # searchAfter paging (IndexSearcher.java:459): keyset pagination — page 2 of
-# the (totalprice desc, orderkey asc) sort
+# the (totalprice desc, orderkey asc) sort. orderBy().limit(20) compiles to
+# TakeOrderedAndProject (per-partition top-20 + tiny merge) — the 100-TB-safe
+# plan; the row_number window then runs over just those 20 rows. (The old
+# global no-partition Window funnelled the whole table through one task.)
 def search_after_page2(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
+    top = (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        top.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") > 10) & (F.col("rn") <= 20))
         .select("o_orderkey", "o_totalprice", "rn")
     )

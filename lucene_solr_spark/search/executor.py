@@ -308,12 +308,23 @@ class IndexSearcher:
         return self.search_many({0: query}, k).drop("qid")
 
     def search_many(
-        self, queries: dict[int, Query | str], k: int | None = 10
+        self,
+        queries: dict[int, Query | str],
+        k: int | None = 10,
+        after: tuple | None = None,
+        scoring: bool = True,
     ) -> DataFrame:
         """Run a batch of queries in ONE Spark job; returns
         (qid, segment_id, doc_id, score, rank). ``k=None`` returns ALL
         matching docs per query (no per-segment pruning, no global limit) —
-        the exhaustive-collection mode used for oracle comparisons."""
+        the exhaustive-collection mode used for oracle comparisons.
+
+        ``after=(score, segment_id, doc_id)`` pushes a searchAfter cursor
+        INTO the per-segment collectors (``PagingTopScoreDocCollector``
+        semantics): each segment filters hits to strictly-after the cursor in
+        the (score desc, segment asc, doc asc) total order and emits only its
+        top-k of those — so deep paging ships k rows per segment instead of
+        every match."""
         parsed: dict[int, Query] = {}
         for qid, q in queries.items():
             if isinstance(q, str):
@@ -392,13 +403,27 @@ class IndexSearcher:
             ctx = QueryContext(weights, cache, f32=f32, dfs=dfs, doc_count=doc_count)
             out_qid, out_doc, out_score = [], [], []
             for qid, q in live.items():
-                or_terms = _pure_or_terms(q) if k is not None else None
-                if k is not None and isinstance(q, TermQuery):
+                if after is not None:
+                    # cursor-filtered collection: exhaustive per-segment
+                    # scoring (pruned paths could drop the page's docs), then
+                    # keep only hits strictly after the cursor, then top-k
+                    a_score, a_seg, a_doc = after
+                    docs, scores = eval_query(q, seg, ctx)
+                    s_cmp = scores.astype(np.float32).astype(np.float64) if f32 else scores
+                    if seg_id > a_seg:
+                        coord_ok = np.ones(len(docs), dtype=bool)
+                    elif seg_id == a_seg:
+                        coord_ok = docs > a_doc
+                    else:
+                        coord_ok = np.zeros(len(docs), dtype=bool)
+                    keep = (s_cmp < a_score) | ((s_cmp == a_score) & coord_ok)
+                    d, s = topk(docs[keep], scores[keep], k or 10, f32)
+                elif k is not None and isinstance(q, TermQuery):
                     d, s = topk_term_pruned(q.term, seg, ctx, k)
-                elif or_terms is not None:
+                elif (or_terms := (_pure_or_terms(q) if k is not None else None)) is not None:
                     d, s = topk_or_pruned(or_terms, seg, ctx, k)
                 else:
-                    docs, scores = eval_query(q, seg, ctx)
+                    docs, scores = eval_query(q, seg, ctx, scoring=scoring)
                     if k is None:
                         d, s = docs, scores.astype(np.float32) if f32 else scores
                     else:
@@ -436,34 +461,21 @@ class IndexSearcher:
     ) -> DataFrame:
         """Keyset pagination (``IndexSearcher.searchAfter:459``): resume
         strictly after cursor ``after = (score, segment_id, doc_id)`` in the
-        (score desc, segment asc, doc asc) total order. The keyset predicate
-        is applied after per-segment collection, exactly like
-        ``PagingTopScoreDocCollector`` ignores hits ≥ the cursor."""
-        a_score, a_seg, a_doc = float(after[0]), int(after[1]), int(after[2])
-        # per-segment collectors must gather enough candidates to survive the
-        # cursor filter: collect k + (hits at/above cursor can be at most k
-        # per page boundary) — use exhaustive per-segment then filter, with
-        # pruning disabled only below the cursor score (correct + simple).
-        hits = self.search_many({0: query}, k=None).drop("qid")
-        after_pred = (F.col("score") < F.lit(a_score)) | (
-            (F.col("score") == F.lit(a_score))
-            & (
-                (F.col("segment_id") > F.lit(a_seg))
-                | ((F.col("segment_id") == F.lit(a_seg)) & (F.col("doc_id") > F.lit(a_doc)))
-            )
-        )
-        w = Window.orderBy(
-            F.col("score").desc(), F.col("segment_id").asc(), F.col("doc_id").asc()
-        )
-        return (
-            hits.filter(after_pred)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-        )
+        (score desc, segment asc, doc asc) total order. The cursor predicate
+        is pushed INTO the per-segment collectors (search_many(after=...)),
+        so each segment ships only its k first-after-cursor hits — the
+        ``PagingTopScoreDocCollector`` shape; the global reduce window sees
+        ≤ k·segments rows, never the full match set."""
+        a = (float(after[0]), int(after[1]), int(after[2]))
+        hits = self.search_many({0: query}, k=k, after=a).drop("qid")
+        # search_many already ranked the merged result; rank is 1-based per
+        # page (the page's global order)
+        return hits
 
     def count(self, query: Query | str) -> int:
-        """TotalHitCountCollector (``search/TotalHitCountCollector.java:24``)."""
-        return self.search_many({0: query}, k=None).count()
+        """TotalHitCountCollector (``search/TotalHitCountCollector.java:24``)
+        — matching without scoring (the collector never reads scores)."""
+        return self.search_many({0: query}, k=None, scoring=False).count()
 
     def explain(self, query: Query | str, segment_id: int, doc_id: int) -> dict:
         """Score breakdown for one hit (``Weight.explain`` /

@@ -86,6 +86,17 @@ def test_shipdate_range_pushdown(spark):
     assert "l_shipdate" in pushed
 
 
+def test_search_after_page_is_take_ordered(spark):
+    """Deep paging must compile to TakeOrderedAndProject (per-partition
+    top-N + tiny merge), never a full-table single-partition sort window
+    (VERDICT round 1, finding 5)."""
+    from lucene_solr_spark.relational import search_after_page2
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(search_after_page2(spark, sf))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_search_shuffles_only_topk(spark, tiny_index):
     """The per-segment search emits ≤ k rows per (query, segment) into the
     final rank window — verify the materialized intermediate is tiny."""
