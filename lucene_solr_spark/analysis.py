@@ -55,13 +55,37 @@ ENGLISH_STOP_WORDS = frozenset(
 
 MAX_TOKEN_LENGTH = 255  # StandardTokenizer.java:61-69
 
-# StandardTokenizer stand-in: ASCII word runs, '_' glues runs together
-# (UAX#29 ExtendNumLet behaviour relevant to source code identifiers).
-_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+# StandardTokenizer stand-in — UNICODE word runs (`\w` covers all scripts),
+# '_' glues runs together (UAX#29 ExtendNumLet behaviour relevant to source
+# code identifiers).
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
-# WordDelimiterGraphFilter subword extraction: an upper run not followed by
-# lower (acronym), an upper+lower run, a lower run, or a digit run.
-_SUBWORD_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z]*|[a-z]+|[0-9]+")
+# UAX#29-style script handling (StandardTokenizerImpl.java semantics for the
+# scripts that matter in a code/web corpus): Han + Hiragana emit ONE TOKEN
+# PER CHARACTER (the reference's IDEOGRAPHIC/HIRAGANA token types); Katakana
+# and Hangul emit runs; everything else alphanumeric (incl. accented Latin,
+# Greek, Cyrillic) emits runs.
+_UNIGRAM = "\u3040-\u309f\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff"
+_KATAKANA = "\u30a0-\u30ff"
+_HANGUL = "\u1100-\u11ff\uac00-\ud7af"
+
+# WordDelimiterGraphFilter case/digit transitions as ONE zero-width boundary
+# pass (``parseHttp``→``parse Http``, ``HTTPServer``→``HTTP Server``,
+# ``SD500``→``SD 500``). Case detection is ASCII (non-ASCII letters join
+# their neighbours — documented v1 scope); the split itself happens in the
+# word scan below.
+_CASE_BOUND_RE = re.compile(
+    r"(?<=[a-z0-9])(?=[A-Z])"
+    r"|(?<=[A-Z])(?=[A-Z][a-z])"
+    r"|(?<=[A-Za-z])(?=[0-9])"
+    r"|(?<=[0-9])(?=[A-Za-z])"
+)
+
+# subword scan over boundary-split text: CJK unigrams first, then Katakana /
+# Hangul runs, then any other word chars (underscore always splits)
+_WORD_RE = re.compile(
+    rf"[{_UNIGRAM}]|[{_KATAKANA}]+|[{_HANGUL}]+|[^\W_{_UNIGRAM}{_KATAKANA}{_HANGUL}]+"
+)
 
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")
 
@@ -70,27 +94,33 @@ _STOP_LIST = sorted(ENGLISH_STOP_WORDS)
 
 # tokens longer than MAX_TOKEN_LENGTH are dropped whole (rare); their
 # presence forces the per-token slow path for that document
-_LONG_TOKEN_RE = re.compile(r"[A-Za-z0-9_]{%d,}" % (MAX_TOKEN_LENGTH + 1))
+_LONG_TOKEN_RE = re.compile(r"\w{%d,}" % (MAX_TOKEN_LENGTH + 1))
+
+
+def _split_subwords(text: str) -> list[str]:
+    return _WORD_RE.findall(_CASE_BOUND_RE.sub(" ", text))
+
 
 def _subwords_lower(text: str) -> list[str]:
-    """All lowered subwords of a document via whole-document C passes:
-    one ``_SUBWORD_RE.findall`` over the raw text (case transitions drive the
-    word-delimiter split), then lowercase ALL parts at once with a
-    join→lower→split round-trip (three C passes — no per-token Python).
+    """All lowered subwords of a document via whole-document C passes: one
+    zero-width boundary substitution (case/digit transitions), one
+    ``_WORD_RE.findall``, then lowercase ALL parts at once with a
+    join→lower→split round-trip — no per-token Python.
 
-    Equivalent to running ``_SUBWORD_RE`` per ``_TOKEN_RE`` token: the
-    subword pattern only matches alphanumeric runs, and token boundaries
-    (non-alnum, incl. ``_``) are never inside a subword — so the direct scan
-    yields the identical sequence (property-tested against the naive chain).
+    Equivalent to running the scan per ``_TOKEN_RE`` token: case boundaries
+    only fire between adjacent word chars (same token), and ``_WORD_RE``
+    classes are subsets of ``\\w`` so matches never cross a token boundary —
+    the direct scan yields the identical sequence (property-tested against
+    the naive chain).
     """
     if len(text) > MAX_TOKEN_LENGTH and _LONG_TOKEN_RE.search(text):
         out: list[str] = []
         for m in _TOKEN_RE.finditer(text):
             tok = m.group()
             if len(tok) <= MAX_TOKEN_LENGTH:
-                out.extend(p.lower() for p in _SUBWORD_RE.findall(tok))
+                out.extend(p.lower() for p in _split_subwords(tok))
         return out
-    parts = _SUBWORD_RE.findall(text)
+    parts = _split_subwords(text)
     if not parts:
         return parts
     return " ".join(parts).lower().split(" ")

@@ -39,6 +39,7 @@ from .kernels import (
     SegmentPostings,
     eval_query,
     topk,
+    topk_and_pruned,
     topk_or_pruned,
     topk_term_pruned,
 )
@@ -104,6 +105,19 @@ def _pure_or_terms(q: Query) -> list[str] | None:
         and all(isinstance(c, TermQuery) for c in q.should)
     ):
         return [c.term for c in q.should]
+    return None
+
+
+def _pure_and_terms(q: Query) -> list[str] | None:
+    """Terms of a pure term-conjunction (BlockMaxConjunction-eligible)."""
+    if (
+        isinstance(q, BooleanQuery)
+        and not q.should
+        and not q.must_not
+        and not q.filter
+        and all(isinstance(c, TermQuery) for c in q.must)
+    ):
+        return [c.term for c in q.must]
     return None
 
 RESULT_SCHEMA = "qid int, segment_id int, doc_id bigint, score double"
@@ -422,6 +436,8 @@ class IndexSearcher:
                     d, s = topk_term_pruned(q.term, seg, ctx, k)
                 elif (or_terms := (_pure_or_terms(q) if k is not None else None)) is not None:
                     d, s = topk_or_pruned(or_terms, seg, ctx, k)
+                elif (and_terms := (_pure_and_terms(q) if k is not None else None)) is not None:
+                    d, s = topk_and_pruned(and_terms, seg, ctx, k)
                 else:
                     docs, scores = eval_query(q, seg, ctx, scoring=scoring)
                     if k is None:

@@ -764,6 +764,50 @@ def topk_or_pruned(terms: list[str], seg: SegmentPostings, ctx: QueryContext, k:
     return topk(docs_u, scores_u, k, ctx.f32)
 
 
+def topk_and_pruned(
+    terms: list[str], seg: SegmentPostings, ctx: QueryContext, k: int
+):
+    """Decode-skipped pure-term conjunction
+    (``BlockMaxConjunctionScorer.java:38`` / ``ConjunctionDISI.java:38``):
+    fully decode only the RAREST term; every other term decodes just the
+    blocks covering the surviving candidates (the skip-list leapfrog, driven
+    by blk_last + byte offsets). Result is the exact intersection — score
+    accumulation order matches ``_intersect_sum`` (rarest first), so scores
+    are bit-identical to the exhaustive path."""
+    present = [t for t in terms if t in seg.rows]
+    if len(present) < len(terms):
+        return _EMPTY_I, np.empty(0, np.float32 if ctx.f32 else np.float64)
+    total_df = sum(int(r["df"]) for t in present for r in seg.rows[t])
+    if seg.deleted is not None or len(terms) < 2 or total_df < 16 * BLOCK_SIZE:
+        q = BooleanQuery(must=tuple(TermQuery(t) for t in terms))
+        docs, scores = eval_query(q, seg, ctx)
+        return topk(docs, scores, k, ctx.f32)
+
+    by_df = sorted(present, key=lambda t: sum(int(r["df"]) for r in seg.rows[t]))
+    t0 = by_df[0]
+    cand, f0 = seg.docs_freqs(t0)
+    if len(cand) == 0:
+        return _EMPTY_I, np.empty(0, np.float32 if ctx.f32 else np.float64)
+    scores = ctx.score(f0, seg.norms[cand], ctx.weights[t0])
+    for t in by_df[1:]:
+        ppt = seg.partial(t)
+        ppt.extend(ppt.covering_blocks(cand))
+        docs_t, freqs_t = ppt.docs, ppt.freqs
+        if not len(docs_t):
+            return _EMPTY_I, np.empty(0, np.float32 if ctx.f32 else np.float64)
+        idx = np.minimum(np.searchsorted(docs_t, cand), len(docs_t) - 1)
+        hit = docs_t[idx] == cand
+        cand, scores, idx = cand[hit], scores[hit], idx[hit]
+        if len(cand) == 0:
+            return _EMPTY_I, np.empty(0, np.float32 if ctx.f32 else np.float64)
+        scores = scores + ctx.score(
+            freqs_t[idx], seg.norms[cand], ctx.weights[t]
+        )
+    if ctx.f32:
+        scores = scores.astype(np.float32).astype(np.float64)
+    return topk(cand, scores, k, ctx.f32)
+
+
 def topk_term_pruned(term: str, seg: SegmentPostings, ctx: QueryContext, k: int):
     """Block-max pruned top-k for a single term (ImpactsDISI analogue).
 

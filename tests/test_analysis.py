@@ -67,3 +67,25 @@ def test_max_token_length():
     long_tok = "x" * 300
     terms, _ = analyze_code(f"foo {long_tok} bar")
     assert terms == ["foo", "bar"]
+
+
+def test_unicode_scripts():
+    """UAX#29-style script handling: Han/Hiragana unigrams, Katakana/Hangul
+    runs, accented Latin runs kept whole — non-ASCII text is no longer
+    silently dropped (round-1 VERDICT, missing #2)."""
+    from lucene_solr_spark.analysis import analyze_code
+
+    terms, pos = analyze_code("漢字テスト café Ünïcode 한국어 ひらがな parseHttp")
+    assert terms == [
+        "漢", "字", "テスト", "café", "ünïcode", "한국어",
+        "ひ", "ら", "が", "な", "parse", "http",
+    ]
+    assert pos == list(range(len(terms)))
+
+
+def test_unicode_mixed_identifiers():
+    from lucene_solr_spark.analysis import analyze_code
+
+    # underscore still splits; CJK adjacent to ASCII splits at script bound
+    terms, _ = analyze_code("get_名前_value")
+    assert terms == ["get", "名", "前", "value"]

@@ -17,19 +17,32 @@ from lucene_solr_spark.analysis import (
 )
 from lucene_solr_spark.corpus import synth_corpus_local
 
-_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
-_SUBWORD_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z]*|[a-z]+|[0-9]+")
+from lucene_solr_spark.analysis import (  # script ranges are config, not algorithm
+    _HANGUL,
+    _KATAKANA,
+    _UNIGRAM,
+)
+
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+_CASE_BOUND_RE = re.compile(
+    r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])"
+    r"|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"
+)
+_WORD_RE = re.compile(
+    rf"[{_UNIGRAM}]|[{_KATAKANA}]+|[{_HANGUL}]+|[^\W_{_UNIGRAM}{_KATAKANA}{_HANGUL}]+"
+)
 
 
 def naive_chain(text: str):
     """Reference implementation: per-token loop, exactly the documented
-    StandardTokenizer → WordDelimiter → LowerCase → Stop semantics."""
+    StandardTokenizer → WordDelimiter → LowerCase → Stop semantics (with the
+    Unicode script rules: Han/Hiragana unigrams, Katakana/Hangul runs)."""
     terms, positions, pos = [], [], -1
     for m in _TOKEN_RE.finditer(text):
         tok = m.group()
         if len(tok) > MAX_TOKEN_LENGTH:
             continue
-        for part in _SUBWORD_RE.findall(tok):
+        for part in _WORD_RE.findall(_CASE_BOUND_RE.sub(" ", tok)):
             pos += 1
             low = part.lower()
             if low in ENGLISH_STOP_WORDS:
@@ -40,7 +53,9 @@ def naive_chain(text: str):
 
 
 ident_chars = st.sampled_from(
-    list("abcXYZ_09 \t\n.,;(){}") + ["Http", "XML", "SD500", "the", "The", "x" * 260]
+    list("abcXYZ_09 \t\n.,;(){}")
+    + list("漢字のテひカナ한국어ᄀé把ß")
+    + ["Http", "XML", "SD500", "the", "The", "x" * 260, "café", "Ünïcode", "ｆｕｌｌ"]
 )
 texts = st.lists(ident_chars, min_size=0, max_size=60).map("".join)
 

@@ -18,6 +18,7 @@ from lucene_solr_spark.search.kernels import (
     SegmentPostings,
     eval_query,
     topk,
+    topk_and_pruned,
     topk_or_pruned,
     topk_term_pruned,
 )
@@ -110,7 +111,8 @@ def skewed_seg():
             docs.append("alpha " * 20 + "beta " * 15)  # short, high-tf cluster
         else:
             filler = " ".join(f"w{rng.randint(2000)}" for _ in range(80))
-            docs.append(f"alpha beta {filler}")
+            needle = " needle" if 100 <= i < 106 else ""  # df=6 rare term
+            docs.append(f"alpha beta {filler}{needle}")
     frame = build_segment_frame(docs, np.arange(len(docs)), 0, "code")
     norms = np.frombuffer(
         frame[frame["kind"] == KIND_NORMS]["doc_blob"].iloc[0], np.uint8
@@ -180,6 +182,43 @@ def test_or_pruning_skips_decode(skewed_seg):
     seg3 = SegmentPostings(rows, norms, max_doc)
     d2, s2 = topk_or_pruned(terms, seg3, ctx, 3)
     assert np.array_equal(d1, d2) and np.array_equal(s1, s2)
+
+
+def _exhaustive_and(terms, seg, ctx, k):
+    q = BooleanQuery(must=tuple(TermQuery(t) for t in terms))
+    docs, scores = eval_query(q, seg, ctx)
+    return topk(docs, scores, k, True)
+
+
+def test_and_pruned_matches_exhaustive_random(seg_and_ctx):
+    """BlockMaxConjunction analogue: pruned AND == exhaustive AND, scores
+    bit-identical (same accumulation order)."""
+    seg, ctx, vocab = seg_and_ctx
+    rng = np.random.RandomState(23)
+    pool = vocab[:200]
+    for trial in range(60):
+        n_terms = rng.randint(2, 5)
+        terms = list(rng.choice(pool, size=n_terms, replace=False))
+        k = int(rng.choice([1, 3, 10, 50]))
+        d1, s1 = _exhaustive_and(terms, seg, ctx, k)
+        seg2 = SegmentPostings(seg.rows, seg.norms, seg.max_doc)
+        d2, s2 = topk_and_pruned(terms, seg2, ctx, k)
+        assert np.array_equal(d1, d2), (terms, k)
+        assert np.array_equal(s1, s2), (terms, k)
+
+
+def test_and_pruning_skips_decode(skewed_seg):
+    """rare AND hot: the hot term must decode only the blocks covering the
+    rare term's candidates (ConjunctionDISI skip behaviour)."""
+    rows, norms, max_doc, ctx = skewed_seg
+    rare = "needle"  # df=6 — its candidates touch few of alpha's blocks
+    seg = SegmentPostings(rows, norms, max_doc)
+    total_df = int(rows["alpha"][0]["df"]) + int(rows[rare][0]["df"])
+    d, s = topk_and_pruned([rare, "alpha"], seg, ctx, 10)
+    assert 0 < seg.decoded_postings < total_df, (seg.decoded_postings, total_df)
+    seg2 = SegmentPostings(rows, norms, max_doc)
+    d1, s1 = _exhaustive_and([rare, "alpha"], seg2, ctx, 10)
+    assert np.array_equal(d, d1) and np.array_equal(s, s1)
 
 
 def test_term_pruned_matches_exhaustive_random(seg_and_ctx):
