@@ -140,13 +140,33 @@ def analyze_code(text: str) -> tuple[list[str], list[int]]:
     return terms, positions
 
 
+def analyze_english(text: str) -> tuple[list[str], list[int]]:
+    """EnglishAnalyzer chain (``analysis/en/EnglishAnalyzer.java:43-54``):
+    the code chain + ``PorterStemFilter`` (``analysis/en/PorterStemFilter.java``)
+    after stopword removal. Positions are unchanged by stemming."""
+    from .porter import porter_stem
+
+    terms: list[str] = []
+    positions: list[int] = []
+    for pos, low in enumerate(_subwords_lower(text)):
+        if low in ENGLISH_STOP_WORDS:
+            continue
+        terms.append(porter_stem(low))
+        positions.append(pos)
+    return terms, positions
+
+
 def analyze_simple(text: str) -> tuple[list[str], list[int]]:
     """SQL-expressible chain: lowercase + [a-z0-9]+ runs, positions dense."""
     terms = _SIMPLE_RE.findall(text.lower())
     return terms, list(range(len(terms)))
 
 
-ANALYZERS = {"code": analyze_code, "simple": analyze_simple}
+ANALYZERS = {
+    "code": analyze_code,
+    "english": analyze_english,
+    "simple": analyze_simple,
+}
 
 # DuckDB-side equivalent of analyze_simple, used when emitting oracle SQL.
 SIMPLE_SQL_TOKENIZE = "regexp_extract_all(lower({col}), '[a-z0-9]+')"
@@ -166,7 +186,7 @@ def analyze_batch(
     masking and position assignment are flat numpy over the whole batch (the
     per-token Python loop of the naive chain was ~85% of build time).
     """
-    if analyzer == "code":
+    if analyzer in ("code", "english"):
         import pandas as pd
 
         parts_per_doc = [_subwords_lower(t if t is not None else "") for t in texts]
@@ -186,6 +206,14 @@ def analyze_batch(
             )
             doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), raw_lens)
             terms = low[keep]
+            if analyzer == "english":
+                # stem the DICTIONARY, not the token stream: factorize to
+                # unique terms (C hashtable), stem each unique once, map back
+                from .porter import porter_stem
+
+                codes, uniq = pd.factorize(pd.array(terms))
+                stemmed = np.array([porter_stem(u) for u in uniq], dtype=object)
+                terms = stemmed[codes]
             positions = gpos[keep].astype(np.int32)
             lens = np.bincount(doc_of[keep], minlength=len(texts)).astype(np.int32)
         else:

@@ -73,6 +73,35 @@ def phrase_idf(term_idfs: np.ndarray) -> np.float32:
     return np.float32(np.asarray(term_idfs, dtype=np.float64).sum())
 
 
+# --------------------------------------------------------------------------
+# alternative similarities on the same (freq, norm_byte) seam — each is
+# monotone increasing in freq and non-increasing in doc length, so the
+# block-max bound score(max_freq, min_norm_byte) stays admissible for all.
+
+def classic_idf(df: np.ndarray, doc_count: int) -> np.ndarray:
+    """ClassicSimilarity idf (``similarities/TFIDFSimilarity.java:330`` /
+    ``ClassicSimilarity.java:64``): 1 + ln((docCount+1)/(df+1))."""
+    df = np.asarray(df, dtype=np.float64)
+    return (1.0 + np.log((doc_count + 1) / (df + 1.0))).astype(np.float32)
+
+
+def classic_norm_cache() -> np.ndarray:
+    """lengthNorm table: 1/sqrt(decoded length) per norm byte
+    (``ClassicSimilarity.java:52`` lengthNorm over the stored length)."""
+    table = LENGTH_TABLE.astype(np.float64)
+    with np.errstate(divide="ignore"):
+        t = 1.0 / np.sqrt(table)
+    t[table == 0] = 0.0
+    return t.astype(np.float32)
+
+
+def lmd_norm_cache(mu: float = 2000.0) -> np.ndarray:
+    """LMDirichlet document-length component: ln(mu / (dl + mu)) per norm
+    byte (``similarities/LMDirichletSimilarity.java:79-83``)."""
+    table = LENGTH_TABLE.astype(np.float64)
+    return np.log(mu / (table + mu)).astype(np.float32)
+
+
 def max_block_score(
     max_freq: np.ndarray, min_norm_byte: np.ndarray, weight: np.float32, cache: np.ndarray
 ) -> np.ndarray:

@@ -141,18 +141,25 @@ POSTING_COLS = [
 
 
 class IndexSearcher:
+    LMD_MU = 2000.0  # LMDirichletSimilarity default µ (:54)
+
     def __init__(
         self,
         spark: SparkSession,
         index_dir: str,
         analyzer: str = "code",
         precision: str = "f32",
+        similarity: str = "bm25",
     ):
         """precision='f32' replicates the reference's float arithmetic
-        (Lucene score parity); 'f64' computes in double (SQL-oracle mode)."""
+        (Lucene score parity); 'f64' computes in double (SQL-oracle mode).
+        ``similarity``: 'bm25' (default), 'classic' (TFIDFSimilarity) or
+        'lmd' (LMDirichletSimilarity, µ=2000) — SURVEY §2.7; all share the
+        (freq, norm_byte) scoring seam and the block-max pruning bounds."""
         self.spark = spark
         self.index_dir = index_dir
         self.analyzer = analyzer
+        self.sim = similarity
         self.f32 = precision == "f32"
         # snapshot the commit point: live segments only (DirectoryReader open)
         st = live_stats(spark, index_dir)
@@ -162,19 +169,30 @@ class IndexSearcher:
         self.doc_count = st["doc_count"]
         self.sum_total_term_freq = st["sum_total_term_freq"]
         self.max_doc = st["max_doc"]
-        if self.f32:
+        from ..smallfloat import byte4_to_int
+
+        table = byte4_to_int(np.arange(256, dtype=np.uint8)).astype(np.float64)
+        if self.sim == "classic":
+            self.avgdl = self.sum_total_term_freq / max(self.doc_count, 1)
+            with np.errstate(divide="ignore"):
+                c = 1.0 / np.sqrt(table)
+            c[table == 0] = 0.0
+            self.cache = c.astype(np.float32).astype(np.float64) if self.f32 else c
+        elif self.sim == "lmd":
+            self.avgdl = self.sum_total_term_freq / max(self.doc_count, 1)
+            c = np.log(self.LMD_MU / (table + self.LMD_MU))
+            self.cache = c.astype(np.float32).astype(np.float64) if self.f32 else c
+        elif self.f32:
             self.avgdl = bm25.avgdl(self.sum_total_term_freq, max(self.doc_count, 1))
             self.cache = bm25.norm_cache(self.avgdl)
         else:
-            from ..smallfloat import byte4_to_int
-
             self.avgdl = self.sum_total_term_freq / max(self.doc_count, 1)
-            table = byte4_to_int(np.arange(256, dtype=np.uint8)).astype(np.float64)
             self.cache = 1.2 * (0.25 + 0.75 * table / self.avgdl)
         # memoized global term stats (the reference caches resolved TermStates
         # per reader too — TermStates.build once per query term per reader);
         # repeated query terms never re-hit the stats table
         self._stats_cache: dict[str, int] = {}
+        self._ttf_cache: dict[str, int] = {}
         # one-time DataFrame handles: parquet file listing + schema resolution
         # happen once per searcher, not once per query. term_stats binds to
         # the LATEST GENERATION at open (manifest.latest_term_stats_dir):
@@ -190,19 +208,22 @@ class IndexSearcher:
     # -------------------------------------------------------------- stats --
     def term_stats(self, terms: set[str]) -> dict[str, int]:
         """Global df per term — pushdown-filtered read of the stats table
-        (IndexSearcher.termStatistics, :875), memoized per searcher."""
+        (IndexSearcher.termStatistics, :875), memoized per searcher.
+        (ttf rides the same probe, cached in _ttf_cache for LMD weights.)"""
         if not terms:
             return {}
         missing = [t for t in terms if t not in self._stats_cache]
         if missing:
             ts = (
                 self._term_stats_df.filter(F.col("term").isin(*missing))
-                .select("term", "df")
+                .select("term", "df", "ttf")
                 .collect()
             )
-            found = {r.term: int(r.df) for r in ts}
+            found = {r.term: (int(r.df), int(r.ttf)) for r in ts}
             for t in missing:
-                self._stats_cache[t] = found.get(t, 0)
+                df, ttf = found.get(t, (0, 0))
+                self._stats_cache[t] = df
+                self._ttf_cache[t] = ttf
         return {t: self._stats_cache[t] for t in terms if self._stats_cache[t] > 0}
 
     def weights_for(self, terms: set[str]) -> dict[str, float]:
@@ -214,6 +235,13 @@ class IndexSearcher:
             df = dfs.get(t, 0)
             if df == 0:
                 out[t] = 0.0
+            elif self.sim == "classic":
+                out[t] = float(bm25.classic_idf(np.array([df]), self.doc_count)[0])
+            elif self.sim == "lmd":
+                # weight = µ · p(t|C); the kernel computes ln(1 + freq/weight)
+                out[t] = self.LMD_MU * self._ttf_cache[t] / max(
+                    self.sum_total_term_freq, 1
+                )
             elif self.f32:
                 out[t] = float(
                     bm25.term_weight(bm25.idf(np.array([df]), self.doc_count)[0])
@@ -352,6 +380,7 @@ class IndexSearcher:
         doc_count = self.doc_count
         cache = self.cache
         f32 = self.f32
+        sim = self.sim
         live = {
             qid: q for qid, q in parsed.items() if not isinstance(q, MatchNoneQuery)
         }
@@ -414,7 +443,9 @@ class IndexSearcher:
             seg = SegmentPostings(
                 rows, norms_arr, int(norm_rows["max_doc"].iloc[0]), deleted
             )
-            ctx = QueryContext(weights, cache, f32=f32, dfs=dfs, doc_count=doc_count)
+            ctx = QueryContext(
+                weights, cache, f32=f32, dfs=dfs, doc_count=doc_count, sim=sim
+            )
             out_qid, out_doc, out_score = [], [], []
             for qid, q in live.items():
                 if after is not None:

@@ -327,9 +327,11 @@ class QueryContext:
         f32: bool = True,
         dfs: dict[str, int] | None = None,
         doc_count: int = 0,
+        sim: str = "bm25",
     ):
         dt = np.float32 if f32 else np.float64
         self.f32 = f32
+        self.sim = sim  # "bm25" | "classic" | "lmd" (SURVEY §2.7)
         self.weights = {t: dt(w) for t, w in weights.items()}
         self.cache = cache.astype(dt)
         self.cache64 = self.cache.astype(np.float64)  # exact widening
@@ -337,22 +339,50 @@ class QueryContext:
         self.doc_count = doc_count
 
     def synonym_weight(self, terms) -> float:
-        """Pseudo-term idf with df = max over the synonyms
-        (``SynonymQuery.java:204-218``)."""
+        """Pseudo-term weight for a synonym group: df = max over the
+        synonyms for the idf-style sims (``SynonymQuery.java:204-218``);
+        under LMD the pseudo collection probability is the SUM of the
+        members' (freq sums ⇒ probabilities sum)."""
+        if self.sim == "lmd":
+            return float(sum(float(self.weights.get(t, 0.0)) for t in terms))
         df = max((self.dfs.get(t, 0) for t in terms), default=0)
         if df == 0:
             return 0.0
-        w = np.log1p((self.doc_count - df + 0.5) / (df + 0.5))
+        if self.sim == "classic":
+            w = 1.0 + np.log((self.doc_count + 1) / (df + 1.0))
+        else:
+            w = np.log1p((self.doc_count - df + 0.5) / (df + 0.5))
         return np.float32(w) if self.f32 else float(w)
 
     def score(self, freqs: np.ndarray, norm_bytes: np.ndarray, weight) -> np.ndarray:
-        """BM25 tf*weight with the mode's float semantics; returns float64 carrier."""
+        """Per-posting score under the active similarity; float64 carrier.
+
+        - bm25 (default): weight · freq/(freq + normCache) — the reference
+          formula with exact float32 rounding in f32 mode.
+        - classic (``ClassicSimilarity.java:52-76``): weight(=boost·idf) ·
+          sqrt(freq) · lengthNorm[normByte].
+        - lmd (``LMDirichletSimilarity.java:70-90``): max(0, ln(1 +
+          freq/(µ·p(t|C))) + lnNorm[normByte]) with weight = µ·p(t|C).
+        All three are monotone ↑ in freq and ↓ in encoded length, so the
+        block-max pruning bound stays admissible unchanged.
+        """
         f = np.asarray(freqs, dtype=np.float64)
         norm = self.cache64[np.asarray(norm_bytes, dtype=np.uint8)]
-        tf = f / (f + norm)
+        if self.sim == "classic":
+            out = float(weight) * np.sqrt(f) * norm
+        elif self.sim == "lmd":
+            w = float(weight)
+            if w <= 0.0:
+                return np.zeros(len(f), dtype=np.float64)
+            out = np.maximum(np.log1p(f / w) + norm, 0.0)
+        else:
+            tf = f / (f + norm)
+            if self.f32:
+                return (np.float32(weight) * tf.astype(np.float32)).astype(np.float64)
+            return float(weight) * tf
         if self.f32:
-            return (np.float32(weight) * tf.astype(np.float32)).astype(np.float64)
-        return float(weight) * tf
+            out = out.astype(np.float32).astype(np.float64)
+        return out
 
     def phrase_weight(self, terms) -> float:
         """idf of a phrase = sum of term idfs (BM25Similarity.java:172-181)."""

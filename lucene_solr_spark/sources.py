@@ -79,6 +79,61 @@ def read_docs(
     return normalize_docs(df, mapping)
 
 
+def read_xml_docs(
+    spark: SparkSession,
+    path: str,
+    fields: tuple = DOC_COLUMNS,
+    mapping: dict[str, str] | None = None,
+) -> DataFrame:
+    """Solr update-XML ingest (``solr/core/.../handler/loader/XMLLoader.java``):
+    ``<add><doc><field name="...">value</field>...</doc></add>`` documents.
+
+    Each XML file is read whole (one row per file via ``text`` wholetext) and
+    parsed DISTRIBUTED in an Arrow batch kernel — the driver never touches
+    payloads; scale by sharding documents across many files, exactly how Solr
+    bulk loads are sharded across update requests.
+    """
+    import pandas as pd
+
+    raw = spark.read.text(path, wholetext=True)
+    cols = list(fields)
+
+    def parse(it):
+        import xml.etree.ElementTree as ET
+
+        for pdf in it:
+            recs = []
+            for blob in pdf["value"]:
+                root = ET.fromstring(blob)
+                for d in root.iter("doc"):
+                    rec = {}
+                    for f in d.findall("field"):
+                        name = f.get("name")
+                        if name in cols:
+                            rec[name] = f.text or ""
+                    recs.append(rec)
+            yield pd.DataFrame(recs, columns=cols)
+
+    schema = ", ".join(f"{c} string" for c in cols)
+    df = raw.mapInPandas(parse, schema)
+    # sparse docs leave nulls — apply the same defaults normalize_docs uses
+    # for absent columns
+    if "repo" in df.columns:
+        df = df.withColumn("repo", F.coalesce("repo", F.lit("default")))
+    if "commit" in df.columns:
+        df = df.withColumn("commit", F.coalesce("commit", F.lit("HEAD")))
+    if "path" in df.columns:
+        df = df.withColumn("path", F.coalesce("path", F.sha2(F.col("content"), 256)))
+    if "lang" in df.columns:
+        df = df.withColumn(
+            "lang",
+            F.coalesce(
+                "lang", F.element_at(F.split(F.col("path"), r"\."), -1), F.lit("")
+            ),
+        )
+    return normalize_docs(df, mapping)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

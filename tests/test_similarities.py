@@ -1,0 +1,119 @@
+"""Alternative similarities (SURVEY §2.7): ClassicSimilarity (TF-IDF) and
+LMDirichletSimilarity on the shared (freq, norm_byte) scoring seam. Each is
+verified against a plain-python recomputation from raw token counts, and the
+pruned top-k paths must agree with exhaustive collection under every sim."""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.smallfloat import byte4_to_int, int_to_byte4
+
+MU = 2000.0
+
+
+@pytest.fixture(scope="module")
+def sim_index(spark, tmp_path_factory):
+    from lucene_solr_spark.index import build_index
+
+    docs = spark.createDataFrame(
+        [
+            ("r", f"f{i}.py", "c", text)
+            for i, text in enumerate(
+                [
+                    "parse the buffer quickly",
+                    "parse parse parse buffer",
+                    "buffer overflow in the parser code",
+                    "unrelated content entirely here",
+                    "parse",
+                    "the quick brown fox jumps over the lazy dog " * 5,
+                ]
+            )
+        ],
+        "repo string, path string, commit string, content string",
+    )
+    d = str(tmp_path_factory.mktemp("sim") / "idx")
+    build_index(spark, docs, d, num_segments=2, analyzer="code")
+    return d
+
+
+def _naive_stats(spark, index_dir):
+    """Token stats straight from the docs table (independent recompute)."""
+    from lucene_solr_spark.analysis import analyze_code
+
+    rows = spark.read.parquet(index_dir + "/docs").collect()
+    per_doc = {}
+    for r in rows:
+        terms, _ = analyze_code(r.content)
+        per_doc[(r.segment_id, r.doc_id)] = terms
+    doc_count = sum(1 for t in per_doc.values() if t)
+    total = sum(len(t) for t in per_doc.values())
+    return per_doc, doc_count, total
+
+
+def _quantized_len(n):
+    return int(byte4_to_int(int_to_byte4(np.array([n], np.int64)))[0])
+
+
+def test_classic_scores(spark, sim_index):
+    from lucene_solr_spark.search import IndexSearcher
+
+    s = IndexSearcher(spark, sim_index, analyzer="code", similarity="classic",
+                      precision="f64")
+    per_doc, doc_count, _ = _naive_stats(spark, sim_index)
+    df = sum(1 for t in per_doc.values() if "parse" in t)
+    hits = {(r.segment_id, r.doc_id): r.score for r in s.search("parse", k=10).collect()}
+    assert hits
+    for coord, terms in per_doc.items():
+        tf = terms.count("parse")
+        if tf == 0:
+            assert coord not in hits
+            continue
+        idf = 1.0 + math.log((doc_count + 1) / (df + 1))
+        expect = idf * math.sqrt(tf) / math.sqrt(_quantized_len(len(terms)))
+        assert hits[coord] == pytest.approx(expect, rel=1e-6), coord
+
+
+def test_lmd_scores(spark, sim_index):
+    from lucene_solr_spark.search import IndexSearcher
+
+    s = IndexSearcher(spark, sim_index, analyzer="code", similarity="lmd",
+                      precision="f64")
+    per_doc, _, total = _naive_stats(spark, sim_index)
+    ttf = sum(t.count("parse") for t in per_doc.values())
+    hits = {(r.segment_id, r.doc_id): r.score for r in s.search("parse", k=10).collect()}
+    p = ttf / total
+    for coord, terms in per_doc.items():
+        tf = terms.count("parse")
+        if tf == 0:
+            continue
+        dl = _quantized_len(len(terms))
+        expect = max(0.0, math.log1p(tf / (MU * p)) + math.log(MU / (dl + MU)))
+        if expect > 0:
+            assert hits[coord] == pytest.approx(expect, rel=1e-6), coord
+
+
+@pytest.mark.parametrize("sim", ["classic", "lmd"])
+def test_pruned_paths_match_exhaustive_under_sim(spark, sim_index, sim):
+    """topk_term_pruned / WAND / BlockMaxConjunction bounds stay admissible
+    under every similarity (monotone in freq, anti-monotone in length)."""
+    from lucene_solr_spark.search import IndexSearcher
+
+    s = IndexSearcher(spark, sim_index, analyzer="code", similarity=sim)
+    queries = ["parse", "buffer OR parse", "parse AND buffer", "the AND parse"]
+    topk = s.search_many({i: q for i, q in enumerate(queries)}, k=3).collect()
+    # exhaustive k=None reference, re-ranked
+    full = s.search_many({i: q for i, q in enumerate(queries)}, k=None).collect()
+    by_q = {}
+    for r in full:
+        by_q.setdefault(r.qid, []).append((-(round(r.score, 7)), r.segment_id, r.doc_id))
+    for qid, rows in by_q.items():
+        rows.sort()
+        got = sorted(
+            (r.rank, r.segment_id, r.doc_id)
+            for r in topk
+            if r.qid == qid
+        )
+        exp = [(i + 1, segd, d) for i, (_, segd, d) in enumerate(rows[:3])]
+        assert got == exp, (qid, got, exp)

@@ -79,3 +79,30 @@ def test_text_ingest_synthesizes_keys(spark, tmp_path_factory):
     rows = docs.collect()
     assert {r.repo for r in rows} == {"default"}
     assert all(len(r.path) == 64 for r in rows)  # sha256 identity
+
+
+def test_xml_ingest(spark, tmp_path):
+    """Solr update-XML: <add><doc><field name=..>..</field></doc></add>."""
+    from lucene_solr_spark.sources import read_xml_docs
+
+    xml = """<add>
+      <doc>
+        <field name="repo">org/r1</field>
+        <field name="path">src/a.py</field>
+        <field name="commit">c1</field>
+        <field name="content">parse the buffer</field>
+      </doc>
+      <doc>
+        <field name="path">src/b.py</field>
+        <field name="content">read file</field>
+      </doc>
+    </add>"""
+    src = tmp_path / "batch1.xml"
+    src.write_text(xml)
+    docs = read_xml_docs(spark, str(tmp_path))
+    rows = {r.path: r for r in docs.collect()}
+    assert set(rows) == {"src/a.py", "src/b.py"}
+    assert rows["src/a.py"].repo == "org/r1"
+    assert rows["src/a.py"].content == "parse the buffer"
+    assert rows["src/b.py"].repo == "default"  # synthesized defaults
+    assert rows["src/b.py"].commit == "HEAD"
