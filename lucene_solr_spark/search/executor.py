@@ -72,10 +72,12 @@ def _position_terms(q: Query) -> set[str]:
     """Terms whose POSITIONS the query needs (phrase matching). Everything
     else only needs docs+freqs — their (large) position blobs are never
     shuffled or shipped to the kernel."""
-    from .query import MultiPhraseQuery, PhraseQuery, SloppyPhraseQuery
+    from .query import MultiPhraseQuery, PhraseQuery, SloppyPhraseQuery, SpanNearQuery
 
     if isinstance(q, (PhraseQuery, SloppyPhraseQuery)):
         return set(q.phrase_terms)
+    if isinstance(q, SpanNearQuery):
+        return set(q.clauses)
     if isinstance(q, MultiPhraseQuery):
         return {t for slot in q.slots for t in slot}
     if isinstance(q, BooleanQuery):

@@ -46,6 +46,7 @@ from .query import (
     PhraseQuery,
     Query,
     SloppyPhraseQuery,
+    SpanNearQuery,
     SynonymQuery,
     TermQuery,
 )
@@ -409,6 +410,8 @@ def eval_query(q: Query, seg: SegmentPostings, ctx: QueryContext, scoring: bool 
         return docs, ctx.score(freqs, seg.norms[docs], ctx.weights[q.term])
     if isinstance(q, SloppyPhraseQuery):
         return _eval_sloppy_phrase(q, seg, ctx, scoring)
+    if isinstance(q, SpanNearQuery):
+        return _eval_span_near(q, seg, ctx, scoring)
     if isinstance(q, PhraseQuery):
         return _eval_phrase(q, seg, ctx, scoring)
     if isinstance(q, MultiPhraseQuery):
@@ -537,6 +540,84 @@ def _eval_sloppy_phrase(
     if not scoring:
         return uniq, np.zeros(len(uniq), dtype=np.float64)
     w = ctx.phrase_weight(q.phrase_terms)
+    if ctx.f32:
+        freq = freq.astype(np.float32).astype(np.float64)
+    return uniq, ctx.score(freq, seg.norms[uniq], w)
+
+
+def _span_weight_ordered(pos_lists: list[np.ndarray], slop: int) -> float:
+    """Σ sloppyWeight over ordered spans: one span per first-clause
+    occurrence, chaining each next clause to its smallest strictly-later
+    position (NearSpansOrdered's advance)."""
+    n = len(pos_lists)
+    total = 0.0
+    for a in pos_lists[0]:
+        p = a
+        ok = True
+        for lst in pos_lists[1:]:
+            j = np.searchsorted(lst, p, side="right")
+            if j >= len(lst):
+                ok = False
+                break
+            p = lst[j]
+        if ok:
+            d = int(p - a) - (n - 1)  # excess width beyond adjacency
+            if d <= slop:
+                total += 1.0 / (1 + d)
+    return total
+
+
+def _span_weight_unordered(pos_lists: list[np.ndarray], slop: int) -> float:
+    """Σ sloppyWeight over minimal unordered windows (smallest-range sweep
+    over the merged occurrence stream — NearSpansUnordered's span queue)."""
+    n = len(pos_lists)
+    idx = [0] * n
+    total = 0.0
+    while all(idx[i] < len(pos_lists[i]) for i in range(n)):
+        cur = [pos_lists[i][idx[i]] for i in range(n)]
+        lo_i = min(range(n), key=lambda i: cur[i])
+        d = int(max(cur) - cur[lo_i]) - (n - 1)
+        if d <= slop:
+            total += 1.0 / (1 + max(d, 0))
+        idx[lo_i] += 1
+    return total
+
+
+def _eval_span_near(q: SpanNearQuery, seg: SegmentPostings, ctx: QueryContext, scoring: bool):
+    """SpanNearQuery over term clauses — candidate docs via the vectorized
+    conjunction, per-candidate position chaining (spans are inherently
+    sequential; candidates are few by construction)."""
+    lists = [seg.docs_freqs(t) for t in q.clauses]
+    if any(len(d) == 0 for d, _ in lists):
+        return _EMPTY_I, _EMPTY_F
+    cand = lists[0][0]
+    for d, _ in lists[1:]:
+        idx = np.minimum(np.searchsorted(d, cand), len(d) - 1)
+        cand = cand[d[idx] == cand]
+        if len(cand) == 0:
+            return _EMPTY_I, _EMPTY_F
+    pos_all = [seg.positions(t) for t in q.clauses]
+    match_docs, match_w = [], []
+    for doc in cand:
+        pls = []
+        for (docs_t, _), (pos, occ_off) in zip(lists, pos_all):
+            i = int(np.searchsorted(docs_t, doc))
+            pls.append(pos[occ_off[i] : occ_off[i + 1]])
+        w = (
+            _span_weight_ordered(pls, q.slop)
+            if q.in_order
+            else _span_weight_unordered(pls, q.slop)
+        )
+        if w > 0:
+            match_docs.append(int(doc))
+            match_w.append(w)
+    if not match_docs:
+        return _EMPTY_I, _EMPTY_F
+    uniq = np.array(match_docs, dtype=np.int64)
+    freq = np.array(match_w, dtype=np.float64)
+    if not scoring:
+        return uniq, np.zeros(len(uniq), dtype=np.float64)
+    w = ctx.phrase_weight(q.clauses)
     if ctx.f32:
         freq = freq.astype(np.float32).astype(np.float64)
     return uniq, ctx.score(freq, seg.norms[uniq], w)

@@ -96,6 +96,30 @@ class MultiPhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """Proximity algebra over term spans (``search/spans/SpanNearQuery.java:44``
+    + ``NearSpansOrdered.java:48`` / ``NearSpansUnordered.java``): clauses
+    must co-occur within ``slop`` excess positions, optionally in order.
+
+    Matching semantics (documented): ordered — one span per first-clause
+    occurrence, chaining each next clause to its smallest strictly-later
+    position; unordered — minimal windows covering one occurrence of every
+    clause (classic smallest-range sweep). A span with excess width d ≤ slop
+    contributes sloppyWeight 1/(1+d) to the span freq
+    (``SpanScorer.java:118-124``); scored as a pseudo-term with idf = Σ
+    clause idfs. Evaluation is candidate-restricted: only docs containing
+    ALL clauses are visited (the conjunction is vectorized; per-doc position
+    chaining runs on those few candidates)."""
+
+    clauses: tuple[str, ...]
+    slop: int = 0
+    in_order: bool = True
+
+    def terms(self):
+        return set(self.clauses)
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     """Scores multiple terms as one pseudo-term (``search/SynonymQuery.java:55``):
     freq = Σ term freqs per doc; pseudo-stats df = max(df_i), ttf = Σ ttf_i

@@ -1,0 +1,108 @@
+"""SpanNearQuery: ordered/unordered proximity matching with slop, verified
+against hand-computed spans and a brute-force per-doc reference."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.index.build import KIND_NORMS, KIND_POSTING, build_segment_frame
+from lucene_solr_spark.search.bm25 import idf, norm_cache, term_weight
+from lucene_solr_spark.search.kernels import (
+    QueryContext,
+    SegmentPostings,
+    _span_weight_ordered,
+    _span_weight_unordered,
+    eval_query,
+)
+from lucene_solr_spark.search.query import SpanNearQuery
+
+
+def _seg(docs):
+    frame = build_segment_frame(docs, np.arange(len(docs)), 0, "code")
+    norms = np.frombuffer(
+        frame[frame["kind"] == KIND_NORMS]["doc_blob"].iloc[0], np.uint8
+    )
+    posts = frame[frame["kind"] == KIND_POSTING]
+    rows = {r["term"]: [r] for r in posts.to_dict("records")}
+    seg = SegmentPostings(rows, norms, len(docs))
+    doc_count = len(docs)
+    sum_len = int(frame[frame["kind"] == KIND_NORMS]["sum_len"].iloc[0])
+    dfs = dict(zip(posts["term"], posts["df"]))
+    weights = {
+        t: float(term_weight(idf(np.array([df]), doc_count)[0]))
+        for t, df in dfs.items()
+    }
+    ctx = QueryContext(weights, norm_cache(sum_len / doc_count), f32=True)
+    return seg, ctx
+
+
+def test_ordered_weights():
+    # "error handling" adjacent → d=0 → weight 1
+    assert _span_weight_ordered([np.array([0]), np.array([1])], 0) == 1.0
+    # one gap → d=1 → needs slop ≥ 1, weight 1/2
+    assert _span_weight_ordered([np.array([0]), np.array([2])], 0) == 0.0
+    assert _span_weight_ordered([np.array([0]), np.array([2])], 1) == 0.5
+    # three clauses chained: positions 0, 2, 3 → width 3, excess 1
+    assert _span_weight_ordered([np.array([0]), np.array([2]), np.array([3])], 1) == 0.5
+    # order violated → no match even with big slop
+    assert _span_weight_ordered([np.array([5]), np.array([1])], 10) == 0.0
+
+
+def test_unordered_weights():
+    # transposed pair within slop
+    assert _span_weight_unordered([np.array([5]), np.array([4])], 0) == 1.0
+    assert _span_weight_unordered([np.array([5]), np.array([0])], 3) == 0.0
+    assert _span_weight_unordered([np.array([5]), np.array([0])], 4) == pytest.approx(0.2)
+
+
+def test_span_near_end_to_end():
+    docs = [
+        "error handling code",          # adjacent, ordered
+        "error in the handling",        # gap of 2 (stop gaps count)
+        "handling the error",           # reversed
+        "error but nothing else",       # missing clause
+    ]
+    seg, ctx = _seg(docs)
+    q0 = SpanNearQuery(clauses=("error", "handling"), slop=0, in_order=True)
+    d, s = eval_query(q0, seg, ctx)
+    assert list(d) == [0]
+    q2 = SpanNearQuery(clauses=("error", "handling"), slop=2, in_order=True)
+    d, s = eval_query(q2, seg, ctx)
+    assert list(d) == [0, 1]
+    qu = SpanNearQuery(clauses=("error", "handling"), slop=2, in_order=False)
+    d, s = eval_query(qu, seg, ctx)
+    assert list(d) == [0, 1, 2]
+    # scores positive and ranked: adjacency beats gap
+    assert s[0] > s[1]
+
+
+def test_span_matches_brute_force_random():
+    rng = np.random.RandomState(17)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = [
+        " ".join(rng.choice(vocab, size=rng.randint(3, 30)))
+        for _ in range(120)
+    ]
+    seg, ctx = _seg(docs)
+    for _ in range(20):
+        n = rng.randint(2, 4)
+        clauses = tuple(rng.choice(["alpha", "beta", "gamma"], size=n, replace=False))
+        slop = int(rng.randint(0, 4))
+        in_order = bool(rng.randint(0, 2))
+        q = SpanNearQuery(clauses=clauses, slop=slop, in_order=in_order)
+        d, s = eval_query(q, seg, ctx)
+        # brute force: recompute weights from raw token positions
+        for i, text in enumerate(docs):
+            toks = text.split()
+            pls = [
+                np.array([p for p, t in enumerate(toks) if t == c], dtype=np.int64)
+                for c in clauses
+            ]
+            if any(len(p) == 0 for p in pls):
+                assert i not in d
+                continue
+            w = (
+                _span_weight_ordered(pls, slop)
+                if in_order
+                else _span_weight_unordered(pls, slop)
+            )
+            assert (i in d) == (w > 0), (clauses, slop, in_order, i)
