@@ -147,22 +147,43 @@ def main() -> None:
     extra: dict[str, float] = {}
 
     # ---- scaling evidence: local[N] vs local[4N], same input ---------------
+    # The host carries variable EXTERNAL tenant load (measured: single-pair
+    # efficiencies swing 0.46..0.92 across an afternoon, BASELINE.md round-2
+    # notes). Each (N, 4N) pair runs back-to-back so both halves see the same
+    # conditions; the reported efficiency is the MEDIAN over
+    # SPARK_GRAFT_SCALE_TRIALS pairs (default 3).
     if RUN_SCALING:
-        spark = _fresh_spark(SCALE_LOW)
-        low = _build_and_query(spark, SCALE_LOW)
-        extra[f"build_gbph_p{SCALE_LOW}"] = round(low["gb_per_hour"], 3)
-        extra[f"bulk_qps_p{SCALE_LOW}"] = round(low["qps"], 3)
-        spark = _fresh_spark(SCALE_HIGH)
-        high = _build_and_query(spark, SCALE_HIGH)
-        extra[f"build_gbph_p{SCALE_HIGH}"] = round(high["gb_per_hour"], 3)
-        extra[f"bulk_qps_p{SCALE_HIGH}"] = round(high["qps"], 3)
+        import statistics
+
+        n_trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+        pairs = []
+        for _ in range(n_trials):
+            spark = _fresh_spark(SCALE_LOW)
+            low = _build_and_query(spark, SCALE_LOW)
+            spark = _fresh_spark(SCALE_HIGH)
+            high = _build_and_query(spark, SCALE_HIGH)
+            pairs.append((low, high))
+        ratio = SCALE_HIGH / SCALE_LOW
+        build_effs = sorted(h["gb_per_hour"] / l["gb_per_hour"] / ratio for l, h in pairs)
+        query_effs = sorted(h["qps"] / l["qps"] / ratio for l, h in pairs)
+        extra[f"build_gbph_p{SCALE_LOW}"] = round(
+            statistics.median(l["gb_per_hour"] for l, _ in pairs), 3
+        )
+        extra[f"bulk_qps_p{SCALE_LOW}"] = round(
+            statistics.median(l["qps"] for l, _ in pairs), 3
+        )
+        extra[f"build_gbph_p{SCALE_HIGH}"] = round(
+            statistics.median(h["gb_per_hour"] for _, h in pairs), 3
+        )
+        extra[f"bulk_qps_p{SCALE_HIGH}"] = round(
+            statistics.median(h["qps"] for _, h in pairs), 3
+        )
         extra["scaling_cores"] = f"{SCALE_LOW}->{SCALE_HIGH}"
-        extra["scaling_efficiency_build"] = round(
-            (high["gb_per_hour"] / low["gb_per_hour"]) / (SCALE_HIGH / SCALE_LOW), 3
-        )
-        extra["scaling_efficiency_query"] = round(
-            (high["qps"] / low["qps"]) / (SCALE_HIGH / SCALE_LOW), 3
-        )
+        extra["scaling_trials"] = n_trials
+        extra["scaling_efficiency_build"] = round(statistics.median(build_effs), 3)
+        extra["scaling_efficiency_query"] = round(statistics.median(query_effs), 3)
+        extra["scaling_efficiency_build_all"] = [round(e, 3) for e in build_effs]
+        extra["scaling_efficiency_query_all"] = [round(e, 3) for e in query_effs]
 
     # ---- main pass at full configured parallelism --------------------------
     spark = _fresh_spark(CPUS)
