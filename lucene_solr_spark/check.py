@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession, functions as F
 
-from .codec import vbyte_decode
+from .codec import decode_doc_deltas, decode_freq_values
 from .index.manifest import live_segments, read_manifest
 
 
@@ -35,17 +35,16 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
 
     CHECK_SCHEMA = (
         "bad_sort bigint, bad_df bigint, bad_ttf bigint, bad_freq bigint, "
-        "bad_blocks bigint, bad_blklen bigint"
+        "bad_blocks bigint, bad_blklen bigint, bad_boffs bigint"
     )
 
     def verify(it):
         for pdf in it:
-            bad_sort = bad_df = bad_ttf = bad_freq = bad_blocks = bad_blklen = 0
+            bad_sort = bad_df = bad_ttf = bad_freq = 0
+            bad_blocks = bad_blklen = bad_boffs = 0
             for r in pdf.itertuples(index=False):
-                docs = np.cumsum(
-                    vbyte_decode(np.frombuffer(r.doc_blob, np.uint8)).astype(np.int64)
-                )
-                freqs = vbyte_decode(np.frombuffer(r.freq_blob, np.uint8)).astype(np.int64)
+                docs = np.cumsum(decode_doc_deltas(r.doc_blob, r.blk_doc_boff, r.blk_len))
+                freqs = decode_freq_values(r.freq_blob, r.blk_freq_boff, r.blk_len)
                 if len(docs) > 1 and not (np.diff(docs) > 0).all():
                     bad_sort += 1
                 if len(docs) != r.df:
@@ -62,6 +61,22 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
                     ends = np.cumsum(blk_len) - 1
                     if not np.array_equal(docs[ends], blk_last.astype(np.int64)):
                         bad_blocks += 1
+                # skip-pointer integrity: one offset per block, monotone
+                # ascending from 0, within the blob (Lucene50SkipWriter fp role)
+                n_blk = len(blk_len)
+                for boff_b, blob in (
+                    (r.blk_doc_boff, r.doc_blob),
+                    (r.blk_freq_boff, r.freq_blob),
+                    (r.blk_pos_boff, r.pos_blob),
+                ):
+                    bo = np.frombuffer(boff_b, np.int32).astype(np.int64)
+                    if (
+                        len(bo) != n_blk
+                        or (n_blk and bo[0] != 0 and r.shard == 0)
+                        or (np.diff(bo) < 0).any()
+                        or (n_blk and bo[-1] > len(blob))
+                    ):
+                        bad_boffs += 1
             yield pd.DataFrame(
                 {
                     "bad_sort": [bad_sort],
@@ -70,16 +85,19 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
                     "bad_freq": [bad_freq],
                     "bad_blocks": [bad_blocks],
                     "bad_blklen": [bad_blklen],
+                    "bad_boffs": [bad_boffs],
                 }
             )
 
     agg = (
         posts.select(
-            "segment_id", "df", "ttf", "doc_blob", "freq_blob", "blk_last", "blk_len"
+            "segment_id", "shard", "df", "ttf", "doc_blob", "freq_blob", "pos_blob",
+            "blk_last", "blk_len", "blk_doc_boff", "blk_freq_boff", "blk_pos_boff",
         )
         .mapInPandas(verify, CHECK_SCHEMA)
         .agg(*[F.sum(c).alias(c) for c in (
-            "bad_sort", "bad_df", "bad_ttf", "bad_freq", "bad_blocks", "bad_blklen"
+            "bad_sort", "bad_df", "bad_ttf", "bad_freq", "bad_blocks",
+            "bad_blklen", "bad_boffs",
         )])
         .collect()[0]
     )

@@ -553,9 +553,18 @@ class IndexSearcher:
         details = []
         total = 0.0
         for r in posts:
-            tf_val = float(r.freq) / (float(r.freq) + float(cache[norm_byte]))
             w = weights.get(r.term, 0.0)
-            s = float(np.float32(w) * np.float32(tf_val)) if self.f32 else w * tf_val
+            if self.sim == "classic":
+                tf_val = float(np.sqrt(float(r.freq)))
+                s = w * tf_val * float(cache[norm_byte])
+            elif self.sim == "lmd":
+                tf_val = float(np.log1p(float(r.freq) / w)) if w > 0 else 0.0
+                s = max(tf_val + float(cache[norm_byte]), 0.0)
+            else:
+                tf_val = float(r.freq) / (float(r.freq) + float(cache[norm_byte]))
+                s = float(np.float32(w) * np.float32(tf_val)) if self.f32 else w * tf_val
+            if self.f32 and self.sim in ("classic", "lmd"):
+                s = float(np.float32(s))
             details.append(
                 {
                     "term": r.term,

@@ -60,3 +60,28 @@ def test_corruption_detected(spark, tiny_corpus, tmp_path_factory):
     ).parquet(os.path.join(d, "index"))
     res = check_index(spark, d)
     assert res["bad_df"] >= 1
+
+
+def test_full_block_index_clean(spark, tmp_path_factory):
+    """Terms with df >= 128 produce FOR-packed full blocks — the checker must
+    decode the blocked format (it silently passed on VByte-only tiny corpora
+    before)."""
+    from lucene_solr_spark.check import check_index
+    from lucene_solr_spark.index import build_index
+
+    rows = [
+        ("r", f"f{i}.py", "c", f"common token{i % 37} filler{i % 11} x{i}")
+        for i in range(1200)
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string"
+    )
+    d = str(tmp_path_factory.mktemp("chk") / "blocks")
+    build_index(spark, df, d, num_segments=2, analyzer="code")
+    # sanity: the corpus really has multi-block terms
+    import pyspark.sql.functions as F
+
+    idx = spark.read.parquet(os.path.join(d, "index"))
+    max_df = idx.filter(F.col("kind") == 0).agg(F.max("df")).collect()[0][0]
+    assert max_df >= 256
+    _assert_clean(check_index(spark, d))
