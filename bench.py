@@ -238,6 +238,17 @@ def main() -> None:
         fn(spark, SF_DIR).count()
         results[name] = round(time.time() - t0, 3)
 
+    # ---- segment merge (TieredMergePolicy job over half the segments; last,
+    # so the query timings above run against the pre-merge layout) ----------
+    from lucene_solr_spark.index.manifest import live_segments
+    from lucene_solr_spark.index.merge import merge_segments
+
+    srcs = live_segments(spark, index_dir)[:16]
+    t0 = time.time()
+    m = merge_segments(spark, index_dir, srcs, hot_df_threshold=200_000)
+    results["segment_merge"] = round(time.time() - t0, 3)
+    extra["merge_docs"] = m["max_doc"]
+
     total = round(sum(results.values()), 3)
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     try:
