@@ -157,6 +157,60 @@ class SegmentPostings:
             self._pos[term] = (pos, np.append(occ2, len(pos)))
         return self._pos[term]
 
+    def occurrences_at(self, term: str, cand: np.ndarray):
+        """(docs, freqs, flat positions) of the term's postings RESTRICTED to
+        candidate docs, decoding only the pos/doc blocks that cover them
+        (the lazy-positions behaviour of ``Lucene50PostingsReader`` — skip
+        data carries the positions file pointer). Falls back to the cached
+        full decode when the term is already decoded, deletes are present,
+        or the candidates cover most blocks anyway."""
+        bi = self.block_meta(term)
+        nblk = len(bi["lens"])
+        sel = np.searchsorted(bi["last"].astype(np.int64), cand)
+        sel = np.unique(sel[sel < nblk])
+        if (
+            self.deleted is not None
+            or term in self._pos
+            or len(sel) * 4 >= nblk
+            or len(self.rows[term]) > 1  # sharded rows: keep the simple path
+        ):
+            # returning the full (cached) arrays is correct — the caller's
+            # key intersection restricts to matches; slicing a huge
+            # candidate set would cost more than it saves
+            docs, freqs = self.docs_freqs(term)
+            pos, _ = self.positions(term)
+            return docs, freqs, pos
+        # block-sliced decode: docs/freqs via the skip path, positions via
+        # blk_pos_boff slices (pos deltas reset at every posting, so block
+        # slices decode independently)
+        d, f, _ = self.decode_block_subset(term, sel)
+        r = self.rows[term][0]
+        pboff = np.frombuffer(r["blk_pos_boff"], np.int32).astype(np.int64)
+        blob = np.frombuffer(r["pos_blob"], np.uint8)
+        pnb = np.diff(np.append(pboff, len(blob)))
+        parts = [blob[pboff[b] : pboff[b] + pnb[b]] for b in sel]
+        deltas = vbyte_decode(np.concatenate(parts) if parts else np.empty(0, np.uint8))
+        occ_starts = np.zeros(len(f), dtype=np.int64)
+        if len(f):
+            np.cumsum(f[:-1], out=occ_starts[1:])
+        pos = delta_decode_lists(deltas.astype(np.int64), occ_starts)
+        # restrict to candidate docs (vectorized region gather)
+        idx = np.searchsorted(d, cand)
+        idx = idx[idx < len(d)]
+        idx = np.unique(idx[np.isin(d[idx], cand)])
+        if not len(idx):
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+            )
+        lens = f[idx]
+        base = np.repeat(occ_starts[idx], lens)
+        intra = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+        )
+        return d[idx], f[idx], pos[base + intra]
+
     def blocks(self, term: str):
         """Per-block (start, end, last_doc, max_freq, min_norm) over the RAW
         posting order — offsets account for shard boundaries (each shard is
@@ -481,17 +535,50 @@ def _eval_phrase(q: PhraseQuery, seg: SegmentPostings, ctx: QueryContext, scorin
     of alignments; scored as one pseudo-term with idf = Σ term idfs
     (``BM25Similarity.idfExplain[]:172-181``).
     """
-    keys = None
-    for term, rel in zip(q.phrase_terms, q.positions):
-        docs, freqs = seg.docs_freqs(term)
-        if len(docs) == 0:
+    if seg.deleted is None:
+        # candidate docs first (AND-style leapfrog: rarest term decoded in
+        # full, the others only where candidates land), then occurrence keys
+        # restricted to candidates with lazily-decoded position blocks —
+        # Lucene reads positions through the skip pointers the same way
+        uniq_terms = list(dict.fromkeys(q.phrase_terms))
+        if any(t not in seg.rows for t in uniq_terms):
             return _EMPTY_I, _EMPTY_F
-        pos, occ_off = seg.positions(term)
-        doc_of_occ = np.repeat(docs, freqs)
-        k = doc_of_occ * _POS_SHIFT + (pos - np.int64(rel))
-        keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
-        if len(keys) == 0:
+        by_df = sorted(
+            uniq_terms, key=lambda t: sum(int(r["df"]) for r in seg.rows[t])
+        )
+        cand = seg.docs_freqs(by_df[0])[0]
+        for t in by_df[1:]:
+            if len(cand) == 0:
+                return _EMPTY_I, _EMPTY_F
+            pp = seg.partial(t)
+            pp.extend(pp.covering_blocks(cand))
+            if not len(pp.docs):
+                return _EMPTY_I, _EMPTY_F
+            idx = np.minimum(np.searchsorted(pp.docs, cand), len(pp.docs) - 1)
+            cand = cand[pp.docs[idx] == cand]
+        if len(cand) == 0:
             return _EMPTY_I, _EMPTY_F
+        keys = None
+        for term, rel in zip(q.phrase_terms, q.positions):
+            d_k, f_k, pos_k = seg.occurrences_at(term, cand)
+            if len(d_k) == 0:
+                return _EMPTY_I, _EMPTY_F
+            k = np.repeat(d_k, f_k) * _POS_SHIFT + (pos_k - np.int64(rel))
+            keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+            if len(keys) == 0:
+                return _EMPTY_I, _EMPTY_F
+    else:
+        keys = None
+        for term, rel in zip(q.phrase_terms, q.positions):
+            docs, freqs = seg.docs_freqs(term)
+            if len(docs) == 0:
+                return _EMPTY_I, _EMPTY_F
+            pos, occ_off = seg.positions(term)
+            doc_of_occ = np.repeat(docs, freqs)
+            k = doc_of_occ * _POS_SHIFT + (pos - np.int64(rel))
+            keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+            if len(keys) == 0:
+                return _EMPTY_I, _EMPTY_F
     match_docs = (keys >> np.int64(32)).astype(np.int64)
     uniq, counts = np.unique(match_docs, return_counts=True)
     if not scoring:

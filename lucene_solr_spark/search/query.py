@@ -326,8 +326,19 @@ def _analyze_to_query(text: str, analyzer: str) -> Query:
 
 
 def parse_query(text: str, analyzer: str = "code") -> Query:
-    """Parse the benchmark-style query syntax into a Query tree."""
-    text = text.strip()
+    """Parse the benchmark-style query syntax into a Query tree.
+
+    Parses are memoized (queries are frozen dataclasses — safe to share):
+    the role of Solr's query-parsing layer caches in a large batched job,
+    where the same query strings recur across requests."""
+    return _parse_query_cached(text.strip(), analyzer)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
+def _parse_query_cached(text: str, analyzer: str = "code") -> Query:
     # sloppy phrase: "..."~N (QueryParser proximity syntax)
     slop = 0
     if text.startswith('"') and "~" in text and text.rsplit("~", 1)[1].isdigit():

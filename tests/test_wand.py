@@ -221,6 +221,24 @@ def test_and_pruning_skips_decode(skewed_seg):
     assert np.array_equal(d, d1) and np.array_equal(s, s1)
 
 
+def test_phrase_lazy_positions_skip_decode(skewed_seg):
+    """A rare-AND-hot phrase decodes only the hot term's candidate-covering
+    blocks (lazy positions through the skip pointers), and matches the
+    exhaustive evaluation exactly."""
+    from lucene_solr_spark.search.query import PhraseQuery
+
+    rows, norms, max_doc, ctx = skewed_seg
+    q = PhraseQuery(("needle", "alpha"), (0, 1))
+    seg = SegmentPostings(rows, norms, max_doc)
+    d1, s1 = eval_query(q, seg, ctx)
+    total_df = int(rows["needle"][0]["df"]) + int(rows["alpha"][0]["df"])
+    assert seg.decoded_postings < total_df // 2, (seg.decoded_postings, total_df)
+    # exhaustive reference: force the deleted-segment (old) path
+    seg2 = SegmentPostings(rows, norms, max_doc, deleted=np.array([max_doc + 5]))
+    d2, s2 = eval_query(q, seg2, ctx)
+    assert np.array_equal(d1, d2) and np.array_equal(s1, s2)
+
+
 def test_term_pruned_matches_exhaustive_random(seg_and_ctx):
     seg, ctx, vocab = seg_and_ctx
     rng = np.random.RandomState(11)
