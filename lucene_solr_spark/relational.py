@@ -205,6 +205,66 @@ def unique_priority(spark, sf_dir):
 UNIQUE_SQL = "SELECT DISTINCT o_orderpriority FROM orders"
 
 
+# ReduceStream + within-reduce tuple ops (ReduceStream.java:47 and
+# solr/solrj/.../io/ops/): the stream groups sorted tuples by key and applies
+# an operation per group. All four reference operations in one plan, each as
+# a partial+final aggregate (map-side combinable, one shuffle on the key):
+# - GroupOperation (GroupOperation.java:39, "top N tuples per group by sort"):
+#   collect_list -> array_sort -> slice 3 (top-3 orders by price desc).
+# - ConcatOperation (ConcatOperation.java:37, join field values into one):
+#   concat_ws over the grouped keys.
+# - DistinctOperation (DistinctOperation.java:34, first tuple per group):
+#   min_by on the group's sort key.
+# - ReplaceOperation (ReplaceWithValueOperation.java:33, rewrite field values
+#   that equal X): when(status=='P', 'PENDING') before aggregation.
+def reduce_group_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    top3 = F.transform(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("o_totalprice")).alias("np"),
+                        F.col("o_orderkey").alias("k"),
+                    )
+                )
+            ),
+            1,
+            3,
+        ),
+        lambda s: s["k"].cast("string"),
+    )
+    replaced = F.when(F.col("o_orderstatus") == "P", F.lit("PENDING")).otherwise(
+        F.col("o_orderstatus")
+    )
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(",", top3).alias("top_orders"),
+        F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+        F.concat_ws("/", F.array_sort(F.collect_set(replaced))).alias("statuses"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+REDUCE_GROUP_SQL = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_orderpriority,
+         CASE WHEN o_orderstatus = 'P' THEN 'PENDING' ELSE o_orderstatus END AS status,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS rn
+  FROM orders)
+SELECT o_custkey,
+       string_agg(CASE WHEN rn <= 3 THEN CAST(o_orderkey AS VARCHAR) END,
+                  ',' ORDER BY rn) AS top_orders,
+       arg_min(o_orderpriority, o_orderkey) AS first_priority,
+       string_agg(DISTINCT status, '/' ORDER BY status) AS statuses,
+       count(*) AS n_orders
+FROM ranked
+GROUP BY o_custkey
+"""
+
+
 # RankStream (RankStream.java:48): global top-N by comparator
 def rank_orders(spark, sf_dir):
     return (
@@ -686,7 +746,7 @@ RELATIONAL_OPS: dict[str, tuple] = {
     "rollup_lineitem": (rollup_lineitem, ROLLUP_SQL),
     "facets_all": (facets_all, FACETS_ALL_SQL),
     "having_suppliers": (having_suppliers, HAVING_SQL),
-    "unique_priority": (unique_priority, UNIQUE_SQL),
+    "reduce_group_orders": (reduce_group_orders, REDUCE_GROUP_SQL),
     "rank_orders": (rank_orders, RANK_SQL),
     "select_revenue": (select_revenue, SELECT_SQL),
     "join_orders_customer": (join_orders_customer, JOIN_OC_SQL),
@@ -706,6 +766,9 @@ RELATIONAL_OPS: dict[str, tuple] = {
 
 # pytest-gated only: per-variant ops folded into the compound driver entries.
 RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
+    # UniqueStream is DISTINCT — its semantics are fully covered by the
+    # DistinctOperation inside reduce_group_orders, which took its window slot
+    "unique_priority": (unique_priority, UNIQUE_SQL),
     "facet_field_mktsegment": (facet_field_mktsegment, FACET_FIELD_SQL),
     "facet_range_price": (facet_range_price, FACET_RANGE_SQL),
     "facet_query_orders": (facet_query_orders, FACET_QUERY_SQL),
