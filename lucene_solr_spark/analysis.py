@@ -162,11 +162,62 @@ def analyze_simple(text: str) -> tuple[list[str], list[int]]:
     return terms, list(range(len(terms)))
 
 
+def analyze_code_graph(text: str) -> tuple[list[str], list[int]]:
+    """The ``code`` chain with ``WordDelimiterGraphFilter``'s CATENATE_ALL +
+    PRESERVE_ORIGINAL flags (``WordDelimiterGraphFilter.java:99-164``):
+    every original token that splits into more than one part additionally
+    emits, STACKED at the first part's position (posIncr=0, the graph
+    filter's injected-token semantics):
+
+    - the catenation of its parts   (``parseHttp500`` → ``parsehttp500``)
+    - the original token, lowered   (``foo_bar``      → ``foo_bar``)
+
+    deduplicated when identical. Stacked tokens are overlaps: they do NOT
+    count toward field length (``BM25Similarity`` discountOverlaps,
+    ``FieldInvertState.numOverlap``) — norms, and therefore BM25 scores of
+    non-stacked terms, are identical to the plain ``code`` chain.
+
+    This is an INDEX-SIDE chain (the standard Solr configuration: catenation
+    at query time produces graph queries with known anomalies — see the
+    reference's WDGF class javadoc). ``analyze_query`` therefore analyzes
+    queries for this chain with the base ``code`` rules; a single-token query
+    ``parsehttp500`` matches documents containing ``parseHttp500`` through
+    the catenated indexed term. Per-token Python (not the whole-document C
+    pass) — an opt-in chain, not the engine default.
+    """
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+    for m in _TOKEN_RE.finditer(text):
+        tok = m.group()
+        if len(tok) > MAX_TOKEN_LENGTH:
+            continue
+        parts = _split_subwords(tok)
+        if not parts:
+            continue
+        low_parts = [p.lower() for p in parts]
+        if len(parts) > 1:
+            for s in sorted({"".join(low_parts), tok.lower()}):
+                if s not in ENGLISH_STOP_WORDS:
+                    terms.append(s)
+                    positions.append(pos)
+        for i, lp in enumerate(low_parts):
+            if lp not in ENGLISH_STOP_WORDS:
+                terms.append(lp)
+                positions.append(pos + i)
+        pos += len(parts)
+    return terms, positions
+
+
 ANALYZERS = {
     "code": analyze_code,
+    "code_graph": analyze_code_graph,
     "english": analyze_english,
     "simple": analyze_simple,
 }
+
+# graph chains are index-side only; queries analyze with the base rules
+QUERY_CHAIN = {"code_graph": "code"}
 
 # DuckDB-side equivalent of analyze_simple, used when emitting oracle SQL.
 SIMPLE_SQL_TOKENIZE = "regexp_extract_all(lower({col}), '[a-z0-9]+')"
@@ -174,13 +225,17 @@ SIMPLE_SQL_TOKENIZE = "regexp_extract_all(lower({col}), '[a-z0-9]+')"
 
 def analyze_batch(
     texts, analyzer: str = "code"
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Tokenize a batch of documents in one flat pass.
 
     Returns (terms object-array, positions int32, doc_lens int32, doc_start
-    int64) where ``terms``/``positions`` are flat concatenations over the
-    batch, ``doc_lens[i]`` = number of emitted tokens for doc i (the norm
-    length), and ``doc_start`` marks each doc's first flat index.
+    int64, norm_lens int32) where ``terms``/``positions`` are flat
+    concatenations over the batch, ``doc_lens[i]`` = number of emitted tokens
+    for doc i (segments the flat arrays), ``doc_start`` marks each doc's
+    first flat index, and ``norm_lens[i]`` = the field length for norms =
+    occupied position slots, i.e. emitted tokens minus posIncr=0 overlaps
+    (``FieldInvertState.length - numOverlap``, discountOverlaps). For chains
+    without stacked tokens norm_lens == doc_lens.
 
     The regex work is one C-level pass per document; lowercase, stopword
     masking and position assignment are flat numpy over the whole batch (the
@@ -222,17 +277,20 @@ def analyze_batch(
             lens = np.zeros(len(texts), dtype=np.int32)
         starts = np.zeros(len(texts), dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
-        return terms, positions, lens, starts
+        return terms, positions, lens, starts, lens
 
     fn = ANALYZERS[analyzer]
     all_terms: list[str] = []
     all_pos: list[int] = []
     lens = np.empty(len(texts), dtype=np.int32)
+    norm_lens = np.empty(len(texts), dtype=np.int32)
     for i, t in enumerate(texts):
         terms, pos = fn(t if t is not None else "")
         all_terms.extend(terms)
         all_pos.extend(pos)
         lens[i] = len(terms)
+        # field length = occupied position slots (stacked tokens share a slot)
+        norm_lens[i] = len(set(pos))
     starts = np.zeros(len(texts), dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
     return (
@@ -240,9 +298,11 @@ def analyze_batch(
         np.asarray(all_pos, dtype=np.int32),
         lens,
         starts,
+        norm_lens,
     )
 
 
 def analyze_query(text: str, analyzer: str = "code") -> list[str]:
-    """Analyze query text with the same chain (QueryBuilder.java:60-135)."""
-    return ANALYZERS[analyzer](text)[0]
+    """Analyze query text with the same chain (QueryBuilder.java:60-135).
+    Index-side graph chains analyze queries with their base rules."""
+    return ANALYZERS[QUERY_CHAIN.get(analyzer, analyzer)](text)[0]

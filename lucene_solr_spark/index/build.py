@@ -114,11 +114,15 @@ def build_segment_frame(
     sort occurrences by (term, doc, pos), derive postings runs, delta+VByte
     encode every term's lists in ONE flat pass, then slice per-term blobs.
     """
-    terms_flat, pos_flat, doc_lens, _doc_starts = analyze_batch(content, analyzer)
+    terms_flat, pos_flat, doc_lens, _doc_starts, norm_lens = analyze_batch(
+        content, analyzer
+    )
     max_doc = len(content)
-    norm_bytes = int_to_byte4(doc_lens.astype(np.int64))  # 0 for empty docs
-    doc_count = int((doc_lens > 0).sum())
-    sum_len = int(doc_lens.astype(np.int64).sum())
+    # norms count position slots, not emitted tokens (discountOverlaps);
+    # doc_lens (emitted tokens) segments the flat occurrence arrays below
+    norm_bytes = int_to_byte4(norm_lens.astype(np.int64))  # 0 for empty docs
+    doc_count = int((norm_lens > 0).sum())
+    sum_len = int(norm_lens.astype(np.int64).sum())
 
     rows: dict = {}
     if len(terms_flat) > 0:

@@ -62,7 +62,9 @@ class OracleIndex:
             terms, positions = analyze(content if content is not None else "")
             for t, p in zip(terms, positions):
                 self.postings[t].setdefault(coord, []).append(p)
-            n = len(terms)
+            # field length = occupied position slots (stacked posIncr=0
+            # tokens are overlaps and don't count — discountOverlaps)
+            n = len(set(positions))
             self.lengths[coord] = n
             self.norm_byte[coord] = int(int_to_byte4(np.array([n]))[0])
             if n > 0:

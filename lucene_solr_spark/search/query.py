@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ..analysis import ANALYZERS
+from ..analysis import ANALYZERS, QUERY_CHAIN
 
 
 class Query:
@@ -339,6 +339,8 @@ from functools import lru_cache
 
 @lru_cache(maxsize=65536)
 def _parse_query_cached(text: str, analyzer: str = "code") -> Query:
+    # index-side graph chains (code_graph) analyze queries with base rules
+    analyzer = QUERY_CHAIN.get(analyzer, analyzer)
     # sloppy phrase: "..."~N (QueryParser proximity syntax)
     slop = 0
     if text.startswith('"') and "~" in text and text.rsplit("~", 1)[1].isdigit():

@@ -69,7 +69,7 @@ def test_scalar_matches_naive(text):
 @settings(max_examples=60, deadline=None)
 @given(st.lists(texts, min_size=0, max_size=8))
 def test_batch_matches_naive(batch):
-    t_flat, p_flat, lens, starts = analyze_batch(batch, "code")
+    t_flat, p_flat, lens, starts, _nl = analyze_batch(batch, "code")
     off = 0
     for i, t in enumerate(batch):
         nt, npos = naive_chain(t)
@@ -81,7 +81,7 @@ def test_batch_matches_naive(batch):
 
 def test_corpus_parity():
     content = synth_corpus_local(300)["content"].tolist()
-    t_flat, p_flat, lens, starts = analyze_batch(content, "code")
+    t_flat, p_flat, lens, starts, _nl = analyze_batch(content, "code")
     off = 0
     for i, t in enumerate(content):
         nt, npos = naive_chain(t)

@@ -54,7 +54,7 @@ def test_english_batch_matches_scalar():
         "the running dogs", "", "parseHttp connections allowed",
         "relational databases are effective", "caresses ponies ties",
     ]
-    t_flat, p_flat, lens, _ = analyze_batch(texts, "english")
+    t_flat, p_flat, lens, _, _nl = analyze_batch(texts, "english")
     off = 0
     for i, t in enumerate(texts):
         st, sp = analyze_english(t)
