@@ -209,11 +209,36 @@ def analyze_code_graph(text: str) -> tuple[list[str], list[int]]:
     return terms, positions
 
 
+def _make_ngram_analyzer(n: int):
+    """``NGramTokenizer`` with minGram == maxGram == n
+    (``analysis/ngram/NGramTokenizer.java:58``): lowercase, then emit every
+    character n-gram of each alphanumeric run, one position per gram,
+    positions consecutive across the document (the tokenizer's stream
+    semantics). Runs shorter than n emit nothing (Lucene behaviour)."""
+
+    def analyze(text: str) -> tuple[list[str], list[int]]:
+        terms: list[str] = []
+        positions: list[int] = []
+        pos = 0
+        for run in _SIMPLE_RE.findall(text.lower()):
+            for i in range(len(run) - n + 1):
+                terms.append(run[i : i + n])
+                positions.append(pos)
+                pos += 1
+        return terms, positions
+
+    return analyze
+
+
+# fixed-size character-gram chains: the fields NGramPhraseQuery optimizes
+NGRAM_SIZES = {"ngram2": 2, "ngram3": 3}
+
 ANALYZERS = {
     "code": analyze_code,
     "code_graph": analyze_code_graph,
     "english": analyze_english,
     "simple": analyze_simple,
+    **{name: _make_ngram_analyzer(n) for name, n in NGRAM_SIZES.items()},
 }
 
 # graph chains are index-side only; queries analyze with the base rules

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ..analysis import ANALYZERS, QUERY_CHAIN
+from ..analysis import ANALYZERS, NGRAM_SIZES, QUERY_CHAIN
 
 
 class Query:
@@ -357,6 +357,25 @@ def _parse_query_cached(text: str, analyzer: str = "code") -> Query:
         rel = tuple(p - base for p in pos)
         if slop > 0 and len(terms) == 2:
             return SloppyPhraseQuery(tuple(terms), rel, slop)
+        # NGramPhraseQuery optimization (search/NGramPhraseQuery.java:34-79):
+        # a phrase of consecutive fixed-size grams matches iff every n-th
+        # gram plus the last one matches at its position — the kept grams
+        # tile the query string, so the match set is identical with ~1/n the
+        # posting work. Scores change (fewer pseudo-terms), as in Lucene.
+        n = NGRAM_SIZES.get(analyzer)
+        if (
+            n
+            and len(terms) > 2
+            and all(len(t) == n for t in terms)
+            and rel == tuple(range(len(terms)))
+        ):
+            keep = list(range(0, len(terms), n))
+            if keep[-1] != len(terms) - 1:
+                keep.append(len(terms) - 1)
+            if len(keep) < len(terms):
+                return PhraseQuery(
+                    tuple(terms[i] for i in keep), tuple(keep)
+                )
         return PhraseQuery(tuple(terms), rel)
     # +/- syntax
     toks = text.split()
