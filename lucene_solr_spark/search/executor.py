@@ -142,6 +142,51 @@ POSTING_COLS = [
 ]
 
 
+class LRUQueryResultCache:
+    """``LRUQueryCache`` + ``UsageTrackingQueryCachingPolicy`` role
+    (``search/LRUQueryCache.java:68``, ``UsageTrackingQueryCachingPolicy.java:36``)
+    adapted to the distributed engine: in Lucene the reusable per-reader
+    artifact is a filter's DocIdSet; here per-segment evaluation happens
+    inside one Spark job, so the reusable artifact across requests is the
+    reduced top-k result (≤ k rows). Entries are scoped to one searcher's
+    commit-point snapshot — reader-core semantics: a new searcher (NRT
+    refresh) starts a fresh cache, so no invalidation logic is needed.
+    Admission mirrors the usage-tracking policy: a query must be seen at
+    least ``min_frequency`` times in the recent-history ring before its
+    result is materialized and cached (one-off queries never pay the
+    collect)."""
+
+    def __init__(self, max_entries: int = 256, history: int = 256, min_frequency: int = 2):
+        from collections import OrderedDict, deque
+
+        self.max_entries = max_entries
+        self.min_frequency = min_frequency
+        self._entries: "OrderedDict" = OrderedDict()
+        self._history: "deque" = deque(maxlen=history)
+        self.hit_count = 0
+        self.miss_count = 0
+
+    def seen(self, key) -> bool:
+        """Record a sighting; True once the key is frequent enough to cache."""
+        self._history.append(key)
+        return sum(1 for k in self._history if k == key) >= self.min_frequency
+
+    def get(self, key):
+        e = self._entries.get(key)
+        if e is None:
+            self.miss_count += 1
+            return None
+        self._entries.move_to_end(key)
+        self.hit_count += 1
+        return e
+
+    def put(self, key, value) -> None:
+        self._entries[key] = value
+        self._entries.move_to_end(key)
+        while len(self._entries) > self.max_entries:
+            self._entries.popitem(last=False)
+
+
 class IndexSearcher:
     LMD_MU = 2000.0  # LMDirichletSimilarity default µ (:54)
 
@@ -206,6 +251,8 @@ class IndexSearcher:
         idx_path = os.path.join(index_dir, "index")
         self._postings_df = spark.read.parquet(idx_path)
         self._term_stats_df = spark.read.parquet(latest_term_stats_dir(index_dir))
+        # top-k result cache, scoped to this searcher's snapshot
+        self.query_cache = LRUQueryResultCache()
 
     # -------------------------------------------------------------- stats --
     def term_stats(self, terms: set[str]) -> dict[str, int]:
@@ -349,6 +396,22 @@ class IndexSearcher:
 
     # ------------------------------------------------------------- search --
     def search(self, query: Query | str, k: int = 10) -> DataFrame:
+        """Single-query search through the LRU result cache: a query seen
+        ``min_frequency`` times on this searcher has its ≤ k-row result
+        materialized once and replayed as a local DataFrame on every repeat
+        (LRUQueryCache.doCache wrapping)."""
+        cache = self.query_cache
+        key = (query, k)
+        if cache is not None and k is not None:
+            hit = cache.get(key)
+            if hit is not None:
+                rows, schema = hit
+                return self.spark.createDataFrame(rows, schema=schema)
+            if cache.seen(key):
+                df = self.search_many({0: query}, k).drop("qid")
+                rows, schema = df.collect(), df.schema
+                cache.put(key, (rows, schema))
+                return self.spark.createDataFrame(rows, schema=schema)
         return self.search_many({0: query}, k).drop("qid")
 
     def search_many(
