@@ -125,6 +125,32 @@ class OracleIndex:
         if isinstance(q, SloppyPhraseQuery):
             idfs = np.array([self._weight(t) for t in q.phrase_terms], np.float32)
             w = bm25.term_weight(bm25.phrase_idf(idfs), q.boost)
+            if len(q.phrase_terms) > 2:
+                # n-term: minimal-window sweep over rel-adjusted positions —
+                # the helper is shared with the engine kernel verbatim
+                from .search.kernels import sloppy_weight_n
+
+                plists = [self.postings.get(t, {}) for t in q.phrase_terms]
+                out = {}
+                docs = set(plists[0])
+                for p in plists[1:]:
+                    docs &= set(p)
+                for coord in docs:
+                    adj = [
+                        np.array(sorted(p[coord]), np.int64) - np.int64(rel)
+                        for p, rel in zip(plists, q.positions)
+                    ]
+                    freq = sloppy_weight_n(adj, q.slop)
+                    if freq > 0:
+                        f = np.float32(freq)
+                        s = bm25.score(
+                            np.array([f], np.float32),
+                            np.array([self.norm_byte[coord]], np.uint8),
+                            w,
+                            self.cache,
+                        )[0]
+                        out[coord] = float(s) if scoring else 0.0
+                return out
             t1, t2 = q.phrase_terms
             r1, r2 = q.positions
             p1 = self.postings.get(t1, {})

@@ -598,7 +598,17 @@ def _eval_sloppy_phrase(
     (``PhraseScorer.java:73-81``). One vectorized key-intersection per delta
     — 2·slop+1 bulk passes of the exact-phrase machinery, no per-doc loops.
     Scored as a pseudo-term with idf = Σ term idfs, tf = Σ weights (float).
+
+    n > 2 terms route to the minimal-window sweep over rel-adjusted
+    positions (``SloppyPhraseMatcher.java:56`` matchLength = max − min of
+    the adjusted phrase positions): candidate docs via the vectorized
+    conjunction, per-candidate k-way sweep counting each minimal window
+    once with weight 1/(1+matchLength). Repeating phrase terms are treated
+    as independent lists (documented deviation from the reference's
+    repeat-group handling).
     """
+    if len(q.phrase_terms) > 2:
+        return _eval_sloppy_phrase_n(q, seg, ctx, scoring)
     t1, t2 = q.phrase_terms
     rel1, rel2 = q.positions
     d1, f1 = seg.docs_freqs(t1)
@@ -624,6 +634,63 @@ def _eval_sloppy_phrase(
     uniq, inv = np.unique(docs_cat, return_inverse=True)
     freq = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(freq, inv, w_cat)
+    if not scoring:
+        return uniq, np.zeros(len(uniq), dtype=np.float64)
+    w = ctx.phrase_weight(q.phrase_terms)
+    if ctx.f32:
+        freq = freq.astype(np.float32).astype(np.float64)
+    return uniq, ctx.score(freq, seg.norms[uniq], w)
+
+
+def sloppy_weight_n(adj_lists, slop: int) -> float:
+    """Σ sloppyWeight over minimal windows of rel-ADJUSTED position lists
+    (sorted): matchLength = max − min of the window; each minimal window
+    counts once. Shared verbatim by the engine kernel and the pure-Python
+    oracle — what the parity tests then check is the distributed plumbing."""
+    n = len(adj_lists)
+    idx = [0] * n
+    total = 0.0
+    while all(idx[i] < len(adj_lists[i]) for i in range(n)):
+        cur = [int(adj_lists[i][idx[i]]) for i in range(n)]
+        lo = min(range(n), key=lambda i: cur[i])
+        d = max(cur) - cur[lo]
+        if d <= slop:
+            total += 1.0 / (1 + d)
+        idx[lo] += 1
+    return total
+
+
+def _eval_sloppy_phrase_n(
+    q: SloppyPhraseQuery, seg: SegmentPostings, ctx: QueryContext, scoring: bool
+):
+    """n-term sloppy phrase: conjunction-restricted candidates, then the
+    minimal-window sweep per candidate (same evaluation shape as
+    ``_eval_span_near`` — spans are inherently sequential; candidates are
+    few by construction)."""
+    lists = [seg.docs_freqs(t) for t in q.phrase_terms]
+    if any(len(d) == 0 for d, _ in lists):
+        return _EMPTY_I, _EMPTY_F
+    cand = lists[0][0]
+    for d, _ in lists[1:]:
+        idx = np.minimum(np.searchsorted(d, cand), len(d) - 1)
+        cand = cand[d[idx] == cand]
+        if len(cand) == 0:
+            return _EMPTY_I, _EMPTY_F
+    pos_all = [seg.positions(t) for t in q.phrase_terms]
+    match_docs, match_w = [], []
+    for doc in cand:
+        adj = []
+        for (docs_t, _), (pos, occ_off), rel in zip(lists, pos_all, q.positions):
+            i = int(np.searchsorted(docs_t, doc))
+            adj.append(pos[occ_off[i] : occ_off[i + 1]] - np.int64(rel))
+        w = sloppy_weight_n(adj, q.slop)
+        if w > 0:
+            match_docs.append(int(doc))
+            match_w.append(w)
+    if not match_docs:
+        return _EMPTY_I, _EMPTY_F
+    uniq = np.array(match_docs, dtype=np.int64)
+    freq = np.array(match_w, dtype=np.float64)
     if not scoring:
         return uniq, np.zeros(len(uniq), dtype=np.float64)
     w = ctx.phrase_weight(q.phrase_terms)

@@ -61,10 +61,12 @@ class SloppyPhraseQuery(Query):
     1/(1+distance) to the phrase freq (``PhraseScorer.java:73-81`` /
     ``ExactPhraseMatcher`` vs sloppy matcher split).
 
-    Scope note (documented deviation): two terms, and freq sums over ALL
-    in-window occurrence pairs rather than the reference's greedy
-    repeat-aware matcher — identical for non-repeating terms at small slop,
-    which is the ``pf``/quoted-``~N`` regime this models. The same
+    Scope note (documented deviation): two-term queries sum over ALL
+    in-window occurrence pairs; n > 2 terms count each minimal window of
+    rel-adjusted positions once (matchLength = max − min), with repeating
+    terms treated as independent lists rather than the reference's
+    repeat-group handling — identical for non-repeating terms at small
+    slop, which is the ``pf``/quoted-``~N`` regime this models. The same
     definition is used by the engine kernel, the pure-python oracle and the
     DuckDB SQL oracle, so parity is exact."""
 
@@ -74,8 +76,8 @@ class SloppyPhraseQuery(Query):
     boost: float = 1.0
 
     def __post_init__(self):
-        if len(self.phrase_terms) != 2:
-            raise NotImplementedError("sloppy phrase supports 2 terms in v1")
+        if len(self.phrase_terms) < 2:
+            raise ValueError("sloppy phrase needs at least 2 terms")
 
     def terms(self):
         return set(self.phrase_terms)
@@ -355,7 +357,7 @@ def _parse_query_cached(text: str, analyzer: str = "code") -> Query:
             return TermQuery(terms[0])
         base = pos[0]
         rel = tuple(p - base for p in pos)
-        if slop > 0 and len(terms) == 2:
+        if slop > 0:
             return SloppyPhraseQuery(tuple(terms), rel, slop)
         # NGramPhraseQuery optimization (search/NGramPhraseQuery.java:34-79):
         # a phrase of consecutive fixed-size grams matches iff every n-th

@@ -106,3 +106,69 @@ def test_span_matches_brute_force_random():
                 else _span_weight_unordered(pls, slop)
             )
             assert (i in d) == (w > 0), (clauses, slop, in_order, i)
+
+
+# ---------------------------------------------------------------- n-term ~N --
+def test_sloppy_n_hand_cases():
+    from lucene_solr_spark.search.kernels import sloppy_weight_n
+
+    # exact in-order occurrence of a 3-term phrase: matchLength 0, weight 1
+    # (adjusted lists: pos_i - rel_i all equal)
+    assert sloppy_weight_n([np.array([0]), np.array([0]), np.array([0])], 0) == 1.0
+    # one term displaced by 2: needs slop >= 2, weight 1/3
+    assert sloppy_weight_n([np.array([0]), np.array([2]), np.array([0])], 1) == 0.0
+    assert sloppy_weight_n([np.array([0]), np.array([2]), np.array([0])], 2) == pytest.approx(1 / 3)
+    # fully reversed 3-term phrase: adjusted spread 4 (see SloppyPhraseMatcher)
+    assert sloppy_weight_n([np.array([-2]), np.array([0]), np.array([2])], 3) == 0.0
+    assert sloppy_weight_n([np.array([-2]), np.array([0]), np.array([2])], 4) == pytest.approx(0.2)
+
+
+def test_sloppy_n_end_to_end():
+    from lucene_solr_spark.search.query import parse_query
+
+    docs = [
+        "alpha beta gamma trail",       # exact: w=1
+        "alpha beta filler gamma",      # gamma displaced 1: w=1/2 at slop>=1
+        "gamma beta alpha",             # reversed: spread 4
+        "alpha gamma beta",             # partial scramble
+        "alpha beta delta",             # missing gamma: never matches
+    ]
+    seg, ctx = _seg(docs)
+    q0 = parse_query('"alpha beta gamma"~0')
+    d, s = eval_query(q0, seg, ctx)
+    assert list(d) == [0]
+    q1 = parse_query('"alpha beta gamma"~1')
+    d, _ = eval_query(q1, seg, ctx)
+    assert list(d) == [0, 1]
+    q4 = parse_query('"alpha beta gamma"~4')
+    d, _ = eval_query(q4, seg, ctx)
+    assert set(d) == {0, 1, 2, 3}
+    # exact occurrence outranks displaced ones at the same norm-ish lengths
+    d, s = eval_query(q4, seg, ctx)
+    assert d[int(np.argmax(s))] == 0
+
+
+def test_sloppy_n_engine_matches_oracle(spark, tiny_index, tiny_corpus):
+    from lucene_solr_spark.oracle import OracleIndex
+    from lucene_solr_spark.search import IndexSearcher
+    from lucene_solr_spark.search.query import parse_query
+
+    index_dir, _ = tiny_index
+    searcher = IndexSearcher(spark, index_dir)
+    oracle = OracleIndex(tiny_corpus, num_segments=4, analyzer="code")
+    queries = ['"read the file into buffer"~3', '"merge segments index"~5']
+    hits = searcher.search_many(
+        {i: parse_query(q) for i, q in enumerate(queries)}, k=10
+    ).collect()
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r.qid, []).append(
+            (r.rank, r.segment_id, r.doc_id, round(float(r.score), 4))
+        )
+    for qid, q in enumerate(queries):
+        got = sorted(by_q.get(qid, []))
+        exp = [
+            (i + 1, seg, doc, round(float(s), 4))
+            for i, (seg, doc, s) in enumerate(oracle.search(parse_query(q), k=10))
+        ]
+        assert got == exp, f"{q!r}:\n{got}\n{exp}"
