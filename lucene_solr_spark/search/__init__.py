@@ -4,6 +4,11 @@ from .query import (  # noqa: F401
     MatchNoneQuery,
     PhraseQuery,
     Query,
+    SpanFirstQuery,
+    SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
+    SpanTermQuery,
     TermQuery,
     parse_query,
     rewrite,

@@ -72,12 +72,23 @@ def _position_terms(q: Query) -> set[str]:
     """Terms whose POSITIONS the query needs (phrase matching). Everything
     else only needs docs+freqs — their (large) position blobs are never
     shuffled or shipped to the kernel."""
-    from .query import MultiPhraseQuery, PhraseQuery, SloppyPhraseQuery, SpanNearQuery
+    from .query import (
+        MultiPhraseQuery,
+        PhraseQuery,
+        SloppyPhraseQuery,
+        SpanFirstQuery,
+        SpanNearQuery,
+        SpanNotQuery,
+        SpanOrQuery,
+        SpanTermQuery,
+    )
 
     if isinstance(q, (PhraseQuery, SloppyPhraseQuery)):
         return set(q.phrase_terms)
-    if isinstance(q, SpanNearQuery):
-        return set(q.clauses)
+    if isinstance(
+        q, (SpanNearQuery, SpanTermQuery, SpanOrQuery, SpanNotQuery, SpanFirstQuery)
+    ):
+        return q.terms()
     if isinstance(q, MultiPhraseQuery):
         return {t for slot in q.slots for t in slot}
     if isinstance(q, BooleanQuery):

@@ -46,7 +46,11 @@ from .query import (
     PhraseQuery,
     Query,
     SloppyPhraseQuery,
+    SpanFirstQuery,
     SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
+    SpanTermQuery,
     SynonymQuery,
     TermQuery,
 )
@@ -464,8 +468,10 @@ def eval_query(q: Query, seg: SegmentPostings, ctx: QueryContext, scoring: bool 
         return docs, ctx.score(freqs, seg.norms[docs], ctx.weights[q.term])
     if isinstance(q, SloppyPhraseQuery):
         return _eval_sloppy_phrase(q, seg, ctx, scoring)
-    if isinstance(q, SpanNearQuery):
-        return _eval_span_near(q, seg, ctx, scoring)
+    if isinstance(
+        q, (SpanNearQuery, SpanTermQuery, SpanOrQuery, SpanNotQuery, SpanFirstQuery)
+    ):
+        return _eval_spans(q, seg, ctx, scoring)
     if isinstance(q, PhraseQuery):
         return _eval_phrase(q, seg, ctx, scoring)
     if isinstance(q, MultiPhraseQuery):
@@ -737,41 +743,156 @@ def _span_weight_unordered(pos_lists: list[np.ndarray], slop: int) -> float:
     return total
 
 
-def _eval_span_near(q: SpanNearQuery, seg: SegmentPostings, ctx: QueryContext, scoring: bool):
-    """SpanNearQuery over term clauses — candidate docs via the vectorized
-    conjunction, per-candidate position chaining (spans are inherently
-    sequential; candidates are few by construction)."""
-    lists = [seg.docs_freqs(t) for t in q.clauses]
-    if any(len(d) == 0 for d, _ in lists):
+# ------------------------------------------------------- span algebra ------
+# SpanTerm / SpanOr / SpanNot / SpanFirst / SpanNear compose recursively
+# (lucene/core search/spans/*): every node enumerates (start, end, excess)
+# triples per document, where ``excess`` is the total gap width accumulated
+# inside the span (0 for leaves). Matching at each SpanNear level tests only
+# that level's BETWEEN-children gap against its own slop (NearSpansOrdered /
+# NearSpansUnordered semantics); the top-level scorer weighs each surviving
+# span 1/(1+excess) into the span freq (SpanScorer.java:118-124). Evaluation
+# is candidate-restricted per-doc Python — the documented exception to the
+# no-per-row rule: candidates come from the vectorized doc-level combine.
+
+
+def _as_span(c):
+    return SpanTermQuery(c) if isinstance(c, str) else c
+
+
+def _span_candidates(q, seg: SegmentPostings) -> np.ndarray:
+    """Sorted doc ids that MAY have a span (exact for term/or/near; a
+    superset for not — the exclude side only removes spans per doc)."""
+    if isinstance(q, SpanTermQuery):
+        return seg.docs_freqs(q.term)[0]
+    if isinstance(q, SpanNearQuery):
+        cand = None
+        for c in q.clauses:
+            d = _span_candidates(_as_span(c), seg)
+            if len(d) == 0:
+                return _EMPTY_I
+            cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
+            if len(cand) == 0:
+                return _EMPTY_I
+        return cand if cand is not None else _EMPTY_I
+    if isinstance(q, SpanOrQuery):
+        parts = [_span_candidates(_as_span(c), seg) for c in q.clauses]
+        parts = [p for p in parts if len(p)]
+        return np.unique(np.concatenate(parts)) if parts else _EMPTY_I
+    if isinstance(q, SpanNotQuery):
+        return _span_candidates(_as_span(q.include), seg)
+    if isinstance(q, SpanFirstQuery):
+        return _span_candidates(_as_span(q.match), seg)
+    raise TypeError(type(q))
+
+
+def _term_doc_spans(seg: SegmentPostings, term: str, doc: int):
+    docs, _ = seg.docs_freqs(term)
+    i = int(np.searchsorted(docs, doc))
+    if i >= len(docs) or docs[i] != doc:
+        return []
+    pos, occ_off = seg.positions(term)
+    return [(int(p), int(p) + 1, 0) for p in pos[occ_off[i] : occ_off[i + 1]]]
+
+
+def _near_combine(kids, slop: int, in_order: bool):
+    """Combine per-child (start, end, excess) lists into near spans."""
+    out = []
+    if in_order:
+        # one span per first-clause occurrence, each next child chained to
+        # its earliest non-overlapping span (start >= previous end)
+        for s0, e0, x0 in kids[0]:
+            prev_end, covered, excess = e0, e0 - s0, x0
+            ok = True
+            for lst in kids[1:]:
+                nxt = next(((s, e, x) for s, e, x in lst if s >= prev_end), None)
+                if nxt is None:
+                    ok = False
+                    break
+                prev_end = nxt[1]
+                covered += nxt[1] - nxt[0]
+                excess += nxt[2]
+            if ok:
+                d = (prev_end - s0) - covered
+                if d <= slop:
+                    out.append((s0, prev_end, d + excess))
+        return out
+    # unordered: minimal windows covering one span per child (smallest-range
+    # sweep by start position)
+    n = len(kids)
+    idx = [0] * n
+    while all(idx[i] < len(kids[i]) for i in range(n)):
+        cur = [kids[i][idx[i]] for i in range(n)]
+        lo = min(range(n), key=lambda i: cur[i][0])
+        start = cur[lo][0]
+        end = max(c[1] for c in cur)
+        d = (end - start) - sum(c[1] - c[0] for c in cur)
+        if d <= slop:
+            out.append((start, end, max(d, 0) + sum(c[2] for c in cur)))
+        idx[lo] += 1
+    return out
+
+
+def _doc_spans(q, seg: SegmentPostings, doc: int):
+    """(start, end, excess) spans of the query in one document, start-sorted."""
+    if isinstance(q, SpanTermQuery):
+        return _term_doc_spans(seg, q.term, doc)
+    if isinstance(q, SpanNearQuery):
+        kids = []
+        for c in q.clauses:
+            sp = _doc_spans(_as_span(c), seg, doc)
+            if not sp:
+                return []
+            kids.append(sp)
+        return sorted(_near_combine(kids, q.slop, q.in_order))
+    if isinstance(q, SpanOrQuery):
+        out = []
+        for c in q.clauses:
+            out.extend(_doc_spans(_as_span(c), seg, doc))
+        return sorted(out)
+    if isinstance(q, SpanNotQuery):
+        inc = _doc_spans(_as_span(q.include), seg, doc)
+        if not inc:
+            return []
+        exc = _doc_spans(_as_span(q.exclude), seg, doc)
+        if not exc:
+            return inc
+        return [
+            s for s in inc if not any(s[0] < e[1] and e[0] < s[1] for e in exc)
+        ]
+    if isinstance(q, SpanFirstQuery):
+        return [s for s in _doc_spans(_as_span(q.match), seg, doc) if s[1] <= q.end]
+    raise TypeError(type(q))
+
+
+def _span_scoring_terms(q) -> list[str]:
+    """Terms contributing idf to the span weight — SpanNot excludes the
+    exclusion side (it never matches, only removes)."""
+    if isinstance(q, SpanNotQuery):
+        return _span_scoring_terms(_as_span(q.include))
+    if isinstance(q, SpanFirstQuery):
+        return _span_scoring_terms(_as_span(q.match))
+    return sorted(q.terms())
+
+
+def _eval_spans(q, seg: SegmentPostings, ctx: QueryContext, scoring: bool):
+    """Any span query: vectorized candidate restriction, per-candidate span
+    enumeration, freq = Σ 1/(1+excess) over the doc's spans."""
+    cand = _span_candidates(q, seg)
+    if len(cand) == 0:
         return _EMPTY_I, _EMPTY_F
-    cand = lists[0][0]
-    for d, _ in lists[1:]:
-        idx = np.minimum(np.searchsorted(d, cand), len(d) - 1)
-        cand = cand[d[idx] == cand]
-        if len(cand) == 0:
-            return _EMPTY_I, _EMPTY_F
-    pos_all = [seg.positions(t) for t in q.clauses]
     match_docs, match_w = [], []
     for doc in cand:
-        pls = []
-        for (docs_t, _), (pos, occ_off) in zip(lists, pos_all):
-            i = int(np.searchsorted(docs_t, doc))
-            pls.append(pos[occ_off[i] : occ_off[i + 1]])
-        w = (
-            _span_weight_ordered(pls, q.slop)
-            if q.in_order
-            else _span_weight_unordered(pls, q.slop)
-        )
-        if w > 0:
+        spans = _doc_spans(q, seg, int(doc))
+        if spans:
             match_docs.append(int(doc))
-            match_w.append(w)
+            match_w.append(sum(1.0 / (1 + x) for _, _, x in spans))
     if not match_docs:
         return _EMPTY_I, _EMPTY_F
     uniq = np.array(match_docs, dtype=np.int64)
     freq = np.array(match_w, dtype=np.float64)
     if not scoring:
         return uniq, np.zeros(len(uniq), dtype=np.float64)
-    w = ctx.phrase_weight(q.clauses)
+    w = ctx.phrase_weight(_span_scoring_terms(q))
     if ctx.f32:
         freq = freq.astype(np.float32).astype(np.float64)
     return uniq, ctx.score(freq, seg.norms[uniq], w)

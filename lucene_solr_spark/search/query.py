@@ -113,12 +113,68 @@ class SpanNearQuery(Query):
     ALL clauses are visited (the conjunction is vectorized; per-doc position
     chaining runs on those few candidates)."""
 
-    clauses: tuple[str, ...]
+    clauses: tuple  # str (term) or nested span queries
     slop: int = 0
     in_order: bool = True
 
     def terms(self):
-        return set(self.clauses)
+        out: set[str] = set()
+        for c in self.clauses:
+            out |= {c} if isinstance(c, str) else c.terms()
+        return out
+
+
+@dataclass(frozen=True)
+class SpanTermQuery(Query):
+    """``search/spans/SpanTermQuery.java:38``: unit spans (p, p+1) at every
+    occurrence of the term — the leaf of the span algebra."""
+
+    term: str
+
+    def terms(self):
+        return {self.term}
+
+
+@dataclass(frozen=True)
+class SpanOrQuery(Query):
+    """``search/spans/SpanOrQuery.java:42``: union of the sub-queries' span
+    enumerations, merged in document/start order."""
+
+    clauses: tuple
+
+    def terms(self):
+        out: set[str] = set()
+        for c in self.clauses:
+            out |= {c} if isinstance(c, str) else c.terms()
+        return out
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(Query):
+    """``search/spans/SpanNotQuery.java:39`` (pre = post = 0): spans of
+    ``include`` that do not overlap any span of ``exclude``. Scoring uses
+    the include side's terms only; exclude terms are needed just to ship
+    their positions."""
+
+    include: Query
+    exclude: Query
+
+    def terms(self):
+        inc = {self.include} if isinstance(self.include, str) else self.include.terms()
+        exc = {self.exclude} if isinstance(self.exclude, str) else self.exclude.terms()
+        return inc | exc
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery(Query):
+    """``search/spans/SpanFirstQuery.java:36``: spans of ``match`` that end
+    within the first ``end`` positions of the field."""
+
+    match: Query
+    end: int
+
+    def terms(self):
+        return {self.match} if isinstance(self.match, str) else self.match.terms()
 
 
 @dataclass(frozen=True)

@@ -172,3 +172,111 @@ def test_sloppy_n_engine_matches_oracle(spark, tiny_index, tiny_corpus):
             for i, (seg, doc, s) in enumerate(oracle.search(parse_query(q), k=10))
         ]
         assert got == exp, f"{q!r}:\n{got}\n{exp}"
+
+
+# -------------------------------------------------------- span algebra ------
+def test_span_or_end_to_end():
+    from lucene_solr_spark.search.query import SpanNearQuery, SpanOrQuery, SpanTermQuery
+
+    docs = [
+        "fatal error handling",     # 'error handling'
+        "fatal failure handling",   # 'failure handling'
+        "fatal handling",           # neither first clause
+        "error but not handled",    # no 'handling' adjacency
+    ]
+    seg, ctx = _seg(docs)
+    q = SpanNearQuery(
+        clauses=(SpanOrQuery((SpanTermQuery("error"), SpanTermQuery("failure"))), "handling"),
+        slop=0,
+        in_order=True,
+    )
+    d, s = eval_query(q, seg, ctx)
+    assert list(d) == [0, 1]
+    assert all(v > 0 for v in s)
+
+
+def test_span_not_excludes_overlaps():
+    from lucene_solr_spark.search.query import SpanNearQuery, SpanNotQuery
+
+    docs = [
+        "error handling code",          # matches, no 'fatal' anywhere near
+        "fatal error handling code",    # near span overlaps... fatal NOT inside the span
+        "error fatal handling",         # 'fatal' inside the matched window
+    ]
+    seg, ctx = _seg(docs)
+    inner = SpanNearQuery(clauses=("error", "handling"), slop=2, in_order=True)
+    q = SpanNotQuery(include=inner, exclude="fatal")
+    d, _ = eval_query(q, seg, ctx)
+    # doc2's only span 'error..handling' covers position of 'fatal' -> dropped;
+    # doc1's 'fatal' sits BEFORE the span (no overlap) -> kept
+    assert list(d) == [0, 1]
+
+
+def test_span_first_limits_end_position():
+    from lucene_solr_spark.search.query import SpanFirstQuery
+
+    docs = [
+        "needle early in doc",
+        "the words come first and the needle later",
+    ]
+    seg, ctx = _seg(docs)
+    q = SpanFirstQuery(match="needle", end=2)
+    d, _ = eval_query(q, seg, ctx)
+    assert list(d) == [0]
+    q_all = SpanFirstQuery(match="needle", end=100)
+    d, _ = eval_query(q_all, seg, ctx)
+    assert list(d) == [0, 1]
+
+
+def test_nested_near_checks_per_level_slop():
+    from lucene_solr_spark.search.query import SpanNearQuery
+
+    docs = [
+        "alpha beta filler filler gamma",   # inner (alpha beta) tight, gamma 3 away
+        "alpha filler beta gamma",          # inner needs slop 1
+    ]
+    seg, ctx = _seg(docs)
+    inner_tight = SpanNearQuery(clauses=("alpha", "beta"), slop=0, in_order=True)
+    outer = SpanNearQuery(clauses=(inner_tight, "gamma"), slop=2, in_order=True)
+    d, _ = eval_query(outer, seg, ctx)
+    assert list(d) == [0]  # doc1's inner span needs slop 1 -> no inner span
+    inner_loose = SpanNearQuery(clauses=("alpha", "beta"), slop=1, in_order=True)
+    outer2 = SpanNearQuery(clauses=(inner_loose, "gamma"), slop=2, in_order=True)
+    d2, s2 = eval_query(outer2, seg, ctx)
+    assert list(d2) == [0, 1]
+    # doc0 total excess 2 vs doc1 inner-excess 1 + between-gap 0 = 1: doc1's
+    # span is tighter overall, but norms differ; just check weights positive
+    assert all(v > 0 for v in s2)
+
+
+def test_generic_path_equals_unit_span_helpers():
+    """The triple-based combiner reproduces the flat unit-span weights the
+    original helpers compute (same corpus as the brute-force test)."""
+    from lucene_solr_spark.search.kernels import _doc_spans
+    from lucene_solr_spark.search.query import SpanNearQuery
+
+    rng = np.random.RandomState(23)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    docs = [" ".join(rng.choice(vocab, size=rng.randint(3, 25))) for _ in range(60)]
+    seg, ctx = _seg(docs)
+    for _ in range(15):
+        n = rng.randint(2, 4)
+        clauses = tuple(rng.choice(vocab[:3], size=n, replace=False))
+        slop = int(rng.randint(0, 4))
+        in_order = bool(rng.randint(0, 2))
+        q = SpanNearQuery(clauses=clauses, slop=slop, in_order=in_order)
+        for i, text in enumerate(docs):
+            toks = text.split()
+            pls = [
+                np.array([p for p, t in enumerate(toks) if t == c], dtype=np.int64)
+                for c in clauses
+            ]
+            if any(len(p) == 0 for p in pls):
+                continue
+            ref = (
+                _span_weight_ordered(pls, slop)
+                if in_order
+                else _span_weight_unordered(pls, slop)
+            )
+            got = sum(1.0 / (1 + x) for _, _, x in _doc_spans(q, seg, i))
+            assert got == pytest.approx(ref), (clauses, slop, in_order, i)
