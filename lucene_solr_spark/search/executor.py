@@ -211,9 +211,12 @@ class IndexSearcher:
     ):
         """precision='f32' replicates the reference's float arithmetic
         (Lucene score parity); 'f64' computes in double (SQL-oracle mode).
-        ``similarity``: 'bm25' (default), 'classic' (TFIDFSimilarity) or
-        'lmd' (LMDirichletSimilarity, µ=2000) — SURVEY §2.7; all share the
-        (freq, norm_byte) scoring seam and the block-max pruning bounds."""
+        ``similarity``: 'bm25' (default), 'classic' (TFIDFSimilarity),
+        'lmd' (LMDirichletSimilarity, µ=2000), 'lmjm'
+        (LMJelinekMercerSimilarity, λ=0.1) or 'inl2' (DFRSimilarity with
+        I(n)/L/H2, c=1) — SURVEY §2.7; all share the (freq, norm_byte)
+        scoring seam, are monotone ↑freq / ↓length, and therefore keep the
+        block-max pruning bounds admissible unchanged."""
         self.spark = spark
         self.index_dir = index_dir
         self.analyzer = analyzer
@@ -239,6 +242,21 @@ class IndexSearcher:
         elif self.sim == "lmd":
             self.avgdl = self.sum_total_term_freq / max(self.doc_count, 1)
             c = np.log(self.LMD_MU / (table + self.LMD_MU))
+            self.cache = c.astype(np.float32).astype(np.float64) if self.f32 else c
+        elif self.sim == "lmjm":
+            # LMJelinekMercerSimilarity.java:60-76 — cache holds 1/dl
+            self.avgdl = self.sum_total_term_freq / max(self.doc_count, 1)
+            with np.errstate(divide="ignore"):
+                c = 1.0 / table
+            c[table == 0] = 0.0
+            self.cache = c.astype(np.float32).astype(np.float64) if self.f32 else c
+        elif self.sim == "inl2":
+            # DFRSimilarity I(n)/L/H2 (DFRSimilarity.java:63, BasicModelIn,
+            # AfterEffectL, NormalizationH2 c=1) — cache holds log2(1+avgdl/dl)
+            self.avgdl = self.sum_total_term_freq / max(self.doc_count, 1)
+            with np.errstate(divide="ignore"):
+                c = np.log2(1.0 + self.avgdl / table)
+            c[table == 0] = 0.0
             self.cache = c.astype(np.float32).astype(np.float64) if self.f32 else c
         elif self.f32:
             self.avgdl = bm25.avgdl(self.sum_total_term_freq, max(self.doc_count, 1))
@@ -302,6 +320,12 @@ class IndexSearcher:
                 out[t] = self.LMD_MU * self._ttf_cache[t] / max(
                     self.sum_total_term_freq, 1
                 )
+            elif self.sim == "lmjm":
+                # weight = p(t|C); kernel: ln(1 + (1-λ)/λ · freq/dl / weight)
+                out[t] = self._ttf_cache[t] / max(self.sum_total_term_freq, 1)
+            elif self.sim == "inl2":
+                # BasicModelIn: log2((N+1)/(n+0.5))
+                out[t] = float(np.log2((self.doc_count + 1) / (df + 0.5)))
             elif self.f32:
                 out[t] = float(
                     bm25.term_weight(bm25.idf(np.array([df]), self.doc_count)[0])
@@ -634,10 +658,22 @@ class IndexSearcher:
             elif self.sim == "lmd":
                 tf_val = float(np.log1p(float(r.freq) / w)) if w > 0 else 0.0
                 s = max(tf_val + float(cache[norm_byte]), 0.0)
+            elif self.sim == "lmjm":
+                from .kernels import LMJM_LAMBDA
+
+                tf_val = float(r.freq) * float(cache[norm_byte])
+                s = (
+                    float(np.log1p((1.0 - LMJM_LAMBDA) / LMJM_LAMBDA * tf_val / w))
+                    if w > 0
+                    else 0.0
+                )
+            elif self.sim == "inl2":
+                tf_val = float(r.freq) * float(cache[norm_byte])  # tfn
+                s = w * tf_val / (tf_val + 1.0)
             else:
                 tf_val = float(r.freq) / (float(r.freq) + float(cache[norm_byte]))
                 s = float(np.float32(w) * np.float32(tf_val)) if self.f32 else w * tf_val
-            if self.f32 and self.sim in ("classic", "lmd"):
+            if self.f32 and self.sim in ("classic", "lmd", "lmjm", "inl2"):
                 s = float(np.float32(s))
             details.append(
                 {

@@ -60,6 +60,9 @@ _EMPTY_F = np.empty(0, dtype=np.float64)
 
 _POS_SHIFT = np.int64(1) << np.int64(32)
 
+# LMJelinekMercerSimilarity default λ (LMJelinekMercerSimilarity.java:47)
+LMJM_LAMBDA = 0.1
+
 
 class SegmentPostings:
     """Lazy decoder over one segment's posting rows for the query's terms.
@@ -390,7 +393,8 @@ class QueryContext:
     ):
         dt = np.float32 if f32 else np.float64
         self.f32 = f32
-        self.sim = sim  # "bm25" | "classic" | "lmd" (SURVEY §2.7)
+        # "bm25" | "classic" | "lmd" | "lmjm" | "inl2" (SURVEY §2.7)
+        self.sim = sim
         self.weights = {t: dt(w) for t, w in weights.items()}
         self.cache = cache.astype(dt)
         self.cache64 = self.cache.astype(np.float64)  # exact widening
@@ -402,13 +406,15 @@ class QueryContext:
         synonyms for the idf-style sims (``SynonymQuery.java:204-218``);
         under LMD the pseudo collection probability is the SUM of the
         members' (freq sums ⇒ probabilities sum)."""
-        if self.sim == "lmd":
+        if self.sim in ("lmd", "lmjm"):
             return float(sum(float(self.weights.get(t, 0.0)) for t in terms))
         df = max((self.dfs.get(t, 0) for t in terms), default=0)
         if df == 0:
             return 0.0
         if self.sim == "classic":
             w = 1.0 + np.log((self.doc_count + 1) / (df + 1.0))
+        elif self.sim == "inl2":
+            w = np.log2((self.doc_count + 1) / (df + 0.5))
         else:
             w = np.log1p((self.doc_count - df + 0.5) / (df + 0.5))
         return np.float32(w) if self.f32 else float(w)
@@ -422,7 +428,12 @@ class QueryContext:
           sqrt(freq) · lengthNorm[normByte].
         - lmd (``LMDirichletSimilarity.java:70-90``): max(0, ln(1 +
           freq/(µ·p(t|C))) + lnNorm[normByte]) with weight = µ·p(t|C).
-        All three are monotone ↑ in freq and ↓ in encoded length, so the
+        - lmjm (``LMJelinekMercerSimilarity.java:60-76``, λ=0.1): ln(1 +
+          (1−λ)/λ · freq·invLen[normByte] / p(t|C)) with weight = p(t|C).
+        - inl2 (``DFRSimilarity.java:63`` with BasicModelIn/AfterEffectL/
+          NormalizationH2, c=1): weight · tfn/(tfn+1) where tfn =
+          freq·log2(1+avgdl/dl)[normByte] and weight = log2((N+1)/(n+0.5)).
+        All are monotone ↑ in freq and ↓ in encoded length, so the
         block-max pruning bound stays admissible unchanged.
         """
         f = np.asarray(freqs, dtype=np.float64)
@@ -434,6 +445,14 @@ class QueryContext:
             if w <= 0.0:
                 return np.zeros(len(f), dtype=np.float64)
             out = np.maximum(np.log1p(f / w) + norm, 0.0)
+        elif self.sim == "lmjm":
+            w = float(weight)
+            if w <= 0.0:
+                return np.zeros(len(f), dtype=np.float64)
+            out = np.log1p((1.0 - LMJM_LAMBDA) / LMJM_LAMBDA * f * norm / w)
+        elif self.sim == "inl2":
+            tfn = f * norm
+            out = float(weight) * tfn / (tfn + 1.0)
         else:
             tf = f / (f + norm)
             if self.f32:

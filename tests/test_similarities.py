@@ -94,7 +94,48 @@ def test_lmd_scores(spark, sim_index):
             assert hits[coord] == pytest.approx(expect, rel=1e-6), coord
 
 
-@pytest.mark.parametrize("sim", ["classic", "lmd"])
+def test_lmjm_scores(spark, sim_index):
+    from lucene_solr_spark.search import IndexSearcher
+    from lucene_solr_spark.search.kernels import LMJM_LAMBDA
+
+    s = IndexSearcher(spark, sim_index, analyzer="code", similarity="lmjm",
+                      precision="f64")
+    per_doc, _, total = _naive_stats(spark, sim_index)
+    ttf = sum(t.count("parse") for t in per_doc.values())
+    hits = {(r.segment_id, r.doc_id): r.score for r in s.search("parse", k=10).collect()}
+    p = ttf / total
+    lam = LMJM_LAMBDA
+    for coord, terms in per_doc.items():
+        tf = terms.count("parse")
+        if tf == 0:
+            assert coord not in hits
+            continue
+        dl = _quantized_len(len(terms))
+        expect = math.log1p((1 - lam) / lam * (tf / dl) / p)
+        assert hits[coord] == pytest.approx(expect, rel=1e-6), coord
+
+
+def test_inl2_scores(spark, sim_index):
+    from lucene_solr_spark.search import IndexSearcher
+
+    s = IndexSearcher(spark, sim_index, analyzer="code", similarity="inl2",
+                      precision="f64")
+    per_doc, doc_count, total = _naive_stats(spark, sim_index)
+    df = sum(1 for t in per_doc.values() if "parse" in t)
+    avgdl = total / doc_count
+    hits = {(r.segment_id, r.doc_id): r.score for r in s.search("parse", k=10).collect()}
+    for coord, terms in per_doc.items():
+        tf = terms.count("parse")
+        if tf == 0:
+            assert coord not in hits
+            continue
+        dl = _quantized_len(len(terms))
+        tfn = tf * math.log2(1 + avgdl / dl)
+        expect = math.log2((doc_count + 1) / (df + 0.5)) * tfn / (tfn + 1)
+        assert hits[coord] == pytest.approx(expect, rel=1e-6), coord
+
+
+@pytest.mark.parametrize("sim", ["classic", "lmd", "lmjm", "inl2"])
 def test_pruned_paths_match_exhaustive_under_sim(spark, sim_index, sim):
     """topk_term_pruned / WAND / BlockMaxConjunction bounds stay admissible
     under every similarity (monotone in freq, anti-monotone in length)."""
