@@ -747,18 +747,72 @@ FROM sh GROUP BY doc_id
 """
 
 
-# LSH candidate pairs: docs sharing a band bucket (band = sig0||sig1)
+# LSH candidate pairs — the real banding scheme: 16 min-hash signatures
+# split into 8 bands × 2 rows (b=8, r=2 ⇒ P(candidate) = 1-(1-s²)⁸, the
+# classic S-curve with ~50% threshold at s≈0.3). One shuffle to build the
+# signatures (map-side-combinable min aggs), one explode to (band, bucket),
+# one equi-join per band key — never an all-pairs comparison, so the plan
+# survives 100×: candidate volume is governed by bucket collisions, not n².
+_LSH_BANDS = 8
+_LSH_ROWS = 2
+
+
 def minhash_lsh_pairs(spark, sf_dir):
-    sig = minhash_signatures(spark, sf_dir).withColumn(
-        "bucket", F.md5(F.concat_ws("|", "sig0", "sig1"))
+    n_sigs = _LSH_BANDS * _LSH_ROWS
+    d = (
+        _docs(spark, sf_dir)
+        .withColumn("arr", F.expr(_TOK_EXPR))
+        .filter(F.size("arr") >= 3)
     )
-    a = sig.select(F.col("doc_id").alias("doc_a"), "bucket")
-    b = sig.select(F.col("doc_id").alias("doc_b"), "bucket")
-    return a.join(b, "bucket").filter(F.col("doc_a") < F.col("doc_b")).select(
-        "doc_a", "doc_b"
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(arr)-3), i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))"
+            )
+        ).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig{i}")
+        for i in range(n_sigs)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[f"sig{b * _LSH_ROWS + r}" for r in range(_LSH_ROWS)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(_LSH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_arr).alias("x")).select(
+        "doc_id", "x.band", "x.bucket"
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()  # a pair may collide in several bands
     )
 
 
+_LSH_SIG_COLS = ",\n       ".join(
+    f"min(md5('{i}:' || shingle)) AS sig{i}" for i in range(_LSH_BANDS * _LSH_ROWS)
+)
+_LSH_BAND_SELECTS = "\n  UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
+        b=b,
+        expr=" || '|' || ".join(f"sig{b * _LSH_ROWS + r}" for r in range(_LSH_ROWS)),
+    )
+    for b in range(_LSH_BANDS)
+)
 MINHASH_LSH_SQL = f"""
 WITH arrs AS (SELECT doc_id, {_TOK_EXPR} AS arr FROM documents),
 sh AS (
@@ -767,11 +821,15 @@ sh AS (
   FROM arrs
 ),
 sig AS (
-  SELECT doc_id, md5(min(md5('0:' || shingle)) || '|' || min(md5('1:' || shingle))) AS bucket
+  SELECT doc_id, {_LSH_SIG_COLS}
   FROM sh GROUP BY doc_id
+),
+bands AS (
+  {_LSH_BAND_SELECTS}
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
 """
 
 
