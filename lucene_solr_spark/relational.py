@@ -765,7 +765,36 @@ RELATIONAL_OPS: dict[str, tuple] = {
 }
 
 # pytest-gated only: per-variant ops folded into the compound driver entries.
+# Solr function-query surface end-to-end: the string is parsed by
+# functions.parse_func (ValueSourceParser role) into one Catalyst expression.
+def func_query_lineitem(spark, sf_dir):
+    from .functions import parse_func
+
+    expr = "recip(mul(l_quantity,l_extendedprice),0.0001,1,1)"
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(parse_func(expr), 6).alias("boost"),
+            F.round(parse_func("log(add(abs(l_extendedprice),1))"), 6).alias("logf"),
+        )
+        .orderBy(F.col("boost").desc(), "l_orderkey", "l_linenumber")
+        .limit(50)
+    )
+
+
+FUNC_QUERY_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(1 / (0.0001 * (l_quantity * l_extendedprice) + 1), 6) AS boost,
+       round(log10(abs(l_extendedprice) + 1), 6) AS logf
+FROM lineitem
+ORDER BY boost DESC, l_orderkey, l_linenumber LIMIT 50
+"""
+
+
 RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
+    "func_query_lineitem": (func_query_lineitem, FUNC_QUERY_SQL),
     # UniqueStream is DISTINCT — its semantics are fully covered by the
     # DistinctOperation inside reduce_group_orders, which took its window slot
     "unique_priority": (unique_priority, UNIQUE_SQL),

@@ -1,0 +1,97 @@
+"""Solr function-query surface (ValueSourceParser, SURVEY §2.10): the
+named-function registry and the recursive-descent parser, evaluated on real
+tables and cross-checked against DuckDB."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from lucene_solr_spark.functions import FUNCTIONS, parse_func
+
+SF_DIR = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+
+
+def test_registry_covers_the_standard_families():
+    math_fns = {"abs", "add", "sub", "mul", "div", "mod", "pow", "sqrt", "log",
+                "ln", "exp", "sin", "cos", "tan", "ceil", "floor", "rint",
+                "max", "min"}
+    cond_fns = {"if", "def", "exists", "not", "and", "or", "xor",
+                "lt", "lte", "gt", "gte", "eq", "map"}
+    boost_fns = {"recip", "linear", "scale"}
+    date_geo = {"ms", "geodist", "hsin", "sqedist", "strdist"}
+    assert math_fns <= set(FUNCTIONS)
+    assert cond_fns <= set(FUNCTIONS)
+    assert boost_fns <= set(FUNCTIONS)
+    assert date_geo <= set(FUNCTIONS)
+    assert len(FUNCTIONS) >= 45
+
+
+def test_parse_rejects_garbage(spark):
+    for bad in ("nosuchfn(x)", "add(1,", "add(1) extra", "add(1,2))"):
+        with pytest.raises(ValueError):
+            parse_func(bad)
+
+
+def test_parsed_expression_matches_duckdb(spark, lineitem):
+    """recip(mul(l_quantity,l_extendedprice),0.0001,1,1) + log/abs composite
+    evaluated by Catalyst == the same arithmetic in DuckDB."""
+    import pyspark.sql.functions as F
+
+    expr = "recip(mul(l_quantity,l_extendedprice),0.0001,1,1)"
+    sdf = lineitem.filter(F.col("l_orderkey") < 100).select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln"),
+        F.round(parse_func(expr), 8).alias("v"),
+        F.round(parse_func("log(add(abs(l_extendedprice),1))"), 8).alias("v2"),
+        parse_func("if(gt(l_quantity,25),1,0)").cast("int").alias("v3"),
+    )
+    srows = sorted(map(tuple, sdf.collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    drows = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+        SELECT l_orderkey AS k, l_linenumber AS ln,
+               round(1 / (0.0001 * (l_quantity * l_extendedprice) + 1), 8) AS v,
+               round(log10(abs(l_extendedprice) + 1), 8) AS v2,
+               CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS v3
+        FROM lineitem WHERE l_orderkey < 100
+        """
+            ).fetchall(),
+        )
+    )
+    assert len(srows) == len(drows) and len(srows) > 0
+    for s, d in zip(srows, drows):
+        assert s[0] == d[0] and s[1] == d[1]
+        assert s[2] == pytest.approx(d[2], abs=1e-6)
+        assert s[3] == pytest.approx(d[3], abs=1e-6)
+        assert s[4] == d[4]
+
+
+def test_geodist_is_haversine_km(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.range(1).select(
+        parse_func("geodist(48.8566,2.3522,51.5074,-0.1278)").alias("d")
+    )
+    # Paris -> London great-circle ~343.5 km
+    assert df.collect()[0].d == pytest.approx(343.5, abs=1.0)
+
+
+def test_scale_minmax(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    vals = sorted(r.s for r in df.select(parse_func("scale(x,0,10)").alias("s")).collect())
+    assert vals == pytest.approx([0.0, 5.0, 10.0])
