@@ -543,19 +543,25 @@ def merge_segments(
         F.lit(-1).cast("bigint").alias("sum_len"),
         "shard",
     )
-    merged.write.mode("append").partitionBy("kind").parquet(idx_path)
+    # segment aggregates ride the write itself (CollectMetrics) — no re-scan
+    # of the just-written postings. n_terms = shard-0 row count: every term
+    # has exactly ONE shard-0 row (cold rows concat to shard 0; hot shards
+    # are numbered from 0), and DISTINCT aggregates aren't allowed in observe.
+    from pyspark.sql import Observation
 
-    # ---- merged segment aggregates (from what was actually written) --------
-    agg = (
-        spark.read.parquet(idx_path)
-        .filter((F.col("kind") == KIND_POSTING) & (F.col("segment_id") == new_segment_id))
-        .agg(
-            F.countDistinct("term").alias("n_terms"),
-            F.sum("df").alias("n_postings"),
-            F.sum("ttf").alias("sum_len"),
-        )
-        .collect()[0]
+    obs = Observation("merge_agg")
+    merged = merged.observe(
+        obs,
+        F.sum(F.when(F.col("shard") == 0, 1).otherwise(0)).alias("n_terms"),
+        F.sum("df").alias("n_postings"),
+        F.sum("ttf").alias("sum_len"),
     )
+    merged.write.mode("append").partitionBy("kind").parquet(idx_path)
+    from collections import namedtuple
+
+    _Agg = namedtuple("Agg", ["n_terms", "n_postings", "sum_len"])
+    got = obs.get
+    agg = _Agg(got["n_terms"], got["n_postings"], got["sum_len"])
     merged_sum_len = int(agg.sum_len or 0)
 
     # ---- norms + stats rows ------------------------------------------------
