@@ -765,6 +765,42 @@ RELATIONAL_OPS: dict[str, tuple] = {
 }
 
 # pytest-gated only: per-variant ops folded into the compound driver entries.
+# Session windows over keyed events — the batch twin of the stateful
+# streaming operator (streaming/stateful.py, applyInPandasWithState). The
+# DuckDB oracle mirrors the lag + running-sum session assignment.
+def sessionize_events(spark, sf_dir):
+    from .streaming.stateful import sessionize_batch
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return sessionize_batch(e, gap_seconds=1800.0).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, session_no
+"""
+
+
 # Solr function-query surface end-to-end: the string is parsed by
 # functions.parse_func (ValueSourceParser role) into one Catalyst expression.
 def func_query_lineitem(spark, sf_dir):
@@ -795,6 +831,7 @@ ORDER BY boost DESC, l_orderkey, l_linenumber LIMIT 50
 
 RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
     "func_query_lineitem": (func_query_lineitem, FUNC_QUERY_SQL),
+    "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     # UniqueStream is DISTINCT — its semantics are fully covered by the
     # DistinctOperation inside reduce_group_orders, which took its window slot
     "unique_priority": (unique_priority, UNIQUE_SQL),
