@@ -140,3 +140,46 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
     out["bad_manifest"] = int(bad_man)
     out["segments_checked"] = len(live)
     return out
+
+
+def verify_content_sha(
+    spark: SparkSession,
+    source_docs,
+    index_dir: str,
+    key_cols=("repo", "path", "commit"),
+) -> dict:
+    """Per-row content invariant vs the source of truth: every stored
+    document's content must be byte-identical (sha256) to the input table's
+    row with the same key, and no rows may be lost or invented. Distributed:
+    a full-outer join on the keys comparing ``sha2(content, 256)`` — only
+    the violation COUNTS are collected.
+
+    The role of the reference's stored-fields checksum verification
+    (``CheckIndex.testStoredFields`` + per-file CRC in ``codecs/``): prove
+    the index round-trips its payload exactly.
+    """
+    src = source_docs.select(
+        *key_cols, F.sha2(F.col("content"), 256).alias("src_sha")
+    )
+    stored = (
+        spark.read.parquet(os.path.join(index_dir, "docs"))
+        .select(*key_cols, F.sha2(F.col("content"), 256).alias("idx_sha"))
+    )
+    joined = src.join(stored, on=list(key_cols), how="full_outer")
+    agg = joined.agg(
+        F.sum(F.when(F.col("idx_sha").isNull(), 1).otherwise(0)).alias("missing"),
+        F.sum(F.when(F.col("src_sha").isNull(), 1).otherwise(0)).alias("extra"),
+        F.sum(
+            F.when(
+                F.col("src_sha").isNotNull()
+                & F.col("idx_sha").isNotNull()
+                & (F.col("src_sha") != F.col("idx_sha")),
+                1,
+            ).otherwise(0)
+        ).alias("sha_mismatch"),
+    ).collect()[0]
+    return {
+        "missing_in_index": int(agg.missing or 0),
+        "extra_in_index": int(agg.extra or 0),
+        "sha_mismatch": int(agg.sha_mismatch or 0),
+    }

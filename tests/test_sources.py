@@ -106,3 +106,66 @@ def test_xml_ingest(spark, tmp_path):
     assert rows["src/a.py"].content == "parse the buffer"
     assert rows["src/b.py"].repo == "default"  # synthesized defaults
     assert rows["src/b.py"].commit == "HEAD"
+
+
+def test_verify_content_sha(spark, tiny_corpus, tiny_index):
+    from lucene_solr_spark.check import verify_content_sha
+
+    index_dir, _ = tiny_index
+    docs = spark.createDataFrame(tiny_corpus)
+    ok = verify_content_sha(spark, docs, index_dir)
+    assert ok == {"missing_in_index": 0, "extra_in_index": 0, "sha_mismatch": 0}
+    # a corrupted source row must be flagged
+    import pyspark.sql.functions as F
+
+    bad = docs.withColumn(
+        "content",
+        F.when(F.col("path") == docs.collect()[0].path, F.lit("tampered")).otherwise(
+            F.col("content")
+        ),
+    )
+    flagged = verify_content_sha(spark, bad, index_dir)
+    assert flagged["sha_mismatch"] >= 1
+
+
+def test_spark_submit_entry_runs_locally(spark, tiny_corpus, tmp_path_factory):
+    """Drive scripts/spark_submit_job.py's command functions in-process (the
+    cluster invocation differs only in session ownership)."""
+    import json
+    import subprocess
+    import sys
+    import os
+
+    base = str(tmp_path_factory.mktemp("submit"))
+    src = f"{base}/docs.parquet"
+    spark.createDataFrame(tiny_corpus).write.parquet(src)
+    idx = f"{base}/idx"
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r1 = subprocess.run(
+        [sys.executable, "scripts/spark_submit_job.py", "build",
+         "--input", src, "--index", idx, "--segments", "4"],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    built = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert built["max_doc"] == len(tiny_corpus)
+    r2 = subprocess.run(
+        [sys.executable, "scripts/spark_submit_job.py", "query",
+         "--index", idx, "--q", "parse AND http", "--k", "3"],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    hits = json.loads(r2.stdout.strip().splitlines()[-1])["hits"]
+    assert 0 < len(hits) <= 3 and "score" in hits[0]
+    r3 = subprocess.run(
+        [sys.executable, "scripts/spark_submit_job.py", "check",
+         "--index", idx, "--input", src],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    chk = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert chk["structural"]["segments_checked"] == 4, chk
+    assert all(
+        v == 0 for k, v in chk["structural"].items() if k != "segments_checked"
+    ), chk
+    assert all(v == 0 for v in chk["content_sha"].values()), chk
