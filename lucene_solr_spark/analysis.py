@@ -213,8 +213,15 @@ def _make_ngram_analyzer(n: int):
     """``NGramTokenizer`` with minGram == maxGram == n
     (``analysis/ngram/NGramTokenizer.java:58``): lowercase, then emit every
     character n-gram of each alphanumeric run, one position per gram,
-    positions consecutive across the document (the tokenizer's stream
-    semantics). Runs shorter than n emit nothing (Lucene behaviour)."""
+    consecutive within a run. Run boundaries advance the position by an
+    extra ``n`` slots: the every-n-th-gram rewrite (``NGramPhraseQuery``)
+    keeps grams at position strides <= n, and within one run a matching
+    (first, last) pair forces the middle grams by character overlap — so a
+    false positive would need two kept grams straddling a boundary at a
+    stride <= n, which the n+1 boundary gap makes impossible. Without the
+    gap, a phrase whose first gram ends one run and whose last gram starts
+    the next can falsely match. Runs shorter than n emit nothing (Lucene
+    behaviour)."""
 
     def analyze(text: str) -> tuple[list[str], list[int]]:
         terms: list[str] = []
@@ -225,6 +232,7 @@ def _make_ngram_analyzer(n: int):
                 terms.append(run[i : i + n])
                 positions.append(pos)
                 pos += 1
+            pos += n  # boundary gap; see docstring
         return terms, positions
 
     return analyze

@@ -16,10 +16,12 @@ def test_ngram_emission_and_positions():
     assert pos == [0, 1, 2]
 
 
-def test_ngram_positions_consecutive_across_runs():
+def test_ngram_run_boundaries_gap_positions():
+    # n+1 position gap between runs keeps the every-nth rewrite exact
+    # (a kept-gram pair can never straddle a boundary at stride <= n)
     terms, pos = ANALYZERS["ngram3"]("foo-bar baz")
     assert terms == ["foo", "bar", "baz"]
-    assert pos == [0, 1, 2]
+    assert pos == [0, 4, 8]
 
 
 def test_short_runs_emit_nothing():
@@ -82,3 +84,57 @@ def test_rewritten_phrase_matches_full_phrase(spark, ngram_index):
     }
     assert docs_full == docs_rew
     assert any(q == 0 for q, _, _ in docs_full)  # 'parse' does occur
+
+
+def test_rewrite_equivalence_property():
+    """Random lowercase corpora + random query substrings: the rewritten
+    phrase matches exactly the docs of the all-grams phrase (kernel-level,
+    no Spark) — TestNGramPhraseQuery.testRewrite-style property."""
+    import numpy as np
+
+    from lucene_solr_spark.index.build import (
+        KIND_NORMS,
+        KIND_POSTING,
+        build_segment_frame,
+    )
+    from lucene_solr_spark.search.bm25 import idf, norm_cache, term_weight
+    from lucene_solr_spark.search.kernels import QueryContext, SegmentPostings, eval_query
+
+    rng = np.random.RandomState(31)
+    letters = list("abcd")
+    docs = [
+        "".join(rng.choice(letters, size=rng.randint(3, 12)))
+        + " "
+        + "".join(rng.choice(letters, size=rng.randint(3, 12)))
+        for _ in range(80)
+    ]
+    frame = build_segment_frame(docs, np.arange(len(docs)), 0, "ngram3")
+    norms = np.frombuffer(
+        frame[frame["kind"] == KIND_NORMS]["doc_blob"].iloc[0], np.uint8
+    )
+    posts = frame[frame["kind"] == KIND_POSTING]
+    rows = {r["term"]: [r] for r in posts.to_dict("records")}
+    seg = SegmentPostings(rows, norms, len(docs))
+    dfs = dict(zip(posts["term"], posts["df"]))
+    weights = {
+        t: float(term_weight(idf(np.array([d]), len(docs))[0])) for t, d in dfs.items()
+    }
+    sum_len = int(frame[frame["kind"] == KIND_NORMS]["sum_len"].iloc[0])
+    ctx = QueryContext(weights, norm_cache(sum_len / len(docs)), f32=True)
+    checked = 0
+    for _ in range(40):
+        src = docs[rng.randint(len(docs))].split()[rng.randint(2)]
+        if len(src) < 5:
+            continue
+        i = rng.randint(len(src) - 4)
+        word = src[i : i + rng.randint(5, min(9, len(src) - i + 1))]
+        grams, pos = ANALYZERS["ngram3"](word)
+        if len(grams) < 3:
+            continue
+        full = PhraseQuery(tuple(grams), tuple(pos))
+        rewritten = parse_query(f'"{word}"', "ngram3")
+        d_full, _ = eval_query(full, seg, ctx, scoring=False)
+        d_rew, _ = eval_query(rewritten, seg, ctx, scoring=False)
+        assert list(d_full) == list(d_rew), (word, grams)
+        checked += 1
+    assert checked >= 10
