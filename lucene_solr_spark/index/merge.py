@@ -59,7 +59,6 @@ from ..codec import (
     delta_decode_lists,
     delta_encode_lists,
     encode_posting_row,
-    encode_vbyte_fixed5,
     first_vbyte_val,
     normalize_first_vbyte,
     vbyte_decode,
@@ -348,9 +347,98 @@ def merge_segments(
         + ", first_doc bigint, last_doc bigint"
     )
 
+    def _pass1_clean(cl, st):
+        """Vectorized rebase for rows of delete-free segments — the common
+        case. Per row the work is (a) blk_last += base, (b) normalize the
+        leading vbyte to fixed-5 and shift the other block byte offsets,
+        (c) first/last doc extraction: all flat batch passes over the
+        concatenated int32 arrays / leading bytes, with one cheap slice per
+        row to re-split (no per-row numpy calls — see CLAUDE.md hot-path
+        rule)."""
+        cl = cl.reset_index(drop=True)  # align Series with the positional lists
+        n = len(cl)
+        cbase = cl["segment_id"].map(st["bases"]).to_numpy(np.int64)
+
+        # blk_last += base over the whole batch at once
+        bl_blobs = cl["blk_last"].tolist()
+        counts = np.fromiter((len(b) >> 2 for b in bl_blobs), np.int64, n)
+        big = np.frombuffer(b"".join(bl_blobs), np.int32).astype(np.int64)
+        big += np.repeat(cbase, counts)
+        bounds = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=bounds[1:])
+        buf = memoryview(big.astype(np.int32).tobytes())
+        blk_last_out = [bytes(buf[bounds[i] * 4 : bounds[i + 1] * 4]) for i in range(n)]
+        last_doc = big[bounds[1:] - 1]  # every posting row has >= 1 block
+
+        # decode every row's leading vbyte in one (n, 5) pass
+        dblobs = cl["doc_blob"].tolist()
+        first5 = np.frombuffer(
+            b"".join(b[:5].ljust(5, b"\x00") for b in dblobs), np.uint8
+        ).reshape(n, 5)
+        cont = (first5 & 0x80) != 0
+        v0 = np.where(cont.all(axis=1), 5, np.argmin(cont, axis=1) + 1)
+        sel = np.arange(5)[None, :] < v0[:, None]
+        first_val = (
+            ((first5 & np.uint8(0x7F)).astype(np.int64) << (7 * np.arange(5))) * sel
+        ).sum(axis=1)
+        enc5 = np.empty((n, 5), np.uint8)
+        for i in range(5):
+            enc5[:, i] = ((first_val >> (7 * i)) & 0x7F) | (0x80 if i < 4 else 0)
+        e5 = memoryview(enc5.tobytes())
+        doc_blob_out = [
+            b if v == 5 else bytes(e5[j * 5 : j * 5 + 5]) + b[v:]
+            for j, (b, v) in enumerate(zip(dblobs, v0))
+        ]
+
+        # blk_doc_boff[1:] += (5 - v0): add to all, subtract back at row heads
+        shift = (5 - v0).astype(np.int64)
+        bo_blobs = cl["blk_doc_boff"].tolist()
+        bcounts = np.fromiter((len(b) >> 2 for b in bo_blobs), np.int64, n)
+        bbig = np.frombuffer(b"".join(bo_blobs), np.int32).astype(np.int64)
+        bbig += np.repeat(shift, bcounts)
+        bstarts = np.zeros(n + 1, np.int64)
+        np.cumsum(bcounts, out=bstarts[1:])
+        bbig[bstarts[:-1]] -= shift
+        bbuf = memoryview(bbig.astype(np.int32).tobytes())
+        boff_out = [bytes(bbuf[bstarts[i] * 4 : bstarts[i + 1] * 4]) for i in range(n)]
+
+        return pd.DataFrame(
+            {
+                "seg_order": cl["segment_id"].map(st["order"]).astype("int32"),
+                "shard": cl["shard"].astype("int32"),
+                "term": cl["term"],
+                "df": cl["df"].astype("int64"),
+                "ttf": cl["ttf"].astype("int64"),
+                "doc_blob": doc_blob_out,
+                "freq_blob": cl["freq_blob"],
+                "pos_blob": cl["pos_blob"],
+                "blk_last": blk_last_out,
+                "blk_maxf": cl["blk_maxf"],
+                "blk_minn": cl["blk_minn"],
+                "blk_len": cl["blk_len"],
+                "blk_doc_boff": boff_out,
+                "blk_freq_boff": cl["blk_freq_boff"],
+                "blk_pos_boff": cl["blk_pos_boff"],
+                "first_doc": first_val + cbase,
+                "last_doc": last_doc,
+            }
+        )
+
     def pass1(it):
         st = bc.value
         for pdf in it:
+            if not len(pdf):
+                continue
+            dirty_mask = (
+                pdf["segment_id"].isin(st["dirty"]).to_numpy()
+                if st["dirty"]
+                else np.zeros(len(pdf), bool)
+            )
+            cl = pdf[~dirty_mask]
+            if len(cl):
+                yield _pass1_clean(cl, st)
+            if not dirty_mask.any():
+                continue
             out = {
                 k: []
                 for k in (
@@ -358,76 +446,56 @@ def merge_segments(
                     *BLOB_COLS, "first_doc", "last_doc",
                 )
             }
-            for r in pdf.itertuples(index=False):
+            for r in pdf[dirty_mask].itertuples(index=False):
                 seg = int(r.segment_id)
                 b = st["bases"][seg]
-                if seg in st["dirty"]:
-                    # full re-encode with deleted docs dropped + ids compacted
-                    mask = st["alive"][seg]
-                    newid = np.cumsum(mask) - 1  # old local id -> new local id
-                    deltas = decode_doc_deltas(r.doc_blob, r.blk_doc_boff, r.blk_len)
-                    docs = np.cumsum(deltas)
-                    freqs = decode_freq_values(r.freq_blob, r.blk_freq_boff, r.blk_len)
-                    keep = mask[docs]
-                    if not keep.any():
-                        continue
-                    pdeltas = vbyte_decode(np.frombuffer(r.pos_blob, np.uint8)).astype(np.int64)
-                    occ_starts = np.zeros(len(freqs), dtype=np.int64)
-                    np.cumsum(freqs[:-1], out=occ_starts[1:])
-                    pos = delta_decode_lists(pdeltas, occ_starts)
-                    occ_keep = np.repeat(keep, freqs)
-                    docs2 = newid[docs[keep]]
-                    freqs2 = freqs[keep]
-                    pos2 = pos[occ_keep]
-                    occ_starts2 = np.zeros(len(freqs2), dtype=np.int64)
-                    np.cumsum(freqs2[:-1], out=occ_starts2[1:])
-                    enc = encode_posting_row(docs2, freqs2)
-                    p_enc, p_nb = vbyte_encode(
-                        delta_encode_lists(pos2, occ_starts2).astype(np.uint64)
-                    )
-                    byte_cum_p = np.concatenate(([0], np.cumsum(p_nb)))
-                    blk_pos_boff = byte_cum_p[occ_starts2[enc["blk_flat"]]].astype(np.int32)
-                    norms_alive = st["norms"][seg][mask]
-                    bl, bm, bn, _ = _block_meta(docs2, freqs2, norms_alive[docs2])
-                    bl_g = (np.frombuffer(bl, np.int32) + b).astype(np.int32).tobytes()
-                    # normalize the leading vbyte to the fixed 5-byte form so
-                    # the later chain-patch is length-invariant
-                    dblob, dboff, _ = normalize_first_vbyte(
-                        enc["doc_blob"], np.frombuffer(enc["blk_doc_boff"], np.int32)
-                    )
-                    out["df"].append(len(docs2))
-                    out["ttf"].append(int(freqs2.sum()))
-                    out["doc_blob"].append(dblob)
-                    out["freq_blob"].append(enc["freq_blob"])
-                    out["pos_blob"].append(p_enc.tobytes())
-                    out["blk_last"].append(bl_g)
-                    out["blk_maxf"].append(bm)
-                    out["blk_minn"].append(bn)
-                    out["blk_len"].append(enc["blk_len"].tobytes())
-                    out["blk_doc_boff"].append(dboff.tobytes())
-                    out["blk_freq_boff"].append(enc["blk_freq_boff"])
-                    out["blk_pos_boff"].append(blk_pos_boff.tobytes())
-                    out["first_doc"].append(int(docs2[0]) + b)
-                    out["last_doc"].append(int(docs2[-1]) + b)
-                else:
-                    blk_last = np.frombuffer(r.blk_last, np.int32)
-                    dblob, dboff, first_val = normalize_first_vbyte(
-                        r.doc_blob, np.frombuffer(r.blk_doc_boff, np.int32)
-                    )
-                    out["df"].append(int(r.df))
-                    out["ttf"].append(int(r.ttf))
-                    out["doc_blob"].append(dblob)
-                    out["freq_blob"].append(r.freq_blob)
-                    out["pos_blob"].append(r.pos_blob)
-                    out["blk_last"].append((blk_last + b).astype(np.int32).tobytes())
-                    out["blk_maxf"].append(r.blk_maxf)
-                    out["blk_minn"].append(r.blk_minn)
-                    out["blk_len"].append(r.blk_len)
-                    out["blk_doc_boff"].append(dboff.tobytes())
-                    out["blk_freq_boff"].append(r.blk_freq_boff)
-                    out["blk_pos_boff"].append(r.blk_pos_boff)
-                    out["first_doc"].append(first_val + b)
-                    out["last_doc"].append(int(blk_last[-1]) + b)
+                # full re-encode with deleted docs dropped + ids compacted
+                mask = st["alive"][seg]
+                newid = np.cumsum(mask) - 1  # old local id -> new local id
+                deltas = decode_doc_deltas(r.doc_blob, r.blk_doc_boff, r.blk_len)
+                docs = np.cumsum(deltas)
+                freqs = decode_freq_values(r.freq_blob, r.blk_freq_boff, r.blk_len)
+                keep = mask[docs]
+                if not keep.any():
+                    continue
+                pdeltas = vbyte_decode(np.frombuffer(r.pos_blob, np.uint8)).astype(np.int64)
+                occ_starts = np.zeros(len(freqs), dtype=np.int64)
+                np.cumsum(freqs[:-1], out=occ_starts[1:])
+                pos = delta_decode_lists(pdeltas, occ_starts)
+                occ_keep = np.repeat(keep, freqs)
+                docs2 = newid[docs[keep]]
+                freqs2 = freqs[keep]
+                pos2 = pos[occ_keep]
+                occ_starts2 = np.zeros(len(freqs2), dtype=np.int64)
+                np.cumsum(freqs2[:-1], out=occ_starts2[1:])
+                enc = encode_posting_row(docs2, freqs2)
+                p_enc, p_nb = vbyte_encode(
+                    delta_encode_lists(pos2, occ_starts2).astype(np.uint64)
+                )
+                byte_cum_p = np.concatenate(([0], np.cumsum(p_nb)))
+                blk_pos_boff = byte_cum_p[occ_starts2[enc["blk_flat"]]].astype(np.int32)
+                norms_alive = st["norms"][seg][mask]
+                bl, bm, bn, _ = _block_meta(docs2, freqs2, norms_alive[docs2])
+                bl_g = (np.frombuffer(bl, np.int32) + b).astype(np.int32).tobytes()
+                # normalize the leading vbyte to the fixed 5-byte form so
+                # the later chain-patch is length-invariant
+                dblob, dboff, _ = normalize_first_vbyte(
+                    enc["doc_blob"], np.frombuffer(enc["blk_doc_boff"], np.int32)
+                )
+                out["df"].append(len(docs2))
+                out["ttf"].append(int(freqs2.sum()))
+                out["doc_blob"].append(dblob)
+                out["freq_blob"].append(enc["freq_blob"])
+                out["pos_blob"].append(p_enc.tobytes())
+                out["blk_last"].append(bl_g)
+                out["blk_maxf"].append(bm)
+                out["blk_minn"].append(bn)
+                out["blk_len"].append(enc["blk_len"].tobytes())
+                out["blk_doc_boff"].append(dboff.tobytes())
+                out["blk_freq_boff"].append(enc["blk_freq_boff"])
+                out["blk_pos_boff"].append(blk_pos_boff.tobytes())
+                out["first_doc"].append(int(docs2[0]) + b)
+                out["last_doc"].append(int(docs2[-1]) + b)
                 out["seg_order"].append(st["order"][seg])
                 out["shard"].append(int(r.shard))
                 out["term"].append(r.term)
@@ -470,30 +538,44 @@ def merge_segments(
 
     def patch(it):
         for pdf in it:
+            pdf = pdf.reset_index(drop=True)
+            n = len(pdf)
             hot_mask = (pdf["term_df"] > hot_df_threshold).to_numpy()
-            doc_blobs, dboffs, fboffs, pboffs = [], [], [], []
-            for blob, val, is_hot, db, fb, pb, dbb, fbb, pbb in zip(
-                pdf["doc_blob"], pdf["patch_val"], hot_mask,
-                pdf["blk_doc_boff"], pdf["blk_freq_boff"], pdf["blk_pos_boff"],
-                pdf["doc_bbase"], pdf["freq_bbase"], pdf["pos_bbase"],
-            ):
-                # leading vbyte is 5 bytes (pass1 normalized) — length-stable
-                doc_blobs.append(encode_vbyte_fixed5(int(val)) + blob[5:])
-                if is_hot:
-                    dboffs.append(db)
-                    fboffs.append(fb)
-                    pboffs.append(pb)
-                else:
-                    # rebase byte offsets into the concatenated cold blobs
-                    dboffs.append(
-                        (np.frombuffer(db, np.int32) + np.int32(dbb)).tobytes()
+            # leading vbyte is 5 bytes (pass1 normalized) — length-stable.
+            # Encode every row's patch value in one (n, 5) pass.
+            vals = pdf["patch_val"].to_numpy(np.int64)
+            enc5 = np.empty((n, 5), np.uint8)
+            for i in range(5):
+                enc5[:, i] = ((vals >> (7 * i)) & 0x7F) | (0x80 if i < 4 else 0)
+            e5 = memoryview(enc5.tobytes())
+            doc_blobs = [
+                bytes(e5[j * 5 : j * 5 + 5]) + blob[5:]
+                for j, blob in enumerate(pdf["doc_blob"])
+            ]
+            # hot rows keep their self-contained offsets; cold rows' offsets
+            # rebase into the concatenated cold blobs — batched per column
+            dboffs = pdf["blk_doc_boff"].tolist()
+            fboffs = pdf["blk_freq_boff"].tolist()
+            pboffs = pdf["blk_pos_boff"].tolist()
+            cold_idx = np.flatnonzero(~hot_mask)
+            if len(cold_idx):
+                for col, base_col, outlist in (
+                    ("blk_doc_boff", "doc_bbase", dboffs),
+                    ("blk_freq_boff", "freq_bbase", fboffs),
+                    ("blk_pos_boff", "pos_bbase", pboffs),
+                ):
+                    blobs = [outlist[j] for j in cold_idx]
+                    add = pdf[base_col].to_numpy(np.int64)[cold_idx]
+                    counts = np.fromiter(
+                        (len(b) >> 2 for b in blobs), np.int64, len(blobs)
                     )
-                    fboffs.append(
-                        (np.frombuffer(fb, np.int32) + np.int32(fbb)).tobytes()
-                    )
-                    pboffs.append(
-                        (np.frombuffer(pb, np.int32) + np.int32(pbb)).tobytes()
-                    )
+                    big = np.frombuffer(b"".join(blobs), np.int32).astype(np.int64)
+                    big += np.repeat(add, counts)
+                    bounds = np.zeros(len(blobs) + 1, np.int64)
+                    np.cumsum(counts, out=bounds[1:])
+                    buf = memoryview(big.astype(np.int32).tobytes())
+                    for k, j in enumerate(cold_idx):
+                        outlist[j] = bytes(buf[bounds[k] * 4 : bounds[k + 1] * 4])
             cols = [
                 "seg_order", "shard", "out_shard", "term", "df", "ttf", "term_df",
                 "freq_blob", "pos_blob", "blk_last", "blk_maxf", "blk_minn", "blk_len",
