@@ -84,7 +84,13 @@ def ivf_assign(
             pdf["bucket"] = np.argmax(x @ cents.T, axis=1).astype(np.int32)
             yield pdf
 
-    schema = emb_df.schema.simpleString()[7:-1] + ", bucket int"
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # exact schema extension — simpleString round-trips break on column
+    # names/types that need quoting in DDL
+    schema = StructType(
+        list(emb_df.schema.fields) + [StructField("bucket", IntegerType())]
+    )
     return emb_df.mapInPandas(kernel, schema)
 
 

@@ -72,7 +72,9 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
                     bo = np.frombuffer(boff_b, np.int32).astype(np.int64)
                     if (
                         len(bo) != n_blk
-                        or (n_blk and bo[0] != 0 and r.shard == 0)
+                        # hot shard rows are self-contained, so EVERY row's
+                        # first block offset must be 0 (shard>0 included)
+                        or (n_blk and bo[0] != 0)
                         or (np.diff(bo) < 0).any()
                         or (n_blk and bo[-1] > len(blob))
                     ):

@@ -91,7 +91,11 @@ def highlight(
     fields). ``query_text`` is analyzed with the same chain as the field."""
     terms = set(ANALYZERS[analyzer](query_text)[0])
 
-    schema = fetched.schema.simpleString()[7:-1] + ", snippet string"
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(fetched.schema.fields) + [StructField("snippet", StringType())]
+    )
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

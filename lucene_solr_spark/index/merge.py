@@ -174,8 +174,13 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_keys: DataFrame) -> int
     keys = doc_keys.select(
         F.col("segment_id").cast("int"), F.col("doc_id").cast("bigint")
     ).distinct()
+    # persist: the distinct shuffle runs once, shared by the gate count and
+    # the tombstone write (also pins the key set if doc_keys is
+    # non-deterministic, so the returned count matches what was written)
+    keys.persist()
     n = keys.count()
     if n == 0:
+        keys.unpersist()
         return 0
 
     def to_tombstone(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -212,6 +217,7 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_keys: DataFrame) -> int
         .partitionBy("kind")
         .parquet(os.path.join(index_dir, "index"))
     )
+    keys.unpersist()
     return n
 
 

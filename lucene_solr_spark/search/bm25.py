@@ -87,19 +87,41 @@ def classic_idf(df: np.ndarray, doc_count: int) -> np.ndarray:
 
 def classic_norm_cache() -> np.ndarray:
     """lengthNorm table: 1/sqrt(decoded length) per norm byte
-    (``ClassicSimilarity.java:52`` lengthNorm over the stored length)."""
+    (``ClassicSimilarity.java:52`` lengthNorm over the stored length).
+    Returned in float64 — IndexSearcher round-trips through float32 in
+    parity mode. The single source for the formula (no inline copies)."""
     table = LENGTH_TABLE.astype(np.float64)
     with np.errstate(divide="ignore"):
         t = 1.0 / np.sqrt(table)
     t[table == 0] = 0.0
-    return t.astype(np.float32)
+    return t
 
 
 def lmd_norm_cache(mu: float = 2000.0) -> np.ndarray:
     """LMDirichlet document-length component: ln(mu / (dl + mu)) per norm
-    byte (``similarities/LMDirichletSimilarity.java:79-83``)."""
+    byte (``similarities/LMDirichletSimilarity.java:79-83``). float64."""
     table = LENGTH_TABLE.astype(np.float64)
-    return np.log(mu / (table + mu)).astype(np.float32)
+    return np.log(mu / (table + mu))
+
+
+def lmjm_norm_cache() -> np.ndarray:
+    """LMJelinekMercer per-norm-byte 1/dl table
+    (``LMJelinekMercerSimilarity.java:60-76``). float64."""
+    table = LENGTH_TABLE.astype(np.float64)
+    with np.errstate(divide="ignore"):
+        t = 1.0 / table
+    t[table == 0] = 0.0
+    return t
+
+
+def inl2_norm_cache(avgdl: float) -> np.ndarray:
+    """DFR I(n)L2 normalized-length table log2(1 + avgdl/dl)
+    (``DFRSimilarity.java:63``, NormalizationH2 c=1). float64."""
+    table = LENGTH_TABLE.astype(np.float64)
+    with np.errstate(divide="ignore"):
+        t = np.log2(1.0 + avgdl / table)
+    t[table == 0] = 0.0
+    return t
 
 
 def max_block_score(

@@ -168,19 +168,26 @@ class LRUQueryResultCache:
     collect)."""
 
     def __init__(self, max_entries: int = 256, history: int = 256, min_frequency: int = 2):
-        from collections import OrderedDict, deque
+        from collections import Counter, OrderedDict, deque
 
         self.max_entries = max_entries
         self.min_frequency = min_frequency
         self._entries: "OrderedDict" = OrderedDict()
         self._history: "deque" = deque(maxlen=history)
+        self._counts: "Counter" = Counter()  # O(1) frequency beside the ring
         self.hit_count = 0
         self.miss_count = 0
 
     def seen(self, key) -> bool:
         """Record a sighting; True once the key is frequent enough to cache."""
+        if len(self._history) == self._history.maxlen:
+            old = self._history[0]
+            self._counts[old] -= 1
+            if self._counts[old] <= 0:
+                del self._counts[old]
         self._history.append(key)
-        return sum(1 for k in self._history if k == key) >= self.min_frequency
+        self._counts[key] += 1
+        return self._counts[key] >= self.min_frequency
 
     def get(self, key):
         e = self._entries.get(key)
@@ -233,30 +240,16 @@ class IndexSearcher:
         from ..smallfloat import byte4_to_int
 
         table = byte4_to_int(np.arange(256, dtype=np.uint8)).astype(np.float64)
-        if self.sim == "classic":
+        # non-BM25 caches come from the single bm25.py formula seam (f64);
+        # parity mode round-trips them through float32
+        if self.sim in ("classic", "lmd", "lmjm", "inl2"):
             self.avgdl = self.sum_total_term_freq / max(self.doc_count, 1)
-            with np.errstate(divide="ignore"):
-                c = 1.0 / np.sqrt(table)
-            c[table == 0] = 0.0
-            self.cache = c.astype(np.float32).astype(np.float64) if self.f32 else c
-        elif self.sim == "lmd":
-            self.avgdl = self.sum_total_term_freq / max(self.doc_count, 1)
-            c = np.log(self.LMD_MU / (table + self.LMD_MU))
-            self.cache = c.astype(np.float32).astype(np.float64) if self.f32 else c
-        elif self.sim == "lmjm":
-            # LMJelinekMercerSimilarity.java:60-76 — cache holds 1/dl
-            self.avgdl = self.sum_total_term_freq / max(self.doc_count, 1)
-            with np.errstate(divide="ignore"):
-                c = 1.0 / table
-            c[table == 0] = 0.0
-            self.cache = c.astype(np.float32).astype(np.float64) if self.f32 else c
-        elif self.sim == "inl2":
-            # DFRSimilarity I(n)/L/H2 (DFRSimilarity.java:63, BasicModelIn,
-            # AfterEffectL, NormalizationH2 c=1) — cache holds log2(1+avgdl/dl)
-            self.avgdl = self.sum_total_term_freq / max(self.doc_count, 1)
-            with np.errstate(divide="ignore"):
-                c = np.log2(1.0 + self.avgdl / table)
-            c[table == 0] = 0.0
+            c = {
+                "classic": bm25.classic_norm_cache,
+                "lmd": lambda: bm25.lmd_norm_cache(self.LMD_MU),
+                "lmjm": bm25.lmjm_norm_cache,
+                "inl2": lambda: bm25.inl2_norm_cache(self.avgdl),
+            }[self.sim]()
             self.cache = c.astype(np.float32).astype(np.float64) if self.f32 else c
         elif self.f32:
             self.avgdl = bm25.avgdl(self.sum_total_term_freq, max(self.doc_count, 1))

@@ -190,7 +190,15 @@ class SegmentPostings:
         # block-sliced decode: docs/freqs via the skip path, positions via
         # blk_pos_boff slices (pos deltas reset at every posting, so block
         # slices decode independently)
-        d, f, _ = self.decode_block_subset(term, sel)
+        if term in self._raw:
+            # docs/freqs already decoded (e.g. the rarest conjunction term):
+            # slice the cached block-aligned arrays instead of re-unpacking
+            rd, rf = self.docs_freqs_raw(term)
+            starts, ends = bi["starts"], bi["ends"]
+            take = np.concatenate([np.arange(starts[b], ends[b]) for b in sel])
+            d, f = rd[take], rf[take]
+        else:
+            d, f, _ = self.decode_block_subset(term, sel)
         r = self.rows[term][0]
         pboff = np.frombuffer(r["blk_pos_boff"], np.int32).astype(np.int64)
         blob = np.frombuffer(r["pos_blob"], np.uint8)

@@ -48,15 +48,21 @@ def _epoch_committed(
     the manifest is the commit log, no side files."""
     if not os.path.exists(os.path.join(index_dir, "manifest")):
         return False
-    rows = read_manifest(spark, index_dir).select("lineage").distinct().collect()
-    for r in rows:
-        try:
-            lin = json.loads(r.lineage or "{}")
-        except ValueError:
-            continue
-        if lin.get("stream") == stream_id and lin.get("epoch") == epoch_id:
-            return True
-    return False
+    from pyspark.sql import functions as F
+
+    # pushed-down JSON probe: the manifest grows one row per segment, so a
+    # collect-and-parse loop on the driver would cost O(index age) per
+    # micro-batch; this stays a distributed limit-1 scan
+    return (
+        read_manifest(spark, index_dir)
+        .filter(
+            (F.get_json_object("lineage", "$.stream") == stream_id)
+            & (F.get_json_object("lineage", "$.epoch") == str(epoch_id))
+        )
+        .limit(1)
+        .count()
+        > 0
+    )
 
 
 def ingest_batch(
