@@ -24,6 +24,23 @@ from ..codec import (
 )
 
 
+def sql_in(col: str, values):
+    """``col IN (...)`` built as ONE parsed SQL expression.
+
+    ``Column.isin(*values)`` ships every literal through its own py4j round
+    trip (~1 ms each); for the 1000-term filter of a bulk query batch that
+    is the dominant driver-side plan-build cost. Catalyst parses this to the
+    same ``In`` predicate, so parquet pushdown is unchanged."""
+    vals = list(values)
+    if not vals:
+        return F.lit(False)
+    # Spark SQL string literals treat backslash as an escape; double it first
+    quoted = ", ".join(
+        "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'" for v in vals
+    )
+    return F.expr(f"`{col}` IN ({quoted})")
+
+
 def term_postings(spark: SparkSession, index_dir: str, terms=None) -> DataFrame:
     """(segment_id, term, doc_id, freq) rows decoded from the posting blobs."""
     df = (
@@ -35,7 +52,7 @@ def term_postings(spark: SparkSession, index_dir: str, terms=None) -> DataFrame:
         )
     )
     if terms:
-        df = df.filter(F.col("term").isin(*list(terms)))
+        df = df.filter(sql_in("term", terms))
 
     def decode(it):
         for batch in it:
@@ -99,7 +116,7 @@ def positions_postings(spark: SparkSession, index_dir: str, terms=None) -> DataF
         )
     )
     if terms:
-        df = df.filter(F.col("term").isin(*list(terms)))
+        df = df.filter(sql_in("term", terms))
 
     def decode(it):
         for batch in it:

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..index.manifest import live_stats
+from ..index.read import sql_in
 from . import bm25
 from .kernels import (
     QueryContext,
@@ -286,7 +287,7 @@ class IndexSearcher:
         missing = [t for t in terms if t not in self._stats_cache]
         if missing:
             ts = (
-                self._term_stats_df.filter(F.col("term").isin(*missing))
+                self._term_stats_df.filter(sql_in("term", missing))
                 .select("term", "df", "ttf")
                 .collect()
             )
@@ -495,14 +496,14 @@ class IndexSearcher:
             # ship position blobs only for phrase terms — they dominate blob
             # volume (one entry per occurrence vs one per doc)
             pos_col = (
-                F.when(F.col("term").isin(*pos_terms), F.col("pos_blob"))
+                F.when(sql_in("term", pos_terms), F.col("pos_blob"))
                 .otherwise(F.lit(None))
                 .alias("pos_blob")
             )
         postings = (
             self._postings_df
             .filter((F.col("kind") == 0) & F.col("segment_id").isin(live_segs))
-            .filter(F.col("term").isin(*all_terms))
+            .filter(sql_in("term", all_terms))
             .select(*cols, pos_col)
         )
         # kind=1 norms + kind=3 tombstones ride the same cogroup side

@@ -109,3 +109,32 @@ def test_search_shuffles_only_topk(spark, tiny_index):
     n_segments = len(s.live)
     assert n <= 2 * 5  # k per query after the global limit
     assert n_segments >= 1
+
+
+def test_sql_in_matches_isin_and_pushes_down(spark, tiny_index):
+    """sql_in builds the IN predicate as one parsed expression (driver-side
+    plan build was dominated by per-literal py4j calls for 1000-term
+    batches); it must stay semantically identical to Column.isin — escaping
+    included — and still reach the parquet scan as a pushed filter."""
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.index.read import sql_in
+
+    df = spark.createDataFrame(
+        [("a'b",), ("c\\d",), ("héllo",), ("plain",), ("other",)], "term string"
+    )
+    want = ["a'b", "c\\d", "héllo", "plain"]
+    got_sql = sorted(r.term for r in df.filter(sql_in("term", want)).collect())
+    got_isin = sorted(r.term for r in df.filter(F.col("term").isin(*want)).collect())
+    assert got_sql == got_isin == sorted(want)
+    # empty list: matches nothing (isin semantics)
+    assert df.filter(sql_in("term", [])).count() == 0
+
+    index_dir, _ = tiny_index
+    plan = _plan(
+        spark.read.parquet(os.path.join(index_dir, "index"))
+        .filter((F.col("kind") == 0) & sql_in("term", ["parse", "http"]))
+        .select("segment_id", "term")
+    )
+    assert "PushedFilters" in plan
+    assert "In(term" in plan or "term" in plan.split("PushedFilters", 1)[1][:200]
