@@ -231,6 +231,11 @@ def encode_blocked(
         blk_max[:] = seg_max
     widths = np.zeros(nblk, dtype=np.int64)
     widths[full] = _bit_widths(blk_max[full])
+    if widths.max(initial=0) > _MAXW:
+        raise ValueError(
+            f"FOR block value width {int(widths.max())} > {_MAXW} bits — "
+            "deltas/freqs must stay < 2^32 (int32-bounded doc ids)"
+        )
 
     # ---- vbyte stream: prefixes of full blocks (prefix=True) + all values
     # of partial blocks, in block order
@@ -550,17 +555,11 @@ def delta_decode_lists(deltas: np.ndarray, list_starts: np.ndarray) -> np.ndarra
     starts = np.asarray(list_starts, dtype=np.int64)
     # correction per element: the cumsum value just before its own list start
     prev = np.where(starts > 0, cs[np.maximum(starts - 1, 0)], 0)
-    prev[starts == 0] = 0
     # forward-fill prev over elements via the index trick
     own_start = np.zeros(n, dtype=np.int64)
     own_start[starts] = np.arange(len(starts))
     np.maximum.accumulate(own_start, out=own_start)
     return cs - prev[own_start]
-
-
-def segment_reduceat(values: np.ndarray, starts: np.ndarray, op) -> np.ndarray:
-    """Per-list reduction (max/min/last) over a flat array, vectorized."""
-    return op.reduceat(values, starts)
 
 
 def block_starts_for_lists(list_starts: np.ndarray, total: int) -> tuple[np.ndarray, np.ndarray]:

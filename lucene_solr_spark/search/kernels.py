@@ -173,8 +173,8 @@ class SegmentPostings:
         or the candidates cover most blocks anyway."""
         bi = self.block_meta(term)
         nblk = len(bi["lens"])
-        sel = np.searchsorted(bi["last"].astype(np.int64), cand)
-        sel = np.unique(sel[sel < nblk])
+        pp = self.partial(term)
+        sel = pp.covering_blocks(cand)
         if (
             self.deleted is not None
             or term in self._pos
@@ -187,18 +187,13 @@ class SegmentPostings:
             docs, freqs = self.docs_freqs(term)
             pos, _ = self.positions(term)
             return docs, freqs, pos
-        # block-sliced decode: docs/freqs via the skip path, positions via
+        # block-sliced decode through the shared partial cache: the phrase
+        # conjunction loop decoded covering blocks into partial(term) already,
+        # so only blocks it hasn't seen unpack here; positions decode via
         # blk_pos_boff slices (pos deltas reset at every posting, so block
         # slices decode independently)
-        if term in self._raw:
-            # docs/freqs already decoded (e.g. the rarest conjunction term):
-            # slice the cached block-aligned arrays instead of re-unpacking
-            rd, rf = self.docs_freqs_raw(term)
-            starts, ends = bi["starts"], bi["ends"]
-            take = np.concatenate([np.arange(starts[b], ends[b]) for b in sel])
-            d, f = rd[take], rf[take]
-        else:
-            d, f, _ = self.decode_block_subset(term, sel)
+        pp.extend(sel)
+        d, f = pp.postings_in_blocks(sel)
         r = self.rows[term][0]
         pboff = np.frombuffer(r["blk_pos_boff"], np.int32).astype(np.int64)
         blob = np.frombuffer(r["pos_blob"], np.uint8)
@@ -341,8 +336,9 @@ def _union_sum(results: list[tuple[np.ndarray, np.ndarray]]):
     docs = np.concatenate([d for d, _ in non_empty])
     scores = np.concatenate([s for _, s in non_empty])
     uniq, inv = np.unique(docs, return_inverse=True)
-    acc = np.zeros(len(uniq), dtype=np.float64)
-    np.add.at(acc, inv, scores)
+    # bincount-with-weights is the buffered sum (np.add.at is the unbuffered
+    # per-element fallback, ~10-30x slower on the disjunction hot path)
+    acc = np.bincount(inv, weights=scores, minlength=len(uniq))
     cnt = np.bincount(inv, minlength=len(uniq))
     return uniq, acc, cnt
 
@@ -487,6 +483,8 @@ def eval_query(q: Query, seg: SegmentPostings, ctx: QueryContext, scoring: bool 
         return _EMPTY_I, _EMPTY_F
     if isinstance(q, MatchAllQuery):
         docs = np.arange(seg.max_doc, dtype=np.int64)
+        if seg.deleted is not None:  # live-docs mask, like every other leaf
+            docs = docs[~np.isin(docs, seg.deleted)]
         return docs, np.ones(len(docs), dtype=np.float64)
     if isinstance(q, TermQuery):
         docs, freqs = seg.docs_freqs(q.term)
@@ -531,8 +529,7 @@ def _eval_synonym(q: SynonymQuery, seg: SegmentPostings, ctx: QueryContext, scor
     docs = np.concatenate([d for d, _ in non_empty])
     freqs = np.concatenate([f for _, f in non_empty])
     uniq, inv = np.unique(docs, return_inverse=True)
-    fsum = np.zeros(len(uniq), dtype=np.float64)
-    np.add.at(fsum, inv, freqs)
+    fsum = np.bincount(inv, weights=freqs, minlength=len(uniq))
     if not scoring:
         return uniq, np.zeros(len(uniq), dtype=np.float64)
     w = ctx.synonym_weight(q.syn_terms)
@@ -1004,6 +1001,8 @@ def _eval_bool(q: BooleanQuery, seg: SegmentPostings, ctx: QueryContext, scoring
 def topk(docs: np.ndarray, scores: np.ndarray, k: int, f32: bool = True):
     """Per-segment top-k with the reference tie-break: score desc, doc asc
     (``HitQueue.java:76-81``). Returns (docs, scores) of length ≤ k."""
+    if k <= 0:
+        return _EMPTY_I, np.empty(0, np.float32 if f32 else np.float64)
     s32 = scores.astype(np.float32) if f32 else scores
     if len(docs) > max(k * 8, 1024):
         # np.partition gives the exact kth-largest score; every candidate for
@@ -1061,17 +1060,32 @@ class _PartialPostings:
         idx = np.searchsorted(self.bi["last"].astype(np.int64), cand)
         return np.unique(idx[idx < len(self.bi["last"])])
 
-    def docs_in_blocks(self, sel: np.ndarray) -> np.ndarray:
-        """Docs of the given (already decoded) blocks, sliced from the merged
-        decoded arrays by doc range — block b's docs are exactly those in
-        (last[b-1], last[b]] (ranges ascend across shard rows too)."""
+    def _block_slices(self, sel: np.ndarray):
         last = self.bi["last"].astype(np.int64)
         prev = np.concatenate(([-1], last[:-1]))
         sel = np.asarray(sel, np.int64)
         lo = np.searchsorted(self.docs, prev[sel] + 1, side="left")
         hi = np.searchsorted(self.docs, last[sel], side="right")
+        return lo, hi
+
+    def docs_in_blocks(self, sel: np.ndarray) -> np.ndarray:
+        """Docs of the given (already decoded) blocks, sliced from the merged
+        decoded arrays by doc range — block b's docs are exactly those in
+        (last[b-1], last[b]] (ranges ascend across shard rows too)."""
+        lo, hi = self._block_slices(sel)
         parts = [self.docs[a:b] for a, b in zip(lo, hi)]
         return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+    def postings_in_blocks(self, sel: np.ndarray):
+        """(docs, freqs) of the given (already decoded) blocks, in ascending
+        block order — for single-row terms doc order == block order, so the
+        slices align with per-block position decodes."""
+        lo, hi = self._block_slices(sel)
+        dparts = [self.docs[a:b] for a, b in zip(lo, hi)]
+        fparts = [self.freqs[a:b] for a, b in zip(lo, hi)]
+        if not dparts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(dparts), np.concatenate(fparts)
 
 
 def topk_or_pruned(terms: list[str], seg: SegmentPostings, ctx: QueryContext, k: int):
@@ -1092,6 +1106,8 @@ def topk_or_pruned(terms: list[str], seg: SegmentPostings, ctx: QueryContext, k:
     3. survivors are union-summed and top-k'd exactly.
     """
     present = [t for t in terms if t in seg.rows and ctx.weights.get(t, 0.0) != 0.0]
+    if k <= 0:
+        return _EMPTY_I, np.empty(0, np.float32 if ctx.f32 else np.float64)
     total_df = sum(int(r["df"]) for t in present for r in seg.rows[t])
     if seg.deleted is not None or len(present) < 2 or total_df < 16 * BLOCK_SIZE:
         # tiny disjunctions: pruning bookkeeping costs more than it saves
@@ -1147,6 +1163,12 @@ def topk_or_pruned(terms: list[str], seg: SegmentPostings, ctx: QueryContext, k:
         idx = np.searchsorted(last, boundaries)  # block covering each range end
         covered = idx < len(last)
         range_ub[covered] += ubs[t][idx[covered]]
+    if ctx.f32:
+        # theta is an f32-rounded candidate score; compare bounds in the same
+        # rounding or a doc whose exact f64 bound sits between f32(theta) and
+        # theta could be pruned despite tying the kth f32 score (the rank
+        # identity with the exhaustive path is load-bearing)
+        range_ub = range_ub.astype(np.float32).astype(np.float64)
     live_range = range_ub >= theta
     live_prefix = np.concatenate(([0], np.cumsum(live_range.astype(np.int64))))
 
@@ -1188,7 +1210,7 @@ def topk_and_pruned(
     accumulation order matches ``_intersect_sum`` (rarest first), so scores
     are bit-identical to the exhaustive path."""
     present = [t for t in terms if t in seg.rows]
-    if len(present) < len(terms):
+    if k <= 0 or len(present) < len(terms):
         return _EMPTY_I, np.empty(0, np.float32 if ctx.f32 else np.float64)
     total_df = sum(int(r["df"]) for t in present for r in seg.rows[t])
     if seg.deleted is not None or len(terms) < 2 or total_df < 16 * BLOCK_SIZE:
@@ -1230,7 +1252,7 @@ def topk_term_pruned(term: str, seg: SegmentPostings, ctx: QueryContext, k: int)
     bytes are never unpacked. Results identical to exhaustive scoring
     (property-tested).
     """
-    if term not in seg.rows:
+    if k <= 0 or term not in seg.rows:
         return _EMPTY_I, np.empty(0, np.float32 if ctx.f32 else np.float64)
     df = sum(int(r["df"]) for r in seg.rows[term])
     if seg.deleted is not None or df < 8 * BLOCK_SIZE or term in seg._raw:

@@ -250,3 +250,38 @@ def test_term_pruned_matches_exhaustive_random(seg_and_ctx):
         d2, s2 = topk_term_pruned(t, seg, ctx, k)
         assert np.array_equal(d1, d2), (t, k)
         assert np.array_equal(s1, s2), (t, k)
+
+
+def test_matchall_masks_deletes(seg_and_ctx):
+    """MatchAllQuery must honor live docs like every other leaf (the
+    reference's MatchAllDocsQuery iterates liveDocs)."""
+    from lucene_solr_spark.search.query import MatchAllQuery
+
+    seg, ctx, _ = seg_and_ctx
+    deleted = np.array([0, 5, 17], dtype=np.int64)
+    seg_del = SegmentPostings(seg.rows, seg.norms, seg.max_doc, deleted=deleted)
+    docs, scores = eval_query(MatchAllQuery(), seg_del, ctx)
+    assert len(docs) == seg.max_doc - len(deleted)
+    assert not np.isin(deleted, docs).any()
+    # must_not over match-all: tombstoned docs never resurface
+    q = BooleanQuery(
+        must=(MatchAllQuery(),), must_not=(TermQuery("zzz_absent_term"),)
+    )
+    docs2, _ = eval_query(q, seg_del, ctx)
+    assert not np.isin(deleted, docs2).any()
+
+
+def test_topk_kernels_accept_k_zero(seg_and_ctx):
+    """k=0 is API-reachable (search(k=0)); kernels must return empty, not
+    crash in np.partition."""
+    seg, ctx, by_df = seg_and_ctx
+    hot = by_df[0]
+    docs, scores = eval_query(TermQuery(hot), seg, ctx)
+    d, s = topk(docs, scores, 0, True)
+    assert len(d) == 0 and len(s) == 0
+    d, s = topk_term_pruned(hot, seg, ctx, 0)
+    assert len(d) == 0
+    d, s = topk_or_pruned(by_df[:3], seg, ctx, 0)
+    assert len(d) == 0
+    d, s = topk_and_pruned(by_df[:2], seg, ctx, 0)
+    assert len(d) == 0
