@@ -41,11 +41,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _registries():
+    from lucene_solr_spark.graph import GRAPH_OPS
     from lucene_solr_spark.multimodal import MULTIMODAL_OPS
     from lucene_solr_spark.relational import RELATIONAL_OPS
     from lucene_solr_spark.textops import FT_OPS, TRAINING_OPS
 
-    return (FT_OPS, RELATIONAL_OPS, TRAINING_OPS, MULTIMODAL_OPS)
+    return (FT_OPS, RELATIONAL_OPS, GRAPH_OPS, TRAINING_OPS, MULTIMODAL_OPS)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

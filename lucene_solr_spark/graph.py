@@ -1,0 +1,183 @@
+"""Solr graph streaming expressions, Spark-first.
+
+Reference surfaces (behavioral parity targets, not ports):
+
+- ``GatherNodesStream`` (reference solr/solrj/src/java/org/apache/solr/
+  client/solrj/io/graph/GatherNodesStream.java:60) — the ``nodes()``
+  expression: from a root node set, walk ``from -> to`` edge relations one
+  level at a time, emitting the gathered node ids per level with duplicates
+  collapsed. Spark shape: each hop is one equi-join against the edge
+  relation + ``distinct`` — the roots/frontier side is small relative to the
+  edge table, so it is broadcast and the edge scan never shuffles.
+- ``ShortestPathStream`` (reference solr/solrj/src/java/org/apache/solr/
+  client/solrj/io/graph/ShortestPathStream.java:54) — breadth-first search
+  bounded by ``maxDepth``, iterative "join frontier to edges" per level,
+  exactly the reference's own algorithm (it issues one distributed query
+  per BFS level). Spark shape: the edge DataFrame is built once and cached;
+  each level is ``frontier ⋈ edges`` → ``distinct`` → anti-join against the
+  visited set, so a node is emitted at its minimal distance and never
+  re-expanded. Levels are O(maxDepth) Spark jobs over a frontier that is
+  always a small fraction of the graph — at 100 TB the edge relation is the
+  big side and it stays partitioned on ``src`` across iterations; the
+  frontier is the broadcast side.
+
+Both ops run on the TPC-H-ish test tables: the bipartite part↔supplier
+graph induced by ``lineitem`` (edge = "supplier shipped this part") and the
+customer→order→part purchase walk.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def gather_nodes(
+    roots: DataFrame,
+    hops: list[tuple[DataFrame, str, str, str]],
+) -> DataFrame:
+    """``nodes()`` / GatherNodesStream: multi-level gather.
+
+    ``roots``: one-column DataFrame of level-0 node ids. ``hops``: per level
+    ``(edges, from_col, to_col, level_name)``. Returns
+    ``(level: string, node: bigint)`` — the distinct nodes discovered at each
+    level (the reference's ``gather`` output, one tuple per node per level).
+
+    Each hop joins the (small) frontier to the edge relation on ``from_col``;
+    the frontier side is explicitly broadcast so the edge table — the 100-TB
+    side — is scanned in place with no shuffle.
+    """
+    frontier = roots.toDF("node")
+    levels: list[DataFrame] = []
+    for edges, src, dst, name in hops:
+        frontier = (
+            edges.join(F.broadcast(frontier), edges[src] == frontier["node"])
+            .select(edges[dst].alias("node"))
+            .distinct()
+        )
+        levels.append(frontier.select(F.lit(name).alias("level"), "node"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    return out
+
+
+def shortest_path(
+    edges: DataFrame,
+    source,
+    max_depth: int,
+) -> DataFrame:
+    """ShortestPathStream: BFS distances from ``source`` over ``edges``.
+
+    ``edges`` is directed ``(src, dst)``; callers union both directions for
+    an undirected walk. Returns ``(node, dist)`` for every node reachable
+    within ``max_depth`` (the source itself at dist 0), each at its minimal
+    distance — the reference's per-level frontier semantics with visited-set
+    pruning (ShortestPathStream.java:54 keeps exactly this per-level
+    ``visited`` map so no node is re-expanded).
+
+    The edge DataFrame is cached once; each BFS level is one broadcast join
+    (frontier is small) + distinct + anti-join. ``max_depth`` bounds the job
+    count; the loop exits early when the frontier drains.
+    """
+    edges = edges.toDF("src", "dst").cache()
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame([(source, 0)], "node string, dist int")
+    visited = frontier
+    out = [frontier]
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            edges.join(F.broadcast(frontier), edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"), F.lit(depth).alias("dist"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        # materialize the level: BFS correctness needs the visited set frozen
+        # per level, and the count doubles as the early-exit probe
+        nxt = nxt.cache()
+        if nxt.count() == 0:
+            break
+        visited = visited.unionAll(nxt).cache()
+        frontier = nxt
+        out.append(nxt)
+    res = out[0]
+    for lv in out[1:]:
+        res = res.unionAll(lv)
+    return res
+
+
+# --- driver-gated ops over the TPC-H-ish tables ---------------------------
+
+
+def graph_nodes_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nodes(): customers in BUILDING → their orders → the parts on them."""
+    roots = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    lineitem = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return gather_nodes(
+        roots,
+        [
+            (orders, "o_custkey", "o_orderkey", "order"),
+            (lineitem, "l_orderkey", "l_partkey", "part"),
+        ],
+    ).select("level", F.col("node").cast("long").alias("node"))
+
+
+GRAPH_NODES_SQL = """
+WITH roots AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+hop1 AS (SELECT DISTINCT o.o_orderkey
+         FROM orders o JOIN roots r ON o.o_custkey = r.c_custkey),
+hop2 AS (SELECT DISTINCT l.l_partkey
+         FROM lineitem l JOIN hop1 h ON l.l_orderkey = h.o_orderkey)
+SELECT 'order' AS level, CAST(o_orderkey AS BIGINT) AS node FROM hop1
+UNION ALL
+SELECT 'part', CAST(l_partkey AS BIGINT) FROM hop2
+"""
+
+
+def shortest_path_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shortestPath() over the part↔supplier bipartite graph (undirected),
+    BFS from supplier 1, maxDepth 4. Node ids are namespaced strings
+    ('S:<suppkey>' / 'P:<partkey>') exactly as Solr walks mixed from/to
+    fields."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("P:"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    und = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return shortest_path(und, "S:1", max_depth=4).select(
+        "node", F.col("dist").cast("long").alias("dist")
+    )
+
+
+SHORTEST_PATH_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT 'S:' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'P:' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem
+),
+und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+bfs(node, dist) AS (
+  SELECT 'S:1', 0
+  UNION
+  SELECT u.dst, b.dist + 1 FROM bfs b JOIN und u ON u.src = b.node
+  WHERE b.dist < 4
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM bfs GROUP BY node
+"""
+
+
+GRAPH_OPS: dict[str, tuple] = {
+    "graph_nodes_parts": (graph_nodes_parts, GRAPH_NODES_SQL),
+    "shortest_path_parts": (shortest_path_parts, SHORTEST_PATH_SQL),
+}

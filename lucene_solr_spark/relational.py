@@ -737,6 +737,71 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# Solr pivot facets (facet.pivot, reference solr/core/src/java/org/apache/
+# solr/handler/component/PivotFacetProcessor.java:48): hierarchical
+# field,field counting with a per-parent top-k limit. Spark shape: one
+# partial+final count agg, then a rank window PARTITIONED by the parent
+# value — never a global single-partition window.
+def facet_pivot_orders(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cnt = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderstatus", "o_orderpriority", "n", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+FACET_PIVOT_SQL = """
+WITH cnt AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+            ORDER BY n DESC, o_orderpriority) AS rk
+  FROM cnt
+)
+SELECT o_orderstatus, o_orderpriority, n, CAST(rk AS INT) AS rk
+FROM rk WHERE rk <= 3
+"""
+
+
+# Solr math/stat streaming expressions (corr/regress/cov — reference
+# solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+# CorrelationEvaluator.java:35, RegressionEvaluator.java:38): grouped
+# Pearson correlation + OLS fit as single-pass distributed aggregates.
+def corr_regress_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_extendedprice", "l_quantity"), 5).alias("corr_pq"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("icept"),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("cov_pq"),
+        )
+    )
+
+
+CORR_REGRESS_SQL = """
+SELECT l_returnflag,
+       round(corr(l_extendedprice, l_quantity), 5) AS corr_pq,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+       round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_pq
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # Driver-gated registry (first-50-entries window — see textops.FT_OPS note);
 # single-facet / single-join-type / single-set-op variants are folded into
 # the compound ops and stay pytest-gated via RELATIONAL_EXTRA_OPS.
@@ -748,12 +813,11 @@ RELATIONAL_OPS: dict[str, tuple] = {
     "having_suppliers": (having_suppliers, HAVING_SQL),
     "reduce_group_orders": (reduce_group_orders, REDUCE_GROUP_SQL),
     "rank_orders": (rank_orders, RANK_SQL),
-    "select_revenue": (select_revenue, SELECT_SQL),
-    "join_orders_customer": (join_orders_customer, JOIN_OC_SQL),
+    "facet_pivot_orders": (facet_pivot_orders, FACET_PIVOT_SQL),
     "hash_join_part_revenue": (hash_join_part_revenue, HASH_JOIN_SQL),
     "merge_union": (merge_union, MERGE_SQL),
     "setops_custkeys": (setops_custkeys, SETOPS_SQL),
-    "cartesian_part_types": (cartesian_part_types, CARTESIAN_SQL),
+    "corr_regress_lineitem": (corr_regress_lineitem, CORR_REGRESS_SQL),
     "fetch_top_orders_customer": (fetch_top_orders_customer, FETCH_SQL),
     "parallel_rollup_supplier": (parallel_rollup_supplier, PARALLEL_SQL),
     "timeseries_events": (timeseries_events, TIMESERIES_SQL),
@@ -829,8 +893,14 @@ ORDER BY boost DESC, l_orderkey, l_linenumber LIMIT 50
 """
 
 
+
 RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
     "func_query_lineitem": (func_query_lineitem, FUNC_QUERY_SQL),
+    # trivial projection / cross-join reps: window slots went to the pivot
+    # facet and corr/regress math expressions
+    "select_revenue": (select_revenue, SELECT_SQL),
+    "cartesian_part_types": (cartesian_part_types, CARTESIAN_SQL),
+    "join_orders_customer": (join_orders_customer, JOIN_OC_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     # UniqueStream is DISTINCT — its semantics are fully covered by the
     # DistinctOperation inside reduce_group_orders, which took its window slot

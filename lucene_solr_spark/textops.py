@@ -833,6 +833,91 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def connected_components(pairs, a: str = "doc_a", b: str = "doc_b"):
+    """Connected components over an undirected pair relation: every node is
+    labeled with the min doc_id reachable from it — the canonical web-scale
+    dedup endgame (LSH candidate pairs → duplicate CLUSTERS, keep one doc
+    per cluster).
+
+    Distributed min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels (one join + one map-side-
+    combinable min-agg per round — no all-pairs work anywhere). Rounds =
+    cluster diameter; LSH near-duplicate clusters are band-bucket cliques
+    with diameter ≤ 2-3, so this converges in a constant number of rounds
+    at any corpus size. (For adversarial long-chain graphs the alternating
+    large-star/small-star contraction gives O(log n) rounds on the same
+    join primitive; dedup graphs don't need it.) Convergence is probed with
+    sum(label) — strictly decreasing until fixpoint, one cheap agg action
+    per round, no driver-side row collection.
+    """
+    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).cache()
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).cache()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    while True:
+        msgs = und.join(
+            labels.withColumnRenamed("node", "u"), "u"
+        ).select(F.col("v").alias("node"), "label")
+        new_labels = (
+            labels.unionAll(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    und.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(spark, sf_dir):
+    """LSH candidate pairs → transitive duplicate clusters (doc_id →
+    cluster representative = min reachable doc_id)."""
+    return connected_components(minhash_lsh_pairs(spark, sf_dir))
+
+
+# the oracle computes the same min-reachable-id label via a recursive
+# transitive closure over the same LSH pair relation
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE arrs AS (SELECT doc_id, {_TOK_EXPR} AS arr FROM documents),
+sh AS (
+  SELECT doc_id, unnest([arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                         for i in generate_series(1, len(arr) - 2)]) AS shingle
+  FROM arrs
+),
+sig AS (
+  SELECT doc_id, {_LSH_SIG_COLS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {_LSH_BAND_SELECTS}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(node, root) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 # SimHash-16: per-token 32-bit md5-derived hash, tf-weighted bit majority
 def simhash16(spark, sf_dir):
     tok = _docs(spark, sf_dir).select(
@@ -1257,15 +1342,17 @@ TRAINING_OPS: dict[str, tuple] = {
     "minhash_signatures": (minhash_signatures, MINHASH_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
-    "emb_cosine_pairs": (emb_cosine_pairs, EMB_COSINE_SQL),
-    "emb_knn_threshold": (emb_knn_threshold, EMB_KNN_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "text_metrics": (text_metrics, TEXT_METRICS_SQL),
     "doc_signatures": (doc_signatures, DOC_SIGNATURES_SQL),
 }
 
 # pytest-gated only: the single-metric ops folded into text_metrics /
-# doc_signatures above.
+# doc_signatures above; emb_knn_threshold is the brute-force ANN baseline
+# whose scale path is the gated emb_ivf_probe.
 TRAINING_EXTRA_OPS: dict[str, tuple] = {
+    "emb_cosine_pairs": (emb_cosine_pairs, EMB_COSINE_SQL),
+    "emb_knn_threshold": (emb_knn_threshold, EMB_KNN_SQL),
     "simhash16": (simhash16, SIMHASH_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "quality_score": (quality_score, QUALITY_SQL),

@@ -63,6 +63,7 @@ def _all_ops():
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from lucene_solr_spark.graph import GRAPH_OPS
     from lucene_solr_spark.multimodal import MULTIMODAL_OPS
     from lucene_solr_spark.relational import RELATIONAL_EXTRA_OPS, RELATIONAL_OPS
     from lucene_solr_spark.textops import (
@@ -76,6 +77,7 @@ def _all_ops():
     for reg in (
         FT_OPS,
         RELATIONAL_OPS,
+        GRAPH_OPS,
         TRAINING_OPS,
         MULTIMODAL_OPS,
         # folded per-variant ops — pytest-gated even though only the compound
