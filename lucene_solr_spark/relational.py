@@ -775,6 +775,41 @@ FROM rk WHERE rk <= 3
 """
 
 
+# Solr math movingAvg / diff over a timeseries (reference solr/solrj/src/
+# java/org/apache/solr/client/solrj/io/eval/MovingAverageEvaluator.java:33,
+# DerivativeEvaluator.java:36): per-series sliding mean and first difference.
+# Windows are PARTITIONED by the series key — bounded per-series state, no
+# global single-partition exchange.
+def moving_avg_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(F.avg("n").over(w.rowsBetween(-2, 0)), 4).alias("ma3"),
+        (F.col("n") - F.lag("n", 1).over(w)).alias("diff1"),
+    )
+
+
+MOVING_AVG_SQL = """
+WITH daily AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       round(avg(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3,
+       n - lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS diff1
+FROM daily
+"""
+
+
 # Solr math/stat streaming expressions (corr/regress/cov — reference
 # solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
 # CorrelationEvaluator.java:35, RegressionEvaluator.java:38): grouped
@@ -901,6 +936,7 @@ RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
     "select_revenue": (select_revenue, SELECT_SQL),
     "cartesian_part_types": (cartesian_part_types, CARTESIAN_SQL),
     "join_orders_customer": (join_orders_customer, JOIN_OC_SQL),
+    "moving_avg_events": (moving_avg_events, MOVING_AVG_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     # UniqueStream is DISTINCT — its semantics are fully covered by the
     # DistinctOperation inside reduce_group_orders, which took its window slot

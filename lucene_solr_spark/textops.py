@@ -210,6 +210,15 @@ WHERE term IN ('spark', 'vector', 'hash', 'table', 'the') GROUP BY term
 
 FT_NORMS_SQL = _BM25_CTE + "SELECT doc_id, nb AS norm_byte FROM dld"
 
+TERMS_COMPONENT_SQL = (
+    _BM25_CTE
+    + """
+SELECT term, count(*) AS df FROM tf
+WHERE term LIKE 't%' GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
+"""
+)
+
 
 # ---------------------------------------------------------------------------
 # engine-side callables
@@ -283,6 +292,20 @@ def ft_df_stats(spark, sf_dir):
         s._term_stats_df
         .filter(F.col("term").isin("spark", "vector", "hash", "table", "the"))
         .select("term", "df", "ttf")
+    )
+
+
+# Solr TermsComponent (reference solr/core/src/java/org/apache/solr/handler/
+# component/TermsComponent.java:54): enumerate the term dictionary by prefix,
+# ranked by document frequency. Served straight from the engine's published
+# term_stats generation — no postings decode, no corpus scan.
+def terms_component(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    return (
+        s._term_stats_df.filter(F.col("term").startswith("t"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+        .select("term", "df")
     )
 
 
@@ -675,6 +698,7 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "ft_fuzzy": (ft_fuzzy, FT_FUZZY_SQL),
     "ft_term_in_set": (ft_term_in_set, FT_IN_SET_SQL),
     "ft_boost": (ft_boost, FT_BOOST_SQL),
+    "terms_component": (terms_component, TERMS_COMPONENT_SQL),
 }
 
 
@@ -915,6 +939,101 @@ reach(node, root) AS (
   SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
 )
 SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+# Solr classify()/train() streams (reference solr/solrj/src/java/org/apache/
+# solr/client/solrj/io/stream/ClassifyStream.java:47, TextLogitStream.java:60):
+# train a text classifier on a labeled tuple stream, apply it to another
+# stream. The reference's train() fits logistic regression by iterative SGD
+# (iteration/order-dependent); the model here is multinomial Naive Bayes with
+# add-one smoothing — same surface, but closed-form and deterministic, so it
+# trains in exactly two distributed aggregations (per-(label,term) counts
+# with map-side combine + per-label totals/priors) and scores with one
+# broadcast join of the tiny model against the test tokens. At 100 TB the
+# corpus side never shuffles more than the (doc, term, tf) explode; the
+# model (|vocab| × |labels|) is the broadcast side.
+def classify_docs(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    test = d.filter((F.col("doc_id") % 5 == 0) & (F.size("arr") >= 1))
+    tr_tok = train.select(F.col("lang").alias("label"), F.explode("arr").alias("term"))
+    counts = tr_tok.groupBy("label", "term").agg(F.count("*").alias("c"))
+    label_tot = tr_tok.groupBy("label").agg(F.count("*").alias("n_l"))
+    n_train = train.count()
+    vocab = tr_tok.select("term").distinct().count()
+    priors = train.groupBy(F.col("lang").alias("label")).agg(
+        F.log(F.count("*").cast("double") / F.lit(float(n_train))).alias("log_prior")
+    )
+    te_tok = (
+        test.select("doc_id", F.explode("arr").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        te_tok.crossJoin(F.broadcast(label_tot))
+        .join(F.broadcast(counts), ["label", "term"], "left")
+        .withColumn(
+            "ll",
+            F.col("tf")
+            * F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("n_l") + F.lit(float(vocab)))
+            ),
+        )
+        .groupBy("doc_id", "label")
+        .agg(F.sum("ll").alias("sum_ll"))
+        .join(F.broadcast(priors), "label")
+        # round BEFORE the argmax rank so cross-engine float-association noise
+        # cannot flip the winner without also flipping the oracle
+        .withColumn("score", F.round(F.col("sum_ll") + F.col("log_prior"), 4))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("label").asc())
+    pred = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return pred.join(test.select("doc_id", F.col("lang").alias("actual")), "doc_id").select(
+        "doc_id", F.col("label").alias("pred"), "actual", "score"
+    )
+
+
+CLASSIFY_SQL = f"""
+WITH d AS (SELECT doc_id, lang, {_TOK_EXPR} AS arr FROM documents),
+train AS (SELECT * FROM d WHERE doc_id % 5 != 0),
+test AS (SELECT * FROM d WHERE doc_id % 5 = 0 AND len(arr) >= 1),
+tr_tok AS (SELECT lang AS label, unnest(arr) AS term FROM train),
+counts AS (SELECT label, term, count(*) AS c FROM tr_tok GROUP BY 1, 2),
+label_tot AS (SELECT label, count(*) AS n_l FROM tr_tok GROUP BY 1),
+priors AS (
+  SELECT lang AS label,
+         ln(count(*) * 1.0 / (SELECT count(*) FROM train)) AS log_prior
+  FROM train GROUP BY 1
+),
+vocab AS (SELECT count(DISTINCT term) AS v FROM tr_tok),
+te_tok AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(arr) AS term FROM test) GROUP BY 1, 2
+),
+scored AS (
+  SELECT t.doc_id, l.label,
+         sum(t.tf * ln((coalesce(c.c, 0) + 1.0) / (l.n_l + v.v))) AS sum_ll
+  FROM te_tok t
+  CROSS JOIN label_tot l
+  CROSS JOIN vocab v
+  LEFT JOIN counts c ON c.label = l.label AND c.term = t.term
+  GROUP BY 1, 2
+),
+final AS (
+  SELECT s.doc_id, s.label, round(s.sum_ll + p.log_prior, 4) AS score
+  FROM scored s JOIN priors p USING (label)
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, label ASC) AS rk
+  FROM final
+)
+SELECT r.doc_id, r.label AS pred, t.lang AS actual, r.score
+FROM rk r JOIN test t USING (doc_id) WHERE rk = 1
 """
 
 
@@ -1339,10 +1458,10 @@ TRAINING_OPS: dict[str, tuple] = {
     "mlt_shared_terms": (mlt_shared_terms, MLT_SQL),
     "emb_ivf_probe": (emb_ivf_probe, EMB_IVF_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
-    "minhash_signatures": (minhash_signatures, MINHASH_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "classify_docs": (classify_docs, CLASSIFY_SQL),
     "text_metrics": (text_metrics, TEXT_METRICS_SQL),
     "doc_signatures": (doc_signatures, DOC_SIGNATURES_SQL),
 }
@@ -1351,6 +1470,9 @@ TRAINING_OPS: dict[str, tuple] = {
 # doc_signatures above; emb_knn_threshold is the brute-force ANN baseline
 # whose scale path is the gated emb_ivf_probe.
 TRAINING_EXTRA_OPS: dict[str, tuple] = {
+    # signature computation is exercised transitively by the gated
+    # minhash_lsh_pairs / dedup_clusters chain
+    "minhash_signatures": (minhash_signatures, MINHASH_SQL),
     "emb_cosine_pairs": (emb_cosine_pairs, EMB_COSINE_SQL),
     "emb_knn_threshold": (emb_knn_threshold, EMB_KNN_SQL),
     "simhash16": (simhash16, SIMHASH_SQL),
