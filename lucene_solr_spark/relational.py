@@ -737,6 +737,25 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# Solr query-time join ({!join from=... to=...}, reference solr/core/src/
+# java/org/apache/solr/search/JoinQParserPlugin.java:63): filter one
+# collection by key membership in a filtered view of another — a semi-join.
+# Spark shape: LEFT SEMI join, child side filtered before the join so only
+# qualifying keys shuffle; Catalyst broadcasts the small side under AQE.
+def join_query_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return o.join(
+        li, o["o_orderkey"] == li["l_orderkey"], "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+JOIN_QUERY_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+"""
+
+
 # Solr pivot facets (facet.pivot, reference solr/core/src/java/org/apache/
 # solr/handler/component/PivotFacetProcessor.java:48): hierarchical
 # field,field counting with a per-parent top-k limit. Spark shape: one
@@ -936,6 +955,7 @@ RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
     "select_revenue": (select_revenue, SELECT_SQL),
     "cartesian_part_types": (cartesian_part_types, CARTESIAN_SQL),
     "join_orders_customer": (join_orders_customer, JOIN_OC_SQL),
+    "join_query_orders": (join_query_orders, JOIN_QUERY_SQL),
     "moving_avg_events": (moving_avg_events, MOVING_AVG_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     # UniqueStream is DISTINCT — its semantics are fully covered by the

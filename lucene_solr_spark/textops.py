@@ -220,6 +220,57 @@ ORDER BY df DESC, term ASC LIMIT 20
 )
 
 
+# Solr SpellCheckComponent / Lucene DirectSpellChecker (reference lucene/
+# suggest/src/java/org/apache/lucene/search/spell/DirectSpellChecker.java:40):
+# suggest corrections for unknown query terms from the live term dictionary,
+# maxEdits=2, ranked by (edit distance, df desc). The dictionary side is the
+# published term_stats generation; the misspelled inputs are a handful of
+# rows, so the candidate scan is one broadcast-joined pass over the
+# dictionary — no postings access at all.
+_SPELL_INPUTS = ["tabel", "strem", "hask", "cach"]
+
+
+def spellcheck_suggest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    s = _searcher(spark, sf_dir)
+    inputs = spark.createDataFrame([(w,) for w in _SPELL_INPUTS], "input string")
+    cand = (
+        s._term_stats_df.select("term", "df")
+        .crossJoin(F.broadcast(inputs))
+        .withColumn("dist", F.levenshtein("term", "input").cast("long"))
+        .filter((F.col("dist") <= 2) & (F.col("term") != F.col("input")))
+    )
+    w = Window.partitionBy("input").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("input", F.col("term").alias("suggestion"), "df", "dist")
+    )
+
+
+_SPELL_IN_LIST = ", ".join(f"'{w}'" for w in _SPELL_INPUTS)
+SPELLCHECK_SQL = (
+    _BM25_CTE
+    + f""",
+inputs AS (SELECT unnest([{_SPELL_IN_LIST}]) AS input),
+cand AS (
+  SELECT i.input, d.term AS suggestion, d.df,
+         CAST(levenshtein(d.term, i.input) AS BIGINT) AS dist
+  FROM dft d CROSS JOIN inputs i
+  WHERE levenshtein(d.term, i.input) <= 2 AND d.term != i.input
+)
+SELECT input, suggestion, df, dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY input
+            ORDER BY dist ASC, df DESC, suggestion ASC) AS rk
+  FROM cand
+) WHERE rk <= 5
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # engine-side callables
 
@@ -699,6 +750,7 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "ft_term_in_set": (ft_term_in_set, FT_IN_SET_SQL),
     "ft_boost": (ft_boost, FT_BOOST_SQL),
     "terms_component": (terms_component, TERMS_COMPONENT_SQL),
+    "spellcheck_suggest": (spellcheck_suggest, SPELLCHECK_SQL),
 }
 
 
@@ -857,23 +909,32 @@ WHERE a.doc_id < b.doc_id
 """
 
 
-def connected_components(pairs, a: str = "doc_a", b: str = "doc_b"):
+def connected_components(
+    pairs, a: str = "doc_a", b: str = "doc_b", method: str = "propagation"
+):
     """Connected components over an undirected pair relation: every node is
     labeled with the min doc_id reachable from it — the canonical web-scale
     dedup endgame (LSH candidate pairs → duplicate CLUSTERS, keep one doc
     per cluster).
 
-    Distributed min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels (one join + one map-side-
-    combinable min-agg per round — no all-pairs work anywhere). Rounds =
-    cluster diameter; LSH near-duplicate clusters are band-bucket cliques
-    with diameter ≤ 2-3, so this converges in a constant number of rounds
-    at any corpus size. (For adversarial long-chain graphs the alternating
-    large-star/small-star contraction gives O(log n) rounds on the same
-    join primitive; dedup graphs don't need it.) Convergence is probed with
-    sum(label) — strictly decreasing until fixpoint, one cheap agg action
-    per round, no driver-side row collection.
+    ``method="propagation"`` (default) — distributed min-label propagation:
+    each round every node takes the min of its own label and its neighbors'
+    labels (one join + one map-side-combinable min-agg per round — no
+    all-pairs work anywhere). Rounds = cluster diameter; LSH near-duplicate
+    clusters are band-bucket cliques with diameter ≤ 2-3, so this converges
+    in a constant number of rounds at any corpus size. Convergence is probed
+    with sum(label) — strictly decreasing until fixpoint, one cheap agg
+    action per round, no driver-side row collection.
+
+    ``method="star"`` — alternating large-star/small-star contraction (the
+    MapReduce-CC construction from the public literature: each round
+    rewires strictly-larger neighbors, then smaller-or-equal neighbors, to
+    the minimum of the closed neighborhood). O(log² n) rounds regardless of
+    component diameter — the choice for adversarial long-chain graphs where
+    propagation would need diameter rounds. Same output labels.
     """
+    if method == "star":
+        return _cc_star(pairs, a, b)
     edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
     und = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -886,11 +947,14 @@ def connected_components(pairs, a: str = "doc_a", b: str = "doc_b"):
         msgs = und.join(
             labels.withColumnRenamed("node", "u"), "u"
         ).select(F.col("v").alias("node"), "label")
+        # localCheckpoint truncates the logical plan each round — without it
+        # the iterated join lineage grows until Catalyst analysis OOMs on
+        # long-diameter graphs
         new_labels = (
             labels.unionAll(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
@@ -900,6 +964,85 @@ def connected_components(pairs, a: str = "doc_a", b: str = "doc_b"):
         prev_sum = cur_sum
     und.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _cc_star(pairs, a: str, b: str):
+    """Alternating large-star/small-star contraction. Each round:
+
+    - large-star: group the undirected neighborhood by node u, m = min of
+      the closed neighborhood; rewire every neighbor v > u to m.
+    - small-star: key each edge by its larger endpoint u over the smaller
+      neighbors Γ⁻(u); rewire Γ⁻(u) ∪ {u} to m = min(Γ⁻(u) ∪ {u}).
+
+    The edge set converges to stars (child → component-min root). Fixpoint
+    is probed with the (count, sum(u), sum(v)) triple of the canonicalized
+    edge set — one agg action per round; a 64-round cap guards the probe's
+    (astronomically unlikely) collision case.
+    """
+    e = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .cache()
+    )
+    # materialize the node set up front: the loop rewires (and unpersists) e,
+    # and recomputing nodes from the source pair relation later would re-run
+    # the whole upstream (e.g. LSH) pipeline
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    for _ in range(64):
+        # large-star over the full (symmetric) neighborhood
+        und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = und.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("mv", F.col("u")).alias("m"))
+        large = (
+            und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        )
+        e1 = (
+            large.filter(F.col("x") != F.col("y"))
+            .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+            .distinct()
+        )
+        # small-star keyed by the larger endpoint (canonical form already is)
+        mins2 = e1.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            e1.join(mins2, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .unionAll(mins2.select(F.col("u").alias("x"), F.col("m").alias("y")))
+        )
+        # plan-truncating checkpoint per round (see propagation note)
+        new_e = (
+            small.filter(F.col("x") != F.col("y"))
+            .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        probe = new_e.agg(
+            F.count("*").alias("n"), F.sum("u").alias("su"), F.sum("v").alias("sv")
+        ).collect()[0]
+        cur = (probe["n"], probe["su"], probe["sv"])
+        e.unpersist()
+        e = new_e
+        if cur == prev:
+            break
+        prev = cur
+    labels = nodes.join(
+        e.select(F.col("u").alias("node"), F.col("v").alias("label")), "node", "left"
+    ).select("node", F.coalesce("label", "node").alias("label"))
+    out = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    return out
 
 
 def dedup_clusters(spark, sf_dir):
