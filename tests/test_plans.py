@@ -138,3 +138,40 @@ def test_sql_in_matches_isin_and_pushes_down(spark, tiny_index):
     )
     assert "PushedFilters" in plan
     assert "In(term" in plan or "term" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_partitioned_windows_never_global(spark):
+    """facet_pivot / moving_avg / spellcheck rank windows are PARTITIONED by
+    their key — a Window without partitionBy funnels the table through one
+    task (the round-1 search_after_page2 scale-killer, VERDICT finding 5)."""
+    from lucene_solr_spark.relational import facet_pivot_orders, moving_avg_events
+    from lucene_solr_spark.textops import spellcheck_suggest
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    for fn in (facet_pivot_orders, moving_avg_events, spellcheck_suggest):
+        plan = _plan(fn(spark, sf))
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line.lower():
+                assert "SinglePartition" not in line, (fn.__name__, line)
+        # the window's exchange must be hash-partitioned, not a global sort
+        assert "Exchange SinglePartition" not in plan, fn.__name__
+
+
+def test_join_query_is_semi_join(spark):
+    """{!join} compiles to a semi-join (child keys only), never an inner
+    join that would duplicate parents per matching child."""
+    from lucene_solr_spark.relational import join_query_orders
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(join_query_orders(spark, sf))
+    assert "LeftSemi" in plan
+
+
+def test_classify_model_join_broadcasts(spark):
+    """The NB model (counts/priors) is the broadcast side; the test-token
+    explode never shuffles for the model join."""
+    from lucene_solr_spark.textops import classify_docs
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(classify_docs(spark, sf))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
