@@ -7,19 +7,21 @@ Reference surfaces (behavioral parity targets, not ports):
   expression: from a root node set, walk ``from -> to`` edge relations one
   level at a time, emitting the gathered node ids per level with duplicates
   collapsed. Spark shape: each hop is one equi-join against the edge
-  relation + ``distinct`` — the roots/frontier side is small relative to the
-  edge table, so it is broadcast and the edge scan never shuffles.
+  relation + ``distinct``. Join strategy is left to AQE: it broadcasts the
+  frontier while it measures small and falls back to a shuffle join when a
+  hop fans out — a forced broadcast would cap the walk at the driver's
+  broadcast limit.
 - ``ShortestPathStream`` (reference solr/solrj/src/java/org/apache/solr/
   client/solrj/io/graph/ShortestPathStream.java:54) — breadth-first search
   bounded by ``maxDepth``, iterative "join frontier to edges" per level,
   exactly the reference's own algorithm (it issues one distributed query
-  per BFS level). Spark shape: the edge DataFrame is built once and cached;
-  each level is ``frontier ⋈ edges`` → ``distinct`` → anti-join against the
-  visited set, so a node is emitted at its minimal distance and never
-  re-expanded. Levels are O(maxDepth) Spark jobs over a frontier that is
-  always a small fraction of the graph — at 100 TB the edge relation is the
-  big side and it stays partitioned on ``src`` across iterations; the
-  frontier is the broadcast side.
+  per BFS level). Spark shape: the edge DataFrame is built once and cached
+  for the loop (released on exit); each level is ``frontier ⋈ edges`` →
+  ``distinct`` → anti-join against the visited set, so a node is emitted at
+  its minimal distance and never re-expanded. Each level is checkpointed to
+  truncate the iterated-join lineage; the per-level join picks broadcast vs
+  shuffle via AQE since BFS frontiers can grow to a large fraction of the
+  graph on dense inputs.
 
 Both ops run on the TPC-H-ish test tables: the bipartite part↔supplier
 graph induced by ``lineitem`` (edge = "supplier shipped this part") and the
@@ -28,14 +30,10 @@ customer→order→part purchase walk.
 
 from __future__ import annotations
 
-import os
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+from .relational import _t
 
 
 def gather_nodes(
@@ -45,19 +43,21 @@ def gather_nodes(
     """``nodes()`` / GatherNodesStream: multi-level gather.
 
     ``roots``: one-column DataFrame of level-0 node ids. ``hops``: per level
-    ``(edges, from_col, to_col, level_name)``. Returns
+    ``(edges, from_col, to_col, level_name)``, non-empty. Returns
     ``(level: string, node: bigint)`` — the distinct nodes discovered at each
     level (the reference's ``gather`` output, one tuple per node per level).
 
-    Each hop joins the (small) frontier to the edge relation on ``from_col``;
-    the frontier side is explicitly broadcast so the edge table — the 100-TB
-    side — is scanned in place with no shuffle.
+    Each hop joins the frontier to the edge relation on ``from_col``; AQE
+    picks broadcast while the frontier measures small and a shuffle join
+    once a hop fans out past the broadcast threshold.
     """
+    if not hops:
+        raise ValueError("gather_nodes: hops must be non-empty")
     frontier = roots.toDF("node")
     levels: list[DataFrame] = []
     for edges, src, dst, name in hops:
         frontier = (
-            edges.join(F.broadcast(frontier), edges[src] == frontier["node"])
+            edges.join(frontier, edges[src] == frontier["node"])
             .select(edges[dst].alias("node"))
             .distinct()
         )
@@ -82,9 +82,13 @@ def shortest_path(
     pruning (ShortestPathStream.java:54 keeps exactly this per-level
     ``visited`` map so no node is re-expanded).
 
-    The edge DataFrame is cached once; each BFS level is one broadcast join
-    (frontier is small) + distinct + anti-join. ``max_depth`` bounds the job
-    count; the loop exits early when the frontier drains.
+    The edge DataFrame is cached for the loop and released on exit. Each
+    level is one join (AQE: broadcast while the frontier is small, shuffle
+    once it grows) + distinct + anti-join, then ``localCheckpoint`` — the
+    checkpoint truncates the iterated-join lineage AND lets the edge cache
+    be dropped without the returned DataFrame recomputing the walk.
+    ``max_depth`` bounds the job count; the loop exits early when the
+    frontier drains.
     """
     edges = edges.toDF("src", "dst").cache()
     spark = edges.sparkSession
@@ -93,19 +97,18 @@ def shortest_path(
     out = [frontier]
     for depth in range(1, max_depth + 1):
         nxt = (
-            edges.join(F.broadcast(frontier), edges["src"] == frontier["node"])
+            edges.join(frontier, edges["src"] == frontier["node"])
             .select(F.col("dst").alias("node"), F.lit(depth).alias("dist"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
         )
-        # materialize the level: BFS correctness needs the visited set frozen
-        # per level, and the count doubles as the early-exit probe
-        nxt = nxt.cache()
-        if nxt.count() == 0:
+        if nxt.isEmpty():
             break
-        visited = visited.unionAll(nxt).cache()
+        visited = visited.unionAll(nxt)
         frontier = nxt
         out.append(nxt)
+    edges.unpersist()
     res = out[0]
     for lv in out[1:]:
         res = res.unionAll(lv)

@@ -932,10 +932,16 @@ def connected_components(
     the minimum of the closed neighborhood). O(log² n) rounds regardless of
     component diameter — the choice for adversarial long-chain graphs where
     propagation would need diameter rounds. Same output labels.
+
+    Self-pairs (u == u) carry no connectivity and are dropped by both
+    methods: the output covers exactly the nodes with at least one proper
+    edge.
     """
     if method == "star":
         return _cc_star(pairs, a, b)
-    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
     und = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).cache()
@@ -975,9 +981,10 @@ def _cc_star(pairs, a: str, b: str):
       neighbors Γ⁻(u); rewire Γ⁻(u) ∪ {u} to m = min(Γ⁻(u) ∪ {u}).
 
     The edge set converges to stars (child → component-min root). Fixpoint
-    is probed with the (count, sum(u), sum(v)) triple of the canonicalized
-    edge set — one agg action per round; a 64-round cap guards the probe's
-    (astronomically unlikely) collision case.
+    is exact: both rounds' edge sets are canonical and distinct, so equal
+    counts plus an empty ``exceptAll`` difference proves set equality — no
+    probabilistic probe. A 64-round cap bounds the loop defensively
+    (two-phase converges in O(log² n) rounds).
     """
     e = (
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
@@ -1027,15 +1034,13 @@ def _cc_star(pairs, a: str, b: str):
             .distinct()
             .localCheckpoint(eager=True)
         )
-        probe = new_e.agg(
-            F.count("*").alias("n"), F.sum("u").alias("su"), F.sum("v").alias("sv")
-        ).collect()[0]
-        cur = (probe["n"], probe["su"], probe["sv"])
+        n_new = new_e.count()
+        converged = n_new == prev and new_e.exceptAll(e).isEmpty()
         e.unpersist()
         e = new_e
-        if cur == prev:
+        if converged:
             break
-        prev = cur
+        prev = n_new
     labels = nodes.join(
         e.select(F.col("u").alias("node"), F.col("v").alias("label")), "node", "left"
     ).select("node", F.coalesce("label", "node").alias("label"))
@@ -1090,25 +1095,32 @@ SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
 # train a text classifier on a labeled tuple stream, apply it to another
 # stream. The reference's train() fits logistic regression by iterative SGD
 # (iteration/order-dependent); the model here is multinomial Naive Bayes with
-# add-one smoothing — same surface, but closed-form and deterministic, so it
-# trains in exactly two distributed aggregations (per-(label,term) counts
-# with map-side combine + per-label totals/priors) and scores with one
+# add-one smoothing — same surface, but closed-form and deterministic. The
+# training corpus is scanned exactly twice: one token explode feeding the
+# per-(label,term) count agg (map-side combinable), and one column-pruned
+# doc-count agg for the priors; per-label token totals and the vocabulary
+# size reduce off the cached model table, not the corpus. Scoring is one
 # broadcast join of the tiny model against the test tokens. At 100 TB the
 # corpus side never shuffles more than the (doc, term, tf) explode; the
 # model (|vocab| × |labels|) is the broadcast side.
 def classify_docs(spark, sf_dir):
+    import math
+
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
     train = d.filter(F.col("doc_id") % 5 != 0)
     test = d.filter((F.col("doc_id") % 5 == 0) & (F.size("arr") >= 1))
     tr_tok = train.select(F.col("lang").alias("label"), F.explode("arr").alias("term"))
-    counts = tr_tok.groupBy("label", "term").agg(F.count("*").alias("c"))
-    label_tot = tr_tok.groupBy("label").agg(F.count("*").alias("n_l"))
-    n_train = train.count()
-    vocab = tr_tok.select("term").distinct().count()
-    priors = train.groupBy(F.col("lang").alias("label")).agg(
-        F.log(F.count("*").cast("double") / F.lit(float(n_train))).alias("log_prior")
+    counts = tr_tok.groupBy("label", "term").agg(F.count("*").alias("c")).cache()
+    label_tot = counts.groupBy("label").agg(F.sum("c").alias("n_l"))
+    vocab = counts.select("term").distinct().count()
+    # per-label doc counts: |labels| rows of model metadata
+    label_docs = train.groupBy(F.col("lang").alias("label")).count().collect()
+    n_train = sum(r["count"] for r in label_docs)
+    priors = spark.createDataFrame(
+        [(r["label"], math.log(r["count"] / n_train)) for r in label_docs],
+        "label string, log_prior double",
     )
     te_tok = (
         test.select("doc_id", F.explode("arr").alias("term"))

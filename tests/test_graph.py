@@ -54,8 +54,12 @@ def test_gather_nodes_two_levels_distinct(spark):
     assert got == {("L1", "m1"), ("L1", "m2"), ("L2", "x"), ("L2", "y")}
 
 
-def test_bfs_frontier_join_is_broadcast(spark):
+def test_bfs_levels_are_checkpointed(spark):
+    """The returned BFS frame must be a union over checkpointed levels — no
+    live join lineage (else each downstream action re-runs the whole walk,
+    and the per-round plan would grow until Catalyst analysis OOMs)."""
     e = _edges(spark, [("a", "b"), ("b", "c")])
     df = shortest_path(e, "a", 2)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
