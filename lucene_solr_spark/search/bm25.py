@@ -116,12 +116,20 @@ def lmjm_norm_cache() -> np.ndarray:
 
 def inl2_norm_cache(avgdl: float) -> np.ndarray:
     """DFR I(n)L2 normalized-length table log2(1 + avgdl/dl)
-    (``DFRSimilarity.java:63``, NormalizationH2 c=1). float64."""
+    (``DFRSimilarity.java:63``, NormalizationH2 c=1). float64.
+    Also the tfn table for IB LL/D/H2 (``IBSimilarity.java:79``,
+    same NormalizationH2)."""
     table = LENGTH_TABLE.astype(np.float64)
     with np.errstate(divide="ignore"):
         t = np.log2(1.0 + avgdl / table)
     t[table == 0] = 0.0
     return t
+
+
+def raw_len_cache() -> np.ndarray:
+    """Decoded document length per norm byte — the docLen input of
+    DFISimilarity.score (``DFISimilarity.java:55-64``). float64."""
+    return LENGTH_TABLE.astype(np.float64)
 
 
 def max_block_score(

@@ -221,10 +221,12 @@ class IndexSearcher:
         (Lucene score parity); 'f64' computes in double (SQL-oracle mode).
         ``similarity``: 'bm25' (default), 'classic' (TFIDFSimilarity),
         'lmd' (LMDirichletSimilarity, µ=2000), 'lmjm'
-        (LMJelinekMercerSimilarity, λ=0.1) or 'inl2' (DFRSimilarity with
-        I(n)/L/H2, c=1) — SURVEY §2.7; all share the (freq, norm_byte)
-        scoring seam, are monotone ↑freq / ↓length, and therefore keep the
-        block-max pruning bounds admissible unchanged."""
+        (LMJelinekMercerSimilarity, λ=0.1), 'inl2' (DFRSimilarity with
+        I(n)/L/H2, c=1), 'dfi' (DFISimilarity, IndependenceStandardized) or
+        'ibll' (IBSimilarity with DistributionLL/LambdaDF/H2) — SURVEY §2.7;
+        all share the (freq, norm_byte) scoring seam, are monotone ↑freq /
+        ↓length, and therefore keep the block-max pruning bounds admissible
+        unchanged."""
         self.spark = spark
         self.index_dir = index_dir
         self.analyzer = analyzer
@@ -243,13 +245,15 @@ class IndexSearcher:
         table = byte4_to_int(np.arange(256, dtype=np.uint8)).astype(np.float64)
         # non-BM25 caches come from the single bm25.py formula seam (f64);
         # parity mode round-trips them through float32
-        if self.sim in ("classic", "lmd", "lmjm", "inl2"):
+        if self.sim in ("classic", "lmd", "lmjm", "inl2", "dfi", "ibll"):
             self.avgdl = self.sum_total_term_freq / max(self.doc_count, 1)
             c = {
                 "classic": bm25.classic_norm_cache,
                 "lmd": lambda: bm25.lmd_norm_cache(self.LMD_MU),
                 "lmjm": bm25.lmjm_norm_cache,
                 "inl2": lambda: bm25.inl2_norm_cache(self.avgdl),
+                "dfi": bm25.raw_len_cache,
+                "ibll": lambda: bm25.inl2_norm_cache(self.avgdl),
             }[self.sim]()
             self.cache = c.astype(np.float32).astype(np.float64) if self.f32 else c
         elif self.f32:
@@ -320,6 +324,15 @@ class IndexSearcher:
             elif self.sim == "inl2":
                 # BasicModelIn: log2((N+1)/(n+0.5))
                 out[t] = float(np.log2((self.doc_count + 1) / (df + 0.5)))
+            elif self.sim == "dfi":
+                # weight = (F+1)/(T+1); kernel: expected = weight · docLen
+                # (DFISimilarity.java:57)
+                out[t] = (self._ttf_cache[t] + 1.0) / (
+                    self.sum_total_term_freq + 1.0
+                )
+            elif self.sim == "ibll":
+                # weight = λ = (n+1)/(N+1) (LambdaDF.java:32-38)
+                out[t] = (df + 1.0) / (self.doc_count + 1.0)
             elif self.f32:
                 out[t] = float(
                     bm25.term_weight(bm25.idf(np.array([df]), self.doc_count)[0])
@@ -664,10 +677,17 @@ class IndexSearcher:
             elif self.sim == "inl2":
                 tf_val = float(r.freq) * float(cache[norm_byte])  # tfn
                 s = w * tf_val / (tf_val + 1.0)
+            elif self.sim == "dfi":
+                e = w * float(cache[norm_byte])  # expected count
+                tf_val = (float(r.freq) - e) / np.sqrt(e) if e > 0 else 0.0
+                s = float(np.log2(tf_val + 1.0)) if float(r.freq) > e else 0.0
+            elif self.sim == "ibll":
+                tf_val = float(r.freq) * float(cache[norm_byte])  # tfn
+                s = float(np.log1p(tf_val / w)) if w > 0 else 0.0
             else:
                 tf_val = float(r.freq) / (float(r.freq) + float(cache[norm_byte]))
                 s = float(np.float32(w) * np.float32(tf_val)) if self.f32 else w * tf_val
-            if self.f32 and self.sim in ("classic", "lmd", "lmjm", "inl2"):
+            if self.f32 and self.sim in ("classic", "lmd", "lmjm", "inl2", "dfi", "ibll"):
                 s = float(np.float32(s))
             details.append(
                 {

@@ -397,7 +397,8 @@ class QueryContext:
     ):
         dt = np.float32 if f32 else np.float64
         self.f32 = f32
-        # "bm25" | "classic" | "lmd" | "lmjm" | "inl2" (SURVEY §2.7)
+        # "bm25" | "classic" | "lmd" | "lmjm" | "inl2" | "dfi" | "ibll"
+        # (SURVEY §2.7)
         self.sim = sim
         self.weights = {t: dt(w) for t, w in weights.items()}
         self.cache = cache.astype(dt)
@@ -410,7 +411,9 @@ class QueryContext:
         synonyms for the idf-style sims (``SynonymQuery.java:204-218``);
         under LMD the pseudo collection probability is the SUM of the
         members' (freq sums ⇒ probabilities sum)."""
-        if self.sim in ("lmd", "lmjm"):
+        if self.sim in ("lmd", "lmjm", "dfi"):
+            # collection-probability-style weights: members' freqs sum, so
+            # their probabilities (and DFI expected counts) sum too
             return float(sum(float(self.weights.get(t, 0.0)) for t in terms))
         df = max((self.dfs.get(t, 0) for t in terms), default=0)
         if df == 0:
@@ -419,6 +422,9 @@ class QueryContext:
             w = 1.0 + np.log((self.doc_count + 1) / (df + 1.0))
         elif self.sim == "inl2":
             w = np.log2((self.doc_count + 1) / (df + 0.5))
+        elif self.sim == "ibll":
+            # LambdaDF over the pseudo-term df (LambdaDF.java:32-38)
+            w = (df + 1.0) / (self.doc_count + 1.0)
         else:
             w = np.log1p((self.doc_count - df + 0.5) / (df + 0.5))
         return np.float32(w) if self.f32 else float(w)
@@ -457,6 +463,24 @@ class QueryContext:
         elif self.sim == "inl2":
             tfn = f * norm
             out = float(weight) * tfn / (tfn + 1.0)
+        elif self.sim == "dfi":
+            # DFISimilarity.java:55-64 with IndependenceStandardized
+            # (IndependenceStandardized.java:37): expected = w·dl where the
+            # norm cache holds RAW decoded lengths and w = (ttf+1)/(T+1);
+            # score = log2((freq−e)/sqrt(e) + 1), zero when freq ≤ e.
+            e = float(weight) * norm
+            with np.errstate(divide="ignore", invalid="ignore"):
+                measure = (f - e) / np.sqrt(e)
+                out = np.where(f > e, np.log2(measure + 1.0), 0.0)
+            out = np.nan_to_num(out, nan=0.0, posinf=0.0)
+        elif self.sim == "ibll":
+            # IBSimilarity.java:77-82 with DistributionLL/LambdaDF/H2:
+            # score = −ln(λ/(tfn+λ)) = ln1p(tfn/λ); norm cache = H2 table,
+            # weight = λ = (df+1)/(N+1) (DistributionLL.java:33-35)
+            lam = float(weight)
+            if lam <= 0.0:
+                return np.zeros(len(f), dtype=np.float64)
+            out = np.log1p(f * norm / lam)
         else:
             tf = f / (f + norm)
             if self.f32:

@@ -135,7 +135,55 @@ def test_inl2_scores(spark, sim_index):
         assert hits[coord] == pytest.approx(expect, rel=1e-6), coord
 
 
-@pytest.mark.parametrize("sim", ["classic", "lmd", "lmjm", "inl2"])
+def test_dfi_scores(spark, sim_index):
+    """DFISimilarity.java:55-64 + IndependenceStandardized.java:37:
+    expected = (ttf+1)·dl/(T+1); score = log2((tf−e)/sqrt(e) + 1), 0 if tf≤e."""
+    from lucene_solr_spark.search import IndexSearcher
+
+    s = IndexSearcher(spark, sim_index, analyzer="code", similarity="dfi",
+                      precision="f64")
+    per_doc, _, total = _naive_stats(spark, sim_index)
+    ttf = sum(t.count("parse") for t in per_doc.values())
+    hits = {(r.segment_id, r.doc_id): r.score for r in s.search("parse", k=10).collect()}
+    assert hits
+    for coord, terms in per_doc.items():
+        tf = terms.count("parse")
+        if tf == 0:
+            continue
+        dl = _quantized_len(len(terms))
+        e = (ttf + 1.0) * dl / (total + 1.0)
+        if tf <= e:
+            expect = 0.0
+        else:
+            expect = math.log2((tf - e) / math.sqrt(e) + 1.0)
+        if expect > 0:
+            assert hits[coord] == pytest.approx(expect, rel=1e-6), coord
+
+
+def test_ibll_scores(spark, sim_index):
+    """IBSimilarity.java:77-82 with DistributionLL/LambdaDF/NormalizationH2:
+    λ=(df+1)/(N+1), tfn = tf·log2(1+avgdl/dl), score = ln(1 + tfn/λ)."""
+    from lucene_solr_spark.search import IndexSearcher
+
+    s = IndexSearcher(spark, sim_index, analyzer="code", similarity="ibll",
+                      precision="f64")
+    per_doc, doc_count, total = _naive_stats(spark, sim_index)
+    df = sum(1 for t in per_doc.values() if "parse" in t)
+    avgdl = total / doc_count
+    hits = {(r.segment_id, r.doc_id): r.score for r in s.search("parse", k=10).collect()}
+    lam = (df + 1.0) / (doc_count + 1.0)
+    for coord, terms in per_doc.items():
+        tf = terms.count("parse")
+        if tf == 0:
+            assert coord not in hits
+            continue
+        dl = _quantized_len(len(terms))
+        tfn = tf * math.log2(1 + avgdl / dl)
+        expect = math.log1p(tfn / lam)
+        assert hits[coord] == pytest.approx(expect, rel=1e-6), coord
+
+
+@pytest.mark.parametrize("sim", ["classic", "lmd", "lmjm", "inl2", "dfi", "ibll"])
 def test_pruned_paths_match_exhaustive_under_sim(spark, sim_index, sim):
     """topk_term_pruned / WAND / BlockMaxConjunction bounds stay admissible
     under every similarity (monotone in freq, anti-monotone in length)."""
