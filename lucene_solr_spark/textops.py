@@ -1518,6 +1518,143 @@ SELECT e.vec_id, e.bucket, round(cosine, 4) AS cosine FROM (
 """
 
 
+# Trained IVF ANN — the real 100-TB similarity-search shape: a k-means
+# coarse quantizer (Lloyd iterations) learned from the data, then an
+# nprobe-bucket probe. Training state (K centroids) is MODEL state, not
+# data: each Lloyd step is one map-side-combinable Spark aggregation and a
+# K×dim collect (exactly what MLlib's KMeans driver loop does); at 100 TB
+# you train on a sample and the probe stays a partition-pruned scan over
+# cluster-id (the bucket is the partition key) + a broadcast query.
+# Determinism across engines: embeddings are quantized to integers
+# (floor(x·1000 + 0.5)) so distance sums and centroid sums are EXACT and
+# order-independent — Spark and DuckDB produce bit-identical centroids,
+# assignments and probe sets (the floats-only cosine rides the proven
+# list_dot_product/aggregate seam and rounds to 4dp).
+IVF_K = 8
+IVF_ITERS = 2
+IVF_NPROBE = 2
+
+_VQ_SPARK = (
+    "transform(embedding, x -> cast(floor(cast(x AS double) * 1000.0 + 0.5) AS bigint))"
+)
+
+
+def _ivf_assign_expr(cents):
+    """Nearest-centroid id as one Catalyst expression: min over K of
+    (L2² · K + cid) — ties break to the lowest cid, all integer-exact."""
+    terms = []
+    for cid, c in cents:
+        arr = "array(" + ",".join(f"{int(x)}L" for x in c) + ")"
+        d2 = (
+            f"aggregate(zip_with(vq, {arr}, (x, y) -> (x - y) * (x - y)), "
+            "0L, (acc, d) -> acc + d)"
+        )
+        terms.append(f"({d2} * {IVF_K} + {cid})")
+    inner = terms[0] if len(terms) == 1 else f"least({', '.join(terms)})"
+    return F.expr(f"cast({inner} % {IVF_K} AS bigint)")
+
+
+def emb_ivf_trained(spark, sf_dir):
+    e = (
+        _emb(spark, sf_dir)
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x AS double))").alias("v"),
+            F.expr(_VQ_SPARK).alias("vq"),
+        )
+        .persist()
+    )
+    # init: the first K vectors by vec_id (deterministic seeding)
+    cents = sorted(
+        (int(r.vec_id), list(r.vq))
+        for r in e.filter(F.col("vec_id") < IVF_K).collect()
+    )
+    for _ in range(IVF_ITERS):
+        upd = (
+            e.withColumn("cid", _ivf_assign_expr(cents))
+            .select("cid", F.posexplode("vq").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.floor(F.sum("x") / F.count("*")).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        cents = sorted((int(r.cid), list(r.c)) for r in upd)
+    # nprobe nearest centroids to the query vector (driver-side: K ints)
+    qvq = e.filter(F.col("vec_id") == 0).select("vq").collect()[0].vq
+    qd = sorted(
+        (sum((int(a) - int(b)) ** 2 for a, b in zip(qvq, c)), cid)
+        for cid, c in cents
+    )
+    probes = sorted(cid for _, cid in qd[:IVF_NPROBE])
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = F.expr(
+        "aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 AS double), (acc, x) -> acc + x)"
+    )
+    nv = F.expr("aggregate(v, cast(0.0 AS double), (acc, x) -> acc + x * x)")
+    nq = F.expr("aggregate(qv, cast(0.0 AS double), (acc, x) -> acc + x * x)")
+    return (
+        e.withColumn("cid", _ivf_assign_expr(cents))
+        .filter((F.col("vec_id") != 0) & F.col("cid").isin([int(p) for p in probes]))
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine", dot / (F.sqrt(nv) * F.sqrt(nq)))
+        .filter(F.col("cosine") >= 0.05)
+        .select("vec_id", "cid", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+_IVF_D2 = "list_sum(list_transform(list_zip({a}, {b}), s -> (s[1] - s[2]) * (s[1] - s[2])))"
+
+
+def _ivf_assign_cte(src, csrc, out):
+    d2 = _IVF_D2.format(a=f"{src}.vq", b=f"{csrc}.c")
+    return f"""{out} AS (
+  SELECT vec_id, CAST(min({d2} * {IVF_K} + {csrc}.cid) % {IVF_K} AS BIGINT) AS cid
+  FROM {src}, {csrc} GROUP BY vec_id)"""
+
+
+def _ivf_update_cte(asrc, out):
+    return f"""{out}_u AS (
+  SELECT a.cid, u.pos, CAST(floor(sum(u.x) / count(*)) AS BIGINT) AS m
+  FROM {asrc} a JOIN e ON a.vec_id = e.vec_id,
+       LATERAL (SELECT unnest(e.vq) AS x, generate_subscripts(e.vq, 1) AS pos) u
+  GROUP BY a.cid, u.pos),
+{out} AS (
+  SELECT cid, list_transform(list_sort(list(ROW(pos, m))), s -> CAST(s[2] AS BIGINT)) AS c
+  FROM {out}_u GROUP BY cid)"""
+
+
+EMB_IVF_TRAINED_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding, x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS vq
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cid, vq AS c FROM e WHERE vec_id < {IVF_K}),
+{_ivf_assign_cte('e', 'c0', 'a1')},
+{_ivf_update_cte('a1', 'c1')},
+{_ivf_assign_cte('e', 'c1', 'a2')},
+{_ivf_update_cte('a2', 'c2')},
+qd AS (
+  SELECT c2.cid, {_IVF_D2.format(a='e.vq', b='c2.c')} AS d2
+  FROM e, c2 WHERE e.vec_id = 0),
+probe AS (SELECT cid FROM (SELECT cid, row_number() OVER (ORDER BY d2, cid) AS rn FROM qd) WHERE rn <= {IVF_NPROBE}),
+{_ivf_assign_cte('e', 'c2', 'a3')},
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT a3.vec_id, a3.cid,
+       round(list_dot_product(e.v, q.qv) /
+             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+FROM a3 JOIN e ON a3.vec_id = e.vec_id, q
+WHERE a3.cid IN (SELECT cid FROM probe) AND a3.vec_id != 0
+  AND list_dot_product(e.v, q.qv) /
+      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) >= 0.05
+"""
+
+
 # text_metrics: language-ID + quality score + token counting in ONE scan —
 # the single-pass text-analysis profile of a web-scale pipeline (each metric
 # is a pure Catalyst expression over the same tokenization; no shuffle at
@@ -1611,7 +1748,7 @@ FROM h
 
 TRAINING_OPS: dict[str, tuple] = {
     "mlt_shared_terms": (mlt_shared_terms, MLT_SQL),
-    "emb_ivf_probe": (emb_ivf_probe, EMB_IVF_SQL),
+    "emb_ivf_trained": (emb_ivf_trained, EMB_IVF_TRAINED_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
@@ -1628,6 +1765,9 @@ TRAINING_EXTRA_OPS: dict[str, tuple] = {
     # signature computation is exercised transitively by the gated
     # minhash_lsh_pairs / dedup_clusters chain
     "minhash_signatures": (minhash_signatures, MINHASH_SQL),
+    # fixed sign-pattern coarse quantizer — superseded in the gated window by
+    # the k-means-trained emb_ivf_trained; kept as the cheap untrained variant
+    "emb_ivf_probe": (emb_ivf_probe, EMB_IVF_SQL),
     "emb_cosine_pairs": (emb_cosine_pairs, EMB_COSINE_SQL),
     "emb_knn_threshold": (emb_knn_threshold, EMB_KNN_SQL),
     "simhash16": (simhash16, SIMHASH_SQL),
