@@ -132,6 +132,15 @@ def raw_len_cache() -> np.ndarray:
     return LENGTH_TABLE.astype(np.float64)
 
 
+def ax2exp_norm_cache(avgdl: float, s: float = 0.25) -> np.ndarray:
+    """Axiomatic F2EXP denominator table s + s·dl/avgdl per norm byte
+    (``AxiomaticF2EXP.java:91-93`` tfln; Axiomatic defaults s=0.25,
+    ``Axiomatic.java:100``). With weight = ((N+1)/df)^k this makes F2EXP
+    exactly the BM25-shaped ``w·f/(f+norm)`` kernel branch. float64."""
+    table = LENGTH_TABLE.astype(np.float64)
+    return s + s * table / max(avgdl, 1e-12)
+
+
 def max_block_score(
     max_freq: np.ndarray, min_norm_byte: np.ndarray, weight: np.float32, cache: np.ndarray
 ) -> np.ndarray:

@@ -208,6 +208,7 @@ class LRUQueryResultCache:
 
 class IndexSearcher:
     LMD_MU = 2000.0  # LMDirichletSimilarity default µ (:54)
+    AX2_K = 0.35  # AxiomaticF2EXP default k (Axiomatic.java:100)
 
     def __init__(
         self,
@@ -222,8 +223,9 @@ class IndexSearcher:
         ``similarity``: 'bm25' (default), 'classic' (TFIDFSimilarity),
         'lmd' (LMDirichletSimilarity, µ=2000), 'lmjm'
         (LMJelinekMercerSimilarity, λ=0.1), 'inl2' (DFRSimilarity with
-        I(n)/L/H2, c=1), 'dfi' (DFISimilarity, IndependenceStandardized) or
-        'ibll' (IBSimilarity with DistributionLL/LambdaDF/H2) — SURVEY §2.7;
+        I(n)/L/H2, c=1), 'dfi' (DFISimilarity, IndependenceStandardized),
+        'ibll' (IBSimilarity with DistributionLL/LambdaDF/H2) or 'ax2exp'
+        (AxiomaticF2EXP, s=0.25/k=0.35) — SURVEY §2.7;
         all share the (freq, norm_byte) scoring seam, are monotone ↑freq /
         ↓length, and therefore keep the block-max pruning bounds admissible
         unchanged."""
@@ -245,7 +247,7 @@ class IndexSearcher:
         table = byte4_to_int(np.arange(256, dtype=np.uint8)).astype(np.float64)
         # non-BM25 caches come from the single bm25.py formula seam (f64);
         # parity mode round-trips them through float32
-        if self.sim in ("classic", "lmd", "lmjm", "inl2", "dfi", "ibll"):
+        if self.sim in ("classic", "lmd", "lmjm", "inl2", "dfi", "ibll", "ax2exp"):
             self.avgdl = self.sum_total_term_freq / max(self.doc_count, 1)
             c = {
                 "classic": bm25.classic_norm_cache,
@@ -254,6 +256,9 @@ class IndexSearcher:
                 "inl2": lambda: bm25.inl2_norm_cache(self.avgdl),
                 "dfi": bm25.raw_len_cache,
                 "ibll": lambda: bm25.inl2_norm_cache(self.avgdl),
+                # ax2exp reuses the default w·f/(f+norm) kernel branch with
+                # the F2EXP denominator as the norm table
+                "ax2exp": lambda: bm25.ax2exp_norm_cache(self.avgdl),
             }[self.sim]()
             self.cache = c.astype(np.float32).astype(np.float64) if self.f32 else c
         elif self.f32:
@@ -333,6 +338,9 @@ class IndexSearcher:
             elif self.sim == "ibll":
                 # weight = λ = (n+1)/(N+1) (LambdaDF.java:32-38)
                 out[t] = (df + 1.0) / (self.doc_count + 1.0)
+            elif self.sim == "ax2exp":
+                # idf = ((N+1)/df)^k, k=0.35 (AxiomaticF2EXP.java:99-101)
+                out[t] = float(((self.doc_count + 1.0) / df) ** self.AX2_K)
             elif self.f32:
                 out[t] = float(
                     bm25.term_weight(bm25.idf(np.array([df]), self.doc_count)[0])

@@ -425,6 +425,9 @@ class QueryContext:
         elif self.sim == "ibll":
             # LambdaDF over the pseudo-term df (LambdaDF.java:32-38)
             w = (df + 1.0) / (self.doc_count + 1.0)
+        elif self.sim == "ax2exp":
+            # F2EXP idf over the pseudo-term df (AxiomaticF2EXP.java:99-101)
+            w = ((self.doc_count + 1.0) / df) ** 0.35
         else:
             w = np.log1p((self.doc_count - df + 0.5) / (df + 0.5))
         return np.float32(w) if self.f32 else float(w)
@@ -482,6 +485,10 @@ class QueryContext:
                 return np.zeros(len(f), dtype=np.float64)
             out = np.log1p(f * norm / lam)
         else:
+            # bm25 AND ax2exp: both are w·f/(f+norm) with their own norm
+            # table (BM25: k1·(1−b+b·dl/avgdl); F2EXP: s+s·dl/avgdl,
+            # ``AxiomaticF2EXP.java:91-93``) and weight (BM25 idf·(k1+1);
+            # F2EXP ((N+1)/df)^k)
             tf = f / (f + norm)
             if self.f32:
                 return (np.float32(weight) * tf.astype(np.float32)).astype(np.float64)

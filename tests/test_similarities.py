@@ -183,7 +183,31 @@ def test_ibll_scores(spark, sim_index):
         assert hits[coord] == pytest.approx(expect, rel=1e-6), coord
 
 
-@pytest.mark.parametrize("sim", ["classic", "lmd", "lmjm", "inl2", "dfi", "ibll"])
+def test_ax2exp_scores(spark, sim_index):
+    """AxiomaticF2EXP.java:91-101 (s=0.25, k=0.35):
+    score = ((N+1)/df)^k · tf/(tf + s + s·dl/avgdl)."""
+    from lucene_solr_spark.search import IndexSearcher
+
+    s = IndexSearcher(spark, sim_index, analyzer="code", similarity="ax2exp",
+                      precision="f64")
+    per_doc, doc_count, total = _naive_stats(spark, sim_index)
+    df = sum(1 for t in per_doc.values() if "parse" in t)
+    avgdl = total / doc_count
+    hits = {(r.segment_id, r.doc_id): r.score for r in s.search("parse", k=10).collect()}
+    for coord, terms in per_doc.items():
+        tf = terms.count("parse")
+        if tf == 0:
+            assert coord not in hits
+            continue
+        dl = _quantized_len(len(terms))
+        idf = ((doc_count + 1) / df) ** 0.35
+        expect = idf * tf / (tf + 0.25 + 0.25 * dl / avgdl)
+        assert hits[coord] == pytest.approx(expect, rel=1e-6), coord
+
+
+@pytest.mark.parametrize(
+    "sim", ["classic", "lmd", "lmjm", "inl2", "dfi", "ibll", "ax2exp"]
+)
 def test_pruned_paths_match_exhaustive_under_sim(spark, sim_index, sim):
     """topk_term_pruned / WAND / BlockMaxConjunction bounds stay admissible
     under every similarity (monotone in freq, anti-monotone in length)."""
