@@ -948,8 +948,94 @@ ORDER BY boost DESC, l_orderkey, l_linenumber LIMIT 50
 
 
 
+# Block join (the lucene/join module): ToParentBlockJoinQuery aggregates the
+# scores of a child query's matches up to their enclosing parent under a
+# ScoreMode (Total/Avg/Min/Max — ``ToParentBlockJoinQuery.java:350-377``);
+# ToChildBlockJoinQuery maps matching parents back to all their children.
+# Lucene needs parent/child docs co-located in one index block; in Spark the
+# parent key IS the block identity, so to-parent is one map-side-combinable
+# groupBy on the FK followed by a parent join (bucket both by orderkey at
+# 100 TB and neither side re-shuffles), and to-child is a semi-join with the
+# selective parent side broadcast.
+def block_join_parents(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    # child score in integer cents: double sums are summation-order-dependent
+    # (Spark's partial aggs vs the oracle differ a ULP at rounding boundaries);
+    # integer sums are exact and associative on both engines
+    child = l.filter(F.col("l_quantity") >= 45).withColumn(
+        "c",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5),
+    )
+    agg = child.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_children"),
+        (F.sum("c") / 100.0).alias("score_total"),
+        F.round(F.sum("c") / (100.0 * F.count("*")), 4).alias("score_avg"),
+        (F.min("c") / 100.0).alias("score_min"),
+        (F.max("c") / 100.0).alias("score_max"),
+    )
+    return (
+        o.filter(F.col("o_orderstatus") == "O")  # parentsFilter bitset
+        .join(agg, o.o_orderkey == agg.l_orderkey)
+        .select(
+            "o_orderkey",
+            "n_children",
+            "score_total",
+            "score_avg",
+            "score_min",
+            "score_max",
+        )
+    )
+
+
+BLOCK_JOIN_PARENTS_SQL = """
+WITH child AS (
+  SELECT l_orderkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS c
+  FROM lineitem WHERE l_quantity >= 45
+),
+agg AS (
+  SELECT l_orderkey, count(*) AS n_children,
+         CAST(sum(c) AS BIGINT) / 100.0 AS score_total,
+         round(CAST(sum(c) AS BIGINT) / (100.0 * count(*)), 4) AS score_avg,
+         min(c) / 100.0 AS score_min,
+         max(c) / 100.0 AS score_max
+  FROM child GROUP BY l_orderkey
+)
+SELECT o_orderkey, n_children, score_total, score_avg, score_min, score_max
+FROM orders JOIN agg ON o_orderkey = l_orderkey
+WHERE o_orderstatus = 'O'
+"""
+
+
+def block_join_children(spark, sf_dir):
+    """ToChildBlockJoinQuery (``ToChildBlockJoinQuery.java``): parents
+    matching the parent query emit all their children. Selective parent
+    side → broadcast semi-join, no fact-table shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    parents = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_totalprice") > 400000) & (F.col("o_orderstatus") == "F"))
+        .select("o_orderkey")
+    )
+    return l.join(
+        F.broadcast(parents), l.l_orderkey == parents.o_orderkey, "left_semi"
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+BLOCK_JOIN_CHILDREN_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_totalprice > 400000 AND o_orderstatus = 'F')
+"""
+
+
 RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
     "func_query_lineitem": (func_query_lineitem, FUNC_QUERY_SQL),
+    "block_join_parents": (block_join_parents, BLOCK_JOIN_PARENTS_SQL),
+    "block_join_children": (block_join_children, BLOCK_JOIN_CHILDREN_SQL),
     # trivial projection / cross-join reps: window slots went to the pivot
     # facet and corr/regress math expressions
     "select_revenue": (select_revenue, SELECT_SQL),

@@ -175,3 +175,27 @@ def test_classify_model_join_broadcasts(spark):
     sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
     plan = _plan(classify_docs(spark, sf))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_block_join_parents_is_partial_final_rollup(spark):
+    """ToParentBlockJoinQuery analogue: the child-score rollup must be
+    partial+final (map-side combine on the FK), and the child scan must
+    prune to the four columns it needs."""
+    from lucene_solr_spark.relational import block_join_parents
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(block_join_parents(spark, sf))
+    assert plan.count("HashAggregate") >= 2
+    read_schema = plan.split("ReadSchema", 1)[1][:500]
+    assert "l_comment" not in read_schema
+
+
+def test_block_join_children_is_broadcast_semi(spark):
+    """ToChildBlockJoinQuery analogue: selective parents broadcast into a
+    semi-join — the lineitem fact table never shuffles."""
+    from lucene_solr_spark.relational import block_join_children
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(block_join_children(spark, sf))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
