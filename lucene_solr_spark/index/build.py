@@ -293,8 +293,20 @@ def build_index(
     auto_merge: bool = False,
     merge_policy: dict | None = None,
     extra_lineage: dict | None = None,
+    index_sort: str | None = None,
 ) -> dict:
     """Build (or resume) the full index. Returns build metrics.
+
+    ``index_sort``: sort docs within every segment by this column before
+    docID assignment (``IndexWriterConfig.setIndexSort``,
+    ``reference lucene/core/src/java/org/apache/lucene/index/IndexWriterConfig.java:439-468``
+    / ``index/Sorter.java``): local docID order == sort order, so a
+    sorted-field top-k can terminate each segment's collection after k
+    docs (``TopFieldCollector`` early termination on a sorted index). The
+    sort field is recorded in the manifest lineage; ``IndexSearcher.
+    search_sorted`` requires it. The field rides ``key_cols`` as the
+    leading sort key (key_cols stay the tie-break, keeping builds
+    deterministic), and is stored in the docs table.
 
     Scale notes: one shuffle (by segment_id) for the build; term_stats is a
     map-side-combinable groupBy over (term, df, ttf) only — blobs are never
@@ -338,8 +350,8 @@ def build_index(
             }
 
     tagged = with_segment_id(docs, num_segments, key_cols, segment_base)
-    sort_cols = key_cols
-    keep = ["segment_id", "doc_id", *key_cols, *stored_cols, content_col, "content_sha256"]
+    sort_cols = ([index_sort] if index_sort else []) + key_cols
+    keep = ["segment_id", "doc_id", *sort_cols, *stored_cols, content_col, "content_sha256"]
     seen = set()
     keep = [c for c in keep if not (c in seen or seen.add(c))]
     os.makedirs(docs_path, exist_ok=True)
@@ -409,6 +421,8 @@ def build_index(
         "num_segments": num_segments,
         "built_at": t0,
     }
+    if index_sort:
+        lineage_d["index_sort"] = index_sort
     if extra_lineage:
         lineage_d.update(extra_lineage)
     lineage = json.dumps(lineage_d)

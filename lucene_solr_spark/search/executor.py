@@ -39,6 +39,7 @@ from .kernels import (
     QueryContext,
     SegmentPostings,
     eval_query,
+    first_k_matches,
     topk,
     topk_and_pruned,
     topk_or_pruned,
@@ -53,6 +54,7 @@ from .query import (
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     FuzzyQuery,
+    MatchAllQuery,
     MatchNoneQuery,
     MultiTermQuery,
     PhraseQuery,
@@ -470,6 +472,8 @@ class IndexSearcher:
         k: int | None = 10,
         after: tuple | None = None,
         scoring: bool = True,
+        first_k: bool = False,
+        reverse: bool = False,
     ) -> DataFrame:
         """Run a batch of queries in ONE Spark job; returns
         (qid, segment_id, doc_id, score, rank). ``k=None`` returns ALL
@@ -481,7 +485,13 @@ class IndexSearcher:
         semantics): each segment filters hits to strictly-after the cursor in
         the (score desc, segment asc, doc asc) total order and emits only its
         top-k of those — so deep paging ships k rows per segment instead of
-        every match."""
+        every match.
+
+        ``first_k=True`` (used by :meth:`search_sorted`): collect each
+        segment's first (or, with ``reverse``, last) k matching docIDs in
+        LOCAL DOC ORDER without scoring (``first_k_matches`` early
+        termination) and return them unranked (score=0) — the caller joins
+        sort-field values and runs the global TakeOrdered merge."""
         parsed: dict[int, Query] = {}
         for qid, q in queries.items():
             if isinstance(q, str):
@@ -500,7 +510,14 @@ class IndexSearcher:
             qid: q for qid, q in parsed.items() if not isinstance(q, MatchNoneQuery)
         }
         spark = self.spark
-        if not live or not all_terms:
+        def _has_matchall(q) -> bool:
+            if isinstance(q, MatchAllQuery):
+                return True
+            inner = getattr(q, "inner", None)
+            return inner is not None and _has_matchall(inner)
+
+        termless_ok = any(_has_matchall(q) for q in live.values())
+        if not live or (not all_terms and not termless_ok):
             schema = RESULT_SCHEMA if k is None else RESULT_SCHEMA + ", rank int"
             return spark.createDataFrame([], schema)
 
@@ -536,7 +553,7 @@ class IndexSearcher:
 
         def score_segment(key, post_pdf, norm_pdf) -> pd.DataFrame:
             norm_rows = norm_pdf[norm_pdf["kind"] == 1]
-            if len(norm_rows) == 0 or len(post_pdf) == 0:
+            if len(norm_rows) == 0 or (len(post_pdf) == 0 and not termless_ok):
                 return pd.DataFrame(
                     {"qid": [], "segment_id": [], "doc_id": [], "score": []}
                 ).astype({"qid": "int32", "segment_id": "int32", "doc_id": "int64", "score": "float32"})
@@ -578,6 +595,9 @@ class IndexSearcher:
                         coord_ok = np.zeros(len(docs), dtype=bool)
                     keep = (s_cmp < a_score) | ((s_cmp == a_score) & coord_ok)
                     d, s = topk(docs[keep], scores[keep], k or 10, f32)
+                elif first_k:
+                    d = first_k_matches(q, seg, ctx, k or 10, reverse=reverse)
+                    s = np.zeros(len(d), dtype=np.float32)
                 elif k is not None and isinstance(q, TermQuery):
                     d, s = topk_term_pruned(q.term, seg, ctx, k)
                 elif (or_terms := (_pure_or_terms(q) if k is not None else None)) is not None:
@@ -607,7 +627,7 @@ class IndexSearcher:
             .cogroup(norms.groupBy("segment_id"))
             .applyInPandas(score_segment, RESULT_SCHEMA)
         )
-        if k is None:
+        if k is None or first_k:
             return per_seg
         # TopDocs.merge tie-break: score desc, shard (segment) asc, doc asc
         w = Window.partitionBy("qid").orderBy(
@@ -638,6 +658,60 @@ class IndexSearcher:
         """TotalHitCountCollector (``search/TotalHitCountCollector.java:24``)
         — matching without scoring (the collector never reads scores)."""
         return self.search_many({0: query}, k=None, scoring=False).count()
+
+    def index_sort_field(self) -> str | None:
+        """The index-sort field recorded at build time
+        (``IndexWriterConfig.setIndexSort``), or None. All live segments
+        must agree — a mixed index cannot early-terminate."""
+        import json as _json
+
+        from ..index.manifest import manifest_rows
+
+        live = set(self.live)
+        fields = {
+            _json.loads(r.get("lineage") or "{}").get("index_sort")
+            for r in manifest_rows(self.spark, self.index_dir)
+            if r["segment_id"] in live
+        }
+        if len(fields) > 1:
+            raise ValueError(f"mixed index_sort across live segments: {fields}")
+        return next(iter(fields), None)
+
+    def search_sorted(
+        self, query: Query | str = "*:*", k: int = 10, ascending: bool = True
+    ) -> DataFrame:
+        """Top-k by the INDEX SORT field, with per-segment early
+        termination (``TopFieldCollector.java:52-76`` canEarlyTerminate:
+        when the requested sort matches the index sort, each leaf stops
+        after k competitive hits). Requires ``build_index(index_sort=...)``.
+
+        Shape at scale: each segment ships its first/last k matching local
+        docIDs (term queries stop DECODING after ceil(k/128) blocks — see
+        ``first_k_matches``), the ≤ k·segments candidates broadcast into
+        the docs-table join for sort values, and the global merge is a
+        TakeOrdered limit — never a full sort. Returns
+        (segment_id, doc_id, <field>) in final sort order
+        (field asc|desc, segment asc, doc asc)."""
+        field = self.index_sort_field()
+        if field is None:
+            raise ValueError(
+                "search_sorted requires an index built with index_sort=<field>"
+            )
+        q = query if not isinstance(query, str) or query != "*:*" else MatchAllQuery()
+        cand = self.search_many(
+            {0: q}, k=k, scoring=False, first_k=True, reverse=not ascending
+        ).select("segment_id", "doc_id")
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs")).select(
+            "segment_id", "doc_id", field
+        )
+        order = [
+            F.col(field).asc() if ascending else F.col(field).desc(),
+            F.col("segment_id").asc(),
+            F.col("doc_id").asc(),
+        ]
+        return docs.join(F.broadcast(cand), ["segment_id", "doc_id"]).orderBy(
+            *order
+        ).limit(k)
 
     def explain(self, query: Query | str, segment_id: int, doc_id: int) -> dict:
         """Score breakdown for one hit (``Weight.explain`` /

@@ -503,6 +503,52 @@ class QueryContext:
         return np.float32(s) if self.f32 else s
 
 
+def first_k_matches(
+    q: Query, seg: SegmentPostings, ctx: QueryContext, k: int, reverse: bool = False
+) -> np.ndarray:
+    """Early-terminating match collection for a SORTED segment (index sort:
+    local docID order == sort-field order). The ``TopFieldCollector``
+    early-termination role (``reference search/TopFieldCollector.java:52-76``
+    ``canEarlyTerminate`` — when the query sort is a prefix of the index
+    sort, collection stops after k competitive hits per leaf).
+
+    MatchAll needs no postings at all (the first/last k local ids); a
+    single-row term query decodes blocks from the relevant end of the
+    posting list and STOPS once k docs are gathered — trailing blocks'
+    bytes are never unpacked. Everything else falls back to full match
+    evaluation and keeps the head/tail k.
+    """
+    if k <= 0:
+        return _EMPTY_I
+    if isinstance(q, MatchAllQuery) and seg.deleted is None:
+        n = min(k, seg.max_doc)
+        return (
+            np.arange(n, dtype=np.int64)
+            if not reverse
+            else np.arange(seg.max_doc - n, seg.max_doc, dtype=np.int64)
+        )
+    if (
+        isinstance(q, TermQuery)
+        and seg.deleted is None
+        and q.term in seg.rows
+        and q.term not in seg._raw
+        and len(seg.rows[q.term]) == 1  # sharded hot terms: rows interleave
+    ):
+        bi = seg.block_meta(q.term)
+        lens = bi["lens"]
+        order = range(len(lens)) if not reverse else range(len(lens) - 1, -1, -1)
+        take, cnt = [], 0
+        for b in order:
+            take.append(b)
+            cnt += int(lens[b])
+            if cnt >= k:
+                break
+        docs, _, _ = seg.decode_block_subset(q.term, np.array(take, dtype=np.int64))
+        return docs[:k] if not reverse else docs[-k:]
+    docs, _ = eval_query(q, seg, ctx, scoring=False)
+    return docs[:k] if not reverse else docs[len(docs) - min(k, len(docs)):]
+
+
 def eval_query(q: Query, seg: SegmentPostings, ctx: QueryContext, scoring: bool = True):
     """Evaluate a query on one segment → (docs sorted asc, scores float64).
 

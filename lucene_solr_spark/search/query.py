@@ -397,6 +397,9 @@ from functools import lru_cache
 
 @lru_cache(maxsize=65536)
 def _parse_query_cached(text: str, analyzer: str = "code") -> Query:
+    # MatchAllDocsQuery syntax (Solr/classic QueryParser "*:*")
+    if text == "*:*":
+        return MatchAllQuery()
     # index-side graph chains (code_graph) analyze queries with base rules
     analyzer = QUERY_CHAIN.get(analyzer, analyzer)
     # sloppy phrase: "..."~N (QueryParser proximity syntax)
