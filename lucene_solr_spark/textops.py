@@ -251,6 +251,62 @@ def spellcheck_suggest(spark, sf_dir):
     )
 
 
+# FreeTextSuggester (reference lucene/suggest/src/java/org/apache/lucene/
+# search/suggest/analyzing/FreeTextSuggester.java:66-120): an n-gram language
+# model over the corpus suggests the next word for a typed context. This op is
+# the bigram level of that model (the reference backs off through lower orders
+# weighted 0.4^k; a single order keeps the op deterministic and oracle-exact).
+# Scale shape: bigrams come from a scan-local slice+zip over each doc's token
+# array — NO position self-join, no shuffle before the one map-side-combinable
+# count groupBy; the context filter prunes before the tiny top-5 window.
+_SUGGEST_CTX = ["hash", "index", "query"]
+
+
+def freetext_suggest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
+    pairs = F.expr(
+        "transform(slice(arr, 1, size(arr)-1), "
+        "(x, i) -> struct(x AS context, arr[i+1] AS suggestion))"
+    )
+    big = (
+        d.select(F.explode(pairs).alias("p"))
+        .select("p.context", "p.suggestion")
+        .filter(F.col("context").isin(_SUGGEST_CTX))
+        .groupBy("context", "suggestion")
+        .agg(F.count("*").alias("weight"))
+    )
+    w = Window.partitionBy("context").orderBy(
+        F.col("weight").desc(), F.col("suggestion").asc()
+    )
+    return (
+        big.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("context", "suggestion", "weight")
+    )
+
+
+_SUGGEST_CTX_LIST = ", ".join(f"'{w}'" for w in _SUGGEST_CTX)
+FREETEXT_SUGGEST_SQL = f"""
+WITH tokp AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id, {_TOKENIZE} AS arr FROM documents)
+),
+big AS (
+  SELECT a.term AS context, b.term AS suggestion, count(*) AS weight
+  FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN ({_SUGGEST_CTX_LIST})
+  GROUP BY 1, 2
+)
+SELECT context, suggestion, weight FROM (
+  SELECT *, row_number() OVER (PARTITION BY context
+            ORDER BY weight DESC, suggestion ASC) AS rk
+  FROM big
+) WHERE rk <= 5
+"""
+
+
 _SPELL_IN_LIST = ", ".join(f"'{w}'" for w in _SPELL_INPUTS)
 SPELLCHECK_SQL = (
     _BM25_CTE
@@ -751,6 +807,7 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "ft_boost": (ft_boost, FT_BOOST_SQL),
     "terms_component": (terms_component, TERMS_COMPONENT_SQL),
     "spellcheck_suggest": (spellcheck_suggest, SPELLCHECK_SQL),
+    "freetext_suggest": (freetext_suggest, FREETEXT_SUGGEST_SQL),
 }
 
 
