@@ -659,6 +659,45 @@ class IndexSearcher:
         — matching without scoring (the collector never reads scores)."""
         return self.search_many({0: query}, k=None, scoring=False).count()
 
+    def rescore(
+        self, hits: DataFrame, query: Query | str, weight: float = 1.0, k: int = 10
+    ) -> DataFrame:
+        """Two-phase rescoring (``QueryRescorer.rescore`` sugar API,
+        ``reference lucene/core/src/java/org/apache/lucene/search/QueryRescorer.java:168-182``):
+        re-run a (typically more expensive) second query and combine
+        ``new = first + weight · second``; first-pass hits the second query
+        misses keep their first-pass score.
+
+        Shape at scale: the first-pass top-N is tiny → it broadcasts into
+        the join against the second pass; the expensive part of a phrase
+        second pass already restricts position work to conjunction
+        candidates inside the kernel. Returns (segment_id, doc_id, score,
+        rank) re-ranked by the combined score."""
+        second = (
+            self.search_many({0: query}, k=None)
+            .drop("qid")
+            .withColumnRenamed("score", "score2")
+        )
+        combined = (
+            second.join(F.broadcast(hits.select("segment_id", "doc_id", "score")),
+                        ["segment_id", "doc_id"], "right")
+            .withColumn(
+                "score",
+                (F.col("score") + float(weight) * F.coalesce(F.col("score2"), F.lit(0.0)))
+                .cast("float"),
+            )
+            .drop("score2")
+        )
+        top = combined.orderBy(
+            F.col("score").desc(), F.col("segment_id").asc(), F.col("doc_id").asc()
+        ).limit(k)
+        # rank over ≤ k rows (the TakeOrdered result) — bounded input, the
+        # single-partition window is fine here
+        w = Window.orderBy(
+            F.col("score").desc(), F.col("segment_id").asc(), F.col("doc_id").asc()
+        )
+        return top.withColumn("rank", F.row_number().over(w))
+
     def index_sort_field(self) -> str | None:
         """The index-sort field recorded at build time
         (``IndexWriterConfig.setIndexSort``), or None. All live segments

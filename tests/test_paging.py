@@ -56,3 +56,35 @@ def test_explain_reconstructs_score(searcher):
     assert abs(ex["total_if_sum"] - float(np.float32(top.score))) < 1e-5
     for d in ex["details"]:
         assert d["freq"] >= 1 and d["idf_weight"] > 0 and 0 < d["tf"] < 1
+
+
+def test_rescore_combines_first_and_second_pass(searcher):
+    """QueryRescorer.rescore sugar (QueryRescorer.java:168-182):
+    new = first + weight * second; non-matching second pass keeps first."""
+    first_q = "buffer OR stream"
+    second_q = '"table hash"'
+    weight = 2.5
+    hits = searcher.search(first_q, k=20)
+    got = searcher.rescore(hits, second_q, weight=weight, k=10).collect()
+    assert got, "rescore returned nothing"
+    first = {
+        (r.segment_id, r.doc_id): float(r.score)
+        for r in searcher.search(first_q, k=20).collect()
+    }
+    second = {
+        (r.segment_id, r.doc_id): float(r.score)
+        for r in searcher.search_many({0: second_q}, k=None).collect()
+    }
+    expect = sorted(
+        (
+            (-(s + weight * second.get(coord, 0.0)), coord[0], coord[1])
+            for coord, s in first.items()
+        ),
+    )[:10]
+    want = [(seg, doc) for _, seg, doc in expect]
+    assert [(r.segment_id, r.doc_id) for r in sorted(got, key=lambda r: r.rank)] == want
+    # combined scores match the linear combination
+    for r in got:
+        coord = (r.segment_id, r.doc_id)
+        exp = first[coord] + weight * second.get(coord, 0.0)
+        assert abs(float(r.score) - exp) < 1e-5, coord
