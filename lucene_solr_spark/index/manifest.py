@@ -80,9 +80,25 @@ def manifest_rows(spark: SparkSession, index_dir: str) -> list[dict]:
     return [r.asDict() for r in read_manifest(spark, index_dir).collect()]
 
 
-def live_segments(spark: SparkSession, index_dir: str) -> list[int]:
-    """Segment ids not consumed by any merge — the current commit point."""
+def live_segments(
+    spark: SparkSession, index_dir: str, as_of: int | None = None
+) -> list[int]:
+    """Segment ids not consumed by any merge — the current commit point.
+
+    ``as_of``: resolve the live set AS OF commit ``as_of`` (a segment id
+    from :func:`list_commits`) — only manifest rows with
+    ``segment_id <= as_of`` participate, so merges and builds that landed
+    later are invisible. The ``DirectoryReader.open(IndexCommit)`` /
+    ``IndexDeletionPolicy`` role (``reference lucene/core/src/java/org/
+    apache/lucene/index/DirectoryReader.java:79-95``, ``listCommits:104``):
+    segment ids are assigned monotonically (``next_segment_id``), so the
+    id-prefix of the append-only log IS the historical commit state.
+    Caveat (documented divergence): delete tombstones live in the index
+    table without a generation — deletes are applied to every commit, not
+    versioned per commit."""
     rows = manifest_rows(spark, index_dir)
+    if as_of is not None:
+        rows = [r for r in rows if r["segment_id"] <= as_of]
     merged_away: set[int] = set()
     for r in rows:
         lineage = json.loads(r.get("lineage") or "{}")
@@ -90,14 +106,26 @@ def live_segments(spark: SparkSession, index_dir: str) -> list[int]:
     return sorted({r["segment_id"] for r in rows} - merged_away)
 
 
+def list_commits(spark: SparkSession, index_dir: str) -> list[int]:
+    """All commit points, oldest→newest, as the segment ids that can be
+    passed to ``live_segments(as_of=…)`` / ``IndexSearcher(commit=…)``
+    (``DirectoryReader.listCommits`` analogue). Every manifest row is a
+    valid point-in-time state (segments commit atomically per row batch;
+    any id-prefix of the log is consistent because segments are
+    self-contained)."""
+    return sorted({r["segment_id"] for r in manifest_rows(spark, index_dir)})
+
+
 def next_segment_id(spark: SparkSession, index_dir: str) -> int:
     row = read_manifest(spark, index_dir).agg(F.max("segment_id").alias("m")).collect()[0]
     return int(row.m) + 1
 
 
-def live_stats(spark: SparkSession, index_dir: str) -> dict:
+def live_stats(
+    spark: SparkSession, index_dir: str, as_of: int | None = None
+) -> dict:
     """Collection statistics over the live segments only."""
-    live = live_segments(spark, index_dir)
+    live = live_segments(spark, index_dir, as_of=as_of)
     agg = (
         read_manifest(spark, index_dir)
         .filter(F.col("segment_id").isin(live))

@@ -219,6 +219,7 @@ class IndexSearcher:
         analyzer: str = "code",
         precision: str = "f32",
         similarity: str = "bm25",
+        commit: int | None = None,
     ):
         """precision='f32' replicates the reference's float arithmetic
         (Lucene score parity); 'f64' computes in double (SQL-oracle mode).
@@ -230,14 +231,25 @@ class IndexSearcher:
         (AxiomaticF2EXP, s=0.25/k=0.35) — SURVEY §2.7;
         all share the (freq, norm_byte) scoring seam, are monotone ↑freq /
         ↓length, and therefore keep the block-max pruning bounds admissible
-        unchanged."""
+        unchanged.
+
+        ``commit``: open a PAST commit point (a segment id from
+        ``manifest.list_commits``) — the ``DirectoryReader.open(IndexCommit)``
+        analogue. Matching AND scoring are exact as of that commit: the
+        live set is resolved over the manifest id-prefix, and term
+        statistics are resolved on demand from the posting rows of that
+        live set (the published term_stats generation describes the LATEST
+        commit, so time-traveled opens bypass it). Deletes are NOT
+        versioned (tombstones apply to every commit — documented
+        divergence from Lucene's per-commit liveDocs)."""
         self.spark = spark
         self.index_dir = index_dir
         self.analyzer = analyzer
         self.sim = similarity
         self.f32 = precision == "f32"
+        self.commit = commit
         # snapshot the commit point: live segments only (DirectoryReader open)
-        st = live_stats(spark, index_dir)
+        st = live_stats(spark, index_dir, as_of=commit)
         self.live = st["live"]
         # CollectionStatistics (search/CollectionStatistics.java:51-54):
         # docCount = docs with >=1 token; sumTotalTermFreq = total tokens.
@@ -297,11 +309,25 @@ class IndexSearcher:
             return {}
         missing = [t for t in terms if t not in self._stats_cache]
         if missing:
-            ts = (
-                self._term_stats_df.filter(sql_in("term", missing))
-                .select("term", "df", "ttf")
-                .collect()
-            )
+            if self.commit is not None:
+                # time-traveled open: the published term_stats generation
+                # describes the LATEST commit — aggregate this commit's df/ttf
+                # straight from the live posting rows (term-pushdown point
+                # read; query terms only, so the scan is tiny)
+                ts = (
+                    self._postings_df
+                    .filter((F.col("kind") == 0) & F.col("segment_id").isin(self.live))
+                    .filter(sql_in("term", missing))
+                    .groupBy("term")
+                    .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+                    .collect()
+                )
+            else:
+                ts = (
+                    self._term_stats_df.filter(sql_in("term", missing))
+                    .select("term", "df", "ttf")
+                    .collect()
+                )
             found = {r.term: (int(r.df), int(r.ttf)) for r in ts}
             for t in missing:
                 df, ttf = found.get(t, (0, 0))

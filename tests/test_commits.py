@@ -1,0 +1,92 @@
+"""Point-in-time commit opens — the ``DirectoryReader.open(IndexCommit)`` /
+``listCommits`` analogue over the append-only manifest: segment ids are
+monotone, so an id-prefix of the log IS a historical commit state. A searcher
+opened at an old commit must match AND score exactly as a searcher did when
+that commit was current (df/N statistics included)."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def evolving_index(spark, tmp_path_factory):
+    from lucene_solr_spark.corpus import synth_corpus_local
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.index.manifest import list_commits, next_segment_id
+
+    corpus = synth_corpus_local(240)
+    d = str(tmp_path_factory.mktemp("commits") / "idx")
+    a = spark.createDataFrame(corpus.iloc[:120])
+    build_index(spark, a, d, num_segments=2, analyzer="code")
+    c1 = max(list_commits(spark, d))
+    b = spark.createDataFrame(corpus.iloc[120:])
+    build_index(
+        spark, b, d, num_segments=2, analyzer="code",
+        segment_base=next_segment_id(spark, d),
+    )
+    return d, c1
+
+
+def _hits(searcher, q="parse OR buffer", k=15):
+    return [
+        (r.segment_id, r.doc_id, float(r.score))
+        for r in searcher.search(q, k=k).orderBy("rank").collect()
+    ]
+
+
+def test_list_commits_monotone(spark, evolving_index):
+    from lucene_solr_spark.index.manifest import list_commits
+
+    d, c1 = evolving_index
+    commits = list_commits(spark, d)
+    assert commits == sorted(commits)
+    assert c1 in commits and max(commits) > c1
+
+
+def test_commit_open_sees_only_old_segments(spark, evolving_index):
+    from lucene_solr_spark.search import IndexSearcher
+
+    d, c1 = evolving_index
+    old = IndexSearcher(spark, d, analyzer="code", commit=c1)
+    now = IndexSearcher(spark, d, analyzer="code")
+    assert set(old.live) < set(now.live)
+    assert max(old.live) <= c1
+    assert old.doc_count == 120 and now.doc_count == 240
+
+
+def test_commit_open_is_score_exact(spark, evolving_index, tmp_path_factory):
+    """Scores at commit C equal a searcher built over ONLY commit-C docs in
+    a fresh directory — df/N statistics resolve as of the commit, not from
+    the latest term_stats generation."""
+    from lucene_solr_spark.corpus import synth_corpus_local
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.search import IndexSearcher
+
+    d, c1 = evolving_index
+    old = IndexSearcher(spark, d, analyzer="code", commit=c1)
+    # independent ground truth: the same first-120 docs in their own index
+    ref_dir = str(tmp_path_factory.mktemp("commits_ref") / "idx")
+    corpus = synth_corpus_local(240)
+    build_index(
+        spark, spark.createDataFrame(corpus.iloc[:120]), ref_dir,
+        num_segments=2, analyzer="code",
+    )
+    ref = IndexSearcher(spark, ref_dir, analyzer="code")
+    assert _hits(old) == _hits(ref)
+    # and differs from the current commit (df/N moved)
+    now = IndexSearcher(spark, d, analyzer="code")
+    assert _hits(old) != _hits(now)
+
+
+def test_commit_survives_merge(spark, evolving_index):
+    """After a merge consumes the old segments, the old commit still
+    resolves to the ORIGINAL segment set (merge rows land later in the
+    log), and matching is unchanged."""
+    from lucene_solr_spark.index.merge import run_merges
+    from lucene_solr_spark.search import IndexSearcher
+
+    d, c1 = evolving_index
+    before = _hits(IndexSearcher(spark, d, analyzer="code", commit=c1))
+    run_merges(spark, d, segs_per_tier=1, max_merge_at_once=10)
+    old = IndexSearcher(spark, d, analyzer="code", commit=c1)
+    assert max(old.live) <= c1
+    assert _hits(old) == before
