@@ -285,3 +285,84 @@ def test_topk_kernels_accept_k_zero(seg_and_ctx):
     assert len(d) == 0
     d, s = topk_and_pruned(by_df[:2], seg, ctx, 0)
     assert len(d) == 0
+
+
+# ------------------------------------------------- all-similarity pruning ----
+def _sim_ctx(posts, norms_blob_sum_len, doc_count, sim):
+    """Independent per-sim (weights, cache) recompute — mirrors
+    IndexSearcher.weights_for / the bm25.py cache seam."""
+    from lucene_solr_spark.search import bm25
+
+    dfs = dict(zip(posts["term"], posts["df"]))
+    ttfs = dict(zip(posts["term"], posts["ttf"]))
+    total = norms_blob_sum_len
+    avgdl = total / doc_count
+    if sim == "classic":
+        w = {t: float(bm25.classic_idf(np.array([df]), doc_count)[0]) for t, df in dfs.items()}
+        cache = bm25.classic_norm_cache()
+    elif sim == "lmd":
+        w = {t: 2000.0 * ttfs[t] / total for t in dfs}
+        cache = bm25.lmd_norm_cache(2000.0)
+    elif sim == "lmjm":
+        w = {t: ttfs[t] / total for t in dfs}
+        cache = bm25.lmjm_norm_cache()
+    elif sim == "inl2":
+        w = {t: float(np.log2((doc_count + 1) / (df + 0.5))) for t, df in dfs.items()}
+        cache = bm25.inl2_norm_cache(avgdl)
+    elif sim == "dfi":
+        w = {t: (ttfs[t] + 1.0) / (total + 1.0) for t in dfs}
+        cache = bm25.raw_len_cache()
+    elif sim == "ibll":
+        w = {t: (df + 1.0) / (doc_count + 1.0) for t, df in dfs.items()}
+        cache = bm25.inl2_norm_cache(avgdl)
+    elif sim == "ax2exp":
+        w = {t: ((doc_count + 1.0) / df) ** 0.35 for t, df in dfs.items()}
+        cache = bm25.ax2exp_norm_cache(avgdl)
+    else:
+        raise AssertionError(sim)
+    return QueryContext(w, cache, f32=False, dfs=dfs, doc_count=doc_count, sim=sim)
+
+
+@pytest.mark.parametrize(
+    "sim", ["classic", "lmd", "lmjm", "inl2", "dfi", "ibll", "ax2exp"]
+)
+def test_pruned_equals_exhaustive_random_all_sims(sim):
+    """The block-max bounds must stay admissible under EVERY similarity
+    (CLAUDE.md invariant): randomized corpora, random term sets and k, for
+    the term / OR / AND pruned kernels."""
+    corpus = synth_corpus_local(500)
+    content = corpus["content"].tolist()
+    frame = build_segment_frame(content, np.arange(len(content)), 0, "code")
+    norms = np.frombuffer(
+        frame[frame["kind"] == KIND_NORMS]["doc_blob"].iloc[0], np.uint8
+    )
+    posts = frame[frame["kind"] == KIND_POSTING]
+    rows = {r["term"]: [r] for r in posts.to_dict("records")}
+    doc_count = int((norms != 0).sum())
+    sum_len = int(frame[frame["kind"] == KIND_NORMS]["sum_len"].iloc[0])
+    ctx = _sim_ctx(posts, sum_len, doc_count, sim)
+    seg = SegmentPostings(rows, norms, len(content))
+    vocab = sorted(ctx.dfs, key=ctx.dfs.get, reverse=True)[:150]
+    rng = np.random.RandomState(11)
+    for trial in range(25):
+        n_terms = rng.randint(1, 5)
+        terms = list(rng.choice(vocab, size=n_terms, replace=False))
+        k = int(rng.choice([1, 5, 20]))
+        # OR
+        d1, s1 = _exhaustive_or(terms, seg, ctx, k)
+        d2, s2 = topk_or_pruned(terms, seg, ctx, k)
+        assert np.array_equal(d1, d2), (sim, terms, k)
+        assert np.allclose(s1, s2), (sim, terms, k)
+        # single-term pruned (fresh seg so decode caches don't mask pruning)
+        seg_t = SegmentPostings(rows, norms, len(content))
+        dt1, st1 = topk(*eval_query(TermQuery(terms[0]), seg_t, ctx), k, False)
+        dt2, st2 = topk_term_pruned(terms[0], seg_t, ctx, k)
+        assert np.array_equal(dt1, dt2), (sim, terms[0], k)
+        assert np.allclose(st1, st2), (sim, terms[0], k)
+        # AND
+        if len(terms) >= 2:
+            q = BooleanQuery(must=tuple(TermQuery(t) for t in terms[:2]))
+            da, sa = topk(*eval_query(q, seg, ctx), k, False)
+            db, sb = topk_and_pruned(terms[:2], seg, ctx, k)
+            assert np.array_equal(da, db), (sim, terms[:2], k)
+            assert np.allclose(sa, sb), (sim, terms[:2], k)
