@@ -14,3 +14,4 @@ from .query import (  # noqa: F401
     rewrite,
 )
 from .executor import IndexSearcher  # noqa: F401
+from .multifield import MultiFieldSearcher  # noqa: F401
