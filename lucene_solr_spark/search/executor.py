@@ -724,6 +724,29 @@ class IndexSearcher:
         )
         return top.withColumn("rank", F.row_number().over(w))
 
+    def search_by_field(
+        self, query: Query | str, field: str, k: int = 10, ascending: bool = True
+    ) -> DataFrame:
+        """General field-sorted top-k (``TopFieldCollector``/``Sort`` over a
+        stored field, no index-sort requirement — and therefore no early
+        termination: every match is visited, like Lucene on an unsorted
+        index). Matching runs without scoring; the match set joins the docs
+        table for the sort value and the global merge is a TakeOrdered.
+        Prefer ``search_sorted`` when the index was built with
+        ``index_sort=field`` — it skips decode past k docs per segment."""
+        cand = self.search_many({0: query}, k=None, scoring=False).select(
+            "segment_id", "doc_id"
+        )
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs")).select(
+            "segment_id", "doc_id", field
+        )
+        order = [
+            F.col(field).asc() if ascending else F.col(field).desc(),
+            F.col("segment_id").asc(),
+            F.col("doc_id").asc(),
+        ]
+        return docs.join(cand, ["segment_id", "doc_id"]).orderBy(*order).limit(k)
+
     def index_sort_field(self) -> str | None:
         """The index-sort field recorded at build time
         (``IndexWriterConfig.setIndexSort``), or None. All live segments

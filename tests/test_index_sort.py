@@ -160,3 +160,21 @@ def test_first_k_matchall_needs_no_postings(seg_and_ctx):
     assert np.array_equal(got, np.arange(9))
     got_r = first_k_matches(MatchAllQuery(), seg, ctx, 9, reverse=True)
     assert np.array_equal(got_r, np.arange(seg.max_doc - 9, seg.max_doc))
+
+
+def test_search_by_field_equals_search_sorted_on_sorted_index(spark, sorted_index):
+    """The general (no-early-termination) field sort and the early-terminated
+    index-sort path must produce identical results when both apply."""
+    from lucene_solr_spark.search import IndexSearcher
+
+    s = IndexSearcher(spark, sorted_index, analyzer="code")
+    for asc in (True, False):
+        a = [
+            (r.segment_id, r.doc_id, r.price)
+            for r in s.search_sorted("parse", k=6, ascending=asc).collect()
+        ]
+        b = [
+            (r.segment_id, r.doc_id, r.price)
+            for r in s.search_by_field("parse", "price", k=6, ascending=asc).collect()
+        ]
+        assert a == b, asc
