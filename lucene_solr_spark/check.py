@@ -140,6 +140,33 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
         .count()
     )
     out["bad_manifest"] = int(bad_man)
+
+    # ---- index sort: docID order follows the declared sort field ----------
+    # (CheckIndex verifies the index sort on sorted segments —
+    # ``index/CheckIndex.java:745-780`` testSort; here: a per-segment lag
+    # window over the docs table, partitioned — never a global window)
+    import json as _json
+
+    sort_fields: dict[str, set[int]] = {}
+    for r in man.select("segment_id", "lineage").collect():
+        f = _json.loads(r.lineage or "{}").get("index_sort")
+        if f:
+            sort_fields.setdefault(f, set()).add(int(r.segment_id))
+    bad_sorted = 0
+    if sort_fields:
+        from pyspark.sql import Window
+
+        docs_t = spark.read.parquet(os.path.join(index_dir, "docs"))
+        w = Window.partitionBy("segment_id").orderBy("doc_id")
+        for f, segs in sort_fields.items():
+            bad_sorted += (
+                docs_t.filter(F.col("segment_id").isin(sorted(segs)))
+                .select("segment_id", "doc_id", F.col(f).alias("v"))
+                .withColumn("prev", F.lag("v").over(w))
+                .filter(F.col("prev").isNotNull() & (F.col("v") < F.col("prev")))
+                .count()
+            )
+    out["bad_index_sort"] = int(bad_sorted)
     out["segments_checked"] = len(live)
     return out
 

@@ -178,3 +178,13 @@ def test_search_by_field_equals_search_sorted_on_sorted_index(spark, sorted_inde
             for r in s.search_by_field("parse", "price", k=6, ascending=asc).collect()
         ]
         assert a == b, asc
+
+
+def test_check_index_verifies_index_sort(spark, sorted_index):
+    """CheckIndex.testSort analogue: a sorted index passes, and the check
+    key is present exactly when a sort is declared."""
+    from lucene_solr_spark.check import check_index
+
+    out = check_index(spark, sorted_index)
+    assert out["bad_index_sort"] == 0
+    assert all(v == 0 for k, v in out.items() if k.startswith("bad_"))
