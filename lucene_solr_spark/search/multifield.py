@@ -69,12 +69,13 @@ class MultiFieldSearcher:
     def search(
         self,
         query,
-        k: int = 10,
+        k: int | None = 10,
         combine: str = "sum",
         tie: float = 0.0,
     ) -> DataFrame:
         """Top-k across fields. Returns (segment_id, doc_id, score,
-        per-field score columns, rank)."""
+        per-field score columns, rank). ``k=None`` returns every matching
+        doc unranked (the exhaustive mode oracle comparisons use)."""
         frames = []
         for f, s in self.searchers.items():
             hits = (
@@ -102,7 +103,10 @@ class MultiFieldSearcher:
             score = best + float(tie) * (total - best)
         else:
             raise ValueError(f"unknown combine mode {combine!r}")
-        out = joined.withColumn("score", score.cast("float"))
+        dt = "float" if all(s.f32 for s in self.searchers.values()) else "double"
+        out = joined.withColumn("score", score.cast(dt))
+        if k is None:
+            return out
         top = out.orderBy(
             F.col("score").desc(), F.col("segment_id").asc(), F.col("doc_id").asc()
         ).limit(k)

@@ -71,6 +71,45 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return _SEARCHER_CACHE[d]
 
 
+# second analyzed field for the multi-field ops: the doc's first 8 tokens
+# ("title"). Derived deterministically from text so the DuckDB oracle can
+# reproduce it; built with the SAME keys/num_segments as the content index →
+# coordinate-aligned (see search/multifield.py).
+TITLE_TOKENS = 8
+
+
+def title_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = os.path.realpath(sf_dir) + ":title"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = hashlib.sha1(f"{key}:layout-v3:t{TITLE_TOKENS}".encode()).hexdigest()[:12]
+    index_dir = f"/tmp/lss_docs_index/{tag}"
+    marker = os.path.join(index_dir, "_built")
+    if not os.path.exists(marker):
+        docs = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .withColumnRenamed("doc_id", "ext_id")
+            .withColumn(
+                "title_text",
+                F.expr(f"concat_ws(' ', slice({_TOK_EXPR}, 1, {TITLE_TOKENS}))"),
+            )
+        )
+        build_index(
+            spark,
+            docs,
+            index_dir,
+            num_segments=8,
+            analyzer="simple",
+            key_cols=("ext_id",),
+            content_col="title_text",
+            resume=True,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
 def _ft_search_all(spark: SparkSession, sf_dir: str, query) -> DataFrame:
     """Engine search (all matches, f64) resolved back to external doc_ids.
     ``query`` may be a string (parsed) or a Query object."""
@@ -90,33 +129,37 @@ def _ft_search_all(spark: SparkSession, sf_dir: str, query) -> DataFrame:
 
 _TOKENIZE = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
-# SmallFloat.intToByte4 / byte4ToInt as SQL (reference SmallFloat.java:101-169)
-_BM25_CTE = f"""
-WITH tok AS (
-  SELECT doc_id, unnest({_TOKENIZE}) AS term FROM documents
+# SmallFloat.intToByte4 / byte4ToInt as SQL (reference SmallFloat.java:101-169).
+# Parametrized by CTE-name prefix + tokenize expression so multi-field oracles
+# can instantiate the full pipeline once per analyzed field.
+def _bm25_chain(p: str, tokenize: str) -> str:
+    return f"""{p}tok AS (
+  SELECT doc_id, unnest({tokenize}) AS term FROM documents
 ),
-dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
-dlq AS (
+{p}dl AS (SELECT doc_id, count(*) AS len FROM {p}tok GROUP BY doc_id),
+{p}dlq AS (
   SELECT doc_id, len,
     CASE WHEN len < 24 THEN len
          ELSE 24 + (CASE WHEN (len-24) < 8 THEN (len-24)
               ELSE (((len-24) >> (CAST(FLOOR(LOG2(len-24)) AS INT) - 3)) & 7)
                    | ((CAST(FLOOR(LOG2(len-24)) AS INT) - 2) << 3) END)
     END AS nb
-  FROM dl
+  FROM {p}dl
 ),
-dld AS (
+{p}dld AS (
   SELECT doc_id, nb,
     CASE WHEN nb < 24 THEN nb
          ELSE 24 + (CASE WHEN ((nb-24) >> 3) = 0 THEN (nb-24) & 7
               ELSE (((nb-24) & 7) | 8) << (((nb-24) >> 3) - 1) END)
     END AS dlq
-  FROM dlq
+  FROM {p}dlq
 ),
-cstats AS (SELECT count(*) AS n, sum(len) AS st FROM dl WHERE len > 0),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
-"""
+{p}cstats AS (SELECT count(*) AS n, sum(len) AS st FROM {p}dl WHERE len > 0),
+{p}tf AS (SELECT doc_id, term, count(*) AS tf FROM {p}tok GROUP BY 1, 2),
+{p}dft AS (SELECT term, count(*) AS df FROM {p}tf GROUP BY 1)"""
+
+
+_BM25_CTE = "WITH " + _bm25_chain("", _TOKENIZE) + "\n"
 
 _SCORES_CTE = """
 , scores AS (
@@ -304,6 +347,60 @@ SELECT context, suggestion, weight FROM (
             ORDER BY weight DESC, suggestion ASC) AS rk
   FROM big
 ) WHERE rk <= 5
+"""
+
+
+# Multi-field search gate (MultiFieldQueryParser / dismax qf, see
+# search/multifield.py): content field + derived title field (first
+# TITLE_TOKENS tokens), title boosted 2x, sum combine. The DuckDB oracle
+# instantiates the ENTIRE BM25+SmallFloat pipeline once per field via
+# _bm25_chain and sums the per-field per-doc scores.
+_MF_QUERY = "hash OR index"
+_MF_TERMS = ("hash", "index")
+_MF_TITLE_BOOST = 2.0
+
+
+def ft_multifield(spark, sf_dir):
+    from .search.multifield import MultiFieldSearcher
+
+    d_c = docs_index_dir(spark, sf_dir)
+    d_t = title_index_dir(spark, sf_dir)
+    mf = MultiFieldSearcher(
+        spark,
+        {"text": (d_c, 1.0), "title": (d_t, _MF_TITLE_BOOST)},
+        analyzer="simple",
+        precision="f64",
+    )
+    hits = mf.search(_MF_QUERY, k=None).select("segment_id", "doc_id", "score")
+    docs = spark.read.parquet(os.path.join(d_c, "docs")).select(
+        "segment_id", "doc_id", "ext_id"
+    )
+    return hits.join(docs, ["segment_id", "doc_id"]).select(
+        F.col("ext_id").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _mf_score_cte(p: str, name: str, terms) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""{name} AS (
+  SELECT {p}tf.doc_id,
+         sum(ln(1 + ({p}cstats.n - {p}dft.df + 0.5) / ({p}dft.df + 0.5)) *
+             ({p}tf.tf / ({p}tf.tf + 1.2 * (0.25 + 0.75 * {p}dld.dlq /
+                          ({p}cstats.st * 1.0 / {p}cstats.n))))) AS s
+  FROM {p}tf JOIN {p}dft USING (term)
+       JOIN {p}dld ON {p}tf.doc_id = {p}dld.doc_id, {p}cstats
+  WHERE {p}tf.term IN ({tl}) GROUP BY {p}tf.doc_id
+)"""
+
+
+FT_MULTIFIELD_SQL = f"""
+WITH {_bm25_chain("", _TOKENIZE)},
+{_bm25_chain("t_", f"list_slice({_TOKENIZE}, 1, {TITLE_TOKENS})")},
+{_mf_score_cte("", "cscore", _MF_TERMS)},
+{_mf_score_cte("t_", "tscore", _MF_TERMS)}
+SELECT coalesce(c.doc_id, t.doc_id) AS doc_id,
+       round(coalesce(c.s, 0) + {_MF_TITLE_BOOST} * coalesce(t.s, 0), 4) AS score
+FROM cscore c FULL OUTER JOIN tscore t ON c.doc_id = t.doc_id
 """
 
 
@@ -808,6 +905,7 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "terms_component": (terms_component, TERMS_COMPONENT_SQL),
     "spellcheck_suggest": (spellcheck_suggest, SPELLCHECK_SQL),
     "freetext_suggest": (freetext_suggest, FREETEXT_SUGGEST_SQL),
+    "ft_multifield": (ft_multifield, FT_MULTIFIELD_SQL),
 }
 
 
