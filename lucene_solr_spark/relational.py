@@ -1032,10 +1032,55 @@ WHERE l_orderkey IN (
 """
 
 
+# Tagged-facet exclusions (Solr ``{!tag=…}`` filters + ``{!ex=…}`` facets,
+# ``reference solr/core/src/java/org/apache/solr/request/SimpleFacets.java``
+# getFacetFieldCounts excluded-filter handling): with filters mktsegment =
+# 'BUILDING' AND acctbal > 0 applied, the mktsegment facet EXCLUDES its own
+# filter (so the user still sees the other segments' counts under the
+# remaining filters), while the acctbal facet excludes its own range filter
+# symmetrically. Each facet is one scan + groupBy over the OTHER filters —
+# no self-join, both facets union into one frame.
+def facet_exclusions(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    f_seg = F.col("c_mktsegment") == "BUILDING"
+    f_bal = F.col("c_acctbal") > 0
+    seg_facet = (
+        c.filter(f_bal)  # {!ex=seg}: every filter but the segment's own
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("mktsegment").alias("facet"),
+            F.col("c_mktsegment").alias("bucket"),
+            "n",
+        )
+    )
+    bal_facet = (
+        c.filter(f_seg)  # {!ex=bal}
+        .withColumn("b", F.when(f_bal, "pos").otherwise("nonpos"))
+        .groupBy("b")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("acctbal").alias("facet"), F.col("b").alias("bucket"), "n")
+    )
+    return seg_facet.unionByName(bal_facet)
+
+
+FACET_EXCLUSIONS_SQL = """
+SELECT 'mktsegment' AS facet, c_mktsegment AS bucket, count(*) AS n
+FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment
+UNION ALL
+SELECT 'acctbal' AS facet,
+       CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'nonpos' END AS bucket,
+       count(*) AS n
+FROM customer WHERE c_mktsegment = 'BUILDING'
+GROUP BY 2
+"""
+
+
 RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
     "func_query_lineitem": (func_query_lineitem, FUNC_QUERY_SQL),
     "block_join_parents": (block_join_parents, BLOCK_JOIN_PARENTS_SQL),
     "block_join_children": (block_join_children, BLOCK_JOIN_CHILDREN_SQL),
+    "facet_exclusions": (facet_exclusions, FACET_EXCLUSIONS_SQL),
     # trivial projection / cross-join reps: window slots went to the pivot
     # facet and corr/regress math expressions
     "select_revenue": (select_revenue, SELECT_SQL),
