@@ -188,3 +188,36 @@ def test_check_index_verifies_index_sort(spark, sorted_index):
     out = check_index(spark, sorted_index)
     assert out["bad_index_sort"] == 0
     assert all(v == 0 for k, v in out.items() if k.startswith("bad_"))
+
+
+def test_merge_drops_index_sort_loudly(spark, tmp_path_factory):
+    """Merged segments concatenate sources (chain-patch rebase), so their
+    doc order is NOT the sort order — the merged manifest row carries no
+    index_sort, and search_sorted must refuse rather than silently return
+    wrong early-terminated results (full-permutation sorted merges are the
+    reference's SortingMergePolicy, out of scope)."""
+    from lucene_solr_spark.corpus import synth_corpus_local
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.index.manifest import live_segments
+    from lucene_solr_spark.index.merge import merge_segments
+    from lucene_solr_spark.search import IndexSearcher
+
+    corpus = synth_corpus_local(120)
+    rows = [
+        (r.repo, r.path, r.commit, r.content, float((i * 13) % 50))
+        for i, r in enumerate(corpus.itertuples())
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string, price double"
+    )
+    d = str(tmp_path_factory.mktemp("sortmerge") / "idx")
+    build_index(spark, docs, d, num_segments=3, analyzer="code", index_sort="price")
+    s = IndexSearcher(spark, d, analyzer="code")
+    assert s.index_sort_field() == "price"
+    merge_segments(spark, d, live_segments(spark, d))
+    s2 = IndexSearcher(spark, d, analyzer="code")
+    assert s2.index_sort_field() is None
+    with pytest.raises(ValueError, match="index_sort"):
+        s2.search_sorted("parse", k=5)
+    # the general field-sorted path still works on the merged index
+    assert s2.search_by_field("parse", "price", k=5).count() > 0
