@@ -379,6 +379,16 @@ class IndexSearcher:
 
     # ------------------------------------------- multi-term expansion ------
     def _terms_df(self):
+        if self.commit is not None:
+            # time-traveled open: expand against THIS commit's dictionary —
+            # the latest term_stats gen would rank top_terms rewrites by
+            # post-commit dfs and admit terms born after the commit
+            return (
+                self._postings_df
+                .filter((F.col("kind") == 0) & F.col("segment_id").isin(self.live))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+            )
         return self._term_stats_df
 
     def matching_terms(self, q: MultiTermQuery, cap: int = 65536) -> list[str]:
@@ -529,6 +539,7 @@ class IndexSearcher:
         weights = self.weights_for(all_terms)
         dfs = self.term_stats(all_terms)
         doc_count = self.doc_count
+        total_tokens = self.sum_total_term_freq
         cache = self.cache
         f32 = self.f32
         sim = self.sim
@@ -537,10 +548,22 @@ class IndexSearcher:
         }
         spark = self.spark
         def _has_matchall(q) -> bool:
+            # recurse wrappers AND compound clauses: a MatchAll inside a
+            # BooleanQuery (e.g. "+*:* -zzz") must keep segments whose
+            # postings side is empty from short-circuiting to no-hits
             if isinstance(q, MatchAllQuery):
                 return True
             inner = getattr(q, "inner", None)
-            return inner is not None and _has_matchall(inner)
+            if inner is not None and _has_matchall(inner):
+                return True
+            if isinstance(q, BooleanQuery):
+                return any(
+                    _has_matchall(c)
+                    for c in (*q.must, *q.should, *q.filter, *q.must_not)
+                )
+            if isinstance(q, DisjunctionMaxQuery):
+                return any(_has_matchall(c) for c in q.disjuncts)
+            return False
 
         termless_ok = any(_has_matchall(q) for q in live.values())
         if not live or (not all_terms and not termless_ok):
@@ -602,7 +625,8 @@ class IndexSearcher:
                 rows, norms_arr, int(norm_rows["max_doc"].iloc[0]), deleted
             )
             ctx = QueryContext(
-                weights, cache, f32=f32, dfs=dfs, doc_count=doc_count, sim=sim
+                weights, cache, f32=f32, dfs=dfs, doc_count=doc_count, sim=sim,
+                total_tokens=total_tokens,
             )
             out_qid, out_doc, out_score = [], [], []
             for qid, q in live.items():
@@ -704,9 +728,17 @@ class IndexSearcher:
             .drop("qid")
             .withColumnRenamed("score", "score2")
         )
+        first = hits.select("segment_id", "doc_id", "score")
+        # two buildable broadcast joins (Spark can't build the preserved side
+        # of an outer join): inner-join shrinks the exhaustive second pass to
+        # the top-N coordinates, then the tiny result is the BUILD side of
+        # the left outer
+        matched = second.join(
+            F.broadcast(first.select("segment_id", "doc_id")),
+            ["segment_id", "doc_id"],
+        )
         combined = (
-            second.join(F.broadcast(hits.select("segment_id", "doc_id", "score")),
-                        ["segment_id", "doc_id"], "right")
+            first.join(F.broadcast(matched), ["segment_id", "doc_id"], "left")
             .withColumn(
                 "score",
                 (F.col("score") + float(weight) * F.coalesce(F.col("score2"), F.lit(0.0)))
@@ -773,11 +805,14 @@ class IndexSearcher:
         when the requested sort matches the index sort, each leaf stops
         after k competitive hits). Requires ``build_index(index_sort=...)``.
 
-        Shape at scale: each segment ships its first/last k matching local
-        docIDs (term queries stop DECODING after ceil(k/128) blocks — see
-        ``first_k_matches``), the ≤ k·segments candidates broadcast into
-        the docs-table join for sort values, and the global merge is a
-        TakeOrdered limit — never a full sort. Returns
+        Shape at scale (ascending — the direction matching the index sort):
+        each segment ships its first k matching local docIDs (term queries
+        stop DECODING after ceil(k/128) blocks — see ``first_k_matches``),
+        the ≤ k·segments candidates broadcast into the docs-table join for
+        sort values, and the global merge is a TakeOrdered limit — never a
+        full sort. ``ascending=False`` cannot early-terminate (direction
+        mismatch, exactly Lucene's canEarlyTerminate rule) and collects
+        exhaustively via ``search_by_field``. Returns
         (segment_id, doc_id, <field>) in final sort order
         (field asc|desc, segment asc, doc asc)."""
         field = self.index_sort_field()
@@ -786,19 +821,21 @@ class IndexSearcher:
                 "search_sorted requires an index built with index_sort=<field>"
             )
         q = query if not isinstance(query, str) or query != "*:*" else MatchAllQuery()
+        if not ascending:
+            # Lucene's canEarlyTerminate requires the query sort DIRECTION to
+            # match the index sort (TopFieldCollector.java:52-76); a per-
+            # segment "last k docs" cut would also break the doc-asc
+            # tie-break when equal field values straddle the k boundary.
+            # Descending over an ascending sort collects exhaustively.
+            return self.search_by_field(q, field, k=k, ascending=False)
         cand = self.search_many(
-            {0: q}, k=k, scoring=False, first_k=True, reverse=not ascending
+            {0: q}, k=k, scoring=False, first_k=True
         ).select("segment_id", "doc_id")
         docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs")).select(
             "segment_id", "doc_id", field
         )
-        order = [
-            F.col(field).asc() if ascending else F.col(field).desc(),
-            F.col("segment_id").asc(),
-            F.col("doc_id").asc(),
-        ]
         return docs.join(F.broadcast(cand), ["segment_id", "doc_id"]).orderBy(
-            *order
+            F.col(field).asc(), F.col("segment_id").asc(), F.col("doc_id").asc()
         ).limit(k)
 
     def explain(self, query: Query | str, segment_id: int, doc_id: int) -> dict:

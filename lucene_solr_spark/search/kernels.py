@@ -394,17 +394,21 @@ class QueryContext:
         dfs: dict[str, int] | None = None,
         doc_count: int = 0,
         sim: str = "bm25",
+        total_tokens: int = 0,
     ):
         dt = np.float32 if f32 else np.float64
         self.f32 = f32
         # "bm25" | "classic" | "lmd" | "lmjm" | "inl2" | "dfi" | "ibll"
-        # (SURVEY §2.7)
+        # | "ax2exp" (SURVEY §2.7)
         self.sim = sim
         self.weights = {t: dt(w) for t, w in weights.items()}
         self.cache = cache.astype(dt)
         self.cache64 = self.cache.astype(np.float64)  # exact widening
         self.dfs = dfs or {}
         self.doc_count = doc_count
+        # sumTotalTermFreq — needed only to undo DFI's per-term +1 smoothing
+        # when synonym members' weights are summed
+        self.total_tokens = total_tokens
 
     def synonym_weight(self, terms) -> float:
         """Pseudo-term weight for a synonym group: df = max over the
@@ -414,7 +418,17 @@ class QueryContext:
         if self.sim in ("lmd", "lmjm", "dfi"):
             # collection-probability-style weights: members' freqs sum, so
             # their probabilities (and DFI expected counts) sum too
-            return float(sum(float(self.weights.get(t, 0.0)) for t in terms))
+            w = float(sum(float(self.weights.get(t, 0.0)) for t in terms))
+            if self.sim == "dfi":
+                # per-member weights each carry a +1 smoothing
+                # ((ttf+1)/(T+1)); the pseudo-term gets ONE smoothing over
+                # the SUMMED ttf (SynonymQuery builds a single
+                # TermStatistics) — subtract the extras
+                n_pos = sum(1 for t in terms if float(self.weights.get(t, 0.0)) > 0.0)
+                if n_pos == 0:
+                    return 0.0
+                w -= (n_pos - 1) / (self.total_tokens + 1.0)
+            return w
         df = max((self.dfs.get(t, 0) for t in terms), default=0)
         if df == 0:
             return 0.0

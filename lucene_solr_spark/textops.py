@@ -309,8 +309,10 @@ def freetext_suggest(spark, sf_dir):
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
+    # greatest(…, 0): slice() rejects a negative length, and a zero-token
+    # doc (no [a-z0-9] runs) would otherwise crash the whole op
     pairs = F.expr(
-        "transform(slice(arr, 1, size(arr)-1), "
+        "transform(slice(arr, 1, greatest(size(arr)-1, 0)), "
         "(x, i) -> struct(x AS context, arr[i+1] AS suggestion))"
     )
     big = (

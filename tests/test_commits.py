@@ -90,3 +90,27 @@ def test_commit_survives_merge(spark, evolving_index):
     old = IndexSearcher(spark, d, analyzer="code", commit=c1)
     assert max(old.live) <= c1
     assert _hits(old) == before
+
+
+def test_commit_open_expands_multiterm_against_old_dictionary(
+    spark, evolving_index, tmp_path_factory
+):
+    """PrefixQuery expansion at an old commit must use that commit's term
+    dictionary (df-ranked rewrites), matching a fresh index over only the
+    old docs."""
+    from lucene_solr_spark.corpus import synth_corpus_local
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.search import IndexSearcher
+
+    d, c1 = evolving_index
+    old = IndexSearcher(spark, d, analyzer="code", commit=c1)
+    ref_dir = str(tmp_path_factory.mktemp("commits_mt") / "idx")
+    corpus = synth_corpus_local(240)
+    build_index(
+        spark, spark.createDataFrame(corpus.iloc[:120]), ref_dir,
+        num_segments=2, analyzer="code",
+    )
+    ref = IndexSearcher(spark, ref_dir, analyzer="code")
+    got = _hits(old, q="pa*", k=12)
+    want = _hits(ref, q="pa*", k=12)
+    assert got == want

@@ -115,3 +115,19 @@ def test_entry_smoke(spark):
     # the driver gates only the FIRST 50 queries() entries — the registry must
     # fit entirely inside that window so every op gets a CORRECTNESS row
     assert len(names) <= 50, f"driver window overflow: {len(names)} ops"
+
+
+def test_freetext_suggest_survives_empty_docs(spark, tmp_path):
+    """A zero-token document (no [a-z0-9] runs) must not crash the bigram
+    slice (slice length is clamped to >= 0)."""
+    from lucene_solr_spark.textops import freetext_suggest
+
+    docs = spark.createDataFrame(
+        [(0, "hash index scan"), (1, ""), (2, "!!! ???"), (3, "hash join")],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = freetext_suggest(spark, str(tmp_path)).collect()
+    got = {(r.context, r.suggestion): r.weight for r in rows}
+    assert got[("hash", "index")] == 1
+    assert got[("hash", "join")] == 1

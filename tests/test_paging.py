@@ -88,3 +88,37 @@ def test_rescore_combines_first_and_second_pass(searcher):
         coord = (r.segment_id, r.doc_id)
         exp = first[coord] + weight * second.get(coord, 0.0)
         assert abs(float(r.score) - exp) < 1e-5, coord
+
+
+def test_matchall_inside_boolean_matches_all_segments(searcher):
+    """A MatchAll nested in a BooleanQuery must not lose segments whose
+    postings side is empty (the termless guard recurses compounds)."""
+    from lucene_solr_spark.search.query import (
+        BooleanQuery,
+        MatchAllQuery,
+        TermQuery,
+    )
+
+    q = BooleanQuery(must=(MatchAllQuery(),), must_not=(TermQuery("zzz_absent"),))
+    assert searcher.count(q) == searcher.doc_count
+    # and with a real excluded term: complement sizes add up
+    q2 = BooleanQuery(must=(MatchAllQuery(),), must_not=(TermQuery("buffer"),))
+    n_with = searcher.count(TermQuery("buffer"))
+    assert n_with > 0
+    assert searcher.count(q2) == searcher.doc_count - n_with
+
+
+def test_rescore_joins_are_broadcast(searcher):
+    """The rescore combine must stay broadcast-shaped (no sort-merge join
+    of the exhaustive second pass)."""
+    import io
+    from contextlib import redirect_stdout
+
+    hits = searcher.search("buffer OR stream", k=10)
+    df = searcher.rescore(hits, '"table hash"', weight=1.5, k=5)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

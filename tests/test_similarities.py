@@ -230,3 +230,33 @@ def test_pruned_paths_match_exhaustive_under_sim(spark, sim_index, sim):
         )
         exp = [(i + 1, segd, d) for i, (_, segd, d) in enumerate(rows[:3])]
         assert got == exp, (qid, got, exp)
+
+
+def test_dfi_synonym_single_smoothing(spark, sim_index):
+    """SynonymQuery under DFI: the pseudo-term expected count uses ONE
+    smoothing over the SUMMED ttf ((Σttf+1)/(T+1)), not one per member."""
+    import math
+
+    from lucene_solr_spark.search import IndexSearcher
+    from lucene_solr_spark.search.query import SynonymQuery
+
+    s = IndexSearcher(spark, sim_index, analyzer="code", similarity="dfi",
+                      precision="f64")
+    per_doc, _, total = _naive_stats(spark, sim_index)
+    terms = ("parse", "buffer")
+    ttf = sum(t.count(terms[0]) + t.count(terms[1]) for t in per_doc.values())
+    hits = {
+        (r.segment_id, r.doc_id): r.score
+        for r in s.search_many({0: SynonymQuery(terms)}, k=None).collect()
+    }
+    assert hits
+    w = (ttf + 1.0) / (total + 1.0)
+    for coord, toks in per_doc.items():
+        tf = toks.count(terms[0]) + toks.count(terms[1])
+        if tf == 0:
+            continue
+        dl = _quantized_len(len(toks))
+        e = w * dl
+        expect = math.log2((tf - e) / math.sqrt(e) + 1.0) if tf > e else 0.0
+        if expect > 0:
+            assert hits[coord] == pytest.approx(expect, rel=1e-6), coord
