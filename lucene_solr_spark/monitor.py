@@ -1,0 +1,339 @@
+"""Reverse search (percolation) — the lucene/monitor module, Spark-first.
+
+Reference: ``lucene/monitor/src/java/org/apache/lucene/monitor/Monitor.java``
+(register/match lifecycle), ``TermFilteredPresearcher.java`` (anchor-term
+extraction: a conjunction contributes its highest-weight child, a
+disjunction contributes ALL children — any matching document must contain at
+least one extracted anchor term), ``QueryIndex.java`` (registered-query
+storage) and ``lucene/memory/.../MemoryIndex.java`` (the single-document
+verification index run under every candidate query).
+
+Spark-first shape — registered queries are the SMALL side (thousands), the
+document stream is the BIG side:
+
+- Queries are parsed ONCE on the driver into the engine's Query algebra,
+  anchor terms are extracted per query, and the whole registry (parsed
+  queries + anchor sets) ships to executors by closure capture — the
+  broadcast-dimension pattern. No query-side shuffle ever.
+- Matching is ONE ``mapInPandas`` pass over the documents with ZERO
+  shuffles: each Arrow batch is analyzed by the vectorized analyzer chain
+  and turned into an EPHEMERAL in-memory segment via the same
+  ``build_segment_frame`` kernel the index writer uses (the MemoryIndex
+  role, amortized over a whole batch instead of one doc), then every
+  candidate query — selected by intersecting the batch vocabulary with the
+  anchor map, the presearcher role at batch granularity — is evaluated by
+  the ordinary ``eval_query`` kernels. The FULL query algebra works:
+  boolean, phrase, sloppy phrase, spans, synonyms, dismax, and
+  MultiTermQuerys (expanded against the batch's own term dictionary).
+- Because ``match`` is a pure DataFrame transform it applies unchanged to a
+  Structured Streaming DataFrame: ``monitor.match(readStream_df)`` →
+  ``writeStream`` is the streaming-alert topology (docs flow past standing
+  queries), with no state store needed — the operator is stateless per
+  batch by construction.
+
+Matches are reported unscored (the reference's ``QueryMatch`` mode):
+percolation scores would have to come from single-document statistics,
+which are not comparable across batches; callers who need ranked alerts
+join the match stream back to a real index.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .search.query import (
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FuzzyQuery,
+    MatchNoneQuery,
+    MultiPhraseQuery,
+    MultiTermQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    SloppyPhraseQuery,
+    SpanFirstQuery,
+    SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
+    SpanTermQuery,
+    SynonymQuery,
+    TermInSetQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    parse_query,
+)
+
+# ---------------------------------------------------------------------------
+# presearcher: anchor-term extraction (TermFilteredPresearcher.java:66)
+#
+# anchor_terms(q) returns a set S such that every document matching q
+# contains at least one term of S — or None when no such finite set exists
+# (MatchAll, pure must_not, un-expanded multi-term patterns), meaning the
+# query must be checked against every batch (the reference's ANYTOKEN).
+
+def _term_weight(t: str) -> tuple:
+    # TermWeightor default: longer tokens are rarer, hence cheaper anchors
+    # (TermWeightor.DEFAULT length weighting); term text breaks ties.
+    return (len(t), t)
+
+
+def _set_weight(s: frozenset) -> tuple:
+    # a set is as strong as its weakest member (every member may be the one
+    # that fires candidate selection)
+    return min(_term_weight(t) for t in s)
+
+
+def _best_child(children: list[frozenset | None]) -> frozenset | None:
+    """Conjunction rule: any ONE child's anchors suffice — pick the
+    highest-weight anchored child (QueryAnalyzer conjunction pruning)."""
+    anchored = [c for c in children if c is not None and len(c)]
+    if not anchored:
+        return None
+    return max(anchored, key=_set_weight)
+
+
+def _union_children(children: list[frozenset | None]) -> frozenset | None:
+    """Disjunction rule: a match may come through any child, so every
+    child must be anchored or the union is unbounded."""
+    out: set = set()
+    for c in children:
+        if c is None:
+            return None
+        out |= c
+    return frozenset(out)
+
+
+def anchor_terms(q: Query) -> frozenset | None:
+    if isinstance(q, str):  # bare span-clause term
+        return frozenset((q,))
+    if isinstance(q, (TermQuery, SpanTermQuery)):
+        return frozenset((q.term,))
+    if isinstance(q, SynonymQuery):
+        return frozenset(q.syn_terms)
+    if isinstance(q, TermInSetQuery):
+        return frozenset(q.set_terms)
+    if isinstance(q, (PhraseQuery, SloppyPhraseQuery)):
+        return _best_child([frozenset((t,)) for t in q.phrase_terms])
+    if isinstance(q, MultiPhraseQuery):
+        # each position slot is a disjunction of alternatives; the phrase is
+        # the conjunction of its slots
+        return _best_child([frozenset(alts) for alts in q.slots])
+    if isinstance(q, SpanNearQuery):
+        return _best_child([anchor_terms(c) for c in q.clauses])
+    if isinstance(q, SpanOrQuery):
+        return _union_children([anchor_terms(c) for c in q.clauses])
+    if isinstance(q, SpanNotQuery):
+        return anchor_terms(q.include)
+    if isinstance(q, SpanFirstQuery):
+        return anchor_terms(q.match)
+    if isinstance(q, DisjunctionMaxQuery):
+        return _union_children([anchor_terms(d) for d in q.disjuncts])
+    if isinstance(q, (ConstantScoreQuery, BoostQuery)):
+        return anchor_terms(q.inner)
+    if isinstance(q, BooleanQuery):
+        conj = _best_child([anchor_terms(c) for c in (*q.must, *q.filter)])
+        if conj is not None:
+            return conj
+        if q.must or q.filter:
+            # required clauses exist but none is anchorable (e.g. MatchAll
+            # with a must_not) — fall through to always-check only if the
+            # should side can't anchor either (msm>0 would make should
+            # required, but with must present should is optional)
+            return None
+        if q.should:
+            return _union_children([anchor_terms(c) for c in q.should])
+        return None  # pure must_not / empty
+    if isinstance(q, MatchNoneQuery):
+        return frozenset()  # never selected, never matches
+    # MatchAllQuery, MultiTermQuery patterns (prefix/wildcard/fuzzy/regexp/
+    # range): no finite anchor set → always-check
+    return None
+
+
+# ---------------------------------------------------------------------------
+# batch-local MultiTermQuery expansion against the batch vocabulary
+# (MemoryIndex gives MultiTermQuerys a real terms enum; same here, the enum
+# is the batch's sorted term dictionary)
+
+def _levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != b[j - 1])
+            )
+        prev = cur
+    return prev[lb]
+
+
+def _vocab_range(vocab: np.ndarray, lo: str | None, hi_prefix: str | None):
+    """Contiguous slice of the sorted vocab: [lo, prefix-upper-bound)."""
+    start = int(np.searchsorted(vocab, lo)) if lo is not None else 0
+    end = (
+        int(np.searchsorted(vocab, hi_prefix + "￿"))
+        if hi_prefix is not None
+        else len(vocab)
+    )
+    return start, end
+
+
+def expand_against_vocab(q: Query, vocab: np.ndarray) -> Query:
+    """Rewrite MultiTermQuerys to concrete term disjunctions using the
+    batch's sorted term dictionary (MultiTermQuery.java:68 rewrite, with the
+    MemoryIndex terms enum as the dictionary). Everything else recurses."""
+    if isinstance(q, PrefixQuery):
+        s, e = _vocab_range(vocab, q.prefix, q.prefix)
+        terms = vocab[s:e]
+    elif isinstance(q, TermRangeQuery):
+        s = int(np.searchsorted(vocab, q.lower, side="left" if q.include_lower else "right")) if q.lower is not None else 0
+        e = int(np.searchsorted(vocab, q.upper, side="right" if q.include_upper else "left")) if q.upper is not None else len(vocab)
+        terms = vocab[s:e]
+    elif isinstance(q, WildcardQuery):
+        lit = q.pattern.split("*", 1)[0].split("?", 1)[0]
+        s, e = _vocab_range(vocab, lit or None, lit or None)
+        rx = re.compile(
+            "".join(
+                ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+                for ch in q.pattern
+            )
+        )
+        terms = np.array([t for t in vocab[s:e] if rx.fullmatch(t)], dtype=object)
+    elif isinstance(q, RegexpQuery):
+        rx = re.compile(f"(?:{q.pattern})")
+        terms = np.array([t for t in vocab if rx.fullmatch(t)], dtype=object)
+    elif isinstance(q, FuzzyQuery):
+        pre = q.term[: q.prefix_len] if q.prefix_len else None
+        s, e = _vocab_range(vocab, pre, pre)
+        band = q.max_edits
+        cand = [t for t in vocab[s:e] if abs(len(t) - len(q.term)) <= band]
+        terms = np.array(
+            [t for t in cand if _levenshtein(t, q.term) <= band], dtype=object
+        )
+    elif isinstance(q, TermInSetQuery):
+        terms = np.array(sorted(set(q.set_terms)), dtype=object)
+    elif isinstance(q, BooleanQuery):
+        return BooleanQuery(
+            tuple(expand_against_vocab(c, vocab) for c in q.must),
+            tuple(expand_against_vocab(c, vocab) for c in q.should),
+            tuple(expand_against_vocab(c, vocab) for c in q.must_not),
+            tuple(expand_against_vocab(c, vocab) for c in q.filter),
+            q.min_should_match,
+        )
+    elif isinstance(q, DisjunctionMaxQuery):
+        return DisjunctionMaxQuery(
+            tuple(expand_against_vocab(d, vocab) for d in q.disjuncts), q.tiebreak
+        )
+    elif isinstance(q, (ConstantScoreQuery, BoostQuery)):
+        return type(q)(expand_against_vocab(q.inner, vocab), q.boost)
+    else:
+        return q
+    if len(terms) == 0:
+        return MatchNoneQuery()
+    return ConstantScoreQuery(
+        BooleanQuery(should=tuple(TermQuery(t) for t in terms))
+    )
+
+
+# ---------------------------------------------------------------------------
+# the monitor
+
+class Monitor:
+    """Standing-query registry + percolation operator.
+
+    >>> m = Monitor(analyzer="simple")
+    >>> m.register("alert-1", "vector AND hash")
+    >>> matches = m.match(docs_df)          # (key_col, query_id) pairs
+    """
+
+    def __init__(self, analyzer: str = "simple"):
+        self.analyzer = analyzer
+        # query_id -> (parsed Query, anchor set | None)
+        self._queries: dict[str, tuple[Query, frozenset | None]] = {}
+
+    def register(self, query_id: str, query: Query | str) -> None:
+        q = parse_query(query, self.analyzer) if isinstance(query, str) else query
+        self._queries[str(query_id)] = (q, anchor_terms(q))
+
+    def unregister(self, query_id: str) -> None:
+        self._queries.pop(str(query_id), None)
+
+    def __len__(self) -> int:
+        return len(self._queries)
+
+    def match(
+        self,
+        docs: DataFrame,
+        content_col: str = "text",
+        key_col: str = "doc_id",
+    ) -> DataFrame:
+        """All (document, registered query) match pairs — one shuffle-free
+        ``mapInPandas`` pass; works on batch AND streaming DataFrames."""
+        entries = sorted(
+            (qid, q, anch) for qid, (q, anch) in self._queries.items()
+        )
+        analyzer = self.analyzer
+        key_field = docs.schema[key_col]
+        out_schema = f"{key_col} {key_field.dataType.simpleString()}, query_id string"
+
+        def match_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from .index.build import KIND_NORMS, KIND_POSTING, build_segment_frame
+            from .search.kernels import QueryContext, SegmentPostings, eval_query
+
+            ctx = QueryContext({}, np.zeros(256, dtype=np.float64), f32=False)
+            for pdf in it:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                content = pdf[content_col].tolist()
+                frame = build_segment_frame(
+                    content, np.arange(n, dtype=np.int64), 0, analyzer
+                )
+                post = frame[frame["kind"] == KIND_POSTING]
+                rows: dict[str, list[dict]] = {
+                    r["term"]: [r] for r in post.to_dict("records")
+                }
+                norm_blob = frame.loc[frame["kind"] == KIND_NORMS, "doc_blob"].iloc[0]
+                seg = SegmentPostings(
+                    rows, np.frombuffer(norm_blob, dtype=np.uint8), n
+                )
+                vocab = post["term"].to_numpy(dtype=object)  # sorted (build order)
+                vocab_set = set(vocab)
+                keys = pdf[key_col].to_numpy()
+                out_keys, out_qids = [], []
+                for qid, q, anch in entries:
+                    # presearcher gate at batch granularity: skip queries
+                    # whose anchors don't intersect the batch vocabulary
+                    if anch is not None and vocab_set.isdisjoint(anch):
+                        continue
+                    docs_m, _ = eval_query(
+                        expand_against_vocab(q, vocab), seg, ctx, scoring=False
+                    )
+                    if len(docs_m):
+                        out_keys.append(keys[docs_m])
+                        out_qids.append(np.full(len(docs_m), qid, dtype=object))
+                if out_keys:
+                    yield pd.DataFrame(
+                        {
+                            key_col: np.concatenate(out_keys),
+                            "query_id": np.concatenate(out_qids),
+                        }
+                    )
+
+        return docs.select(key_col, content_col).mapInPandas(
+            match_batches, out_schema
+        )

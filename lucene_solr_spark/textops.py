@@ -481,6 +481,129 @@ FROM phr JOIN dld ON phr.doc_id = dld.doc_id, pw, cstats
 )
 
 
+# Driver-gated compound op: one batched search_many() job exercising every
+# BooleanQuery occur kind (``search/BooleanQuery.java:86`` MUST / SHOULD /
+# MUST_NOT / FILTER and minimumNumberShouldMatch) — each tagged with its
+# variant name. The per-variant single ops stay in FT_EXTRA_OPS for the
+# local pytest gate (same fold as ft_multiterm).
+def ft_bool(spark, sf_dir):
+    from .search.query import BooleanQuery, TermQuery
+
+    variants = [
+        ("and", "vector AND hash"),
+        ("or", "vector OR stream OR spark"),
+        ("not", "+vector -hash"),
+        (
+            "msm",
+            BooleanQuery(
+                should=(TermQuery("table"), TermQuery("hash"), TermQuery("vector")),
+                min_should_match=2,
+            ),
+        ),
+        (
+            "filter",
+            BooleanQuery(must=(TermQuery("table"),), filter=(TermQuery("hash"),)),
+        ),
+    ]
+    s = _searcher(spark, sf_dir)
+    hits = s.search_many({i: q for i, (_, q) in enumerate(variants)}, k=None)
+    docs = spark.read.parquet(os.path.join(s.index_dir, "docs")).select(
+        "segment_id", "doc_id", "ext_id"
+    )
+    vmap = F.array(*[F.lit(n) for n, _ in variants])
+    return (
+        hits.join(docs, ["segment_id", "doc_id"])
+        .select(
+            F.element_at(vmap, F.col("qid") + 1).alias("variant"),
+            F.col("ext_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+FT_BOOL_SQL = (
+    _BM25_CTE
+    + _SCORES_CTE.format(
+        terms=_terms_list(["vector", "hash", "stream", "spark", "table"])
+    )
+    + """
+SELECT 'and' AS variant, doc_id, round(sum(s), 4) AS score
+FROM scores WHERE term IN ('vector', 'hash')
+GROUP BY doc_id HAVING count(*) = 2
+UNION ALL
+SELECT 'or', doc_id, round(sum(s), 4)
+FROM scores WHERE term IN ('vector', 'stream', 'spark') GROUP BY doc_id
+UNION ALL
+SELECT 'not', doc_id, round(s, 4)
+FROM scores WHERE term = 'vector'
+  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'hash')
+UNION ALL
+SELECT 'msm', doc_id, round(sum(s), 4)
+FROM scores WHERE term IN ('table', 'hash', 'vector')
+GROUP BY doc_id HAVING count(*) >= 2
+UNION ALL
+SELECT 'filter', doc_id, round(s, 4)
+FROM scores WHERE term = 'table'
+  AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'hash')
+"""
+)
+
+
+# Reverse search / percolation (lucene/monitor — Monitor.java:68,
+# TermFilteredPresearcher.java:66): standing queries are registered once and
+# a document stream flows past them; output = (doc, query) match pairs.
+# Scale shape: queries broadcast by closure, ONE shuffle-free mapInPandas
+# pass over the documents, per-batch ephemeral in-memory segment built by
+# the same kernel as the index writer (the MemoryIndex role), candidate
+# queries gated by anchor-term intersection with the batch vocabulary.
+def monitor_matches(spark, sf_dir):
+    from .monitor import Monitor
+    from .search.query import BooleanQuery, PrefixQuery, TermQuery
+
+    m = Monitor(analyzer="simple")
+    m.register("q_and", "vector AND hash")
+    m.register("q_term", "spark")
+    m.register("q_not", "+table -hash")
+    m.register("q_phrase", '"table hash"')
+    m.register("q_prefix", PrefixQuery(prefix="spar"))
+    m.register(
+        "q_msm",
+        BooleanQuery(
+            should=(TermQuery("table"), TermQuery("hash"), TermQuery("vector")),
+            min_should_match=2,
+        ),
+    )
+    return m.match(_docs(spark, sf_dir), content_col="text", key_col="doc_id")
+
+
+MONITOR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENIZE}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+tokp AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id, {_TOKENIZE} AS arr FROM documents)
+)
+SELECT doc_id, 'q_and' AS query_id FROM tf WHERE term IN ('vector', 'hash')
+GROUP BY doc_id HAVING count(*) = 2
+UNION ALL
+SELECT doc_id, 'q_msm' FROM tf WHERE term IN ('table', 'hash', 'vector')
+GROUP BY doc_id HAVING count(*) >= 2
+UNION ALL
+SELECT doc_id, 'q_not' FROM tf WHERE term = 'table'
+  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'hash')
+UNION ALL
+SELECT DISTINCT a.doc_id, 'q_phrase'
+FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'table' AND b.term = 'hash'
+UNION ALL
+SELECT DISTINCT doc_id, 'q_prefix' FROM tf WHERE term LIKE 'spar%'
+UNION ALL
+SELECT doc_id, 'q_term' FROM tf WHERE term = 'spark'
+"""
+
+
 def ft_term_tf(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     posts = term_postings(spark, s.index_dir, ["spark", "vector", "hash"])
@@ -878,12 +1001,9 @@ FT_OPS: dict[str, tuple] = {
     "ft_feature_boost": (ft_feature_boost, FT_FEATURE_SQL),
     "expr_ranked_events": (expr_ranked_events, EXPR_RANKED_SQL),
     "ft_multi_phrase": (ft_multi_phrase, FT_MULTI_PHRASE_SQL),
-    "ft_bool_msm": (ft_bool_msm, FT_MSM_SQL),
-    "ft_bool_filter": (ft_bool_filter, FT_FILTER_SQL),
+    "ft_bool": (ft_bool, FT_BOOL_SQL),
     "ft_term_spark": (ft_term_spark, ft_term_sql("spark")),
-    "ft_bool_and": (ft_bool_and, ft_and_sql(["vector", "hash"])),
-    "ft_bool_or": (ft_bool_or, ft_or_sql(["vector", "stream", "spark"])),
-    "ft_bool_not": (ft_bool_not, ft_not_sql("vector", "hash")),
+    "monitor_matches": (monitor_matches, MONITOR_SQL),
     "ft_phrase": (ft_phrase, ft_phrase_sql("table", "hash")),
     "ft_phrase_slop": (ft_phrase_slop, FT_PHRASE_SLOP_SQL),
     "ft_term_tf": (ft_term_tf, FT_TF_SQL),
@@ -897,6 +1017,11 @@ FT_OPS: dict[str, tuple] = {
 # pytest-gated only (tests/test_entry.py runs main + extra registries against
 # DuckDB): the per-variant ops folded into the compound driver entries above.
 FT_EXTRA_OPS: dict[str, tuple] = {
+    "ft_bool_and": (ft_bool_and, ft_and_sql(["vector", "hash"])),
+    "ft_bool_or": (ft_bool_or, ft_or_sql(["vector", "stream", "spark"])),
+    "ft_bool_not": (ft_bool_not, ft_not_sql("vector", "hash")),
+    "ft_bool_msm": (ft_bool_msm, FT_MSM_SQL),
+    "ft_bool_filter": (ft_bool_filter, FT_FILTER_SQL),
     "ft_prefix": (ft_prefix, FT_PREFIX_SQL),
     "ft_wildcard": (ft_wildcard, FT_WILDCARD_SQL),
     "ft_regexp": (ft_regexp, FT_REGEXP_SQL),
