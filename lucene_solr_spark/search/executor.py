@@ -86,10 +86,20 @@ def _position_terms(q: Query) -> set[str]:
         SpanTermQuery,
     )
 
+    from .intervals import IntervalQuery
+
     if isinstance(q, (PhraseQuery, SloppyPhraseQuery)):
         return set(q.phrase_terms)
     if isinstance(
-        q, (SpanNearQuery, SpanTermQuery, SpanOrQuery, SpanNotQuery, SpanFirstQuery)
+        q,
+        (
+            SpanNearQuery,
+            SpanTermQuery,
+            SpanOrQuery,
+            SpanNotQuery,
+            SpanFirstQuery,
+            IntervalQuery,
+        ),
     ):
         return q.terms()
     if isinstance(q, MultiPhraseQuery):

@@ -54,6 +54,7 @@ from .query import (
     SynonymQuery,
     TermQuery,
 )
+from .intervals import IntervalQuery, eval_interval_query
 
 _EMPTY_I = np.empty(0, dtype=np.int64)
 _EMPTY_F = np.empty(0, dtype=np.float64)
@@ -592,6 +593,8 @@ def eval_query(q: Query, seg: SegmentPostings, ctx: QueryContext, scoring: bool 
         return _eval_phrase(q, seg, ctx, scoring)
     if isinstance(q, MultiPhraseQuery):
         return _eval_multi_phrase(q, seg, ctx, scoring)
+    if isinstance(q, IntervalQuery):
+        return eval_interval_query(q, seg, ctx, scoring)
     if isinstance(q, BooleanQuery):
         return _eval_bool(q, seg, ctx, scoring)
     if isinstance(q, ConstantScoreQuery):

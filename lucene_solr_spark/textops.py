@@ -604,6 +604,140 @@ SELECT doc_id, 'q_term' FROM tf WHERE term = 'spark'
 """
 
 
+# Minimal-interval queries (lucene/queries/intervals — IntervalQuery.java:77,
+# OrderedIntervalsSource / UnorderedIntervalsSource / BlockIntervalsSource /
+# FilteredIntervalsSource MaxGaps+MaxWidth / ContainedByIntervalsSource,
+# IntervalScorer.java:68 freq = Σ 1/max(width − minExtent + 1, 1), saturation
+# score freq/(freq+pivot)). The DuckDB oracle reproduces the MINIMAL-interval
+# enumeration in SQL: ordered = per-start tightest end then per-end max
+# start; unordered = per-anchor latest companion then an anti-containment
+# filter; width/gap filters applied after minimization like the reference.
+def ft_intervals(spark, sf_dir):
+    from .search.intervals import (
+        IBlock,
+        IContainedBy,
+        IMaxGaps,
+        IMaxWidth,
+        IOr,
+        IOrdered,
+        ITerm,
+        IUnordered,
+        IntervalQuery,
+    )
+
+    variants = [
+        ("ordered_gap", IntervalQuery(source=IMaxGaps(IOrdered(("table", "hash")), 3))),
+        ("unordered_w", IntervalQuery(source=IMaxWidth(IUnordered(("vector", "hash")), 6))),
+        ("or_block", IntervalQuery(source=IOr((IBlock(("table", "hash")), ITerm("spark"))))),
+        (
+            "contained",
+            IntervalQuery(
+                source=IContainedBy(
+                    ITerm("vector"), IMaxWidth(IUnordered(("table", "hash")), 8)
+                )
+            ),
+        ),
+    ]
+    s = _searcher(spark, sf_dir)
+    hits = s.search_many({i: q for i, (_, q) in enumerate(variants)}, k=None)
+    docs = spark.read.parquet(os.path.join(s.index_dir, "docs")).select(
+        "segment_id", "doc_id", "ext_id"
+    )
+    vmap = F.array(*[F.lit(n) for n, _ in variants])
+    return (
+        hits.join(docs, ["segment_id", "doc_id"])
+        .select(
+            F.element_at(vmap, F.col("qid") + 1).alias("variant"),
+            F.col("ext_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+FT_INTERVALS_SQL = f"""
+WITH tokp AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id, {_TOKENIZE} AS arr FROM documents)
+),
+-- ordered(table, hash): per table-occurrence tightest following hash,
+-- then per-end max start == the minimal-interval set
+ord_cand AS (
+  SELECT a.doc_id, a.pos AS s, min(b.pos) AS e
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.term = 'hash'
+  WHERE a.term = 'table' GROUP BY a.doc_id, a.pos
+),
+ord_min AS (SELECT doc_id, max(s) AS s, e FROM ord_cand GROUP BY doc_id, e),
+v1 AS (
+  SELECT doc_id, sum(1.0 / (e - s)) AS freq
+  FROM ord_min WHERE e - s - 1 <= 3 GROUP BY doc_id
+),
+-- unordered(vector, hash): anchor every occurrence as the window max-end,
+-- companion = latest other-term occurrence before it; anti-containment
+un_cand AS (
+  SELECT a.doc_id, max(b.pos) AS s, a.pos AS e
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos <= a.pos AND b.term = 'vector'
+  WHERE a.term = 'hash' GROUP BY a.doc_id, a.pos
+  UNION
+  SELECT a.doc_id, max(b.pos) AS s, a.pos AS e
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos <= a.pos AND b.term = 'hash'
+  WHERE a.term = 'vector' GROUP BY a.doc_id, a.pos
+),
+un_min AS (
+  SELECT doc_id, s, e FROM un_cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM un_cand c2 WHERE c2.doc_id = c.doc_id
+      AND c2.s >= c.s AND c2.e <= c.e AND (c2.s != c.s OR c2.e != c.e))
+),
+v2 AS (
+  SELECT doc_id, sum(1.0 / greatest(e - s, 1)) AS freq
+  FROM un_min WHERE e - s + 1 <= 6 GROUP BY doc_id
+),
+-- or(block(table, hash), spark): widths 2 and 1 never nest across sides
+-- (the block's two slots are table/hash, never spark) — freq is closed-form
+ph AS (
+  SELECT a.doc_id, count(*) AS pc
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'table' AND b.term = 'hash' GROUP BY a.doc_id
+),
+sp AS (SELECT doc_id, count(*) AS sc FROM tokp WHERE term = 'spark' GROUP BY doc_id),
+v3 AS (
+  SELECT coalesce(ph.doc_id, sp.doc_id) AS doc_id,
+         coalesce(pc, 0) * 0.5 + coalesce(sc, 0) AS freq
+  FROM ph FULL OUTER JOIN sp ON ph.doc_id = sp.doc_id
+),
+-- contained_by(vector, maxwidth(unordered(table, hash), 8))
+un2_cand AS (
+  SELECT a.doc_id, max(b.pos) AS s, a.pos AS e
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos <= a.pos AND b.term = 'table'
+  WHERE a.term = 'hash' GROUP BY a.doc_id, a.pos
+  UNION
+  SELECT a.doc_id, max(b.pos) AS s, a.pos AS e
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos <= a.pos AND b.term = 'hash'
+  WHERE a.term = 'table' GROUP BY a.doc_id, a.pos
+),
+un2_min AS (
+  SELECT doc_id, s, e FROM un2_cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM un2_cand c2 WHERE c2.doc_id = c.doc_id
+      AND c2.s >= c.s AND c2.e <= c.e AND (c2.s != c.s OR c2.e != c.e))
+),
+v4 AS (
+  SELECT t.doc_id, count(DISTINCT t.pos) * 1.0 AS freq
+  FROM tokp t WHERE t.term = 'vector' AND EXISTS (
+    SELECT 1 FROM un2_min m WHERE m.doc_id = t.doc_id
+      AND m.e - m.s + 1 <= 8 AND m.s <= t.pos AND t.pos <= m.e)
+  GROUP BY t.doc_id
+)
+SELECT 'ordered_gap' AS variant, doc_id, round(freq / (freq + 1), 4) AS score FROM v1
+UNION ALL
+SELECT 'unordered_w', doc_id, round(freq / (freq + 1), 4) FROM v2
+UNION ALL
+SELECT 'or_block', doc_id, round(freq / (freq + 1), 4) FROM v3
+UNION ALL
+SELECT 'contained', doc_id, round(freq / (freq + 1), 4) FROM v4
+"""
+
+
 def ft_term_tf(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     posts = term_postings(spark, s.index_dir, ["spark", "vector", "hash"])
@@ -1004,6 +1138,7 @@ FT_OPS: dict[str, tuple] = {
     "ft_bool": (ft_bool, FT_BOOL_SQL),
     "ft_term_spark": (ft_term_spark, ft_term_sql("spark")),
     "monitor_matches": (monitor_matches, MONITOR_SQL),
+    "ft_intervals": (ft_intervals, FT_INTERVALS_SQL),
     "ft_phrase": (ft_phrase, ft_phrase_sql("table", "hash")),
     "ft_phrase_slop": (ft_phrase_slop, FT_PHRASE_SLOP_SQL),
     "ft_term_tf": (ft_term_tf, FT_TF_SQL),
