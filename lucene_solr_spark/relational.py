@@ -711,6 +711,54 @@ SELECT c_custkey, dist_km FROM (
 """
 
 
+# LatLonPoint box query + distance sort (lucene/core document/
+# LatLonPoint.java newBoxQuery:143 + LatLonDocValuesField.newDistanceSort;
+# Solr spatial bbox/geofilt + sort=geodist() asc). Same derived coordinate
+# scheme as geodist_customers. Scale shape: the box predicate is a pushed-
+# down scan filter (the 2-D analogue of PointRangeQuery pruning), the
+# distance sort is orderBy().limit() — TakeOrderedAndProject, never a
+# single-partition window.
+def spatial_bbox(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") % 180) - 90 + 0.5
+    lon = (F.col("c_custkey") % 360) - 180 + 0.5
+    lat0, lon0 = F.lit(40.7), F.lit(-74.0)
+    dlat = F.radians(lat - lat0)
+    dlon = F.radians(lon - lon0)
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians(lat0)) * F.cos(F.radians(lat)) * F.pow(F.sin(dlon / 2), 2)
+    )
+    dist = 2 * 6371 * F.asin(F.sqrt(a))
+    return (
+        c.select("c_custkey", lat.alias("lat"), lon.alias("lon"), dist.alias("dist"))
+        .filter(F.col("lat").between(10, 60) & F.col("lon").between(-120, -40))
+        .orderBy(F.col("dist").asc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", F.round("dist", 2).alias("dist_km"))
+    )
+
+
+SPATIAL_BBOX_SQL = """
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey % 180) - 90 + 0.5 AS lat,
+         (c_custkey % 360) - 180 + 0.5 AS lon
+  FROM customer
+),
+d AS (
+  SELECT c_custkey,
+         2 * 6371 * asin(sqrt(
+           pow(sin(radians(lat - 40.7) / 2), 2) +
+           cos(radians(40.7)) * cos(radians(lat)) * pow(sin(radians(lon - (-74.0)) / 2), 2)
+         )) AS dist
+  FROM pts WHERE lat BETWEEN 10 AND 60 AND lon BETWEEN -120 AND -40
+)
+SELECT c_custkey, round(dist, 2) AS dist_km FROM d
+ORDER BY dist ASC, c_custkey ASC LIMIT 20
+"""
+
+
 # PercentileAgg (solr/core/.../facet/PercentileAgg.java:32): exact
 # interpolated percentiles per bucket — Spark `percentile` == DuckDB
 # `quantile_cont` (both linear interpolation). The approx variants
@@ -861,6 +909,7 @@ FROM lineitem GROUP BY l_returnflag
 # the compound ops and stay pytest-gated via RELATIONAL_EXTRA_OPS.
 RELATIONAL_OPS: dict[str, tuple] = {
     "geodist_customers": (geodist_customers, GEODIST_SQL),
+    "spatial_bbox": (spatial_bbox, SPATIAL_BBOX_SQL),
     "percentile_quantity": (percentile_quantity, PERCENTILE_SQL),
     "rollup_lineitem": (rollup_lineitem, ROLLUP_SQL),
     "facets_all": (facets_all, FACETS_ALL_SQL),

@@ -1865,6 +1865,81 @@ def mlt_shared_terms(spark, sf_dir):
     )
 
 
+# KNearestNeighborClassifier (reference lucene/classification/src/java/org/
+# apache/lucene/classification/KNearestNeighborClassifier.java:53): classify
+# a document by majority class among its k MLT-nearest neighbors. Neighbor
+# rank = shared-distinct-token overlap (the MLT relation above), k=10,
+# deterministic tie-breaks (overlap desc, doc_id asc; votes desc, lang asc).
+# Scale shape: the query docs' token sets are the broadcast side; the corpus
+# side is one explode + count groupBy; both rankings are windows partitioned
+# by query id (parallel across queries, never a global single partition).
+def knn_classify(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(F.expr(_TOK_EXPR)).alias("term")).distinct()
+    qids = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("qid")
+    )
+    qtok = tok.join(F.broadcast(qids), tok.doc_id == F.col("qid")).select(
+        "qid", "term"
+    )
+    overlap = (
+        tok.join(F.broadcast(qtok), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.count("*").alias("overlap"))
+    )
+    w_n = Window.partitionBy("qid").orderBy(
+        F.col("overlap").desc(), F.col("doc_id").asc()
+    )
+    neigh = overlap.withColumn("rk", F.row_number().over(w_n)).filter(
+        F.col("rk") <= 10
+    )
+    votes = (
+        neigh.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("qid", "lang")
+        .agg(F.count("*").alias("votes"))
+    )
+    w_v = Window.partitionBy("qid").orderBy(
+        F.col("votes").desc(), F.col("lang").asc()
+    )
+    return (
+        votes.withColumn("vrk", F.row_number().over(w_v))
+        .filter(F.col("vrk") == 1)
+        .select(F.col("qid").alias("doc_id"), F.col("lang").alias("predicted"), "votes")
+    )
+
+
+KNN_CLASSIFY_SQL = """
+WITH tok AS (SELECT DISTINCT doc_id, unnest({tok}) AS term FROM documents),
+qtok AS (SELECT doc_id AS qid, term FROM tok WHERE doc_id % 97 = 0),
+overlap AS (
+  SELECT q.qid, t.doc_id, count(*) AS overlap
+  FROM tok t JOIN qtok q USING (term)
+  WHERE t.doc_id != q.qid
+  GROUP BY q.qid, t.doc_id
+),
+neigh AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY overlap DESC, doc_id ASC) AS rk
+    FROM overlap
+  ) WHERE rk <= 10
+),
+votes AS (
+  SELECT n.qid, d.lang, count(*) AS votes
+  FROM neigh n JOIN documents d ON n.doc_id = d.doc_id
+  GROUP BY n.qid, d.lang
+)
+SELECT qid AS doc_id, lang AS predicted, votes FROM (
+  SELECT qid, lang, votes,
+         row_number() OVER (PARTITION BY qid ORDER BY votes DESC, lang ASC) AS vrk
+  FROM votes
+) WHERE vrk = 1
+""".format(tok=_TOK_EXPR)
+
+
 MLT_SQL = f"""
 WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOK_EXPR}) AS term FROM documents),
 tgt AS (SELECT term FROM tok WHERE doc_id = 0),
@@ -2165,6 +2240,7 @@ FROM h
 
 TRAINING_OPS: dict[str, tuple] = {
     "mlt_shared_terms": (mlt_shared_terms, MLT_SQL),
+    "knn_classify": (knn_classify, KNN_CLASSIFY_SQL),
     "emb_ivf_trained": (emb_ivf_trained, EMB_IVF_TRAINED_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
