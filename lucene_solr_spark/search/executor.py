@@ -230,6 +230,7 @@ class IndexSearcher:
         precision: str = "f32",
         similarity: str = "bm25",
         commit: int | None = None,
+        parser: str = "benchmark",
     ):
         """precision='f32' replicates the reference's float arithmetic
         (Lucene score parity); 'f64' computes in double (SQL-oracle mode).
@@ -251,10 +252,16 @@ class IndexSearcher:
         live set (the published term_stats generation describes the LATEST
         commit, so time-traveled opens bypass it). Deletes are NOT
         versioned (tombstones apply to every commit — documented
-        divergence from Lucene's per-commit liveDocs)."""
+        divergence from Lucene's per-commit liveDocs).
+
+        ``parser``: 'benchmark' (default — the flat AND/OR/+/-/"…"~N syntax
+        the driver queries use) or 'classic' (the full lucene/queryparser
+        classic grammar: parens, boosts, inline fuzzy/wildcard/range,
+        field prefixes — ``search/queryparser.py``)."""
         self.spark = spark
         self.index_dir = index_dir
         self.analyzer = analyzer
+        self.parser = parser
         self.sim = similarity
         self.f32 = precision == "f32"
         self.commit = commit
@@ -541,7 +548,12 @@ class IndexSearcher:
         parsed: dict[int, Query] = {}
         for qid, q in queries.items():
             if isinstance(q, str):
-                q = parse_query(q, self.analyzer)
+                if self.parser == "classic":
+                    from .queryparser import parse_classic
+
+                    q = parse_classic(q, self.analyzer)
+                else:
+                    q = parse_query(q, self.analyzer)
             parsed[qid] = rewrite(self.expand(rewrite(q)))
         all_terms: set[str] = set()
         for q in parsed.values():

@@ -604,6 +604,53 @@ SELECT doc_id, 'q_term' FROM tf WHERE term = 'spark'
 """
 
 
+# Classic QueryParser syntax end-to-end (lucene/queryparser classic —
+# QueryParser.jj grammar + QueryParserBase.addClause): one query string with
+# grouping, an inline boost, a phrase and a prohibited clause, parsed by
+# search/queryparser.py and scored by the engine; the oracle reproduces the
+# exact composed arithmetic (sum of should-clauses, 2× boosted term, phrase
+# pseudo-term, NOT-exclusion) in SQL.
+def ft_classic_parse(spark, sf_dir):
+    from .search.queryparser import parse_classic
+
+    q = parse_classic('(table AND hash^2) OR "table hash" -stream', analyzer="simple")
+    return _ft_search_all(spark, sf_dir, q)
+
+
+FT_CLASSIC_SQL = (
+    _BM25_CTE
+    + _SCORES_CTE.format(terms=_terms_list(["table", "hash"]))
+    + """
+, tokp AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM documents)
+),
+phr AS (
+  SELECT a.doc_id, count(*) AS freq
+  FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'table' AND b.term = 'hash' GROUP BY 1
+),
+pw AS (
+  SELECT sum(ln(1 + (cstats.n - dft.df + 0.5) / (dft.df + 0.5))) AS w
+  FROM dft, cstats WHERE dft.term IN ('table', 'hash')
+),
+andg AS (
+  SELECT doc_id, sum(CASE WHEN term = 'hash' THEN 2 * s ELSE s END) AS sc
+  FROM scores GROUP BY doc_id HAVING count(*) = 2
+),
+phs AS (
+  SELECT phr.doc_id,
+         pw.w * (phr.freq / (phr.freq + 1.2 * (0.25 + 0.75 * dld.dlq / (cstats.st * 1.0 / cstats.n)))) AS sc
+  FROM phr JOIN dld ON phr.doc_id = dld.doc_id, pw, cstats
+)
+SELECT coalesce(a.doc_id, p.doc_id) AS doc_id,
+       round(coalesce(a.sc, 0) + coalesce(p.sc, 0), 4) AS score
+FROM andg a FULL OUTER JOIN phs p ON a.doc_id = p.doc_id
+WHERE coalesce(a.doc_id, p.doc_id) NOT IN (SELECT doc_id FROM tf WHERE term = 'stream')
+"""
+)
+
+
 # Minimal-interval queries (lucene/queries/intervals — IntervalQuery.java:77,
 # OrderedIntervalsSource / UnorderedIntervalsSource / BlockIntervalsSource /
 # FilteredIntervalsSource MaxGaps+MaxWidth / ContainedByIntervalsSource,
@@ -1157,6 +1204,7 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "ft_bool_not": (ft_bool_not, ft_not_sql("vector", "hash")),
     "ft_bool_msm": (ft_bool_msm, FT_MSM_SQL),
     "ft_bool_filter": (ft_bool_filter, FT_FILTER_SQL),
+    "ft_classic_parse": (ft_classic_parse, FT_CLASSIC_SQL),
     "ft_prefix": (ft_prefix, FT_PREFIX_SQL),
     "ft_wildcard": (ft_wildcard, FT_WILDCARD_SQL),
     "ft_regexp": (ft_regexp, FT_REGEXP_SQL),
