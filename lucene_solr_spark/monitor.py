@@ -31,10 +31,18 @@ document stream is the BIG side:
   queries), with no state store needed — the operator is stateless per
   batch by construction.
 
-Matches are reported unscored (the reference's ``QueryMatch`` mode):
-percolation scores would have to come from single-document statistics,
-which are not comparable across batches; callers who need ranked alerts
-join the match stream back to a real index.
+Matches are reported unscored by default (the reference's ``QueryMatch``
+mode). Pass ``stats_from=IndexSearcher(...)`` to score them with that
+index's collection statistics (``ScoringMatch`` role): percolation then
+produces EXACTLY the scores searching that index would — batch-invariant,
+unlike the reference's single-document MemoryIndex statistics (documented
+deviation; tested by rank/score parity against ``search_many`` in
+``tests/test_monitor.py``).
+
+For registries too large to broadcast (millions of standing queries —
+Lucene's QueryIndex is itself an index for this reason), use
+:func:`percolate_distributed`, which keeps queries AND documents as
+DataFrames end-to-end.
 """
 
 from __future__ import annotations
@@ -155,9 +163,46 @@ def anchor_terms(q: Query) -> frozenset | None:
         return None  # pure must_not / empty
     if isinstance(q, MatchNoneQuery):
         return frozenset()  # never selected, never matches
+    # interval sources: ordered/unordered/block are conjunctions, or is a
+    # disjunction, filters pass through, containing-family needs (at least)
+    # its required side(s)
+    from .search.intervals import (
+        IBlock,
+        IContainedBy,
+        IContaining,
+        IMaxGaps,
+        IMaxWidth,
+        INotContaining,
+        IOr,
+        IOrdered,
+        ITerm,
+        IntervalQuery,
+        IUnordered,
+    )
+
+    if isinstance(q, IntervalQuery):
+        return anchor_terms(q.source)
+    if isinstance(q, ITerm):
+        return frozenset((q.term,))
+    if isinstance(q, (IOrdered, IUnordered, IBlock)):
+        return _best_child([anchor_terms(_isrc(c)) for c in q.sources])
+    if isinstance(q, IOr):
+        return _union_children([anchor_terms(_isrc(c)) for c in q.sources])
+    if isinstance(q, (IMaxGaps, IMaxWidth)):
+        return anchor_terms(q.inner)
+    if isinstance(q, (IContaining, INotContaining)):
+        return anchor_terms(q.big)
+    if isinstance(q, IContainedBy):
+        return _best_child([anchor_terms(q.small), anchor_terms(q.big)])
     # MatchAllQuery, MultiTermQuery patterns (prefix/wildcard/fuzzy/regexp/
     # range): no finite anchor set → always-check
     return None
+
+
+def _isrc(c):
+    from .search.intervals import ITerm
+
+    return ITerm(c) if isinstance(c, str) else c
 
 
 # ---------------------------------------------------------------------------
@@ -280,21 +325,52 @@ class Monitor:
         docs: DataFrame,
         content_col: str = "text",
         key_col: str = "doc_id",
+        stats_from=None,
     ) -> DataFrame:
         """All (document, registered query) match pairs — one shuffle-free
-        ``mapInPandas`` pass; works on batch AND streaming DataFrames."""
+        ``mapInPandas`` pass; works on batch AND streaming DataFrames.
+
+        ``stats_from``: an :class:`~.search.executor.IndexSearcher` whose
+        COLLECTION statistics (idf weights, norm cache, docCount) score the
+        matches — the output gains a ``score`` column and percolation
+        becomes rank-equivalent to searching that index with the same
+        queries (the reference's ``ScoringMatch``, except scores come from
+        corpus statistics instead of the single-document MemoryIndex —
+        batch-invariant by construction, documented deviation). Without it,
+        matches are unscored ``QueryMatch`` rows."""
         entries = sorted(
             (qid, q, anch) for qid, (q, anch) in self._queries.items()
         )
         analyzer = self.analyzer
         key_field = docs.schema[key_col]
         out_schema = f"{key_col} {key_field.dataType.simpleString()}, query_id string"
+        scoring = stats_from is not None
+        if scoring:
+            all_terms: set[str] = set()
+            for _qid, q, _a in entries:
+                all_terms |= q.terms()
+            ctx_args = (
+                stats_from.weights_for(all_terms),
+                stats_from.cache,
+                stats_from.f32,
+                stats_from.term_stats(all_terms),
+                stats_from.doc_count,
+                stats_from.sim,
+                stats_from.sum_total_term_freq,
+            )
+            out_schema += ", score double"
+        else:
+            ctx_args = ({}, np.zeros(256, dtype=np.float64), False, None, 0, "bm25", 0)
 
         def match_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from .index.build import KIND_NORMS, KIND_POSTING, build_segment_frame
             from .search.kernels import QueryContext, SegmentPostings, eval_query
 
-            ctx = QueryContext({}, np.zeros(256, dtype=np.float64), f32=False)
+            weights, cache, f32, dfs, doc_count, sim, total = ctx_args
+            ctx = QueryContext(
+                weights, cache, f32=f32, dfs=dfs, doc_count=doc_count, sim=sim,
+                total_tokens=total,
+            )
             for pdf in it:
                 n = len(pdf)
                 if n == 0:
@@ -314,26 +390,204 @@ class Monitor:
                 vocab = post["term"].to_numpy(dtype=object)  # sorted (build order)
                 vocab_set = set(vocab)
                 keys = pdf[key_col].to_numpy()
-                out_keys, out_qids = [], []
+                out_keys, out_qids, out_scores = [], [], []
                 for qid, q, anch in entries:
                     # presearcher gate at batch granularity: skip queries
                     # whose anchors don't intersect the batch vocabulary
                     if anch is not None and vocab_set.isdisjoint(anch):
                         continue
-                    docs_m, _ = eval_query(
-                        expand_against_vocab(q, vocab), seg, ctx, scoring=False
+                    docs_m, scores_m = eval_query(
+                        expand_against_vocab(q, vocab), seg, ctx, scoring=scoring
                     )
                     if len(docs_m):
                         out_keys.append(keys[docs_m])
                         out_qids.append(np.full(len(docs_m), qid, dtype=object))
+                        if scoring:
+                            out_scores.append(scores_m.astype(np.float64))
                 if out_keys:
-                    yield pd.DataFrame(
-                        {
-                            key_col: np.concatenate(out_keys),
-                            "query_id": np.concatenate(out_qids),
-                        }
-                    )
+                    data = {
+                        key_col: np.concatenate(out_keys),
+                        "query_id": np.concatenate(out_qids),
+                    }
+                    if scoring:
+                        data["score"] = np.concatenate(out_scores)
+                    yield pd.DataFrame(data)
 
         return docs.select(key_col, content_col).mapInPandas(
             match_batches, out_schema
         )
+
+
+# ---------------------------------------------------------------------------
+# large query registries: the distributed percolation path
+#
+# Monitor.match ships the registry by closure — right when queries number in
+# the thousands. Lucene's QueryIndex is itself an INDEX because registries
+# grow to millions (alerting platforms); at that scale the registry is data,
+# not metadata. percolate_distributed keeps BOTH sides as DataFrames:
+#
+#   1. parse + anchor-extract the queries distributedly → an inverted
+#      (anchor_term → query) relation (the presearcher's query index);
+#   2. candidate generation = distinct doc terms ⋈ anchor relation — an
+#      equi-join Catalyst can hash or sort-merge at any scale (never
+#      all-pairs; a doc meets only queries anchored on its own terms);
+#   3. verification groups candidates by DOCUMENT (one shuffle on the doc
+#      key), rebuilds each batch's ephemeral segment, and evaluates each
+#      candidate query on its candidate docs only.
+#
+# Queries with NO anchor set (MatchAll, pure-negation, unexpanded leading
+# wildcards) must be checked against every document; they are collected to
+# the driver and capped — at web scale an unanchorable standing query is a
+# full corpus scan per epoch and deserves the loud failure.
+
+_ALWAYS_CHECK_CAP = 256
+
+
+def percolate_distributed(
+    queries: DataFrame,
+    docs: DataFrame,
+    analyzer: str = "simple",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    content_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, doc key) match pairs for a DataFrame-sized query registry."""
+    import pyspark.sql.functions as F
+
+    spark = docs.sparkSession
+    key_field = docs.schema[key_col]
+    key_type = key_field.dataType.simpleString()
+
+    # ---- stage 1: distributed parse + anchor extraction --------------------
+    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            qids, terms = [], []
+            none_qids = []
+            for qid, qs in zip(pdf[query_id_col], pdf[query_col]):
+                try:
+                    anch = anchor_terms(parse_query(qs, analyzer))
+                except ValueError:
+                    anch = None
+                if anch is None:
+                    none_qids.append(qid)
+                elif anch:
+                    for t in anch:
+                        qids.append(qid)
+                        terms.append(t)
+                # empty frozenset (MatchNone): never matches, drop
+            out = pd.DataFrame({"query_id": qids, "anchor": terms, "always": False})
+            if none_qids:
+                out = pd.concat(
+                    [out, pd.DataFrame({
+                        "query_id": none_qids,
+                        "anchor": [""] * len(none_qids),
+                        "always": True,
+                    })],
+                    ignore_index=True,
+                )
+            yield out
+
+    anchors = queries.mapInPandas(
+        extract, "query_id string, anchor string, always boolean"
+    )
+    anchors.cache()
+    always_rows = (
+        anchors.filter("always").select("query_id").limit(_ALWAYS_CHECK_CAP + 1).collect()
+    )
+    if len(always_rows) > _ALWAYS_CHECK_CAP:
+        raise ValueError(
+            f"more than {_ALWAYS_CHECK_CAP} unanchorable standing queries — "
+            "each one is a full corpus scan per batch; anchor them or raise the cap"
+        )
+    always_ids = {r.query_id for r in always_rows}
+
+    # ---- stage 2: candidate pairs via the anchor join -----------------------
+    # doc terms come from the SAME analyzer chain the queries verify with —
+    # a cheaper tokenizer would miss subword/stemmed anchors (the code chain
+    # splits camelCase identifiers; an anchor like 'parse' must hit a doc
+    # whose only occurrence is inside 'asyncDiskParse')
+    def doc_term_rows(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .analysis import analyze_batch
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            terms, _pos, lens, _starts, _norm = analyze_batch(
+                pdf[content_col].tolist(), analyzer
+            )
+            keys = np.repeat(pdf[key_col].to_numpy(), lens)
+            out = pd.DataFrame({key_col: keys, "anchor": terms})
+            yield out.drop_duplicates()
+
+    key_schema = f"{key_col} {key_type}"
+    doc_terms = docs.select(key_col, content_col).mapInPandas(
+        doc_term_rows, f"{key_schema}, anchor string"
+    )
+    cand = (
+        doc_terms.join(anchors.filter(~F.col("always")), "anchor")
+        .select(key_col, "query_id")
+        .distinct()
+    )
+    if always_ids:
+        every = docs.select(key_col).crossJoin(
+            queries.filter(F.col(query_id_col).isin(sorted(always_ids))).select(
+                F.col(query_id_col).alias("query_id")
+            )
+        )
+        cand = cand.unionByName(every)
+
+    # ---- stage 3: grouped verification (one shuffle on the doc key) --------
+    pairs = cand.join(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(query_col).alias("_qs")),
+        "query_id",
+    ).join(docs.select(key_col, content_col), key_col)
+
+    def verify(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .index.build import KIND_NORMS, KIND_POSTING, build_segment_frame
+        from .search.kernels import QueryContext, SegmentPostings, eval_query
+
+        ctx = QueryContext({}, np.zeros(256, dtype=np.float64), f32=False)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            # one segment over the batch's DISTINCT docs
+            uniq = pdf.drop_duplicates(subset=[key_col])
+            keys = uniq[key_col].to_numpy()
+            idx_of = {k: i for i, k in enumerate(keys)}
+            frame = build_segment_frame(
+                uniq[content_col].tolist(),
+                np.arange(len(uniq), dtype=np.int64),
+                0,
+                analyzer,
+            )
+            post = frame[frame["kind"] == KIND_POSTING]
+            rows = {r["term"]: [r] for r in post.to_dict("records")}
+            norm_blob = frame.loc[frame["kind"] == KIND_NORMS, "doc_blob"].iloc[0]
+            seg = SegmentPostings(
+                rows, np.frombuffer(norm_blob, dtype=np.uint8), len(uniq)
+            )
+            vocab = post["term"].to_numpy(dtype=object)
+            out_keys, out_qids = [], []
+            for (qid, qs), grp in pdf.groupby(["query_id", "_qs"], sort=True):
+                q = expand_against_vocab(parse_query(qs, analyzer), vocab)
+                docs_m, _ = eval_query(q, seg, ctx, scoring=False)
+                if not len(docs_m):
+                    continue
+                cand_idx = np.array(
+                    sorted(idx_of[k] for k in grp[key_col]), dtype=np.int64
+                )
+                hit = cand_idx[np.isin(cand_idx, docs_m)]
+                if len(hit):
+                    out_keys.append(keys[hit])
+                    out_qids.append(np.full(len(hit), qid, dtype=object))
+            if out_keys:
+                yield pd.DataFrame(
+                    {key_col: np.concatenate(out_keys),
+                     "query_id": np.concatenate(out_qids)}
+                )
+
+    return pairs.repartition(key_col).mapInPandas(
+        verify, f"{key_col} {key_type}, query_id string"
+    )
+

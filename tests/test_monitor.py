@@ -332,3 +332,124 @@ def test_streaming_percolation(spark, tiny_corpus, corpus_df, tmp_path_factory):
         for r in m.match(corpus_df, content_col="content", key_col="key").collect()
     )
     assert sorted(out_rows) == want and len(want) > 0
+
+
+def test_scored_percolation_equals_search(spark, tiny_corpus, corpus_df, tmp_path_factory):
+    """Percolation with stats_from=searcher produces EXACTLY the (doc, score)
+    rows that searching the index with the same queries produces — the
+    ScoringMatch mode, rank/score parity against search_many."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.search import IndexSearcher
+
+    index_dir = str(tmp_path_factory.mktemp("mon_scored") / "idx")
+    docs = spark.createDataFrame(tiny_corpus).withColumn(
+        "key", F.concat_ws("\x00", "repo", "path", "commit")
+    )
+    build_index(spark, docs, index_dir, num_segments=4, analyzer="code",
+                key_cols=("key",), content_col="content")
+    s = IndexSearcher(spark, index_dir, analyzer="code", precision="f64")
+
+    queries = {
+        "q_term": STANDING["q_term"],
+        "q_and": STANDING["q_and"],
+        "q_phrase": STANDING["q_phrase"],
+        "q_dismax": STANDING["q_dismax"],
+        "q_sloppy": STANDING["q_sloppy"],
+    }
+    m = Monitor(analyzer="code")
+    for qid, q in queries.items():
+        m.register(qid, q)
+    got = {
+        (r.query_id, r.key, round(float(r.score), 9))
+        for r in m.match(
+            docs.select("key", "content"), content_col="content",
+            key_col="key", stats_from=s,
+        ).collect()
+    }
+
+    hits = s.search_many({i: q for i, (_, q) in enumerate(sorted(queries.items()))}, k=None)
+    stored = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "segment_id", "doc_id", "key"
+    )
+    qid_names = sorted(queries)
+    want = {
+        (qid_names[r.qid], r.key, round(float(r.score), 9))
+        for r in hits.join(stored, ["segment_id", "doc_id"]).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_distributed_percolation_equals_broadcast(spark, corpus_df):
+    from lucene_solr_spark.monitor import percolate_distributed
+
+    reg = [
+        ("q1", "parse"),
+        ("q2", "buffer AND stream"),
+        ("q3", '"index writer"'),
+        ("q4", "+index -segment"),
+        ("q5", '"merge the segments"'),
+    ]
+    queries_df = spark.createDataFrame(reg, "query_id string, query string")
+    got = sorted(
+        (r.query_id, r.key)
+        for r in percolate_distributed(
+            queries_df, corpus_df, analyzer="code",
+            content_col="content", key_col="key",
+        ).collect()
+    )
+    m = Monitor(analyzer="code")
+    for qid, qs in reg:
+        m.register(qid, qs)
+    want = sorted(
+        (r.query_id, r.key)
+        for r in m.match(corpus_df, content_col="content", key_col="key").collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_distributed_percolation_always_check_and_cap(spark, corpus_df):
+    import pytest as _pytest
+
+    from lucene_solr_spark.monitor import percolate_distributed
+
+    # one unanchorable query (leading wildcard via MultiTermQuery syntax is
+    # not parseable by the flat parser, so use *:* MatchAll)
+    queries_df = spark.createDataFrame(
+        [("qa", "*:*"), ("qt", "parse")], "query_id string, query string"
+    )
+    rows = percolate_distributed(
+        queries_df, corpus_df, analyzer="code",
+        content_col="content", key_col="key",
+    ).collect()
+    n_docs = corpus_df.count()
+    assert sum(1 for r in rows if r.query_id == "qa") == n_docs
+    assert 0 < sum(1 for r in rows if r.query_id == "qt") < n_docs
+
+
+def test_interval_query_anchors_and_percolation(spark):
+    from lucene_solr_spark.search.intervals import (
+        IMaxGaps,
+        IOr,
+        IOrdered,
+        ITerm,
+        IntervalQuery,
+    )
+
+    q = IntervalQuery(source=IMaxGaps(IOrdered(("alpha", "beta")), 1))
+    # conjunction: picks one child (the longest term)
+    assert anchor_terms(q) == {"alpha"}
+    q_or = IntervalQuery(source=IOr((ITerm("alpha"), ITerm("beta"))))
+    assert anchor_terms(q_or) == {"alpha", "beta"}
+
+    docs = spark.createDataFrame(
+        [(1, "alpha x beta"), (2, "beta then alpha"), (3, "alpha x y z beta"), (4, "gamma")],
+        "doc_id long, text string",
+    )
+    m = Monitor(analyzer="simple")
+    m.register("iq", q)
+    got = sorted(r.doc_id for r in m.match(docs).collect())
+    assert got == [1]  # gap 1 ok; doc 2 wrong order; doc 3 gap 3 > 1
