@@ -199,3 +199,57 @@ def test_block_join_children_is_broadcast_semi(spark):
     plan = _plan(block_join_children(spark, sf))
     assert "LeftSemi" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_monitor_match_is_shuffle_free(spark):
+    """Percolation = one mapInPandas over the pruned (key, content) scan —
+    no Exchange anywhere; at 100 TB the operator is embarrassingly parallel."""
+    from lucene_solr_spark.monitor import Monitor
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m = Monitor(analyzer="simple")
+    m.register("q1", "spark AND vector")
+    m.register("q2", '"table hash"')
+    plan = _plan(m.match(docs))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+    # column pruning: only the key + content columns are read
+    read_schema = plan.split("ReadSchema", 1)[1][:200]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_spatial_bbox_is_take_ordered(spark):
+    """Distance-sorted top-k must be TakeOrdered (per-partition top-k +
+    single merge), never a global sort or single-partition window."""
+    from lucene_solr_spark.relational import spatial_bbox
+
+    plan = _plan(spatial_bbox(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_knn_classify_windows_are_partitioned(spark):
+    """Both rank windows partition by the query id — parallel across query
+    docs, never a global single-partition exchange."""
+    from lucene_solr_spark.textops import knn_classify
+
+    plan = _plan(knn_classify(spark, "/root/testdata/sf0.001"))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_distributed_percolation_candidate_join_shuffles_not_crossjoin(spark):
+    """The anchor join must be an equi-join (hash/sort-merge/broadcast),
+    never a cartesian product over docs × queries."""
+    from lucene_solr_spark.monitor import percolate_distributed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = spark.createDataFrame(
+        [("q1", "spark AND vector"), ("q2", '"table hash"')],
+        "query_id string, query string",
+    )
+    plan = _plan(
+        percolate_distributed(queries, docs, analyzer="simple")
+    )
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan

@@ -171,3 +171,113 @@ def test_end_to_end_search(spark, tiny_index):
         for r in s.search_many({0: manual}, k=None).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# round-trip property: random query trees → classic syntax → parse → equal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_solr_spark.analysis import ENGLISH_STOP_WORDS  # the 33-word set
+from lucene_solr_spark.search.query import rewrite
+
+_BAD = set(ENGLISH_STOP_WORDS) | {"and", "or", "not", "to"}
+_term = st.from_regex(r"[a-z][a-z0-9]{1,5}", fullmatch=True).filter(
+    lambda t: t not in _BAD
+)
+
+
+def _to_classic(q) -> str:
+    if isinstance(q, TermQuery):
+        return q.term
+    if isinstance(q, PhraseQuery):
+        return '"' + " ".join(q.phrase_terms) + '"'
+    if isinstance(q, SloppyPhraseQuery):
+        return '"' + " ".join(q.phrase_terms) + f'"~{q.slop}'
+    if isinstance(q, PrefixQuery):
+        return q.prefix + "*"
+    if isinstance(q, WildcardQuery):
+        return q.pattern
+    if isinstance(q, FuzzyQuery):
+        return f"{q.term}~{q.max_edits}"
+    if isinstance(q, TermRangeQuery):
+        lo = q.lower if q.lower is not None else "*"
+        hi = q.upper if q.upper is not None else "*"
+        return ("[" if q.include_lower else "{") + f"{lo} TO {hi}" + (
+            "]" if q.include_upper else "}"
+        )
+    if isinstance(q, BoostQuery):
+        inner = _to_classic(q.inner)
+        if isinstance(q.inner, BooleanQuery):
+            inner = f"({inner})"
+        return f"{inner}^{q.boost:g}"
+    if isinstance(q, BooleanQuery):
+        parts = []
+        for c in q.must:
+            parts.append("+" + _wrap(c))
+        for c in q.must_not:
+            parts.append("-" + _wrap(c))
+        for c in q.should:
+            parts.append(_wrap(c))
+        return " ".join(parts)
+    raise TypeError(type(q))
+
+
+def _wrap(q) -> str:
+    s = _to_classic(q)
+    return f"({s})" if isinstance(q, BooleanQuery) else s
+
+
+_leaf = st.one_of(
+    _term.map(TermQuery),
+    st.lists(_term, min_size=2, max_size=4, unique=True).map(
+        lambda ts: PhraseQuery(tuple(ts), tuple(range(len(ts))))
+    ),
+    st.tuples(st.lists(_term, min_size=2, max_size=3, unique=True), st.integers(1, 4)).map(
+        lambda t: SloppyPhraseQuery(tuple(t[0]), tuple(range(len(t[0]))), t[1])
+    ),
+    _term.map(lambda t: PrefixQuery(prefix=t)),
+    _term.map(lambda t: WildcardQuery(pattern=t[:1] + "?" + t[1:])),
+    st.tuples(_term, st.integers(1, 2)).map(
+        lambda t: FuzzyQuery(term=t[0], max_edits=t[1])
+    ),
+    st.tuples(_term, _term, st.booleans(), st.booleans()).map(
+        lambda t: TermRangeQuery(
+            lower=min(t[0], t[1]), upper=max(t[0], t[1]),
+            include_lower=t[2], include_upper=t[3],
+        )
+    ),
+)
+
+
+def _bool(children):
+    return st.tuples(
+        st.lists(children, min_size=0, max_size=2),
+        st.lists(children, min_size=0, max_size=2),
+        st.lists(_term.map(TermQuery), min_size=0, max_size=1),
+    ).filter(lambda t: len(t[0]) + len(t[1]) > 0).map(
+        lambda t: BooleanQuery(must=tuple(t[0]), should=tuple(t[1]), must_not=tuple(t[2]))
+    )
+
+
+_tree = st.recursive(
+    _leaf,
+    lambda kids: st.one_of(
+        _bool(kids),
+        st.tuples(kids, st.sampled_from([0.5, 2.0, 3.0])).map(
+            lambda t: BoostQuery(t[0], t[1])
+        ),
+    ),
+    max_leaves=8,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_tree)
+def test_roundtrip_tree_to_syntax_to_tree(q):
+    canon = rewrite(q)
+    if isinstance(canon, MatchNoneQuery):
+        return
+    got = parse_classic(_to_classic(canon), analyzer="simple")
+    assert got == canon, f"{_to_classic(canon)!r}: {got} != {canon}"
