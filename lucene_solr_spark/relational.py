@@ -759,6 +759,62 @@ ORDER BY dist ASC, c_custkey ASC LIMIT 20
 """
 
 
+# DiversifiedTopDocsCollector (reference lucene/misc/src/java/org/apache/
+# lucene/search/DiversifiedTopDocsCollector.java:61): global top-N with at
+# most maxHitsPerKey results per key. Two-stage Spark shape: per-key rank
+# window (partitioned — parallel across keys) caps each key, then TakeOrdered
+# merges the survivors; identical result set to the reference's single-pass
+# collector because a doc outside its key's top-maxHitsPerKey can never be
+# in the diversified global top-N.
+def diversified_top_orders(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("krk", F.row_number().over(w))
+        .filter(F.col("krk") <= 2)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+DIVERSIFIED_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS krk
+  FROM orders
+) WHERE krk <= 2
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+# Solr ExportHandler / export streaming expression (solr/core/.../handler/
+# export/ExportWriter.java): full sorted export of a filtered result set —
+# no top-k cap, the sort IS the contract (downstream joins/merges consume
+# it). Spark shape: pushed-down filter + column pruning + a range-partitioned
+# global sort (each output partition sorted AND partition ranges ordered —
+# the per-shard-sorted stream the reference emits).
+def export_sorted_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < "1992-03-01")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+EXPORT_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+WHERE l_shipdate < DATE '1992-03-01'
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
 # PercentileAgg (solr/core/.../facet/PercentileAgg.java:32): exact
 # interpolated percentiles per bucket — Spark `percentile` == DuckDB
 # `quantile_cont` (both linear interpolation). The approx variants
@@ -1127,6 +1183,8 @@ GROUP BY 2
 
 RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
     "func_query_lineitem": (func_query_lineitem, FUNC_QUERY_SQL),
+    "diversified_top_orders": (diversified_top_orders, DIVERSIFIED_SQL),
+    "export_sorted_lineitem": (export_sorted_lineitem, EXPORT_SQL),
     "block_join_parents": (block_join_parents, BLOCK_JOIN_PARENTS_SQL),
     "block_join_children": (block_join_children, BLOCK_JOIN_CHILDREN_SQL),
     "facet_exclusions": (facet_exclusions, FACET_EXCLUSIONS_SQL),

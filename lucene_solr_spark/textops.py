@@ -604,6 +604,194 @@ SELECT doc_id, 'q_term' FROM tf WHERE term = 'spark'
 """
 
 
+# CommonTermsQuery (reference lucene/queries/src/java/org/apache/lucene/
+# queries/CommonTermsQuery.java:91): partition the query's terms by document
+# frequency at query-build time — terms with df/docCount > maxTermFrequency
+# are "common" (stopword-like) and become OPTIONAL (highFreqOccur=SHOULD),
+# the rest stay REQUIRED (lowFreqOccur=MUST). A dynamic stopword mechanism:
+# the plan-time classification reads the published term_stats, no postings
+# touched. The oracle reproduces the df classification in SQL so both
+# engines partition identically at any scale factor.
+_COMMON_TERMS = ["the", "table", "hash"]
+_COMMON_MAX_TF = 0.3
+
+
+def ft_common_terms(spark, sf_dir):
+    from .search.query import BooleanQuery, TermQuery
+
+    s = _searcher(spark, sf_dir)
+    dfs = s.term_stats(set(_COMMON_TERMS))
+    high = tuple(
+        TermQuery(t)
+        for t in _COMMON_TERMS
+        if dfs.get(t, 0) / s.doc_count > _COMMON_MAX_TF
+    )
+    low = tuple(
+        TermQuery(t)
+        for t in _COMMON_TERMS
+        if dfs.get(t, 0) / s.doc_count <= _COMMON_MAX_TF
+    )
+    if low:
+        q = BooleanQuery(must=low, should=high)
+    else:  # all terms common: plain disjunction (CommonTermsQuery.java:139)
+        q = BooleanQuery(should=high)
+    return _ft_search_all(spark, sf_dir, q)
+
+
+FT_COMMON_TERMS_SQL = (
+    _BM25_CTE
+    + _SCORES_CTE.format(terms=_terms_list(_COMMON_TERMS))
+    + f"""
+, cls AS (
+  SELECT dft.term,
+         CASE WHEN dft.df * 1.0 / cstats.n > {_COMMON_MAX_TF} THEN 1 ELSE 0 END AS hi
+  FROM dft, cstats WHERE dft.term IN ({_terms_list(_COMMON_TERMS)})
+),
+n_low AS (SELECT count(*) AS n FROM cls WHERE hi = 0)
+SELECT s.doc_id, round(sum(s.s), 4) AS score
+FROM scores s JOIN cls ON s.term = cls.term, n_low
+GROUP BY s.doc_id, n_low.n
+HAVING sum(CASE WHEN cls.hi = 0 THEN 1 ELSE 0 END) = n_low.n
+   AND count(*) > 0
+"""
+)
+
+
+# Solr TermVectorComponent (solr/core/.../component/TermVectorComponent.java):
+# per-document term vectors. The reference serves these from a stored
+# forward index (term vectors written at index time); Spark-first the
+# forward index IS the stored docs table — one scan-local explode+count per
+# requested doc, no inverted-index access.
+def term_vectors(spark, sf_dir):
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 3)
+    return (
+        d.select("doc_id", F.explode(F.expr(_TOK_EXPR)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+TERM_VECTORS_SQL = f"""
+SELECT doc_id, term, count(*) AS tf
+FROM (SELECT doc_id, unnest({_TOKENIZE}) AS term FROM documents WHERE doc_id < 3)
+GROUP BY doc_id, term
+"""
+
+
+# AnalyzingInfixSuggester (reference lucene/suggest/src/java/org/apache/
+# lucene/search/suggest/analyzing/AnalyzingInfixSuggester.java:77): suggest
+# dictionary entries whose text CONTAINS the typed fragment anywhere, ranked
+# by weight. Dictionary = the published term_stats generation, weight = df;
+# the fragment set broadcasts against it (same shape as spellcheck_suggest).
+_INFIX_INPUTS = ["tab", "ash", "ecto"]
+
+
+def infix_suggest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    s = _searcher(spark, sf_dir)
+    inputs = spark.createDataFrame([(w,) for w in _INFIX_INPUTS], "input string")
+    cand = (
+        s._term_stats_df.select("term", "df")
+        .crossJoin(F.broadcast(inputs))
+        .filter(F.col("term").contains(F.col("input")))
+    )
+    w = Window.partitionBy("input").orderBy(F.col("df").desc(), F.col("term").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("input", F.col("term").alias("suggestion"), "df")
+    )
+
+
+_INFIX_LIST = ", ".join(f"'{w}'" for w in _INFIX_INPUTS)
+INFIX_SUGGEST_SQL = (
+    _BM25_CTE
+    + f"""
+, d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+inputs AS (SELECT unnest([{_INFIX_LIST}]) AS input),
+cand AS (
+  SELECT i.input, d.term AS suggestion, d.df
+  FROM d JOIN inputs i ON position(i.input IN d.term) > 0
+)
+SELECT input, suggestion, df FROM (
+  SELECT *, row_number() OVER (PARTITION BY input ORDER BY df DESC, suggestion ASC) AS rk
+  FROM cand
+) WHERE rk <= 5
+"""
+)
+
+
+# Solr QueryElevationComponent (solr/core/.../component/
+# QueryElevationComponent.java:94): editorially pin documents to the top of
+# a query's results; organic hits follow, pinned ids deduplicated out. The
+# pinned list is tiny (an editorial map) — broadcast; the organic side is
+# the ordinary top-k search; ranks attach via a window over ≤ k+pins rows
+# (never the corpus).
+_ELEVATED = [7, 3]  # ext doc ids pinned for the query
+
+
+def elevated_search(spark, sf_dir):
+    from pyspark.sql import Window
+
+    base = _ft_search_all(spark, sf_dir, "table AND hash")
+    organic = (
+        base.filter(~F.col("doc_id").isin(_ELEVATED))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .withColumn("pinned", F.lit(0))
+    )
+    pins = spark.createDataFrame(
+        [(d, i + 1) for i, d in enumerate(_ELEVATED)], "doc_id long, pin_rank int"
+    )
+    pinned = (
+        base.join(F.broadcast(pins), "doc_id")
+        .select("doc_id", "score", F.lit(1).alias("pinned"), "pin_rank")
+    )
+    w = Window.partitionBy().orderBy(
+        F.col("pinned").desc(), F.col("pin_rank").asc(),
+        F.col("score").desc(), F.col("doc_id").asc(),
+    )
+    out = pinned.drop("pin_rank").unionByName(organic)
+    # ranking window runs over ≤ 12 rows (post-limit), not the corpus
+    pr = pins.select("doc_id", "pin_rank")
+    return (
+        out.join(F.broadcast(pr), "doc_id", "left")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score")
+    )
+
+
+ELEVATED_SQL = (
+    _BM25_CTE
+    + _SCORES_CTE.format(terms=_terms_list(["table", "hash"]))
+    + f"""
+, hits AS (
+  SELECT doc_id, round(sum(s), 4) AS score FROM scores
+  GROUP BY doc_id HAVING count(*) = 2
+),
+pins AS (SELECT unnest([{", ".join(str(d) for d in _ELEVATED)}]) AS doc_id,
+                generate_subscripts([{", ".join(str(d) for d in _ELEVATED)}], 1) AS pin_rank),
+ranked AS (
+  SELECT h.doc_id, h.score,
+         row_number() OVER (ORDER BY
+           CASE WHEN p.pin_rank IS NOT NULL THEN 1 ELSE 0 END DESC,
+           p.pin_rank ASC NULLS LAST, h.score DESC, h.doc_id ASC) AS rank
+  FROM hits h LEFT JOIN pins p ON h.doc_id = p.doc_id
+  WHERE p.pin_rank IS NOT NULL
+     OR h.doc_id IN (
+          SELECT doc_id FROM (
+            SELECT doc_id FROM hits
+            WHERE doc_id NOT IN (SELECT doc_id FROM pins)
+            ORDER BY score DESC, doc_id ASC LIMIT 10)
+        )
+)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+)
+
+
 # Classic QueryParser syntax end-to-end (lucene/queryparser classic —
 # QueryParser.jj grammar + QueryParserBase.addClause): one query string with
 # grouping, an inline boost, a phrase and a prohibited clause, parsed by
@@ -1205,6 +1393,10 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "ft_bool_msm": (ft_bool_msm, FT_MSM_SQL),
     "ft_bool_filter": (ft_bool_filter, FT_FILTER_SQL),
     "ft_classic_parse": (ft_classic_parse, FT_CLASSIC_SQL),
+    "ft_common_terms": (ft_common_terms, FT_COMMON_TERMS_SQL),
+    "term_vectors": (term_vectors, TERM_VECTORS_SQL),
+    "infix_suggest": (infix_suggest, INFIX_SUGGEST_SQL),
+    "elevated_search": (elevated_search, ELEVATED_SQL),
     "ft_prefix": (ft_prefix, FT_PREFIX_SQL),
     "ft_wildcard": (ft_wildcard, FT_WILDCARD_SQL),
     "ft_regexp": (ft_regexp, FT_REGEXP_SQL),
