@@ -1181,7 +1181,90 @@ GROUP BY 2
 """
 
 
+# Solr collapse/expand (CollapsingQParserPlugin
+# solr/core/src/java/org/apache/solr/search/CollapsingQParserPlugin.java:137 +
+# ExpandComponent
+# solr/core/src/java/org/apache/solr/handler/component/ExpandComponent.java:91):
+# collapse the result set to ONE head document per group (best sort value,
+# ties to the lowest key), page the heads globally, then expand only the
+# paged heads' groups with their next-best members. Distinct from plain
+# grouped-top-k: the expand stage is restricted to the page's groups.
+# Spark shape: partitioned window picks heads (never a global window);
+# orderBy().limit() pages them (TakeOrderedAndProject); expand re-joins the
+# ranked rows against the tiny broadcast head set — at 100 TB the second
+# window only ever sees the paged groups' rows, not the whole table.
+def collapse_expand_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    ranked = o.select("o_custkey", "o_orderkey", "o_totalprice").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    heads = (
+        ranked.filter(F.col("rn") == 1)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+    expanded = (
+        ranked.join(F.broadcast(heads.select("o_custkey")), "o_custkey")
+        .filter((F.col("rn") >= 2) & (F.col("rn") <= 3))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("kind", F.lit("expanded"))
+    )
+    return heads.withColumn("kind", F.lit("collapsed")).unionByName(expanded)
+
+
+COLLAPSE_EXPAND_SQL = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+), heads AS (
+  SELECT o_custkey, o_orderkey, o_totalprice FROM ranked WHERE rn = 1
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+)
+SELECT o_custkey, o_orderkey, o_totalprice, 'collapsed' AS kind FROM heads
+UNION ALL
+SELECT r.o_custkey, r.o_orderkey, r.o_totalprice, 'expanded' AS kind
+FROM ranked r JOIN heads h ON r.o_custkey = h.o_custkey
+WHERE r.rn BETWEEN 2 AND 3
+"""
+
+
+# Solr frange — FunctionRangeQuery ({!frange l=.. u=..}func,
+# solr/core/src/java/org/apache/solr/search/FunctionRangeQParserPlugin.java:35,
+# lucene/queries/src/java/org/apache/lucene/queries/function/FunctionRangeQuery.java:33):
+# filter documents by the value of a COMPUTED function, not a stored field.
+# In Catalyst the function is just an expression, so the predicate stays
+# inside WholeStageCodegen and never materializes the function column.
+def frange_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    netprice = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter((netprice >= F.lit(900.0)) & (netprice <= F.lit(1000.0)))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(netprice), 2).alias("net_sum"),
+        )
+    )
+
+
+FRANGE_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_sum
+FROM lineitem
+WHERE l_extendedprice * (1 - l_discount) BETWEEN 900.0 AND 1000.0
+GROUP BY l_returnflag
+"""
+
+
 RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
+    "collapse_expand_orders": (collapse_expand_orders, COLLAPSE_EXPAND_SQL),
+    "frange_lineitem": (frange_lineitem, FRANGE_SQL),
     "func_query_lineitem": (func_query_lineitem, FUNC_QUERY_SQL),
     "diversified_top_orders": (diversified_top_orders, DIVERSIFIED_SQL),
     "export_sorted_lineitem": (export_sorted_lineitem, EXPORT_SQL),
