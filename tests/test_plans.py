@@ -253,3 +253,33 @@ def test_distributed_percolation_candidate_join_shuffles_not_crossjoin(spark):
     )
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_collapse_expand_is_paged_and_broadcast(spark):
+    """Collapse/expand: head paging compiles to TakeOrderedAndProject (never
+    a full global sort), the head window is partitioned by the collapse key,
+    and the expand stage joins the ranked rows against the tiny paged head
+    set as the BROADCAST side — at 100 TB the expansion touches only the
+    paged groups."""
+    from lucene_solr_spark.relational import collapse_expand_orders
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(collapse_expand_orders(spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            assert "SinglePartition" not in line, line
+
+
+def test_frange_stays_jvm_side(spark):
+    """The {!frange} computed-expression predicate evaluates inside
+    WholeStageCodegen — no Python eval, and the aggregation is
+    partial+final (map-side combine)."""
+    from lucene_solr_spark.relational import frange_lineitem
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(frange_lineitem(spark, sf))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "partial_sum" in plan  # map-side combine before the exchange
