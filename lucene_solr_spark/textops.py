@@ -1995,11 +1995,15 @@ def lang_id(spark, sf_dir):
     d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
     stop_arr = ", ".join(f"'{w}'" for w in _STOP10)
     n_stop = F.expr(f"size(filter(arr, x -> x IN ({stop_arr})))")
+    # greatest(n_tok, 1): a zero-token doc must yield 'other', not an ANSI
+    # divide-by-zero (Spark 4 default) or a NULL the oracle disagrees on
     return d.select(
         "doc_id",
         n_stop.alias("n_stop"),
         F.size("arr").alias("n_tok"),
-        F.when(n_stop / F.size("arr") > 0.03, "en").otherwise("other").alias("pred"),
+        F.when(
+            n_stop / F.greatest(F.size("arr"), F.lit(1)) > 0.03, "en"
+        ).otherwise("other").alias("pred"),
     )
 
 
@@ -2008,7 +2012,7 @@ WITH t AS (SELECT doc_id, {_TOK_EXPR} AS arr FROM documents),
 c AS (SELECT doc_id, len(list_filter(arr, x -> x IN ({", ".join(f"'{w}'" for w in _STOP10)}))) AS n_stop,
              len(arr) AS n_tok FROM t)
 SELECT doc_id, n_stop, n_tok,
-       CASE WHEN n_stop * 1.0 / n_tok > 0.03 THEN 'en' ELSE 'other' END AS pred
+       CASE WHEN n_stop * 1.0 / greatest(n_tok, 1) > 0.03 THEN 'en' ELSE 'other' END AS pred
 FROM c
 """
 
@@ -2019,10 +2023,14 @@ def quality_score(spark, sf_dir):
     stop_arr = ", ".join(f"'{w}'" for w in _STOP10)
     n_stop = F.expr(f"size(filter(arr, x -> x IN ({stop_arr})))")
     n_tok = F.size("arr")
+    # greatest(n_tok, 1): empty doc → quality 0.0 on both engines (no ANSI
+    # divide-by-zero, no NULL)
     return d.select(
         "doc_id",
         F.round(
-            F.least(n_tok / F.lit(60.0), F.lit(1.0)) * (1 - n_stop / n_tok), 4
+            F.least(n_tok / F.lit(60.0), F.lit(1.0))
+            * (1 - n_stop / F.greatest(n_tok, F.lit(1))),
+            4,
         ).alias("quality"),
     )
 
@@ -2031,7 +2039,7 @@ QUALITY_SQL = f"""
 WITH t AS (SELECT doc_id, {_TOK_EXPR} AS arr FROM documents),
 c AS (SELECT doc_id, len(list_filter(arr, x -> x IN ({", ".join(f"'{w}'" for w in _STOP10)}))) AS n_stop,
              len(arr) AS n_tok FROM t)
-SELECT doc_id, round(least(n_tok / 60.0, 1.0) * (1 - n_stop * 1.0 / n_tok), 4) AS quality
+SELECT doc_id, round(least(n_tok / 60.0, 1.0) * (1 - n_stop * 1.0 / greatest(n_tok, 1)), 4) AS quality
 FROM c
 """
 
