@@ -240,7 +240,17 @@ def _vocab_range(vocab: np.ndarray, lo: str | None, hi_prefix: str | None):
 def expand_against_vocab(q: Query, vocab: np.ndarray) -> Query:
     """Rewrite MultiTermQuerys to concrete term disjunctions using the
     batch's sorted term dictionary (MultiTermQuery.java:68 rewrite, with the
-    MemoryIndex terms enum as the dictionary). Everything else recurses."""
+    MemoryIndex terms enum as the dictionary). Everything else recurses.
+
+    Rewrite-method note: this batch-local path always produces a
+    CONSTANT_SCORE disjunction regardless of ``q.rewrite_method`` — the
+    batch vocabulary has no collection-level dfs to rank a top_terms_N
+    truncation with, and unscored percolation only needs match semantics.
+    Scored percolation (``Monitor.match(stats_from=...)``) never reaches
+    this branch for MultiTermQuerys: the queries are pre-expanded against
+    the stats index's own dictionary with the executor's full rewrite
+    dispatch (scoring_boolean / top_terms_N honored), which is what keeps
+    the score-identity contract exact."""
     if isinstance(q, PrefixQuery):
         s, e = _vocab_range(vocab, q.prefix, q.prefix)
         terms = vocab[s:e]
@@ -346,6 +356,20 @@ class Monitor:
         out_schema = f"{key_col} {key_field.dataType.simpleString()}, query_id string"
         scoring = stats_from is not None
         if scoring:
+            # Pre-expand MultiTermQuerys against the STATS INDEX's dictionary
+            # with the executor's own rewrite dispatch (constant_score /
+            # scoring_boolean / top_terms_N all honored) — exactly what
+            # search_many does, so scored percolation stays score-identical
+            # to searching that index even for non-default rewrite_methods.
+            from .search.query import rewrite as _rw
+
+            expanded = [
+                (qid, _rw(stats_from.expand(_rw(q)))) for qid, q, _a in entries
+            ]
+            # re-derive anchors from the expanded form: a MultiTermQuery is
+            # unanchorable (always-check) but its expansion is a finite term
+            # disjunction, so the presearcher gate gets sharper, not weaker
+            entries = [(qid, q, anchor_terms(q)) for qid, q in expanded]
             all_terms: set[str] = set()
             for _qid, q, _a in entries:
                 all_terms |= q.terms()
@@ -468,7 +492,11 @@ def percolate_distributed(
                 try:
                     anch = anchor_terms(parse_query(qs, analyzer))
                 except ValueError:
-                    anch = None
+                    # unparseable standing query: it can never be VERIFIED,
+                    # so it can never match — drop it here rather than demote
+                    # it to always-check and crash in the verify stage
+                    # (verify() carries the same guard for defense in depth)
+                    continue
                 if anch is None:
                     none_qids.append(qid)
                 elif anch:
@@ -488,10 +516,13 @@ def percolate_distributed(
                 )
             yield out
 
+    # NOT cached: the always-check probe below and the stage-2 join each run
+    # extract once (a linear parse pass over the registry — cheap relative to
+    # pinning an unbounded cached relation in a long-lived session; the old
+    # .cache() here was never unpersisted)
     anchors = queries.mapInPandas(
         extract, "query_id string, anchor string, always boolean"
     )
-    anchors.cache()
     always_rows = (
         anchors.filter("always").select("query_id").limit(_ALWAYS_CHECK_CAP + 1).collect()
     )
@@ -570,7 +601,10 @@ def percolate_distributed(
             vocab = post["term"].to_numpy(dtype=object)
             out_keys, out_qids = [], []
             for (qid, qs), grp in pdf.groupby(["query_id", "_qs"], sort=True):
-                q = expand_against_vocab(parse_query(qs, analyzer), vocab)
+                try:
+                    q = expand_against_vocab(parse_query(qs, analyzer), vocab)
+                except ValueError:
+                    continue  # same tolerance as extract(): unverifiable → no match
                 docs_m, _ = eval_query(q, seg, ctx, scoring=False)
                 if not len(docs_m):
                     continue
@@ -587,7 +621,11 @@ def percolate_distributed(
                      "query_id": np.concatenate(out_qids)}
                 )
 
-    return pairs.repartition(key_col).mapInPandas(
+    # sortWithinPartitions clusters each document's candidate rows so they
+    # land in ONE Arrow batch — a doc straddling a batch boundary is analyzed
+    # and segment-built once per batch it appears in (correct both ways, but
+    # the re-analysis is wasted work for docs with many candidate queries)
+    return pairs.repartition(key_col).sortWithinPartitions(key_col).mapInPandas(
         verify, f"{key_col} {key_type}, query_id string"
     )
 

@@ -212,9 +212,11 @@ class ClassicQueryParser:
         if t.kind == "term":
             raw = t.text
             pos += 1
-            # field prefix
-            if ":" in raw and not raw.startswith("\\"):
-                field, rest = raw.split(":", 1)
+            # field prefix — only an UNESCAPED ':' separates field from term
+            # (QueryParser.jj escaping: foo\:bar is the single term "foo:bar")
+            m_colon = re.search(r"(?<!\\):", raw)
+            if m_colon:
+                field, rest = raw[: m_colon.start()], raw[m_colon.end() :]
                 field = _unescape(field)
                 if field not in self.fields:
                     raise ValueError(f"unknown field {field!r}")

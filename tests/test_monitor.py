@@ -359,6 +359,16 @@ def test_scored_percolation_equals_search(spark, tiny_corpus, corpus_df, tmp_pat
         "q_phrase": STANDING["q_phrase"],
         "q_dismax": STANDING["q_dismax"],
         "q_sloppy": STANDING["q_sloppy"],
+        # MultiTermQuerys with every rewrite method: scored percolation
+        # pre-expands against the stats index's dictionary with the
+        # executor's rewrite dispatch, so scores (constant-score 1.0s,
+        # scoring-boolean idf sums, df-ranked top_terms truncation) must all
+        # be identical to search_many on the same index
+        "q_prefix_cs": PrefixQuery(prefix="par"),
+        "q_prefix_sb": PrefixQuery(prefix="par", rewrite_method="scoring_boolean"),
+        "q_prefix_tt": PrefixQuery(prefix="par", rewrite_method="top_terms_2"),
+        "q_fuzzy_tt": FuzzyQuery(term="parse", max_edits=1,
+                                 rewrite_method="top_terms_3"),
     }
     m = Monitor(analyzer="code")
     for qid, q in queries.items():

@@ -107,6 +107,16 @@ def test_field_prefix():
     assert p.parse("title:index") == T("index")
 
 
+def test_escaped_colon_is_not_a_field_separator():
+    # QueryParser.jj escaping: foo\:bar is one raw term, not field "foo\" —
+    # the analyzer then splits on the punctuation like StandardAnalyzer does
+    assert parse_classic(r"foo\:bar") == BooleanQuery(should=(T("foo"), T("bar")))
+    # escaped colon at position 0 still takes the term path
+    assert parse_classic(r"\:index") == T("index")
+    # unescaped colon still routes through field resolution
+    assert parse_classic("content:foo") == T("foo")
+
+
 def test_analyzer_splitting_and_stopwords():
     # camelCase identifier → default-operator boolean over subwords
     assert parse_classic("camelCaseIdent") == BooleanQuery(
