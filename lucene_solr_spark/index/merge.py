@@ -265,7 +265,15 @@ def merge_segments(
     hot_df_threshold: int = DEFAULT_HOT_DF,
     new_segment_id: int | None = None,
 ) -> dict:
-    """Merge ``sources`` into one new segment (deletes compacted)."""
+    """Merge ``sources`` into one new segment (deletes compacted).
+
+    When every source segment was built with the same ``index_sort`` field,
+    the merge is a SORTED merge (the reference's sorted-index path:
+    ``MergeState`` docmaps feeding ``DocIDMerger`` sorted mode,
+    ``index/DocIDMerger.java:49-90``): the merged doc-id order is the sort
+    order, the manifest keeps the ``index_sort`` marker, and
+    ``search_sorted`` early termination survives compaction. Mixing sorted
+    and unsorted sources (or different sort fields) raises."""
     t0 = time.time()
     sources = sorted(int(s) for s in sources)
     man = read_manifest(spark, index_dir)
@@ -280,6 +288,22 @@ def merge_segments(
 
     deleted = deleted_docs_by_segment(spark, index_dir, sources)
     idx_path = os.path.join(index_dir, "index")
+
+    sort_fields = {
+        json.loads(src_rows[s].get("lineage") or "{}").get("index_sort")
+        for s in sources
+    }
+    if len(sort_fields) > 1:
+        raise ValueError(
+            f"cannot merge segments with mixed index_sort {sort_fields} — "
+            "a sorted and an unsorted segment have incompatible doc orders"
+        )
+    sort_field = next(iter(sort_fields)) if sort_fields else None
+    if sort_field:
+        return _merge_segments_sorted(
+            spark, index_dir, sources, src_rows, deleted, sort_field,
+            hot_df_threshold, new_segment_id, t0,
+        )
 
     # ---- per-source doc bases + compaction maps (DocIDMerger.java:49-90) ---
     # alive[seg] = bool mask over local ids; base[seg] = global offset of the
@@ -747,6 +771,337 @@ def merge_segments(
         "sum_len": merged_sum_len,
         "n_terms": int(agg.n_terms or 0),
         "compacted_deletes": sorted(dirty),
+        "seconds": time.time() - t0,
+    }
+
+
+def _encode_term_rows(
+    term: str,
+    docs: np.ndarray,
+    freqs: np.ndarray,
+    pos: np.ndarray,
+    norms: np.ndarray,
+    hot_df_threshold: int,
+) -> list[dict]:
+    """Encode ONE merged term's postings (global doc ids, already sorted
+    ascending) into final UNIFIED_SCHEMA-shaped rows. Terms with df >
+    hot_df_threshold split into contiguous shard rows, each self-contained
+    (first VByte = absolute global doc id), matching the salted-row format
+    contract so any FUTURE merge can rebase them again."""
+    n = len(docs)
+    if n <= hot_df_threshold:
+        bounds = [(0, n)]
+    else:
+        nsh = -(-n // hot_df_threshold)
+        cuts = np.linspace(0, n, nsh + 1).astype(np.int64)
+        bounds = list(zip(cuts[:-1], cuts[1:]))
+    occ_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(freqs, out=occ_cum[1:])
+    rows = []
+    for shard, (a, b) in enumerate(bounds):
+        d = docs[a:b]
+        f = freqs[a:b]
+        p = pos[occ_cum[a] : occ_cum[b]]
+        occ_starts = np.zeros(len(f), dtype=np.int64)
+        np.cumsum(f[:-1], out=occ_starts[1:])
+        enc = encode_posting_row(d, f)
+        p_enc, p_nb = vbyte_encode(
+            delta_encode_lists(p, occ_starts).astype(np.uint64)
+        )
+        byte_cum = np.concatenate(([0], np.cumsum(p_nb)))
+        blk_pos_boff = byte_cum[occ_starts[enc["blk_flat"]]].astype(np.int32)
+        bl, bm, bn, _ = _block_meta(d, f, norms[d])
+        rows.append(
+            {
+                "term": term,
+                "df": int(len(d)),
+                "ttf": int(f.sum()),
+                "doc_blob": enc["doc_blob"],
+                "freq_blob": enc["freq_blob"],
+                "pos_blob": p_enc.tobytes(),
+                "blk_last": bl,
+                "blk_maxf": bm,
+                "blk_minn": bn,
+                "blk_len": enc["blk_len"].tobytes(),
+                "blk_doc_boff": enc["blk_doc_boff"],
+                "blk_freq_boff": enc["blk_freq_boff"],
+                "blk_pos_boff": blk_pos_boff.tobytes(),
+                "shard": shard,
+            }
+        )
+    return rows
+
+
+def _merge_segments_sorted(
+    spark: SparkSession,
+    index_dir: str,
+    sources: list[int],
+    src_rows: dict[int, dict],
+    deleted: dict[int, np.ndarray],
+    sort_field: str,
+    hot_df_threshold: int,
+    new_segment_id: int,
+    t0: float,
+) -> dict:
+    """Sorted merge: the merged doc order is the index-sort order, so
+    ``search_sorted`` early termination survives compaction.
+
+    Reference shape (``index/DocIDMerger.java:49-90`` sorted mode fed by
+    ``MergeState`` docmaps): every source doc gets a new id from the GLOBAL
+    sort of (sort value, source order, local id); since each source segment
+    is already internally sorted, this is a stable merge of sorted runs and
+    each per-segment docmap is monotone — remapped posting rows stay
+    doc-ascending and the per-term reduce is a k-way merge.
+
+    Unlike the concatenating merge (which chain-patches one VByte per clean
+    row), a sorted merge interleaves doc ids across sources, so EVERY posting
+    row is decoded, remapped and re-encoded — the same cost the reference
+    pays (sorted merges rewrite postings through docmaps). The docmap itself
+    is O(maxDoc-of-the-merge) int32s held once and broadcast, exactly the
+    reference's in-RAM MergeState docmap, bounded by max_merged_size.
+    """
+    idx_path = os.path.join(index_dir, "index")
+    seg_order = {s: i for i, s in enumerate(sources)}
+
+    # ---- stage 0: docmaps from the stored sort column ----------------------
+    docs_tbl = spark.read.parquet(os.path.join(index_dir, "docs"))
+    map_pdf = (
+        docs_tbl.filter(F.col("segment_id").isin(sources))
+        .select("segment_id", "doc_id", sort_field)
+        .toPandas()
+    )
+    map_pdf["seg_order"] = map_pdf["segment_id"].map(seg_order)
+    # drop tombstoned docs before assigning new ids (compaction)
+    if deleted:
+        dead = pd.concat(
+            [
+                pd.DataFrame({"segment_id": s, "doc_id": d})
+                for s, d in deleted.items()
+            ]
+        )
+        dead["__dead"] = True
+        map_pdf = map_pdf.merge(dead, on=["segment_id", "doc_id"], how="left")
+        map_pdf = map_pdf[map_pdf["__dead"].isna()].drop(columns="__dead")
+    map_pdf = map_pdf.sort_values(
+        [sort_field, "seg_order", "doc_id"], kind="mergesort"
+    ).reset_index(drop=True)
+    map_pdf["new_doc_id"] = np.arange(len(map_pdf), dtype=np.int64)
+    merged_max_doc = int(len(map_pdf))
+    if merged_max_doc >= 2**31:
+        raise ValueError(
+            f"merged segment would have {merged_max_doc} docs >= 2^31 — "
+            "doc ids and block metadata are int32; lower max_merged_size"
+        )
+
+    docmaps: dict[int, np.ndarray] = {}
+    for seg in sources:
+        dm = np.full(int(src_rows[seg]["max_doc"]), -1, dtype=np.int32)
+        part = map_pdf[map_pdf["segment_id"] == seg]
+        dm[part["doc_id"].to_numpy(np.int64)] = part["new_doc_id"].to_numpy(np.int32)
+        docmaps[seg] = dm
+
+    # ---- merged norms via the docmap ---------------------------------------
+    norms_rows = (
+        spark.read.parquet(idx_path)
+        .filter((F.col("kind") == KIND_NORMS) & F.col("segment_id").isin(sources))
+        .select("segment_id", "doc_blob")
+        .collect()
+    )
+    old_norms = {int(r.segment_id): np.frombuffer(r.doc_blob, np.uint8) for r in norms_rows}
+    merged_norms = np.zeros(merged_max_doc, dtype=np.uint8)
+    for seg in sources:
+        dm = docmaps[seg]
+        alive = dm >= 0
+        src_n = old_norms.get(seg)
+        if src_n is not None and alive.any():
+            merged_norms[dm[alive]] = src_n[: len(dm)][alive]
+    merged_doc_count = int((merged_norms != 0).sum())
+
+    bc = spark.sparkContext.broadcast({"docmaps": docmaps, "norms": merged_norms})
+
+    # ---- stage 1 (map): decode + remap each posting row --------------------
+    posts = (
+        spark.read.parquet(idx_path)
+        .filter((F.col("kind") == KIND_POSTING) & F.col("segment_id").isin(sources))
+        .select(
+            "segment_id", "term", "doc_blob", "freq_blob", "pos_blob",
+            "blk_doc_boff", "blk_freq_boff", "blk_len",
+        )
+    )
+
+    DECODED_SCHEMA = "term string, docs binary, freqs binary, pos binary"
+
+    def remap(it):
+        docmaps_b = bc.value["docmaps"]
+        for pdf in it:
+            out = {"term": [], "docs": [], "freqs": [], "pos": []}
+            # per posting ROW (one term's whole blob each — numpy inside),
+            # same granularity as the concatenating merge's dirty path
+            for r in pdf.itertuples(index=False):
+                dm = docmaps_b[int(r.segment_id)]
+                deltas = decode_doc_deltas(r.doc_blob, r.blk_doc_boff, r.blk_len)
+                docs = np.cumsum(deltas)
+                freqs = decode_freq_values(
+                    r.freq_blob, r.blk_freq_boff, r.blk_len
+                ).astype(np.int32)
+                new_ids = dm[docs]
+                keep = new_ids >= 0
+                if not keep.any():
+                    continue
+                pdeltas = vbyte_decode(
+                    np.frombuffer(r.pos_blob, np.uint8)
+                ).astype(np.int64)
+                occ_starts = np.zeros(len(freqs), dtype=np.int64)
+                np.cumsum(freqs[:-1], out=occ_starts[1:])
+                pos = delta_decode_lists(pdeltas, occ_starts)
+                occ_keep = np.repeat(keep, freqs)
+                out["term"].append(r.term)
+                out["docs"].append(new_ids[keep].tobytes())
+                out["freqs"].append(freqs[keep].tobytes())
+                out["pos"].append(pos[occ_keep].astype(np.int32).tobytes())
+            yield pd.DataFrame(out)
+
+    decoded = posts.mapInPandas(remap, DECODED_SCHEMA)
+
+    # ---- stage 2 (reduce, one shuffle on term): k-way merge + re-encode ----
+    def reduce_term(pdf: pd.DataFrame) -> pd.DataFrame:
+        norms = bc.value["norms"]
+        term = pdf["term"].iloc[0]
+        docs = np.frombuffer(b"".join(pdf["docs"]), np.int32).astype(np.int64)
+        freqs = np.frombuffer(b"".join(pdf["freqs"]), np.int32).astype(np.int64)
+        pos = np.frombuffer(b"".join(pdf["pos"]), np.int32).astype(np.int64)
+        # rows never share a doc (each doc lives in one source), and each
+        # row is already ascending (monotone docmaps) — argsort = run merge
+        order = np.argsort(docs, kind="stable")
+        docs_s = docs[order]
+        freqs_s = freqs[order]
+        occ_starts = np.zeros(len(freqs), dtype=np.int64)
+        np.cumsum(freqs[:-1], out=occ_starts[1:])
+        occ_perm = np.repeat(occ_starts[order], freqs_s) + (
+            np.arange(int(freqs_s.sum()), dtype=np.int64)
+            - np.repeat(
+                np.concatenate(([0], np.cumsum(freqs_s)[:-1])), freqs_s
+            )
+        )
+        rows = _encode_term_rows(
+            term, docs_s, freqs_s, pos[occ_perm], norms, hot_df_threshold
+        )
+        out = pd.DataFrame(rows)
+        out.insert(0, "segment_id", np.int32(new_segment_id))
+        out.insert(1, "kind", np.int32(KIND_POSTING))
+        out["max_doc"] = np.int64(-1)
+        out["doc_count"] = np.int64(-1)
+        out["sum_len"] = np.int64(-1)
+        cols = [c.split()[0] for c in UNIFIED_SCHEMA.split(", ")]
+        return out[cols]
+
+    merged = decoded.groupBy("term").applyInPandas(reduce_term, UNIFIED_SCHEMA)
+
+    from pyspark.sql import Observation
+
+    obs = Observation("sorted_merge_agg")
+    merged = merged.observe(
+        obs,
+        F.sum(F.when(F.col("shard") == 0, 1).otherwise(0)).alias("n_terms"),
+        F.sum("df").alias("n_postings"),
+        F.sum("ttf").alias("sum_len"),
+    )
+    merged.write.mode("append").partitionBy("kind").parquet(idx_path)
+    got = obs.get
+    n_terms = int(got["n_terms"] or 0)
+    n_postings = int(got["n_postings"] or 0)
+    merged_sum_len = int(got["sum_len"] or 0)
+
+    # ---- norms + stats rows -------------------------------------------------
+    extra = pd.DataFrame(
+        {
+            "segment_id": [new_segment_id, new_segment_id],
+            "kind": [KIND_NORMS, KIND_STATS],
+            "term": [None, None],
+            "df": [merged_max_doc, n_terms],
+            "ttf": [0, n_postings],
+            "doc_blob": [merged_norms.tobytes(), b""],
+            "freq_blob": [b"", b""],
+            "pos_blob": [b"", b""],
+            "blk_last": [b"", b""],
+            "blk_maxf": [b"", b""],
+            "blk_minn": [b"", b""],
+            "blk_len": [b"", b""],
+            "blk_doc_boff": [b"", b""],
+            "blk_freq_boff": [b"", b""],
+            "blk_pos_boff": [b"", b""],
+            "max_doc": [merged_max_doc, merged_max_doc],
+            "doc_count": [merged_doc_count, merged_doc_count],
+            "sum_len": [merged_sum_len, merged_sum_len],
+            "shard": [0, 0],
+        }
+    )
+    spark.createDataFrame(extra, schema=UNIFIED_SCHEMA).write.mode("append").partitionBy(
+        "kind"
+    ).parquet(idx_path)
+
+    # ---- docs table: new ids from the docmap --------------------------------
+    map_df = spark.createDataFrame(
+        map_pdf[["segment_id", "doc_id", "new_doc_id"]]
+    ).select(
+        F.col("segment_id").cast("int"),
+        F.col("doc_id").cast("bigint"),
+        F.col("new_doc_id").cast("bigint"),
+    )
+    src_docs = docs_tbl.filter(F.col("segment_id").isin(sources))
+    new_docs = (
+        src_docs.join(map_df, ["segment_id", "doc_id"])  # inner: drops deleted
+        .drop("segment_id", "doc_id")
+        .withColumnRenamed("new_doc_id", "doc_id")
+        .withColumn("segment_id", F.lit(new_segment_id).cast("int"))
+    )
+    new_docs.select(
+        [F.col(c).cast(docs_tbl.schema[c].dataType) for c in docs_tbl.columns]
+    ).write.mode("append").parquet(os.path.join(index_dir, "docs"))
+
+    # ---- manifest commit (keeps the index_sort marker) ----------------------
+    man = read_manifest(spark, index_dir)
+    max_gen = int(
+        man.filter(F.col("segment_id").isin(sources)).agg(F.max("generation")).collect()[0][0]
+    )
+    dirty = sorted(s for s in sources if s in deleted and len(deleted[s]))
+    lineage = json.dumps(
+        {
+            "merged_from": sources,
+            "compacted_deletes": dirty,
+            "merged_at": t0,
+            "hot_df_threshold": hot_df_threshold,
+            "index_sort": sort_field,
+        }
+    )
+    man_row = (
+        spark.range(1)
+        .select(
+            F.lit(new_segment_id).cast("int").alias("segment_id"),
+            F.lit(n_terms).cast("long").alias("n_terms"),
+            F.lit(n_postings).cast("long").alias("n_postings"),
+            F.lit(merged_max_doc).cast("long").alias("max_doc"),
+            F.lit(merged_doc_count).cast("long").alias("doc_count"),
+            F.lit(merged_sum_len).cast("long").alias("sum_len"),
+            F.lit(max_gen + 1).cast("int").alias("generation"),
+            F.lit(lineage).alias("lineage"),
+        )
+    )
+    man_row.select(*man.columns).write.mode("append").parquet(manifest_path(index_dir))
+
+    if dirty:
+        rebuild_term_stats(spark, index_dir)
+
+    bc.destroy()
+    return {
+        "segment_id": new_segment_id,
+        "sources": sources,
+        "max_doc": merged_max_doc,
+        "doc_count": merged_doc_count,
+        "sum_len": merged_sum_len,
+        "n_terms": n_terms,
+        "compacted_deletes": dirty,
+        "index_sort": sort_field,
         "seconds": time.time() - t0,
     }
 

@@ -190,34 +190,119 @@ def test_check_index_verifies_index_sort(spark, sorted_index):
     assert all(v == 0 for k, v in out.items() if k.startswith("bad_"))
 
 
-def test_merge_drops_index_sort_loudly(spark, tmp_path_factory):
-    """Merged segments concatenate sources (chain-patch rebase), so their
-    doc order is NOT the sort order — the merged manifest row carries no
-    index_sort, and search_sorted must refuse rather than silently return
-    wrong early-terminated results (full-permutation sorted merges are the
-    reference's SortingMergePolicy, out of scope)."""
-    from lucene_solr_spark.corpus import synth_corpus_local
-    from lucene_solr_spark.index import build_index
-    from lucene_solr_spark.index.manifest import live_segments
-    from lucene_solr_spark.index.merge import merge_segments
-    from lucene_solr_spark.search import IndexSearcher
+# ------------------------------------------------------- sorted merges ----
+# SortingMergePolicy role: merging sorted segments preserves the sort via
+# docmaps (MergeState docmaps feeding DocIDMerger sorted mode,
+# index/DocIDMerger.java:49-90) so early termination survives compaction.
 
-    corpus = synth_corpus_local(120)
+def _sorted_docs_df(spark, n, price_of):
+    corpus = synth_corpus_local(n)
     rows = [
-        (r.repo, r.path, r.commit, r.content, float((i * 13) % 50))
+        (r.repo, r.path, r.commit, r.content, price_of(i))
         for i, r in enumerate(corpus.itertuples())
     ]
-    docs = spark.createDataFrame(
+    return spark.createDataFrame(
         rows, "repo string, path string, commit string, content string, price double"
     )
+
+
+def _postings_key(spark, index_dir, live):
+    """(term, doc_id, pos) + norms of the LIVE segments, segment-id-agnostic
+    — the full observable state of a single-live-segment index."""
+    from lucene_solr_spark.index.read import norms_table, positions_postings
+
+    live = set(live)
+    pos = sorted(
+        (r.term, r.doc_id, r.pos)
+        for r in positions_postings(spark, index_dir).collect()
+        if r.segment_id in live
+    )
+    norms = sorted(
+        (r.doc_id, r.norm_byte)
+        for r in norms_table(spark, index_dir).collect()
+        if r.segment_id in live
+    )
+    return pos, norms
+
+
+def test_sorted_merge_preserves_index_sort(spark, tmp_path_factory):
+    from lucene_solr_spark.check import check_index
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.index.manifest import live_segments
+    from lucene_solr_spark.index.merge import delete_docs, merge_segments
+    from lucene_solr_spark.search import IndexSearcher
+
+    docs = _sorted_docs_df(spark, 150, lambda i: float((i * 13) % 50) + 0.25)
     d = str(tmp_path_factory.mktemp("sortmerge") / "idx")
     build_index(spark, docs, d, num_segments=3, analyzer="code", index_sort="price")
     s = IndexSearcher(spark, d, analyzer="code")
     assert s.index_sort_field() == "price"
-    merge_segments(spark, d, live_segments(spark, d))
+    # tombstone a slice so the merge also compacts deletes through the docmap
+    victims = (
+        spark.read.parquet(d + "/docs")
+        .select("segment_id", "doc_id")
+        .limit(12)
+    )
+    delete_docs(spark, d, victims)
+    out = merge_segments(spark, d, live_segments(spark, d))
+    assert out["index_sort"] == "price"
+
     s2 = IndexSearcher(spark, d, analyzer="code")
-    assert s2.index_sort_field() is None
-    with pytest.raises(ValueError, match="index_sort"):
-        s2.search_sorted("parse", k=5)
-    # the general field-sorted path still works on the merged index
-    assert s2.search_by_field("parse", "price", k=5).count() > 0
+    assert s2.index_sort_field() == "price"
+    for query in ("parse", "*:*", "parse AND http"):
+        for asc in (True, False):
+            got = [
+                (r.segment_id, r.doc_id, r.price)
+                for r in s2.search_sorted(query, k=7, ascending=asc).collect()
+            ]
+            assert got == _oracle_sorted(spark, s2, d, query, 7, asc), (query, asc)
+    # CheckIndex.testSort analogue passes on the merged segment
+    out = check_index(spark, d)
+    assert all(v == 0 for k, v in out.items() if k.startswith("bad_"))
+
+
+@pytest.mark.parametrize("hot_df_threshold", [1_000_000, 40])
+def test_sorted_merge_equals_sorted_rebuild(spark, tmp_path_factory, hot_df_threshold):
+    """Gold contract: merge-then-read ≡ rebuild-sorted-from-scratch, down to
+    every posting, position and norm byte (unique sort keys so the order is
+    fully determined). hot_df_threshold=40 forces the salted shard path."""
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.index.manifest import live_segments
+    from lucene_solr_spark.index.merge import merge_segments
+
+    docs = _sorted_docs_df(spark, 120, lambda i: float(i) + 0.5)
+    d1 = str(tmp_path_factory.mktemp("sm_merge") / "idx")
+    build_index(spark, docs, d1, num_segments=3, analyzer="code", index_sort="price")
+    merge_segments(
+        spark, d1, live_segments(spark, d1), hot_df_threshold=hot_df_threshold
+    )
+
+    d2 = str(tmp_path_factory.mktemp("sm_rebuild") / "idx")
+    build_index(spark, docs, d2, num_segments=1, analyzer="code", index_sort="price")
+
+    live1 = live_segments(spark, d1)
+    assert len(live1) == 1
+    got_pos, got_norms = _postings_key(spark, d1, live1)
+    exp_pos, exp_norms = _postings_key(spark, d2, live_segments(spark, d2))
+    assert got_norms == exp_norms
+    assert got_pos == exp_pos
+
+
+def test_mixed_sort_merge_raises(spark, tmp_path_factory):
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.index.manifest import live_segments
+    from lucene_solr_spark.index.merge import merge_segments
+
+    docs = _sorted_docs_df(spark, 60, lambda i: float(i))
+    d = str(tmp_path_factory.mktemp("mixed") / "idx")
+    build_index(spark, docs, d, num_segments=2, analyzer="code", index_sort="price")
+    build_index(
+        spark,
+        docs.limit(20),
+        d,
+        num_segments=1,
+        analyzer="code",
+        segment_base=50,
+    )
+    with pytest.raises(ValueError, match="mixed index_sort"):
+        merge_segments(spark, d, live_segments(spark, d))
