@@ -335,6 +335,165 @@ def analyze_batch(
     )
 
 
+# --------------------------------------------------------------- offsets ----
+# OffsetAttribute support (``analysis/tokenattributes/OffsetAttribute.java``,
+# consumed as ``PostingsEnum.OFFSETS`` — ``index/PostingsEnum.java:34-46``):
+# the same chains, additionally reporting each emitted token's (start, end)
+# character span in the RAW text. Kept out of :func:`analyze_batch` so its
+# load-bearing 5-tuple contract (and the offset-free fast path) is untouched.
+
+OFFSET_ANALYZERS = ("code", "english", "code_graph")
+
+
+def _scan_spans(text: str) -> tuple[list[str], np.ndarray, np.ndarray]:
+    """Subword scan with raw-text char spans: the ``_split_subwords`` pass,
+    plus mapping match offsets in the boundary-substituted text back through
+    the zero-width insertions (each substitution INSERTS one space)."""
+    ins = [m.start() for m in _CASE_BOUND_RE.finditer(text)]
+    mod = _CASE_BOUND_RE.sub(" ", text)
+    spans = [m.span() for m in _WORD_RE.finditer(mod)]
+    if not spans:
+        return [], np.empty(0, np.int64), np.empty(0, np.int64)
+    parts = [mod[s:e] for s, e in spans]
+    starts = np.fromiter((s for s, _ in spans), np.int64, len(spans))
+    ends = np.fromiter((e for _, e in spans), np.int64, len(spans))
+    if ins:
+        # insertion offsets in the MOD text; a span never contains one
+        # (inserted spaces match no _WORD_RE class)
+        mod_ins = np.asarray(ins, np.int64) + np.arange(len(ins), dtype=np.int64)
+        starts -= np.searchsorted(mod_ins, starts, side="left")
+        ends -= np.searchsorted(mod_ins, ends - 1, side="right")
+    return parts, starts, ends
+
+
+def _subwords_offsets(text: str) -> tuple[list[str], np.ndarray, np.ndarray]:
+    """``_subwords_lower``'s token sequence (identical strings, property-
+    tested) with raw-text (start, end) spans per token."""
+    if len(text) > MAX_TOKEN_LENGTH and _LONG_TOKEN_RE.search(text):
+        parts: list[str] = []
+        ss: list[np.ndarray] = []
+        ee: list[np.ndarray] = []
+        for m in _TOKEN_RE.finditer(text):
+            tok = m.group()
+            if len(tok) <= MAX_TOKEN_LENGTH:
+                p, s, e = _scan_spans(tok)
+                parts.extend(p)
+                ss.append(s + m.start())
+                ee.append(e + m.start())
+        starts = np.concatenate(ss) if ss else np.empty(0, np.int64)
+        ends = np.concatenate(ee) if ee else np.empty(0, np.int64)
+        return [p.lower() for p in parts], starts, ends
+    parts, starts, ends = _scan_spans(text)
+    if parts:
+        parts = " ".join(parts).lower().split(" ")
+    return parts, starts, ends
+
+
+def analyze_batch_offsets(
+    texts, analyzer: str = "code"
+) -> tuple[np.ndarray, ...]:
+    """:func:`analyze_batch` plus per-token char offsets.
+
+    Returns (terms, positions, doc_lens, doc_start, norm_lens, off_start,
+    off_end) — the first five exactly as :func:`analyze_batch`, the last two
+    int64 raw-text spans aligned with ``terms``. For ``code_graph``, stacked
+    (posIncr=0) tokens — the catenation and the preserved original — span the
+    WHOLE original token (WordDelimiterGraphFilter offset semantics), which
+    is exactly the case offset-free re-analysis cannot reconstruct.
+
+    Only chains in :data:`OFFSET_ANALYZERS` support offsets (``simple`` and
+    the ngram chains are oracle/rewrite surfaces with no display path).
+    """
+    if analyzer in ("code", "english"):
+        import pandas as pd
+
+        per_doc = [_subwords_offsets(t if t is not None else "") for t in texts]
+        raw_lens = np.fromiter((len(p[0]) for p in per_doc), np.int64, len(texts))
+        flat = [p for parts, _, _ in per_doc for p in parts]
+        if not flat:
+            z = np.zeros(len(texts), dtype=np.int32)
+            z64 = np.zeros(len(texts), dtype=np.int64)
+            e = np.empty(0, np.int64)
+            return np.empty(0, object), np.empty(0, np.int32), z, z64, z, e, e
+        low = np.array(flat, dtype=object)
+        off_s = np.concatenate([s for _, s, _ in per_doc])
+        off_e = np.concatenate([e for _, _, e in per_doc])
+        keep = ~pd.Index(low).isin(_STOP_LIST)
+        doc_start_raw = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(raw_lens[:-1], out=doc_start_raw[1:])
+        gpos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            doc_start_raw, raw_lens
+        )
+        doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), raw_lens)
+        terms = low[keep]
+        if analyzer == "english":
+            from .porter import porter_stem
+
+            codes, uniq = pd.factorize(pd.array(terms))
+            stemmed = np.array([porter_stem(u) for u in uniq], dtype=object)
+            terms = stemmed[codes]
+        positions = gpos[keep].astype(np.int32)
+        lens = np.bincount(doc_of[keep], minlength=len(texts)).astype(np.int32)
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        return terms, positions, lens, starts, lens, off_s[keep], off_e[keep]
+
+    if analyzer != "code_graph":
+        raise ValueError(
+            f"offsets unsupported for analyzer {analyzer!r} "
+            f"(supported: {OFFSET_ANALYZERS})"
+        )
+
+    all_terms: list[str] = []
+    all_pos: list[int] = []
+    all_s: list[int] = []
+    all_e: list[int] = []
+    lens = np.empty(len(texts), dtype=np.int32)
+    norm_lens = np.empty(len(texts), dtype=np.int32)
+    for i, text in enumerate(texts):
+        text = text if text is not None else ""
+        n0 = len(all_terms)
+        pos = 0
+        slots = 0
+        for m in _TOKEN_RE.finditer(text):
+            tok = m.group()
+            if len(tok) > MAX_TOKEN_LENGTH:
+                continue
+            parts, ps, pe = _scan_spans(tok)
+            if not parts:
+                continue
+            low_parts = [p.lower() for p in parts]
+            if len(parts) > 1:
+                # stacked injected tokens span the ORIGINAL token
+                for s in sorted({"".join(low_parts), tok.lower()}):
+                    if s not in ENGLISH_STOP_WORDS:
+                        all_terms.append(s)
+                        all_pos.append(pos)
+                        all_s.append(m.start())
+                        all_e.append(m.end())
+            for j, lp in enumerate(low_parts):
+                if lp not in ENGLISH_STOP_WORDS:
+                    all_terms.append(lp)
+                    all_pos.append(pos + j)
+                    all_s.append(m.start() + int(ps[j]))
+                    all_e.append(m.start() + int(pe[j]))
+            pos += len(parts)
+            slots += len(parts)
+        lens[i] = len(all_terms) - n0
+        norm_lens[i] = len(set(all_pos[n0:]))
+    starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return (
+        np.asarray(all_terms, dtype=object),
+        np.asarray(all_pos, dtype=np.int32),
+        lens,
+        starts,
+        norm_lens,
+        np.asarray(all_s, dtype=np.int64),
+        np.asarray(all_e, dtype=np.int64),
+    )
+
+
 def analyze_query(text: str, analyzer: str = "code") -> list[str]:
     """Analyze query text with the same chain (QueryBuilder.java:60-135).
     Index-side graph chains analyze queries with their base rules."""

@@ -63,6 +63,7 @@ UNIFIED_SCHEMA = (
     "doc_blob binary, freq_blob binary, pos_blob binary, "
     "blk_last binary, blk_maxf binary, blk_minn binary, blk_len binary, "
     "blk_doc_boff binary, blk_freq_boff binary, blk_pos_boff binary, "
+    "off_blob binary, blk_off_boff binary, "
     "max_doc bigint, doc_count bigint, sum_len bigint, shard int"
 )
 
@@ -105,7 +106,8 @@ def _slice_blob(buf: np.ndarray, offsets: np.ndarray) -> list[bytes]:
 
 
 def build_segment_frame(
-    content, doc_ids: np.ndarray, segment_id: int, analyzer: str
+    content, doc_ids: np.ndarray, segment_id: int, analyzer: str,
+    store_offsets: bool = False,
 ) -> pd.DataFrame:
     """Build one complete segment from documents — all flat numpy.
 
@@ -113,10 +115,23 @@ def build_segment_frame(
     + FreqProxTermsWriter.flush + Lucene50PostingsWriter: tokenize the batch,
     sort occurrences by (term, doc, pos), derive postings runs, delta+VByte
     encode every term's lists in ONE flat pass, then slice per-term blobs.
+
+    ``store_offsets`` additionally indexes each occurrence's char span
+    (``PostingsEnum.OFFSETS``, ``index/PostingsEnum.java:34-46``) as an
+    interleaved (start-delta, length) VByte stream per term — start deltas
+    reset per (term, doc) list, so offsets need NO patching when merges
+    rebase doc ids. Off by default (Lucene's IndexOptions default): ~2
+    bytes/occurrence, paid only by indexes that serve offset highlighting.
     """
-    terms_flat, pos_flat, doc_lens, _doc_starts, norm_lens = analyze_batch(
-        content, analyzer
-    )
+    if store_offsets:
+        from ..analysis import analyze_batch_offsets
+
+        (terms_flat, pos_flat, doc_lens, _doc_starts, norm_lens,
+         off_s_flat, off_e_flat) = analyze_batch_offsets(content, analyzer)
+    else:
+        terms_flat, pos_flat, doc_lens, _doc_starts, norm_lens = analyze_batch(
+            content, analyzer
+        )
     max_doc = len(content)
     # norms count position slots, not emitted tokens (discountOverlaps);
     # doc_lens (emitted tokens) segments the flat occurrence arrays below
@@ -190,6 +205,25 @@ def build_segment_frame(
             byte_cum_p[occ_start[blk_flat]] - pos_off[blk_list]
         ).astype(np.int32)
 
+        # ---- offsets: interleaved (start-delta, length) per occurrence ----
+        # start deltas reset per (term, doc) list — invariant under doc-id
+        # rebasing, so merges never patch off_blob
+        if store_offsets:
+            oc_s = off_s_flat[order]
+            oc_len = off_e_flat[order] - oc_s
+            off_deltas = delta_encode_lists(oc_s, occ_start)
+            inter = np.empty(2 * len(oc_s), dtype=np.uint64)
+            inter[0::2] = off_deltas.astype(np.uint64)
+            inter[1::2] = oc_len.astype(np.uint64)
+            off_buf, off_nb = vbyte_encode(inter)
+            byte_cum_o = np.concatenate(([0], np.cumsum(off_nb)))
+            off_off = np.zeros(len(term_start) + 1, dtype=np.int64)
+            off_off[0] = byte_cum_o[2 * tok_starts[0]]
+            off_off[1:] = byte_cum_o[2 * tok_ends]
+            blk_off_boff = (
+                byte_cum_o[2 * occ_start[blk_flat]] - off_off[blk_list]
+            ).astype(np.int32)
+
         # ---- per-128-posting block impact metadata ----
         blk_last = post_doc[blk_end - 1].astype(np.int32)
         blk_maxf = np.maximum.reduceat(freqs, blk_flat).astype(np.int32)
@@ -215,6 +249,14 @@ def build_segment_frame(
             "blk_doc_boff": _slice_blob(blk_doc_boff.view(np.uint8), blk_off * 4),
             "blk_freq_boff": _slice_blob(blk_freq_boff.view(np.uint8), blk_off * 4),
             "blk_pos_boff": _slice_blob(blk_pos_boff.view(np.uint8), blk_off * 4),
+            "off_blob": (
+                _slice_blob(off_buf, off_off) if store_offsets else [b""] * n_terms
+            ),
+            "blk_off_boff": (
+                _slice_blob(blk_off_boff.view(np.uint8), blk_off * 4)
+                if store_offsets
+                else [b""] * n_terms
+            ),
             "max_doc": np.full(n_terms, -1, dtype=np.int64),
             "doc_count": np.full(n_terms, -1, dtype=np.int64),
             "sum_len": np.full(n_terms, -1, dtype=np.int64),
@@ -247,6 +289,8 @@ def build_segment_frame(
             "blk_doc_boff": [b"", b""],
             "blk_freq_boff": [b"", b""],
             "blk_pos_boff": [b"", b""],
+            "off_blob": [b"", b""],
+            "blk_off_boff": [b"", b""],
             "max_doc": np.array([max_doc, max_doc], dtype=np.int64),
             "doc_count": np.array([doc_count, doc_count], dtype=np.int64),
             "sum_len": np.array([sum_len, sum_len], dtype=np.int64),
@@ -272,6 +316,8 @@ _EMPTY_DTYPES = {
     "blk_doc_boff": "object",
     "blk_freq_boff": "object",
     "blk_pos_boff": "object",
+    "off_blob": "object",
+    "blk_off_boff": "object",
     "max_doc": "int64",
     "doc_count": "int64",
     "sum_len": "int64",
@@ -294,6 +340,7 @@ def build_index(
     merge_policy: dict | None = None,
     extra_lineage: dict | None = None,
     index_sort: str | None = None,
+    store_offsets: bool = False,
 ) -> dict:
     """Build (or resume) the full index. Returns build metrics.
 
@@ -387,7 +434,10 @@ def build_index(
         os.replace(tmp, os.path.join(docs_path, f"part-seg{seg}.parquet"))
 
         doc_ids = np.arange(n, dtype=np.int64)
-        return build_segment_frame(pdf[content_col].tolist(), doc_ids, seg, analyzer)
+        return build_segment_frame(
+            pdf[content_col].tolist(), doc_ids, seg, analyzer,
+            store_offsets=store_offsets,
+        )
 
     to_build = tagged
     if done_index:
@@ -423,6 +473,8 @@ def build_index(
     }
     if index_sort:
         lineage_d["index_sort"] = index_sort
+    if store_offsets:
+        lineage_d["store_offsets"] = True
     if extra_lineage:
         lineage_d.update(extra_lineage)
     lineage = json.dumps(lineage_d)

@@ -203,6 +203,8 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_keys: DataFrame) -> int
                 "blk_doc_boff": [b""],
                 "blk_freq_boff": [b""],
                 "blk_pos_boff": [b""],
+                "off_blob": [b""],
+                "blk_off_boff": [b""],
                 "max_doc": np.array([-1], dtype=np.int64),
                 "doc_count": np.array([-1], dtype=np.int64),
                 "sum_len": np.array([-1], dtype=np.int64),
@@ -245,6 +247,16 @@ def deleted_docs_by_segment(
 
 # ---------------------------------------------------------------------------
 # merge executor
+
+def _with_off_cols(df: DataFrame) -> DataFrame:
+    """Read-compat shim: indexes written before offset support lack the
+    off_blob/blk_off_boff columns — present them as empty blobs."""
+    if "off_blob" not in df.columns:
+        df = df.withColumn("off_blob", F.lit(b"")).withColumn(
+            "blk_off_boff", F.lit(b"")
+        )
+    return df
+
 
 def _block_meta(docs: np.ndarray, freqs: np.ndarray, norms_of_doc: np.ndarray):
     """(blk_last, blk_maxf, blk_minn) for one posting list (local doc ids)."""
@@ -298,11 +310,22 @@ def merge_segments(
             f"cannot merge segments with mixed index_sort {sort_fields} — "
             "a sorted and an unsorted segment have incompatible doc orders"
         )
+    off_flags = {
+        bool(json.loads(src_rows[s].get("lineage") or "{}").get("store_offsets"))
+        for s in sources
+    }
+    if len(off_flags) > 1:
+        raise ValueError(
+            "cannot merge segments with mixed store_offsets — offset and "
+            "offset-free posting rows have incompatible blob layouts"
+        )
+    has_offsets = off_flags.pop()
+
     sort_field = next(iter(sort_fields)) if sort_fields else None
     if sort_field:
         return _merge_segments_sorted(
             spark, index_dir, sources, src_rows, deleted, sort_field,
-            hot_df_threshold, new_segment_id, t0,
+            hot_df_threshold, new_segment_id, t0, has_offsets,
         )
 
     # ---- per-source doc bases + compaction maps (DocIDMerger.java:49-90) ---
@@ -356,13 +379,14 @@ def merge_segments(
 
     # ---- pass 1 (map-side): rebase blocks; re-encode dirty rows ------------
     posts = (
-        spark.read.parquet(idx_path)
+        _with_off_cols(spark.read.parquet(idx_path))
         .filter((F.col("kind") == KIND_POSTING) & F.col("segment_id").isin(sources))
         .select(
             "segment_id", "shard", "term", "df", "ttf",
             "doc_blob", "freq_blob", "pos_blob",
             "blk_last", "blk_maxf", "blk_minn", "blk_len",
             "blk_doc_boff", "blk_freq_boff", "blk_pos_boff",
+            "off_blob", "blk_off_boff",
         )
     )
 
@@ -370,6 +394,7 @@ def merge_segments(
         "doc_blob", "freq_blob", "pos_blob",
         "blk_last", "blk_maxf", "blk_minn", "blk_len",
         "blk_doc_boff", "blk_freq_boff", "blk_pos_boff",
+        "off_blob", "blk_off_boff",
     ]
     PASS1_SCHEMA = (
         "seg_order int, shard int, term string, df bigint, ttf bigint, "
@@ -449,6 +474,9 @@ def merge_segments(
                 "blk_doc_boff": boff_out,
                 "blk_freq_boff": cl["blk_freq_boff"],
                 "blk_pos_boff": cl["blk_pos_boff"],
+                # offsets are per-(term,doc)-list deltas — doc-base invariant
+                "off_blob": cl["off_blob"],
+                "blk_off_boff": cl["blk_off_boff"],
                 "first_doc": first_val + cbase,
                 "last_doc": last_doc,
             }
@@ -524,6 +552,25 @@ def merge_segments(
                 out["blk_doc_boff"].append(dboff.tobytes())
                 out["blk_freq_boff"].append(enc["blk_freq_boff"])
                 out["blk_pos_boff"].append(blk_pos_boff.tobytes())
+                if len(r.off_blob):
+                    # offset start-deltas reset per (term, doc) list, so
+                    # dropping whole docs keeps surviving chains intact —
+                    # filter the interleaved (delta, len) pairs, re-vbyte
+                    off_vals = vbyte_decode(
+                        np.frombuffer(r.off_blob, np.uint8)
+                    ).astype(np.uint64)
+                    off2 = off_vals.reshape(-1, 2)[occ_keep].ravel()
+                    o_enc, o_nb = vbyte_encode(off2)
+                    byte_cum_o = np.concatenate(([0], np.cumsum(o_nb)))
+                    out["off_blob"].append(o_enc.tobytes())
+                    out["blk_off_boff"].append(
+                        byte_cum_o[2 * occ_starts2[enc["blk_flat"]]]
+                        .astype(np.int32)
+                        .tobytes()
+                    )
+                else:
+                    out["off_blob"].append(b"")
+                    out["blk_off_boff"].append(b"")
                 out["first_doc"].append(int(docs2[0]) + b)
                 out["last_doc"].append(int(docs2[-1]) + b)
                 out["seg_order"].append(st["order"][seg])
@@ -558,6 +605,7 @@ def merge_segments(
         .withColumn("doc_bbase", F.coalesce(F.sum(F.octet_length("doc_blob")).over(wb), F.lit(0)))
         .withColumn("freq_bbase", F.coalesce(F.sum(F.octet_length("freq_blob")).over(wb), F.lit(0)))
         .withColumn("pos_bbase", F.coalesce(F.sum(F.octet_length("pos_blob")).over(wb), F.lit(0)))
+        .withColumn("off_bbase", F.coalesce(F.sum(F.octet_length("off_blob")).over(wb), F.lit(0)))
     )
 
     PATCH_SCHEMA = (
@@ -587,12 +635,14 @@ def merge_segments(
             dboffs = pdf["blk_doc_boff"].tolist()
             fboffs = pdf["blk_freq_boff"].tolist()
             pboffs = pdf["blk_pos_boff"].tolist()
+            oboffs = pdf["blk_off_boff"].tolist()
             cold_idx = np.flatnonzero(~hot_mask)
             if len(cold_idx):
                 for col, base_col, outlist in (
                     ("blk_doc_boff", "doc_bbase", dboffs),
                     ("blk_freq_boff", "freq_bbase", fboffs),
                     ("blk_pos_boff", "pos_bbase", pboffs),
+                    ("blk_off_boff", "off_bbase", oboffs),
                 ):
                     blobs = [outlist[j] for j in cold_idx]
                     add = pdf[base_col].to_numpy(np.int64)[cold_idx]
@@ -615,6 +665,8 @@ def merge_segments(
             pdf2["blk_doc_boff"] = dboffs
             pdf2["blk_freq_boff"] = fboffs
             pdf2["blk_pos_boff"] = pboffs
+            pdf2["off_blob"] = pdf["off_blob"]
+            pdf2["blk_off_boff"] = oboffs
             yield pdf2
 
     patched = p2.mapInPandas(patch, PATCH_SCHEMA)
@@ -694,6 +746,8 @@ def merge_segments(
             "blk_doc_boff": [b"", b""],
             "blk_freq_boff": [b"", b""],
             "blk_pos_boff": [b"", b""],
+            "off_blob": [b"", b""],
+            "blk_off_boff": [b"", b""],
             "max_doc": [merged_max_doc, merged_max_doc],
             "doc_count": [merged_doc_count, merged_doc_count],
             "sum_len": [merged_sum_len, merged_sum_len],
@@ -735,14 +789,15 @@ def merge_segments(
     max_gen = int(
         man.filter(F.col("segment_id").isin(sources)).agg(F.max("generation")).collect()[0][0]
     )
-    lineage = json.dumps(
-        {
-            "merged_from": sources,
-            "compacted_deletes": sorted(dirty),
-            "merged_at": t0,
-            "hot_df_threshold": hot_df_threshold,
-        }
-    )
+    lineage_d = {
+        "merged_from": sources,
+        "compacted_deletes": sorted(dirty),
+        "merged_at": t0,
+        "hot_df_threshold": hot_df_threshold,
+    }
+    if has_offsets:
+        lineage_d["store_offsets"] = True
+    lineage = json.dumps(lineage_d)
     man_row = (
         spark.range(1)
         .select(
@@ -782,12 +837,17 @@ def _encode_term_rows(
     pos: np.ndarray,
     norms: np.ndarray,
     hot_df_threshold: int,
+    offs: np.ndarray | None = None,
 ) -> list[dict]:
     """Encode ONE merged term's postings (global doc ids, already sorted
     ascending) into final UNIFIED_SCHEMA-shaped rows. Terms with df >
     hot_df_threshold split into contiguous shard rows, each self-contained
     (first VByte = absolute global doc id), matching the salted-row format
-    contract so any FUTURE merge can rebase them again."""
+    contract so any FUTURE merge can rebase them again.
+
+    ``offs``: optional (n_occurrences, 2) int64 array of ABSOLUTE char
+    (start, length) pairs aligned with ``pos`` — re-encoded as the
+    interleaved per-(term, doc) delta stream of the build kernel."""
     n = len(docs)
     if n <= hot_df_threshold:
         bounds = [(0, n)]
@@ -811,6 +871,21 @@ def _encode_term_rows(
         byte_cum = np.concatenate(([0], np.cumsum(p_nb)))
         blk_pos_boff = byte_cum[occ_starts[enc["blk_flat"]]].astype(np.int32)
         bl, bm, bn, _ = _block_meta(d, f, norms[d])
+        if offs is not None:
+            o = offs[occ_cum[a] : occ_cum[b]]
+            inter = np.empty(2 * len(o), dtype=np.uint64)
+            inter[0::2] = delta_encode_lists(
+                o[:, 0].astype(np.int64), occ_starts
+            ).astype(np.uint64)
+            inter[1::2] = o[:, 1].astype(np.uint64)
+            o_enc, o_nb = vbyte_encode(inter)
+            byte_cum_o = np.concatenate(([0], np.cumsum(o_nb)))
+            off_blob = o_enc.tobytes()
+            blk_off_boff = (
+                byte_cum_o[2 * occ_starts[enc["blk_flat"]]].astype(np.int32).tobytes()
+            )
+        else:
+            off_blob, blk_off_boff = b"", b""
         rows.append(
             {
                 "term": term,
@@ -826,6 +901,8 @@ def _encode_term_rows(
                 "blk_doc_boff": enc["blk_doc_boff"],
                 "blk_freq_boff": enc["blk_freq_boff"],
                 "blk_pos_boff": blk_pos_boff.tobytes(),
+                "off_blob": off_blob,
+                "blk_off_boff": blk_off_boff,
                 "shard": shard,
             }
         )
@@ -842,6 +919,7 @@ def _merge_segments_sorted(
     hot_df_threshold: int,
     new_segment_id: int,
     t0: float,
+    has_offsets: bool = False,
 ) -> dict:
     """Sorted merge: the merged doc order is the index-sort order, so
     ``search_sorted`` early termination survives compaction.
@@ -921,20 +999,21 @@ def _merge_segments_sorted(
 
     # ---- stage 1 (map): decode + remap each posting row --------------------
     posts = (
-        spark.read.parquet(idx_path)
+        _with_off_cols(spark.read.parquet(idx_path))
         .filter((F.col("kind") == KIND_POSTING) & F.col("segment_id").isin(sources))
         .select(
             "segment_id", "term", "doc_blob", "freq_blob", "pos_blob",
             "blk_doc_boff", "blk_freq_boff", "blk_len",
+            "off_blob",
         )
     )
 
-    DECODED_SCHEMA = "term string, docs binary, freqs binary, pos binary"
+    DECODED_SCHEMA = "term string, docs binary, freqs binary, pos binary, offs binary"
 
     def remap(it):
         docmaps_b = bc.value["docmaps"]
         for pdf in it:
-            out = {"term": [], "docs": [], "freqs": [], "pos": []}
+            out = {"term": [], "docs": [], "freqs": [], "pos": [], "offs": []}
             # per posting ROW (one term's whole blob each — numpy inside),
             # same granularity as the concatenating merge's dirty path
             for r in pdf.itertuples(index=False):
@@ -959,6 +1038,19 @@ def _merge_segments_sorted(
                 out["docs"].append(new_ids[keep].tobytes())
                 out["freqs"].append(freqs[keep].tobytes())
                 out["pos"].append(pos[occ_keep].astype(np.int32).tobytes())
+                if has_offsets and len(r.off_blob):
+                    # decode the interleaved (start-delta, len) stream to
+                    # ABSOLUTE (start, len) pairs so the reduce side can
+                    # permute occurrences freely before re-delta-encoding
+                    ovals = vbyte_decode(
+                        np.frombuffer(r.off_blob, np.uint8)
+                    ).astype(np.int64)
+                    pair = np.empty((len(ovals) // 2, 2), np.int64)
+                    pair[:, 0] = delta_decode_lists(ovals[0::2], occ_starts)
+                    pair[:, 1] = ovals[1::2]
+                    out["offs"].append(pair[occ_keep].tobytes())
+                else:
+                    out["offs"].append(b"")
             yield pd.DataFrame(out)
 
     decoded = posts.mapInPandas(remap, DECODED_SCHEMA)
@@ -983,8 +1075,14 @@ def _merge_segments_sorted(
                 np.concatenate(([0], np.cumsum(freqs_s)[:-1])), freqs_s
             )
         )
+        offs = None
+        if has_offsets:
+            offs = np.frombuffer(b"".join(pdf["offs"]), np.int64).reshape(-1, 2)[
+                occ_perm
+            ]
         rows = _encode_term_rows(
-            term, docs_s, freqs_s, pos[occ_perm], norms, hot_df_threshold
+            term, docs_s, freqs_s, pos[occ_perm], norms, hot_df_threshold,
+            offs=offs,
         )
         out = pd.DataFrame(rows)
         out.insert(0, "segment_id", np.int32(new_segment_id))
@@ -1030,6 +1128,8 @@ def _merge_segments_sorted(
             "blk_doc_boff": [b"", b""],
             "blk_freq_boff": [b"", b""],
             "blk_pos_boff": [b"", b""],
+            "off_blob": [b"", b""],
+            "blk_off_boff": [b"", b""],
             "max_doc": [merged_max_doc, merged_max_doc],
             "doc_count": [merged_doc_count, merged_doc_count],
             "sum_len": [merged_sum_len, merged_sum_len],
@@ -1065,15 +1165,16 @@ def _merge_segments_sorted(
         man.filter(F.col("segment_id").isin(sources)).agg(F.max("generation")).collect()[0][0]
     )
     dirty = sorted(s for s in sources if s in deleted and len(deleted[s]))
-    lineage = json.dumps(
-        {
-            "merged_from": sources,
-            "compacted_deletes": dirty,
-            "merged_at": t0,
-            "hot_df_threshold": hot_df_threshold,
-            "index_sort": sort_field,
-        }
-    )
+    lineage_d = {
+        "merged_from": sources,
+        "compacted_deletes": dirty,
+        "merged_at": t0,
+        "hot_df_threshold": hot_df_threshold,
+        "index_sort": sort_field,
+    }
+    if has_offsets:
+        lineage_d["store_offsets"] = True
+    lineage = json.dumps(lineage_d)
     man_row = (
         spark.range(1)
         .select(

@@ -80,6 +80,57 @@ def term_postings(spark: SparkSession, index_dir: str, terms=None) -> DataFrame:
     return df.mapInArrow(decode, "segment_id int, term string, doc_id bigint, freq bigint")
 
 
+def offsets_postings(spark: SparkSession, index_dir: str, terms=None) -> DataFrame:
+    """(segment_id, term, doc_id, pos, start_off, end_off) — the exploded
+    offset index (``PostingsEnum.OFFSETS``, ``index/PostingsEnum.java:34-46``).
+
+    Only meaningful for indexes built with ``store_offsets=True``; rows of
+    offset-free segments decode to an empty frame. The offset stream is the
+    interleaved per-(term, doc) (start-delta, length) VByte chain written by
+    ``build_segment_frame`` — start deltas reset per doc list, so shard rows
+    and merged rows decode identically."""
+    OFF_SCHEMA = (
+        "segment_id int, term string, doc_id bigint, pos bigint, "
+        "start_off bigint, end_off bigint"
+    )
+    raw = spark.read.parquet(os.path.join(index_dir, "index"))
+    if "off_blob" not in raw.columns:  # pre-offsets index layout
+        return spark.createDataFrame([], OFF_SCHEMA)
+    df = raw.filter((F.col("kind") == 0) & (F.octet_length("off_blob") > 0)).select(
+        "segment_id", "term", "doc_blob", "freq_blob", "pos_blob",
+        "blk_doc_boff", "blk_freq_boff", "blk_len", "off_blob",
+    )
+    if terms:
+        df = df.filter(sql_in("term", terms))
+
+    def decode(it):
+        for batch in it:
+            pdf = batch.to_pandas()
+            for _, r in pdf.iterrows():
+                d = np.cumsum(decode_doc_deltas(r["doc_blob"], r["blk_doc_boff"], r["blk_len"]))
+                f = decode_freq_values(r["freq_blob"], r["blk_freq_boff"], r["blk_len"])
+                occ_starts = np.zeros(len(f), dtype=np.int64)
+                np.cumsum(f[:-1], out=occ_starts[1:])
+                pdeltas = vbyte_decode(np.frombuffer(r["pos_blob"], np.uint8)).astype(np.int64)
+                pos = delta_decode_lists(pdeltas, occ_starts)
+                ovals = vbyte_decode(np.frombuffer(r["off_blob"], np.uint8)).astype(np.int64)
+                starts = delta_decode_lists(ovals[0::2], occ_starts)
+                ends = starts + ovals[1::2]
+                out = pd.DataFrame(
+                    {
+                        "segment_id": np.full(len(pos), r["segment_id"], np.int32),
+                        "term": r["term"],
+                        "doc_id": np.repeat(d, f),
+                        "pos": pos,
+                        "start_off": starts,
+                        "end_off": ends,
+                    }
+                )
+                yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+
+    return df.mapInArrow(decode, OFF_SCHEMA)
+
+
 def norms_table(spark: SparkSession, index_dir: str) -> DataFrame:
     """(segment_id, doc_id, norm_byte) rows decoded from the norm blobs."""
     df = (
