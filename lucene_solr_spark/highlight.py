@@ -1,17 +1,28 @@
 """Highlighting — display-time snippet extraction over top-k hits.
 
-The reference's standard ``Highlighter`` (``lucene/highlighter/src/java/org/
-apache/lucene/search/highlight/Highlighter.java:54``) RE-ANALYZES the stored
-text with the field's analyzer and marks tokens matching the query's terms
-(``QueryTermExtractor.java:38``) — no offsets in the index are required.
-This module does the same: the query is analyzed to a term set, the stored
-text is re-scanned with the chain's own regexes (so ``parseHttp`` highlights
-its ``Http`` subword for the query ``http``), and the best-scoring fragment
-window is returned with ``<b>..</b>`` markers.
+Two strategies, mirroring the reference's two highlighters:
 
-Runs as an Arrow-batched ``mapInPandas`` over the hits (a top-k display
+- :func:`highlight` RE-ANALYZES the stored text, the classic ``Highlighter``
+  strategy (``lucene/highlighter/src/java/org/apache/lucene/search/highlight/
+  Highlighter.java:54``, term extraction ``QueryTermExtractor.java:38``): the
+  query is analyzed to a term set, the stored text is re-scanned with the
+  chain's own regexes (so ``parseHttp`` highlights its ``Http`` subword for
+  the query ``http``), and the best-scoring fragment window is returned with
+  ``<b>..</b>`` markers. No offsets in the index required.
+
+- :func:`highlight_offsets` uses offsets STORED in the posting format
+  (``UnifiedHighlighter.java`` with ``IndexOptions
+  ..._AND_OFFSETS`` — the offset source it calls OffsetSource.POSTINGS):
+  match spans come from the index, so no re-tokenization of displayed text,
+  and terms re-analysis cannot locate — WordDelimiterGraph catenations like
+  ``parsehttp500`` — highlight their originating raw-text span. Falls back
+  to re-analysis per document when the index stores no offsets.
+
+Both run as Arrow-batched ``mapInPandas`` over the hits (a top-k display
 surface — O(k) rows, never the corpus), joined to stored fields via
-``IndexSearcher.fetch``.
+``IndexSearcher.fetch``. The offsets variant reads ONLY the query terms'
+posting rows (term-pushed parquet scan) and broadcast-joins them to the
+O(k) hit keys.
 """
 
 from __future__ import annotations
@@ -107,3 +118,81 @@ def highlight(
             yield pdf
 
     return fetched.mapInPandas(kernel, schema)
+
+
+def _merge_spans(spans: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Sort + coalesce overlapping/duplicate spans (graph chains stack a
+    whole-token span over its subword part spans)."""
+    out: list[tuple[int, int]] = []
+    for s, e in sorted(spans):
+        if out and s <= out[-1][1]:
+            if e > out[-1][1]:
+                out[-1] = (out[-1][0], e)
+        else:
+            out.append((s, e))
+    return out
+
+
+def highlight_offsets(
+    spark,
+    index_dir: str,
+    fetched: DataFrame,
+    query_text: str,
+    analyzer: str = "code",
+    content_col: str = "content",
+    frag_size: int = 100,
+    fallback: bool = True,
+) -> DataFrame:
+    """Add a ``snippet`` column using offsets STORED in the index
+    (``store_offsets=True`` builds; ``PostingsEnum.OFFSETS``).
+
+    Plan shape: posting rows for the query's terms only (term filter pushed
+    to the parquet scan), offset streams decoded per row, broadcast-semi-
+    joined to the O(k) hit keys, spans collected per hit, then one
+    ``mapInPandas`` over the hits. The stored text is never re-tokenized.
+
+    ``fallback``: hits with no stored-offset spans (offset-free index, or a
+    doc whose match came through a different field) re-analyze that one
+    document — the classic :func:`highlight` strategy.
+    """
+    from pyspark.sql import functions as F
+
+    from .index.read import offsets_postings
+
+    terms = set(ANALYZERS[analyzer](query_text)[0])
+    spans_df = (
+        offsets_postings(spark, index_dir, terms=sorted(terms))
+        .join(
+            F.broadcast(fetched.select("segment_id", "doc_id").distinct()),
+            ["segment_id", "doc_id"],
+        )
+        .groupBy("segment_id", "doc_id")
+        .agg(
+            F.collect_list(F.struct("start_off", "end_off")).alias("_hl_spans")
+        )
+    )
+    joined = fetched.join(spans_df, ["segment_id", "doc_id"], "left")
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(fetched.schema.fields) + [StructField("snippet", StringType())]
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            snippets = []
+            for text, spans in zip(pdf[content_col], pdf["_hl_spans"]):
+                text = text or ""
+                if spans is None or len(spans) == 0:
+                    got = _match_spans(text, terms, analyzer) if fallback else []
+                else:
+                    got = _merge_spans(
+                        [(int(s["start_off"]), int(s["end_off"])) for s in spans]
+                    )
+                snippets.append(_best_fragment(text, got, frag_size))
+            out = pdf.drop(columns=["_hl_spans"])
+            out["snippet"] = snippets
+            yield out
+
+    return joined.mapInPandas(kernel, schema)

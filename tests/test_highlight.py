@@ -39,3 +39,102 @@ def test_highlight_end_to_end(spark, tiny_index):
     assert rows
     for r in rows:
         assert "<b>" in r.snippet
+
+
+# ------------------------------------------------------- stored offsets ----
+
+
+@pytest.fixture(scope="module")
+def hl_off_index(spark, tiny_corpus, tmp_path_factory):
+    """tiny corpus indexed WITH stored offsets (code chain)."""
+    from lucene_solr_spark.index import build_index
+
+    d = str(tmp_path_factory.mktemp("hl_off") / "idx")
+    docs = spark.createDataFrame(tiny_corpus)
+    build_index(spark, docs, d, num_segments=4, analyzer="code", store_offsets=True)
+    return d
+
+
+def test_highlight_offsets_matches_reanalysis(spark, hl_off_index):
+    """On an ASCII corpus with the code chain, stored-offset snippets are
+    byte-identical to the re-analysis highlighter (same spans, same
+    fragmenter)."""
+    from lucene_solr_spark.highlight import highlight_offsets
+    from lucene_solr_spark.search import IndexSearcher
+
+    s = IndexSearcher(spark, hl_off_index, analyzer="code")
+    for q in ["parse AND http", "buffer OR stream", '"index writer"']:
+        hits = s.search(q, k=10)
+        fetched = s.fetch(hits, cols=["path", "content"])
+        ref = {
+            r.path: r.snippet
+            for r in highlight(fetched, q, analyzer="code").collect()
+        }
+        got = {
+            r.path: r.snippet
+            for r in highlight_offsets(
+                spark, hl_off_index, fetched, q, analyzer="code"
+            ).collect()
+        }
+        assert got == ref, q
+
+
+def test_highlight_offsets_fallback_without_offsets(spark, tiny_index):
+    """Against an offset-free index the offsets highlighter degrades to the
+    re-analysis strategy per document."""
+    from lucene_solr_spark.highlight import highlight_offsets
+    from lucene_solr_spark.search import IndexSearcher
+
+    index_dir, _ = tiny_index
+    s = IndexSearcher(spark, index_dir, analyzer="code")
+    hits = s.search("parse AND http", k=5)
+    fetched = s.fetch(hits, cols=["path", "content"])
+    ref = {
+        r.path: r.snippet
+        for r in highlight(fetched, "parse AND http", analyzer="code").collect()
+    }
+    got = {
+        r.path: r.snippet
+        for r in highlight_offsets(
+            spark, index_dir, fetched, "parse AND http", analyzer="code"
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_highlight_offsets_graph_chain_exact(spark, tmp_path_factory):
+    """The case stored offsets exist for: a WordDelimiterGraph catenation
+    ('fooBar_baz' → 'foobarbaz') has NO re-analysis span — the base scan
+    yields the parts foo/Bar/baz, never the catenated term — but its stored
+    offsets mark the whole original token."""
+    from lucene_solr_spark.highlight import highlight_offsets
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.search import IndexSearcher
+
+    rows = [
+        ("r", f"p{i}", "c", f"filler{i} calls fooBar_baz handler and returns")
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string"
+    )
+    d = str(tmp_path_factory.mktemp("hl_graph") / "idx")
+    build_index(
+        spark, docs, d, num_segments=2, analyzer="code_graph", store_offsets=True
+    )
+    s = IndexSearcher(spark, d, analyzer="code_graph")
+    # single-term query for the CATENATED token: only the graph index knows it
+    hits = s.search("foobarbaz", k=8)
+    assert hits.count() == 8
+    fetched = s.fetch(hits, cols=["path", "content"])
+    got = highlight_offsets(
+        spark, d, fetched, "foobarbaz", analyzer="code_graph", fallback=False
+    ).collect()
+    assert got
+    for r in got:
+        assert "<b>fooBar_baz</b>" in r.snippet, r.snippet
+    # re-analysis CANNOT find this span: term set {foobarbaz} matches no
+    # base-scan token of the stored text
+    ref = highlight(fetched, "foobarbaz", analyzer="code").collect()
+    for r in ref:
+        assert "<b>" not in r.snippet
