@@ -129,11 +129,17 @@ def _sqedist(cols):
 _TOK_RE = re.compile(r"\s*([A-Za-z_][\w.]*|-?\d+\.?\d*(?:[eE][+-]?\d+)?|[(),])")
 
 
-def parse_func(text: str) -> Column:
+def parse_func(text: str, registry: dict | None = None) -> Column:
     """Parse Solr function-query syntax into one Catalyst Column:
     ``name(arg,...)`` calls, numeric literals, bare field references
     (``FunctionQParser.parseValueSource``). The result stays a JVM-side
-    expression — whole-stage codegen applies, no Python in the row path."""
+    expression — whole-stage codegen applies, no Python in the row path.
+
+    ``registry`` overrides the name→builder table (default: the
+    function-query ``FUNCTIONS``); lookups try the exact (camelCase) name
+    first, then the lowercased form — Solr math evaluators are
+    case-sensitive camelCase (``Lang.java``), function queries lowercase."""
+    fns = FUNCTIONS if registry is None else registry
     toks = _TOK_RE.findall(text)
     if not toks or "".join(_TOK_RE.sub("", text).split()):
         raise ValueError(f"cannot tokenize function query: {text!r}")
@@ -155,8 +161,8 @@ def parse_func(text: str) -> Column:
         if re.fullmatch(r"-?\d+\.?\d*(?:[eE][+-]?\d+)?", t):
             return F.lit(float(t) if ("." in t or "e" in t or "E" in t) else int(t))
         if peek() == "(":
-            name = t.lower()
-            if name not in FUNCTIONS:
+            name = t if t in fns else t.lower()
+            if name not in fns:
                 raise ValueError(f"unknown function {name!r}")
             advance()  # '('
             args = []
@@ -167,7 +173,7 @@ def parse_func(text: str) -> Column:
                     args.append(parse_expr())
             if advance() != ")":
                 raise ValueError(f"unbalanced parens in {text!r}")
-            return FUNCTIONS[name](*args)
+            return fns[name](*args)
         return F.col(t)  # bare field reference
 
     out = parse_expr()

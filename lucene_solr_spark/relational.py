@@ -1262,7 +1262,62 @@ GROUP BY l_returnflag
 """
 
 
+# Solr math-evaluator pipeline over a relation — LetStream variable bindings
+# chaining array evaluators (solr/solrj/src/java/org/apache/solr/client/
+# solrj/io/stream/LetStream.java + io/eval/*Evaluator.java). The whole let()
+# program parses into Catalyst Columns (evaluators.parse_let), so the row
+# path is pure codegen: per-row array build, mean/stddev/l2norm/cosine over
+# it, no Python, no shuffle.
+def eval_let_lineitem(spark, sf_dir):
+    from .evaluators import apply_let
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.where(F.col("l_orderkey") <= 1000).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("q"),
+        F.col("l_extendedprice").cast("double").alias("p"),
+        F.col("l_discount").cast("double").alias("d"),
+        F.col("l_tax").cast("double").alias("t"),
+    )
+    out = apply_let(
+        base,
+        "let(v = array(q, p, d, t), m = mean(v), s = stddev(v),"
+        " u = l2norm(v), c = cosineSimilarity(v, rev(v)))",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("m", 4).alias("m"),
+        F.round("s", 4).alias("s"),
+        F.round("u", 4).alias("u"),
+        F.round("c", 4).alias("c"),
+    )
+
+
+# Oracle mirrors the evaluators' exact fold order (left-to-right over the
+# array) so doubles agree before the 4dp display rounding.
+EVAL_LET_SQL = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS DOUBLE) AS q, CAST(l_extendedprice AS DOUBLE) AS p,
+         CAST(l_discount AS DOUBLE) AS d, CAST(l_tax AS DOUBLE) AS t
+  FROM lineitem WHERE l_orderkey <= 1000
+), mid AS (
+  SELECT *, (q + p + d + t) / 4 AS mv FROM base
+)
+SELECT l_orderkey, l_linenumber,
+  round(mv, 4) AS m,
+  round(sqrt(((q-mv)*(q-mv) + (p-mv)*(p-mv) + (d-mv)*(d-mv) + (t-mv)*(t-mv)) / 3), 4) AS s,
+  round(sqrt(q*q + p*p + d*d + t*t), 4) AS u,
+  round((q*t + p*d + d*p + t*q)
+        / (sqrt(q*q + p*p + d*d + t*t) * sqrt(t*t + d*d + p*p + q*q)), 4) AS c
+FROM mid
+"""
+
+
 RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
+    "eval_let_lineitem": (eval_let_lineitem, EVAL_LET_SQL),
     "collapse_expand_orders": (collapse_expand_orders, COLLAPSE_EXPAND_SQL),
     "frange_lineitem": (frange_lineitem, FRANGE_SQL),
     "func_query_lineitem": (func_query_lineitem, FUNC_QUERY_SQL),
