@@ -1343,6 +1343,62 @@ FROM scores s JOIN documents d ON s.doc_id = d.doc_id
 )
 
 
+# Learning-to-rank re-ranking (solr/contrib/ltr/src/java/org/apache/solr/
+# ltr/LTRScoringQuery.java + model/LinearModel.java:73 `score = Σ w_i·f_i`):
+# first-pass retrieval, per-candidate feature-vector extraction (the
+# FeatureStore role — each feature a named column), linear-model dot
+# product, re-rank. Spark-first shape: the candidate set is a DataFrame
+# (≤ matched docs, never the corpus), features join columnar from the docs
+# relation / index stats, and the model — a handful of floats — folds into
+# the plan as literals (the broadcast-a-tiny-model degenerate case: Catalyst
+# constant-folds it into codegen, zero extra exchanges at any scale; feature
+# extraction is the O(candidates) part and stays columnar).
+LTR_WEIGHTS = {"f_bm25": 0.6, "f_doclen": 0.15, "f_tf": 0.05, "f_lang": 0.3}
+
+
+def ltr_rescore(spark, sf_dir):
+    base = _ft_search_all(spark, sf_dir, "spark").withColumnRenamed("score", "f_bm25")
+    feats = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.log(F.lit(1.0) + F.col("n_chars").cast("double")).alias("f_doclen"),
+        F.expr(f"CAST(size(filter({_TOK_EXPR}, t -> t = 'hash')) AS DOUBLE)").alias("f_tf"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("f_lang"),
+    )
+    # candidates are ≤ first-pass matches — broadcast them into the (at
+    # scale, huge) docs relation so feature extraction never shuffles docs
+    fv = feats.join(F.broadcast(base), "doc_id")
+    model = sum(
+        (F.col(name) * F.lit(w) for name, w in LTR_WEIGHTS.items()), F.lit(0.0)
+    )
+    return (
+        fv.select("doc_id", F.round(model, 4).alias("ltr_score"))
+        .orderBy(F.col("ltr_score").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+LTR_RESCORE_SQL = (
+    _BM25_CTE
+    + _SCORES_CTE.format(terms=_terms_list(["spark"]))
+    + """
+, feats AS (
+  SELECT s.doc_id,
+         round(s.s, 4) AS f_bm25,
+         ln(1 + d.n_chars) AS f_doclen,
+         CAST(COALESCE(t.tf, 0) AS DOUBLE) AS f_tf,
+         CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS f_lang
+  FROM scores s
+  JOIN documents d ON s.doc_id = d.doc_id
+  LEFT JOIN tf t ON t.doc_id = s.doc_id AND t.term = 'hash'
+)
+SELECT doc_id,
+       round(0.0 + f_bm25 * 0.6 + f_doclen * 0.15 + f_tf * 0.05 + f_lang * 0.3, 4)
+         AS ltr_score
+FROM feats ORDER BY ltr_score DESC, doc_id ASC LIMIT 50
+"""
+)
+
+
 # Lucene expressions module (lucene/expressions/, SURVEY §2.10): arbitrary
 # arithmetic over doc values compiled to a DoubleValuesSource → a Spark SQL
 # expression; rank events by a computed expression, top-N
@@ -1404,6 +1460,7 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "ft_fuzzy": (ft_fuzzy, FT_FUZZY_SQL),
     "ft_term_in_set": (ft_term_in_set, FT_IN_SET_SQL),
     "ft_boost": (ft_boost, FT_BOOST_SQL),
+    "ltr_rescore": (ltr_rescore, LTR_RESCORE_SQL),
     "terms_component": (terms_component, TERMS_COMPONENT_SQL),
     "spellcheck_suggest": (spellcheck_suggest, SPELLCHECK_SQL),
     "freetext_suggest": (freetext_suggest, FREETEXT_SUGGEST_SQL),

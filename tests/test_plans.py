@@ -283,3 +283,15 @@ def test_frange_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_ltr_rescore_broadcasts_candidates(spark):
+    """LTRScoringQuery analogue: the ≤N-candidate set broadcasts into the
+    docs relation for feature extraction — the corpus never shuffles, and
+    the linear model is constant-folded (no Python eval in the plan)."""
+    from lucene_solr_spark.textops import ltr_rescore
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(ltr_rescore(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
