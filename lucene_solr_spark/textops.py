@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -348,6 +349,93 @@ SELECT context, suggestion, weight FROM (
   SELECT *, row_number() OVER (PARTITION BY context
             ORDER BY weight DESC, suggestion ASC) AS rk
   FROM big
+) WHERE rk <= 5
+"""
+
+
+# AnalyzingSuggester (reference lucene/suggest/src/java/org/apache/lucene/
+# search/suggest/analyzing/AnalyzingSuggester.java:119-175): completion
+# where BOTH the stored suggestions and the typed prefix go through the
+# analyzer, so "The hash" completes against suggestions whose analyzed form
+# starts with "hash" (stop words dropped, case folded) — prior tokens match
+# exactly, the final typed token as a prefix, exactly the FST traversal
+# semantics. Ranked by weight desc (here: suggestion popularity), surface
+# form returned. Scale shape: the dictionary is a distinct+count groupBy
+# (map-side combinable) over a scan-local token slice; the handful of typed
+# prefixes broadcast into a prefix join — the corpus never shuffles twice.
+_ASUG_INPUTS = ["The hash", "index t", "QUERY pl"]
+
+
+def _analyzed_prefix(s: str) -> str:
+    """Query-side analysis (constant inputs, driver-side): the same
+    lowercase [a-z0-9]+ + stop-filter chain the dictionary keys use."""
+    from .analysis import ENGLISH_STOP_WORDS
+
+    return " ".join(
+        t for t in re.findall(r"[a-z0-9]+", s.lower()) if t not in ENGLISH_STOP_WORDS
+    )
+
+
+def analyzing_suggest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .analysis import ENGLISH_STOP_WORDS
+
+    stops = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
+    sugg = (
+        d.select(F.expr("concat_ws(' ', slice(arr, 1, 3))").alias("surface"))
+        .filter(F.col("surface") != "")
+        .groupBy("surface")
+        .agg(F.count("*").alias("weight"))
+        .withColumn(
+            "akey",
+            F.expr(
+                "concat_ws(' ', filter(split(surface, ' '), "
+                f"t -> NOT array_contains(array({stops}), t)))"
+            ),
+        )
+    )
+    inputs = spark.createDataFrame(
+        [(s, _analyzed_prefix(s)) for s in _ASUG_INPUTS], "input string, aprefix string"
+    )
+    cand = sugg.join(F.broadcast(inputs), F.col("akey").startswith(F.col("aprefix")))
+    w = Window.partitionBy("input").orderBy(
+        F.col("weight").desc(), F.col("surface").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("input", "surface", "weight")
+    )
+
+
+def _asug_sql() -> str:
+    from .analysis import ENGLISH_STOP_WORDS
+
+    stops = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    vals = ", ".join(
+        f"('{s}', '{_analyzed_prefix(s)}')" for s in _ASUG_INPUTS
+    )
+    return f"""
+WITH sugg AS (
+  SELECT array_to_string(list_slice(arr, 1, 3), ' ') AS surface, count(*) AS weight
+  FROM (SELECT {_TOKENIZE} AS arr FROM documents)
+  GROUP BY 1
+), keyed AS (
+  SELECT surface, weight,
+         array_to_string(list_filter(string_split(surface, ' '),
+                                     t -> t NOT IN ({stops})), ' ') AS akey
+  FROM sugg WHERE surface <> ''
+), inputs(input, aprefix) AS (VALUES {vals}),
+cand AS (
+  SELECT i.input, s.surface, s.weight
+  FROM keyed s JOIN inputs i ON s.akey LIKE i.aprefix || '%'
+)
+SELECT input, surface, weight FROM (
+  SELECT *, row_number() OVER (PARTITION BY input
+            ORDER BY weight DESC, surface ASC) AS rk
+  FROM cand
 ) WHERE rk <= 5
 """
 
@@ -1464,6 +1552,7 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "terms_component": (terms_component, TERMS_COMPONENT_SQL),
     "spellcheck_suggest": (spellcheck_suggest, SPELLCHECK_SQL),
     "freetext_suggest": (freetext_suggest, FREETEXT_SUGGEST_SQL),
+    "analyzing_suggest": (analyzing_suggest, _asug_sql()),
     "ft_multifield": (ft_multifield, FT_MULTIFIELD_SQL),
 }
 
