@@ -93,9 +93,10 @@ def live_segments(
     apache/lucene/index/DirectoryReader.java:79-95``, ``listCommits:104``):
     segment ids are assigned monotonically (``next_segment_id``), so the
     id-prefix of the append-only log IS the historical commit state.
-    Caveat (documented divergence): delete tombstones live in the index
-    table without a generation — deletes are applied to every commit, not
-    versioned per commit."""
+    Delete tombstones are versioned per commit: each carries the commit
+    watermark at delete time in its max_doc slot, and a time-traveled
+    searcher applies only tombstones with watermark < commit (see
+    ``merge.delete_docs`` / ``IndexSearcher.commit``)."""
     rows = manifest_rows(spark, index_dir)
     if as_of is not None:
         rows = [r for r in rows if r["segment_id"] <= as_of]

@@ -170,6 +170,18 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_keys: DataFrame) -> int
     Fully distributed: tombstones are encoded per segment inside
     ``applyInPandas`` — no key ever passes through the driver (deleting 1% of
     10^12 docs stays a one-shuffle Spark job).
+
+    Soft-delete versioning (``SoftDeletesRetentionMergePolicy.java`` /
+    per-commit liveDocs): each tombstone row records the commit watermark
+    at delete time — the max manifest segment id — in its ``max_doc``
+    field (unused by tombstones, -1 historically). A time-traveled
+    ``IndexSearcher(commit=N)`` applies a tombstone only when
+    ``watermark < N``: like Lucene, a delete buffered after commit W is
+    absent from commit W and first appears in the NEXT commit (and in the
+    live NRT view). Legacy -1 tombstones stay unversioned (apply
+    everywhere). Merges always compact ALL tombstones — compaction is a
+    new commit, and earlier commits keep resolving from the pre-merge
+    segments via the manifest id-prefix.
     """
     keys = doc_keys.select(
         F.col("segment_id").cast("int"), F.col("doc_id").cast("bigint")
@@ -182,6 +194,7 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_keys: DataFrame) -> int
     if n == 0:
         keys.unpersist()
         return 0
+    watermark = next_segment_id(spark, index_dir) - 1
 
     def to_tombstone(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["segment_id"].iloc[0])
@@ -205,7 +218,9 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_keys: DataFrame) -> int
                 "blk_pos_boff": [b""],
                 "off_blob": [b""],
                 "blk_off_boff": [b""],
-                "max_doc": np.array([-1], dtype=np.int64),
+                # soft-delete commit watermark (see docstring) — NOT a doc
+                # count; tombstones reuse this otherwise-unused slot
+                "max_doc": np.array([watermark], dtype=np.int64),
                 "doc_count": np.array([-1], dtype=np.int64),
                 "sum_len": np.array([-1], dtype=np.int64),
                 "shard": np.array([0], dtype=np.int32),

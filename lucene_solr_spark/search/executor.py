@@ -250,9 +250,13 @@ class IndexSearcher:
         live set is resolved over the manifest id-prefix, and term
         statistics are resolved on demand from the posting rows of that
         live set (the published term_stats generation describes the LATEST
-        commit, so time-traveled opens bypass it). Deletes are NOT
-        versioned (tombstones apply to every commit — documented
-        divergence from Lucene's per-commit liveDocs).
+        commit, so time-traveled opens bypass it). Deletes ARE versioned
+        (per-commit liveDocs): each tombstone carries the commit watermark
+        at delete time, and a time-traveled open applies only tombstones
+        with watermark < commit — a doc deleted after commit N is still
+        returned by ``IndexSearcher(commit=N)``. The live view (commit=None)
+        applies every tombstone, like an NRT reader seeing buffered
+        deletes.
 
         ``parser``: 'benchmark' (default — the flat AND/OR/+/-/"…"~N syntax
         the driver queries use) or 'classic' (the full lucene/queryparser
@@ -621,6 +625,15 @@ class IndexSearcher:
             .filter(F.col("kind").isin(1, 3) & F.col("segment_id").isin(live_segs))
             .select("segment_id", "kind", F.col("doc_blob").alias("blob"), "max_doc")
         )
+        if self.commit is not None:
+            # soft-delete versioning: a tombstone's max_doc slot holds the
+            # commit watermark at delete time — a delete buffered after
+            # commit W is invisible at commit<=W (per-commit liveDocs,
+            # SoftDeletesRetentionMergePolicy role). Legacy -1 rows stay
+            # unversioned and apply to every commit.
+            norms = norms.filter(
+                (F.col("kind") == 1) | (F.col("max_doc") < self.commit)
+            )
 
         def score_segment(key, post_pdf, norm_pdf) -> pd.DataFrame:
             norm_rows = norm_pdf[norm_pdf["kind"] == 1]

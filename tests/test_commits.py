@@ -114,3 +114,48 @@ def test_commit_open_expands_multiterm_against_old_dictionary(
     got = _hits(old, q="pa*", k=12)
     want = _hits(ref, q="pa*", k=12)
     assert got == want
+
+
+def test_soft_deletes_are_commit_versioned(spark, tmp_path_factory):
+    """Per-commit liveDocs (SoftDeletesRetentionMergePolicy role): a doc
+    deleted after commit N is still returned by IndexSearcher(commit=N);
+    the live view and later commits exclude it."""
+    from lucene_solr_spark.corpus import synth_corpus_local
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.index.manifest import list_commits, next_segment_id
+    from lucene_solr_spark.index.merge import delete_docs
+    from lucene_solr_spark.search import IndexSearcher
+
+    corpus = synth_corpus_local(160)
+    d = str(tmp_path_factory.mktemp("softdel") / "idx")
+    build_index(
+        spark, spark.createDataFrame(corpus.iloc[:80]), d,
+        num_segments=2, analyzer="code",
+    )
+    c1 = max(list_commits(spark, d))
+    before = IndexSearcher(spark, d, analyzer="code", commit=c1)
+    hits_before = _hits(before)
+    assert hits_before, "need at least one match to delete"
+
+    # delete the top hit AFTER commit c1, then land another segment so a
+    # later commit exists
+    seg, doc, _ = hits_before[0]
+    delete_docs(
+        spark, d, spark.createDataFrame([(seg, doc)], "segment_id int, doc_id long")
+    )
+    build_index(
+        spark, spark.createDataFrame(corpus.iloc[80:]), d,
+        num_segments=2, analyzer="code",
+        segment_base=next_segment_id(spark, d),
+    )
+    c2 = max(list_commits(spark, d))
+
+    # commit c1 predates the delete: identical hits, deleted doc included
+    at_c1 = IndexSearcher(spark, d, analyzer="code", commit=c1)
+    assert _hits(at_c1) == hits_before
+
+    # the live view and commit c2 both exclude it
+    live_hits = _hits(IndexSearcher(spark, d, analyzer="code"))
+    at_c2_hits = _hits(IndexSearcher(spark, d, analyzer="code", commit=c2))
+    assert (seg, doc) not in [(s, dd) for s, dd, _ in live_hits]
+    assert (seg, doc) not in [(s, dd) for s, dd, _ in at_c2_hits]
