@@ -1262,6 +1262,89 @@ GROUP BY l_returnflag
 """
 
 
+# Taxonomy facets (lucene/facet/src/java/org/apache/lucene/facet/taxonomy/
+# TaxonomyFacetCounts.java + FacetsConfig hierarchical dims): counts at
+# EVERY node of an arbitrary-depth category tree. Spark-first: the path
+# levels explode into all prefixes scan-locally (one pass, no taxonomy
+# sidecar index — the path string IS the ordinal), then one
+# map-side-combinable groupBy. Depth-generic: `levels` is any array column.
+def taxonomy_facets(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    levels = F.array(
+        F.col("p_brand"), F.col("p_type"), F.col("p_size").cast("string")
+    )
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(levels)),
+        lambda i: F.concat_ws("/", F.slice(levels, F.lit(1), i)),
+    )
+    return (
+        p.select(F.explode(prefixes).alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+TAXONOMY_SQL = """
+WITH base AS (
+  SELECT p_brand AS l1, p_type AS l2, CAST(p_size AS VARCHAR) AS l3 FROM part
+), pref AS (
+  SELECT l1 AS path FROM base
+  UNION ALL SELECT l1 || '/' || l2 FROM base
+  UNION ALL SELECT l1 || '/' || l2 || '/' || l3 FROM base
+)
+SELECT path, count(*) AS cnt FROM pref GROUP BY path
+"""
+
+
+# DrillSideways (lucene/facet/src/java/org/apache/lucene/facet/
+# DrillSideways.java:63-100): for each drilled-down dimension, facet counts
+# are computed with THAT dimension's own drill-down removed and all others
+# applied — "what else could I have picked". One scan: each row emits one
+# (dim, value, keep) struct per dimension, keep = the OTHER dims' filters;
+# explode → filter → one groupBy. No per-dim re-scan at any scale.
+_DS_SEG, _DS_PRI = "BUILDING", "1-URGENT"
+
+
+def drill_sideways_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    )
+    sideways = F.array(
+        F.struct(
+            F.lit("mktsegment").alias("dim"),
+            F.col("c_mktsegment").alias("value"),
+            (F.col("o_orderpriority") == _DS_PRI).alias("keep"),
+        ),
+        F.struct(
+            F.lit("priority").alias("dim"),
+            F.col("o_orderpriority").alias("value"),
+            (F.col("c_mktsegment") == _DS_SEG).alias("keep"),
+        ),
+    )
+    return (
+        j.select(F.explode(sideways).alias("s"))
+        .filter(F.col("s.keep"))
+        .groupBy(F.col("s.dim").alias("dim"), F.col("s.value").alias("value"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+DRILL_SIDEWAYS_SQL = f"""
+WITH j AS (
+  SELECT o_orderpriority AS pri, c_mktsegment AS seg
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), u AS (
+  SELECT 'mktsegment' AS dim, seg AS value FROM j WHERE pri = '{_DS_PRI}'
+  UNION ALL
+  SELECT 'priority' AS dim, pri AS value FROM j WHERE seg = '{_DS_SEG}'
+)
+SELECT dim, value, count(*) AS cnt FROM u GROUP BY dim, value
+"""
+
+
 # Solr math-evaluator pipeline over a relation — LetStream variable bindings
 # chaining array evaluators (solr/solrj/src/java/org/apache/solr/client/
 # solrj/io/stream/LetStream.java + io/eval/*Evaluator.java). The whole let()
@@ -1318,6 +1401,8 @@ FROM mid
 
 RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
     "eval_let_lineitem": (eval_let_lineitem, EVAL_LET_SQL),
+    "taxonomy_facets": (taxonomy_facets, TAXONOMY_SQL),
+    "drill_sideways_orders": (drill_sideways_orders, DRILL_SIDEWAYS_SQL),
     "collapse_expand_orders": (collapse_expand_orders, COLLAPSE_EXPAND_SQL),
     "frange_lineitem": (frange_lineitem, FRANGE_SQL),
     "func_query_lineitem": (func_query_lineitem, FUNC_QUERY_SQL),
