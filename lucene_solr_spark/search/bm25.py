@@ -141,6 +141,15 @@ def ax2exp_norm_cache(avgdl: float, s: float = 0.25) -> np.ndarray:
     return s + s * table / max(avgdl, 1e-12)
 
 
+def axf1_norm_cache(avgdl: float, s: float = 0.25) -> np.ndarray:
+    """Axiomatic F1 family document-length component (avgdl+s)/(avgdl+dl·s)
+    per norm byte (``AxiomaticF1LOG.java:63-64`` ln(); same for F1EXP;
+    Axiomatic default s=0.25, ``Axiomatic.java:100``). Decreasing in dl, so
+    the block-max bound stays admissible. float64."""
+    table = LENGTH_TABLE.astype(np.float64)
+    return (avgdl + s) / (avgdl + table * s)
+
+
 def max_block_score(
     max_freq: np.ndarray, min_norm_byte: np.ndarray, weight: np.float32, cache: np.ndarray
 ) -> np.ndarray:

@@ -238,8 +238,10 @@ class IndexSearcher:
         'lmd' (LMDirichletSimilarity, µ=2000), 'lmjm'
         (LMJelinekMercerSimilarity, λ=0.1), 'inl2' (DFRSimilarity with
         I(n)/L/H2, c=1), 'dfi' (DFISimilarity, IndependenceStandardized),
-        'ibll' (IBSimilarity with DistributionLL/LambdaDF/H2) or 'ax2exp'
-        (AxiomaticF2EXP, s=0.25/k=0.35) — SURVEY §2.7;
+        'ibll' (IBSimilarity with DistributionLL/LambdaDF/H2), 'ax2exp'
+        (AxiomaticF2EXP, s=0.25/k=0.35), 'gl2'/'ifl2'/'inel2' (DFR basic
+        models G / I(F) / I(ne) with AfterEffectL + NormalizationH2, c=1)
+        or 'ax1log' (AxiomaticF1LOG, s=0.25) — SURVEY §2.7;
         all share the (freq, norm_byte) scoring seam, are monotone ↑freq /
         ↓length, and therefore keep the block-max pruning bounds admissible
         unchanged.
@@ -282,7 +284,10 @@ class IndexSearcher:
         table = byte4_to_int(np.arange(256, dtype=np.uint8)).astype(np.float64)
         # non-BM25 caches come from the single bm25.py formula seam (f64);
         # parity mode round-trips them through float32
-        if self.sim in ("classic", "lmd", "lmjm", "inl2", "dfi", "ibll", "ax2exp"):
+        if self.sim in (
+            "classic", "lmd", "lmjm", "inl2", "dfi", "ibll", "ax2exp",
+            "gl2", "ifl2", "inel2", "ax1log",
+        ):
             self.avgdl = self.sum_total_term_freq / max(self.doc_count, 1)
             c = {
                 "classic": bm25.classic_norm_cache,
@@ -294,6 +299,12 @@ class IndexSearcher:
                 # ax2exp reuses the default w·f/(f+norm) kernel branch with
                 # the F2EXP denominator as the norm table
                 "ax2exp": lambda: bm25.ax2exp_norm_cache(self.avgdl),
+                # the H2 tfn table serves every DFR basic model (the model
+                # only changes the per-term scalar weight)
+                "gl2": lambda: bm25.inl2_norm_cache(self.avgdl),
+                "ifl2": lambda: bm25.inl2_norm_cache(self.avgdl),
+                "inel2": lambda: bm25.inl2_norm_cache(self.avgdl),
+                "ax1log": lambda: bm25.axf1_norm_cache(self.avgdl),
             }[self.sim]()
             self.cache = c.astype(np.float32).astype(np.float64) if self.f32 else c
         elif self.f32:
@@ -390,6 +401,25 @@ class IndexSearcher:
             elif self.sim == "ax2exp":
                 # idf = ((N+1)/df)^k, k=0.35 (AxiomaticF2EXP.java:99-101)
                 out[t] = float(((self.doc_count + 1.0) / df) ** self.AX2_K)
+            elif self.sim == "gl2":
+                # λ = (F+1)/(N+F+1) (BasicModelG.java:36-39); the kernel
+                # derives A/B from λ
+                F_ = self._ttf_cache[t]
+                out[t] = (F_ + 1.0) / (self.doc_count + F_ + 1.0)
+            elif self.sim == "ifl2":
+                # A = log2(1 + (N+1)/(F+0.5)) (BasicModelIF.java:34-44)
+                out[t] = float(
+                    np.log2(1.0 + (self.doc_count + 1.0) / (self._ttf_cache[t] + 0.5))
+                )
+            elif self.sim == "inel2":
+                # ne = N·(1−((N−1)/N)^F); A = log2((N+1)/(ne+0.5))
+                # (BasicModelIne.java:34-44)
+                N = float(self.doc_count)
+                ne = N * (1.0 - ((N - 1.0) / N) ** self._ttf_cache[t])
+                out[t] = float(np.log2((N + 1.0) / (ne + 0.5)))
+            elif self.sim == "ax1log":
+                # idf = ln((N+1)/df) (AxiomaticF1LOG.java:79-80)
+                out[t] = float(np.log((self.doc_count + 1.0) / df))
             elif self.f32:
                 out[t] = float(
                     bm25.term_weight(bm25.idf(np.array([df]), self.doc_count)[0])
@@ -564,6 +594,9 @@ class IndexSearcher:
             all_terms |= q.terms()
         weights = self.weights_for(all_terms)
         dfs = self.term_stats(all_terms)
+        # snapshot AFTER weights_for/term_stats populated the cache — the
+        # ttf-based DFR models need per-term F for synonym pseudo-terms
+        ttfs = {t: self._ttf_cache.get(t, 0) for t in all_terms}
         doc_count = self.doc_count
         total_tokens = self.sum_total_term_freq
         cache = self.cache
@@ -661,7 +694,7 @@ class IndexSearcher:
             )
             ctx = QueryContext(
                 weights, cache, f32=f32, dfs=dfs, doc_count=doc_count, sim=sim,
-                total_tokens=total_tokens,
+                total_tokens=total_tokens, ttfs=ttfs,
             )
             out_qid, out_doc, out_score = [], [], []
             for qid, q in live.items():

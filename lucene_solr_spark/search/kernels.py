@@ -396,6 +396,7 @@ class QueryContext:
         doc_count: int = 0,
         sim: str = "bm25",
         total_tokens: int = 0,
+        ttfs: dict[str, int] | None = None,
     ):
         dt = np.float32 if f32 else np.float64
         self.f32 = f32
@@ -410,6 +411,9 @@ class QueryContext:
         # sumTotalTermFreq — needed only to undo DFI's per-term +1 smoothing
         # when synonym members' weights are summed
         self.total_tokens = total_tokens
+        # per-term totalTermFreq — needed by the ttf-based DFR basic models
+        # (G / I(F) / I(ne)) whose synonym pseudo-term stats sum members' F
+        self.ttfs = ttfs or {}
 
     def synonym_weight(self, terms) -> float:
         """Pseudo-term weight for a synonym group: df = max over the
@@ -430,6 +434,21 @@ class QueryContext:
                     return 0.0
                 w -= (n_pos - 1) / (self.total_tokens + 1.0)
             return w
+        if self.sim in ("gl2", "ifl2", "inel2"):
+            # ttf-based DFR basic models: the pseudo-term's F is the SUM of
+            # members' totalTermFreq (SynonymQuery single TermStatistics)
+            F = sum(self.ttfs.get(t, 0) for t in terms)
+            if F <= 0:
+                return 0.0
+            N = self.doc_count
+            if self.sim == "gl2":
+                w = (F + 1.0) / (N + F + 1.0)  # λ (BasicModelG.java:38-39)
+            elif self.sim == "ifl2":
+                w = np.log2(1.0 + (N + 1.0) / (F + 0.5))
+            else:
+                ne = N * (1.0 - ((N - 1.0) / N) ** F)
+                w = np.log2((N + 1.0) / (ne + 0.5))
+            return float(w)
         df = max((self.dfs.get(t, 0) for t in terms), default=0)
         if df == 0:
             return 0.0
@@ -443,6 +462,9 @@ class QueryContext:
         elif self.sim == "ax2exp":
             # F2EXP idf over the pseudo-term df (AxiomaticF2EXP.java:99-101)
             w = ((self.doc_count + 1.0) / df) ** 0.35
+        elif self.sim == "ax1log":
+            # F1LOG idf over the pseudo-term df (AxiomaticF1LOG.java:79-80)
+            w = np.log((self.doc_count + 1.0) / df)
         else:
             w = np.log1p((self.doc_count - df + 0.5) / (df + 0.5))
         return np.float32(w) if self.f32 else float(w)
@@ -478,9 +500,31 @@ class QueryContext:
             if w <= 0.0:
                 return np.zeros(len(f), dtype=np.float64)
             out = np.log1p((1.0 - LMJM_LAMBDA) / LMJM_LAMBDA * f * norm / w)
-        elif self.sim == "inl2":
+        elif self.sim in ("inl2", "ifl2", "inel2"):
+            # shared DFR shape (AfterEffectL + NormalizationH2): the basic
+            # model contributes only the per-term scalar A (In: log2((N+1)/
+            # (n+0.5)); IF: log2(1+(N+1)/(F+0.5)), BasicModelIF.java:34-44;
+            # Ine: log2((N+1)/(ne+0.5)), BasicModelIne.java:34-44) —
+            # score = A · tfn/(tfn+1)
             tfn = f * norm
             out = float(weight) * tfn / (tfn + 1.0)
+        elif self.sim == "gl2":
+            # BasicModelG + AfterEffectL + H2 (BasicModelG.java:36-49):
+            # λ = (F+1)/(N+F+1) rides in as the weight; with aeTimes1pTfn=1
+            # score = B − (B−A)/(1+tfn), A = log2(1+λ), B = log2((1+λ)/λ).
+            # B ≥ A (λ ≤ 1) keeps it monotone ↑ tfn → bounds admissible.
+            lam = float(weight)
+            if lam <= 0.0:
+                return np.zeros(len(f), dtype=np.float64)
+            a = np.log2(1.0 + lam)
+            b = np.log2((1.0 + lam) / lam)
+            tfn = f * norm
+            out = b - (b - a) / (1.0 + tfn)
+        elif self.sim == "ax1log":
+            # AxiomaticF1LOG (AxiomaticF1LOG.java:54-64, Axiomatic.java:
+            # 104-110): score = (1+ln(1+ln(f+1))) · lnNorm[normByte] · idf,
+            # idf = ln((N+1)/df) riding in as the weight, tfln = 1, γ = 0
+            out = float(weight) * norm * (1.0 + np.log1p(np.log1p(f)))
         elif self.sim == "dfi":
             # DFISimilarity.java:55-64 with IndependenceStandardized
             # (IndependenceStandardized.java:37): expected = w·dl where the

@@ -206,7 +206,11 @@ def test_ax2exp_scores(spark, sim_index):
 
 
 @pytest.mark.parametrize(
-    "sim", ["classic", "lmd", "lmjm", "inl2", "dfi", "ibll", "ax2exp"]
+    "sim",
+    [
+        "classic", "lmd", "lmjm", "inl2", "dfi", "ibll", "ax2exp",
+        "gl2", "ifl2", "inel2", "ax1log",
+    ],
 )
 def test_pruned_paths_match_exhaustive_under_sim(spark, sim_index, sim):
     """topk_term_pruned / WAND / BlockMaxConjunction bounds stay admissible
@@ -260,3 +264,89 @@ def test_dfi_synonym_single_smoothing(spark, sim_index):
         expect = math.log2((tf - e) / math.sqrt(e) + 1.0) if tf > e else 0.0
         if expect > 0:
             assert hits[coord] == pytest.approx(expect, rel=1e-6), coord
+
+
+def test_gl2_scores(spark, sim_index):
+    """BasicModelG + AfterEffectL + H2 (BasicModelG.java:36-49):
+    λ = (F+1)/(N+F+1); score = B − (B−A)/(1+tfn)."""
+    from lucene_solr_spark.search import IndexSearcher
+
+    s = IndexSearcher(spark, sim_index, analyzer="code", similarity="gl2",
+                      precision="f64")
+    per_doc, doc_count, total = _naive_stats(spark, sim_index)
+    F = sum(t.count("parse") for t in per_doc.values())
+    avgdl = total / doc_count
+    lam = (F + 1.0) / (doc_count + F + 1.0)
+    A = math.log2(1 + lam)
+    B = math.log2((1 + lam) / lam)
+    hits = {(r.segment_id, r.doc_id): r.score for r in s.search("parse", k=10).collect()}
+    assert hits
+    for coord, terms in per_doc.items():
+        tf = terms.count("parse")
+        if tf == 0:
+            assert coord not in hits
+            continue
+        dl = _quantized_len(len(terms))
+        tfn = tf * math.log2(1 + avgdl / dl)
+        expect = B - (B - A) / (1 + tfn)
+        assert hits[coord] == pytest.approx(expect, rel=1e-6), coord
+
+
+def test_ifl2_and_inel2_scores(spark, sim_index):
+    """BasicModelIF.java:34-44 / BasicModelIne.java:34-44 with
+    AfterEffectL + H2: score = A · tfn/(tfn+1)."""
+    from lucene_solr_spark.search import IndexSearcher
+
+    per_doc, doc_count, total = _naive_stats(spark, sim_index)
+    F = sum(t.count("parse") for t in per_doc.values())
+    avgdl = total / doc_count
+    N = float(doc_count)
+    ne = N * (1 - ((N - 1) / N) ** F)
+    expectations = {
+        "ifl2": math.log2(1 + (doc_count + 1) / (F + 0.5)),
+        "inel2": math.log2((doc_count + 1) / (ne + 0.5)),
+    }
+    for sim, A in expectations.items():
+        s = IndexSearcher(spark, sim_index, analyzer="code", similarity=sim,
+                          precision="f64")
+        hits = {
+            (r.segment_id, r.doc_id): r.score
+            for r in s.search("parse", k=10).collect()
+        }
+        assert hits
+        for coord, terms in per_doc.items():
+            tf = terms.count("parse")
+            if tf == 0:
+                assert coord not in hits
+                continue
+            dl = _quantized_len(len(terms))
+            tfn = tf * math.log2(1 + avgdl / dl)
+            assert hits[coord] == pytest.approx(A * tfn / (tfn + 1), rel=1e-6), (
+                sim, coord,
+            )
+
+
+def test_ax1log_scores(spark, sim_index):
+    """AxiomaticF1LOG.java:54-80: score = (1+ln(1+ln(tf+1))) ·
+    (avgdl+s)/(avgdl+dl·s) · ln((N+1)/df), s = 0.25."""
+    from lucene_solr_spark.search import IndexSearcher
+
+    s = IndexSearcher(spark, sim_index, analyzer="code", similarity="ax1log",
+                      precision="f64")
+    per_doc, doc_count, total = _naive_stats(spark, sim_index)
+    df = sum(1 for t in per_doc.values() if "parse" in t)
+    avgdl = total / doc_count
+    hits = {(r.segment_id, r.doc_id): r.score for r in s.search("parse", k=10).collect()}
+    assert hits
+    for coord, terms in per_doc.items():
+        tf = terms.count("parse")
+        if tf == 0:
+            assert coord not in hits
+            continue
+        dl = _quantized_len(len(terms))
+        expect = (
+            (1 + math.log(1 + math.log(tf + 1)))
+            * ((avgdl + 0.25) / (avgdl + dl * 0.25))
+            * math.log((doc_count + 1) / df)
+        )
+        assert hits[coord] == pytest.approx(expect, rel=1e-6), coord

@@ -318,13 +318,40 @@ def _sim_ctx(posts, norms_blob_sum_len, doc_count, sim):
     elif sim == "ax2exp":
         w = {t: ((doc_count + 1.0) / df) ** 0.35 for t, df in dfs.items()}
         cache = bm25.ax2exp_norm_cache(avgdl)
+    elif sim == "gl2":
+        w = {t: (ttfs[t] + 1.0) / (doc_count + ttfs[t] + 1.0) for t in dfs}
+        cache = bm25.inl2_norm_cache(avgdl)
+    elif sim == "ifl2":
+        w = {
+            t: float(np.log2(1.0 + (doc_count + 1.0) / (ttfs[t] + 0.5)))
+            for t in dfs
+        }
+        cache = bm25.inl2_norm_cache(avgdl)
+    elif sim == "inel2":
+        N = float(doc_count)
+        w = {
+            t: float(
+                np.log2((N + 1.0) / (N * (1.0 - ((N - 1.0) / N) ** ttfs[t]) + 0.5))
+            )
+            for t in dfs
+        }
+        cache = bm25.inl2_norm_cache(avgdl)
+    elif sim == "ax1log":
+        w = {t: float(np.log((doc_count + 1.0) / df)) for t, df in dfs.items()}
+        cache = bm25.axf1_norm_cache(avgdl)
     else:
         raise AssertionError(sim)
-    return QueryContext(w, cache, f32=False, dfs=dfs, doc_count=doc_count, sim=sim)
+    return QueryContext(
+        w, cache, f32=False, dfs=dfs, doc_count=doc_count, sim=sim, ttfs=ttfs
+    )
 
 
 @pytest.mark.parametrize(
-    "sim", ["classic", "lmd", "lmjm", "inl2", "dfi", "ibll", "ax2exp"]
+    "sim",
+    [
+        "classic", "lmd", "lmjm", "inl2", "dfi", "ibll", "ax2exp",
+        "gl2", "ifl2", "inel2", "ax1log",
+    ],
 )
 def test_pruned_equals_exhaustive_random_all_sims(sim):
     """The block-max bounds must stay admissible under EVERY similarity
