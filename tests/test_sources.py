@@ -169,3 +169,29 @@ def test_spark_submit_entry_runs_locally(spark, tiny_corpus, tmp_path_factory):
         v == 0 for k, v in chk["structural"].items() if k != "segments_checked"
     ), chk
     assert all(v == 0 for v in chk["content_sha"].values()), chk
+
+
+def test_read_jdbc_against_live_derby(spark, tmp_path):
+    """JDBCStream against a LIVE database (embedded Derby ships with the
+    Spark distro): write a table over JDBC, read it back through read_jdbc
+    with a pushed predicate and range-partitioned parallel connections.
+    Derby folds unquoted identifiers to uppercase, hence the column names."""
+    from lucene_solr_spark.sources import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/jdbc_db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    spark.range(0, 100).selectExpr("id AS ID", "id * 2 AS V").write.format(
+        "jdbc"
+    ).option("url", url).option("dbtable", "probe").option(
+        "driver", driver
+    ).mode("overwrite").save()
+
+    out = read_jdbc(
+        spark, url, "probe",
+        partition_column="ID", lower_bound=0, upper_bound=100,
+        num_partitions=4, predicate="ID < 50", driver=driver,
+    )
+    assert out.rdd.getNumPartitions() == 4  # parallel range connections
+    rows = out.collect()
+    assert len(rows) == 50  # predicate executed remotely
+    assert sum(r.V for r in rows) == 2 * sum(range(50))
