@@ -494,6 +494,105 @@ FROM cscore c FULL OUTER JOIN tscore t ON c.doc_id = t.doc_id
 """
 
 
+# (e)DisMax gate (search/edismax.py — DisMaxQParser.java qf/mm/pf/tie +
+# ExtendedDismaxQParser.java leniency): q = two SHOULD clauses over
+# text^1/title^2 with per-CLAUSE dismax (tie=0.1), mm="2" (both clauses
+# required), pf = whole-query phrase boost on title^1.5. The oracle
+# instantiates the BM25+SmallFloat pipeline per field, dismaxes per
+# (doc, term), pivots per doc with the mm HAVING, and adds the title
+# phrase-adjacency score weighted by the summed term idfs (PhraseQuery
+# pseudo-term weighting, BM25Similarity.java:172-181).
+_EDM_T1, _EDM_T2 = "join", "key"
+_EDM_TIE, _EDM_TITLE_BOOST, _EDM_PF_BOOST = 0.1, 2.0, 1.5
+
+
+def ft_edismax(spark, sf_dir):
+    from .search.edismax import EDisMaxSearcher
+
+    d_c = docs_index_dir(spark, sf_dir)
+    d_t = title_index_dir(spark, sf_dir)
+    ed = EDisMaxSearcher(
+        spark,
+        {"text": (d_c, 1.0), "title": (d_t, _EDM_TITLE_BOOST)},
+        analyzer="simple",
+        precision="f64",
+        tie=_EDM_TIE,
+    )
+    hits = ed.search(
+        f"{_EDM_T1} {_EDM_T2}", mm="2", pf={"title": _EDM_PF_BOOST}, k=None
+    )
+    docs = spark.read.parquet(os.path.join(d_c, "docs")).select(
+        "segment_id", "doc_id", "ext_id"
+    )
+    return hits.join(docs, ["segment_id", "doc_id"]).select(
+        F.col("ext_id").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _edm_tscore_cte(p: str) -> str:
+    """Per-(doc, term) BM25 score CTE for one field (prefix p)."""
+    tl = f"'{_EDM_T1}', '{_EDM_T2}'"
+    return f"""{p}tsc AS (
+  SELECT {p}tf.doc_id, {p}tf.term,
+         ln(1 + ({p}cstats.n - {p}dft.df + 0.5) / ({p}dft.df + 0.5)) *
+         ({p}tf.tf / ({p}tf.tf + 1.2 * (0.25 + 0.75 * {p}dld.dlq /
+                      ({p}cstats.st * 1.0 / {p}cstats.n)))) AS s
+  FROM {p}tf JOIN {p}dft USING (term)
+       JOIN {p}dld ON {p}tf.doc_id = {p}dld.doc_id, {p}cstats
+  WHERE {p}tf.term IN ({tl})
+)"""
+
+
+_EDM_TITLE_TOK = f"list_slice({_TOKENIZE}, 1, {TITLE_TOKENS})"
+
+FT_EDISMAX_SQL = f"""
+WITH {_bm25_chain("", _TOKENIZE)},
+{_bm25_chain("t_", _EDM_TITLE_TOK)},
+{_edm_tscore_cte("")},
+{_edm_tscore_cte("t_")},
+merged AS (
+  SELECT coalesce(c.doc_id, t.doc_id) AS doc_id,
+         coalesce(c.term, t.term) AS term,
+         1.0 * c.s AS sa, {_EDM_TITLE_BOOST} * t.s AS sb
+  FROM tsc c FULL OUTER JOIN t_tsc t
+       ON c.doc_id = t.doc_id AND c.term = t.term
+),
+cl AS (
+  SELECT doc_id, term,
+         greatest(coalesce(sa, -1e308), coalesce(sb, -1e308)) AS mx,
+         coalesce(sa, 0) + coalesce(sb, 0) AS sm
+  FROM merged
+),
+docagg AS (
+  SELECT doc_id, sum(mx + {_EDM_TIE} * (sm - mx)) AS score, count(*) AS nsh
+  FROM cl GROUP BY doc_id
+),
+tpos AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id, {_EDM_TITLE_TOK} AS arr FROM documents)
+),
+ph AS (
+  SELECT a.doc_id, count(*) AS freq
+  FROM tpos a JOIN tpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{_EDM_T1}' AND b.term = '{_EDM_T2}' GROUP BY a.doc_id
+),
+phw AS (
+  SELECT sum(ln(1 + (t_cstats.n - t_dft.df + 0.5) / (t_dft.df + 0.5))) AS w
+  FROM t_dft, t_cstats WHERE t_dft.term IN ('{_EDM_T1}', '{_EDM_T2}')
+),
+phs AS (
+  SELECT ph.doc_id,
+         phw.w * (ph.freq / (ph.freq + 1.2 * (0.25 + 0.75 * t_dld.dlq /
+                  (t_cstats.st * 1.0 / t_cstats.n)))) AS s
+  FROM ph JOIN t_dld ON ph.doc_id = t_dld.doc_id, phw, t_cstats
+)
+SELECT d.doc_id AS doc_id,
+       round(d.score + {_EDM_PF_BOOST} * coalesce(p.s, 0), 4) AS score
+FROM docagg d LEFT JOIN phs p ON d.doc_id = p.doc_id
+WHERE d.nsh >= 2
+"""
+
+
 _SPELL_IN_LIST = ", ".join(f"'{w}'" for w in _SPELL_INPUTS)
 SPELLCHECK_SQL = (
     _BM25_CTE
@@ -1554,6 +1653,7 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "freetext_suggest": (freetext_suggest, FREETEXT_SUGGEST_SQL),
     "analyzing_suggest": (analyzing_suggest, _asug_sql()),
     "ft_multifield": (ft_multifield, FT_MULTIFIELD_SQL),
+    "ft_edismax": (ft_edismax, FT_EDISMAX_SQL),
 }
 
 
