@@ -43,6 +43,7 @@ tokenizer.
 
 from __future__ import annotations
 
+import math
 import re
 
 import numpy as np
@@ -498,3 +499,85 @@ def analyze_query(text: str, analyzer: str = "code") -> list[str]:
     """Analyze query text with the same chain (QueryBuilder.java:60-135).
     Index-side graph chains analyze queries with their base rules."""
     return ANALYZERS[QUERY_CHAIN.get(analyzer, analyzer)](text)[0]
+
+
+# -------------------------------------------------------------- payloads ----
+# DelimitedPayloadTokenFilter + FloatEncoder chain
+# (``analysis/common/src/java/org/apache/lucene/analysis/payloads/
+# DelimitedPayloadTokenFilter.java`` / ``FloatEncoder.java``): whitespace
+# tokenization, each token split at its LAST '|' into (term, float payload),
+# term lowercased. Deviations (documented, lenient where Lucene throws):
+# a token with an unparseable or empty payload part keeps its full pre-'|'
+# text as the term and gets NO payload; tokens whose term part is empty are
+# dropped. Absent payloads score as 1.0 at query time — the
+# ``PayloadDecoder.FLOAT_DECODER`` null contract
+# (``queries/payloads/PayloadDecoder.java:36``).
+
+PAYLOAD_DELIMITER = "|"
+
+
+def analyze_payload(text: str) -> tuple[list[str], list[int]]:
+    """Query-side payload chain: terms only (payload suffixes stripped)."""
+    terms = []
+    for tok in text.split():
+        before, sep, after = tok.rpartition(PAYLOAD_DELIMITER)
+        term = (before if sep else after).lower()
+        if sep:
+            try:
+                if not after or not math.isfinite(float(after)):
+                    term = tok.lower()
+            except ValueError:
+                term = tok.lower()
+        if term:
+            terms.append(term)
+    return terms, list(range(len(terms)))
+
+
+ANALYZERS["payload"] = analyze_payload
+
+
+def analyze_batch_payloads(
+    texts,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """:func:`analyze_batch`'s 5-tuple for the payload chain, plus a float32
+    payload per emitted token (1.0 where the token carried none).
+
+    Token streams are identical to :func:`analyze_payload` per document
+    (property-tested); the flat work is pandas C string kernels over the
+    whole batch, no per-token Python.
+    """
+    import pandas as pd
+
+    per_doc = [(t if t is not None else "").split() for t in texts]
+    raw_lens = np.fromiter((len(p) for p in per_doc), np.int64, len(texts))
+    flat = [tok for parts in per_doc for tok in parts]
+    if not flat:
+        z32 = np.zeros(len(texts), dtype=np.int32)
+        z64 = np.zeros(len(texts), dtype=np.int64)
+        return (
+            np.empty(0, object), np.empty(0, np.int32), z32, z64, z32,
+            np.empty(0, np.float32),
+        )
+    s = pd.Series(flat, dtype=object)
+    parts3 = s.str.rpartition(PAYLOAD_DELIMITER)
+    has_delim = parts3[1].to_numpy() == PAYLOAD_DELIMITER
+    pay = pd.to_numeric(parts3[2], errors="coerce").to_numpy(np.float64)
+    pay_ok = has_delim & np.isfinite(pay) & (parts3[2].to_numpy() != "")
+    term = np.where(pay_ok, parts3[0].to_numpy(), s.to_numpy())
+    term = pd.Series(term).str.lower().to_numpy(object)
+    payload = np.where(pay_ok, pay, 1.0).astype(np.float32)
+    keep = term != ""
+
+    doc_start_raw = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(raw_lens[:-1], out=doc_start_raw[1:])
+    gpos = np.arange(len(flat), dtype=np.int64) - np.repeat(doc_start_raw, raw_lens)
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), raw_lens)
+    # positions re-densify after empty-term drops (the chain has no
+    # stopword gaps: dropped tokens are malformed, not stop words)
+    terms = term[keep]
+    doc_kept = doc_of[keep]
+    lens = np.bincount(doc_kept, minlength=len(texts)).astype(np.int32)
+    starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    positions = (np.arange(len(terms), dtype=np.int64) - np.repeat(starts, lens)).astype(np.int32)
+    return terms, positions, lens, starts, lens, payload[keep]

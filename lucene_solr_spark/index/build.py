@@ -64,6 +64,7 @@ UNIFIED_SCHEMA = (
     "blk_last binary, blk_maxf binary, blk_minn binary, blk_len binary, "
     "blk_doc_boff binary, blk_freq_boff binary, blk_pos_boff binary, "
     "off_blob binary, blk_off_boff binary, "
+    "pay_blob binary, blk_pay_boff binary, "
     "max_doc bigint, doc_count bigint, sum_len bigint, shard int"
 )
 
@@ -107,7 +108,7 @@ def _slice_blob(buf: np.ndarray, offsets: np.ndarray) -> list[bytes]:
 
 def build_segment_frame(
     content, doc_ids: np.ndarray, segment_id: int, analyzer: str,
-    store_offsets: bool = False,
+    store_offsets: bool = False, store_payloads: bool = False,
 ) -> pd.DataFrame:
     """Build one complete segment from documents — all flat numpy.
 
@@ -123,7 +124,16 @@ def build_segment_frame(
     rebase doc ids. Off by default (Lucene's IndexOptions default): ~2
     bytes/occurrence, paid only by indexes that serve offset highlighting.
     """
-    if store_offsets:
+    if store_payloads:
+        # DelimitedPayloadTokenFilter chain (PostingsEnum.PAYLOADS role,
+        # ``index/PostingsEnum.java:48-56``): one float32 per occurrence,
+        # stored fixed-width beside positions. The payload chain IS the
+        # analyzer (whitespace + delimited-payload + lowercase).
+        from ..analysis import analyze_batch_payloads
+
+        (terms_flat, pos_flat, doc_lens, _doc_starts, norm_lens,
+         pay_flat) = analyze_batch_payloads(content)
+    elif store_offsets:
         from ..analysis import analyze_batch_offsets
 
         (terms_flat, pos_flat, doc_lens, _doc_starts, norm_lens,
@@ -224,6 +234,19 @@ def build_segment_frame(
                 byte_cum_o[2 * occ_start[blk_flat]] - off_off[blk_list]
             ).astype(np.int32)
 
+        # ---- payloads: fixed-width float32 per occurrence --------------
+        # no delta chain, no doc-id dependence: concatenating merges append
+        # blobs untouched; per-block byte offset = 4·(occurrence index at
+        # block start − occurrence index at list start)
+        if store_payloads:
+            pay_sorted = np.ascontiguousarray(pay_flat[order].astype(np.float32))
+            pay_off = np.zeros(len(term_start) + 1, dtype=np.int64)
+            pay_off[0] = 4 * tok_starts[0]
+            pay_off[1:] = 4 * tok_ends
+            blk_pay_boff = (
+                4 * occ_start[blk_flat] - pay_off[blk_list]
+            ).astype(np.int32)
+
         # ---- per-128-posting block impact metadata ----
         blk_last = post_doc[blk_end - 1].astype(np.int32)
         blk_maxf = np.maximum.reduceat(freqs, blk_flat).astype(np.int32)
@@ -255,6 +278,16 @@ def build_segment_frame(
             "blk_off_boff": (
                 _slice_blob(blk_off_boff.view(np.uint8), blk_off * 4)
                 if store_offsets
+                else [b""] * n_terms
+            ),
+            "pay_blob": (
+                _slice_blob(pay_sorted.view(np.uint8), pay_off)
+                if store_payloads
+                else [b""] * n_terms
+            ),
+            "blk_pay_boff": (
+                _slice_blob(blk_pay_boff.view(np.uint8), blk_off * 4)
+                if store_payloads
                 else [b""] * n_terms
             ),
             "max_doc": np.full(n_terms, -1, dtype=np.int64),
@@ -291,6 +324,8 @@ def build_segment_frame(
             "blk_pos_boff": [b"", b""],
             "off_blob": [b"", b""],
             "blk_off_boff": [b"", b""],
+            "pay_blob": [b"", b""],
+            "blk_pay_boff": [b"", b""],
             "max_doc": np.array([max_doc, max_doc], dtype=np.int64),
             "doc_count": np.array([doc_count, doc_count], dtype=np.int64),
             "sum_len": np.array([sum_len, sum_len], dtype=np.int64),
@@ -318,6 +353,8 @@ _EMPTY_DTYPES = {
     "blk_pos_boff": "object",
     "off_blob": "object",
     "blk_off_boff": "object",
+    "pay_blob": "object",
+    "blk_pay_boff": "object",
     "max_doc": "int64",
     "doc_count": "int64",
     "sum_len": "int64",
@@ -341,6 +378,7 @@ def build_index(
     extra_lineage: dict | None = None,
     index_sort: str | None = None,
     store_offsets: bool = False,
+    store_payloads: bool = False,
 ) -> dict:
     """Build (or resume) the full index. Returns build metrics.
 
@@ -436,7 +474,7 @@ def build_index(
         doc_ids = np.arange(n, dtype=np.int64)
         return build_segment_frame(
             pdf[content_col].tolist(), doc_ids, seg, analyzer,
-            store_offsets=store_offsets,
+            store_offsets=store_offsets, store_payloads=store_payloads,
         )
 
     to_build = tagged
@@ -475,6 +513,8 @@ def build_index(
         lineage_d["index_sort"] = index_sort
     if store_offsets:
         lineage_d["store_offsets"] = True
+    if store_payloads:
+        lineage_d["store_payloads"] = True
     if extra_lineage:
         lineage_d.update(extra_lineage)
     lineage = json.dumps(lineage_d)

@@ -218,6 +218,8 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_keys: DataFrame) -> int
                 "blk_pos_boff": [b""],
                 "off_blob": [b""],
                 "blk_off_boff": [b""],
+                "pay_blob": [b""],
+                "blk_pay_boff": [b""],
                 # soft-delete commit watermark (see docstring) — NOT a doc
                 # count; tombstones reuse this otherwise-unused slot
                 "max_doc": np.array([watermark], dtype=np.int64),
@@ -264,11 +266,15 @@ def deleted_docs_by_segment(
 # merge executor
 
 def _with_off_cols(df: DataFrame) -> DataFrame:
-    """Read-compat shim: indexes written before offset support lack the
-    off_blob/blk_off_boff columns — present them as empty blobs."""
+    """Read-compat shim: indexes written before offset/payload support lack
+    those blob columns — present them as empty blobs."""
     if "off_blob" not in df.columns:
         df = df.withColumn("off_blob", F.lit(b"")).withColumn(
             "blk_off_boff", F.lit(b"")
+        )
+    if "pay_blob" not in df.columns:
+        df = df.withColumn("pay_blob", F.lit(b"")).withColumn(
+            "blk_pay_boff", F.lit(b"")
         )
     return df
 
@@ -335,12 +341,22 @@ def merge_segments(
             "offset-free posting rows have incompatible blob layouts"
         )
     has_offsets = off_flags.pop()
+    pay_flags = {
+        bool(json.loads(src_rows[s].get("lineage") or "{}").get("store_payloads"))
+        for s in sources
+    }
+    if len(pay_flags) > 1:
+        raise ValueError(
+            "cannot merge segments with mixed store_payloads — payload and "
+            "payload-free posting rows have incompatible blob layouts"
+        )
+    has_payloads = pay_flags.pop()
 
     sort_field = next(iter(sort_fields)) if sort_fields else None
     if sort_field:
         return _merge_segments_sorted(
             spark, index_dir, sources, src_rows, deleted, sort_field,
-            hot_df_threshold, new_segment_id, t0, has_offsets,
+            hot_df_threshold, new_segment_id, t0, has_offsets, has_payloads,
         )
 
     # ---- per-source doc bases + compaction maps (DocIDMerger.java:49-90) ---
@@ -401,7 +417,7 @@ def merge_segments(
             "doc_blob", "freq_blob", "pos_blob",
             "blk_last", "blk_maxf", "blk_minn", "blk_len",
             "blk_doc_boff", "blk_freq_boff", "blk_pos_boff",
-            "off_blob", "blk_off_boff",
+            "off_blob", "blk_off_boff", "pay_blob", "blk_pay_boff",
         )
     )
 
@@ -409,7 +425,7 @@ def merge_segments(
         "doc_blob", "freq_blob", "pos_blob",
         "blk_last", "blk_maxf", "blk_minn", "blk_len",
         "blk_doc_boff", "blk_freq_boff", "blk_pos_boff",
-        "off_blob", "blk_off_boff",
+        "off_blob", "blk_off_boff", "pay_blob", "blk_pay_boff",
     ]
     PASS1_SCHEMA = (
         "seg_order int, shard int, term string, df bigint, ttf bigint, "
@@ -489,9 +505,12 @@ def merge_segments(
                 "blk_doc_boff": boff_out,
                 "blk_freq_boff": cl["blk_freq_boff"],
                 "blk_pos_boff": cl["blk_pos_boff"],
-                # offsets are per-(term,doc)-list deltas — doc-base invariant
+                # offsets are per-(term,doc)-list deltas and payloads are
+                # doc-id-free fixed-width floats — both doc-base invariant
                 "off_blob": cl["off_blob"],
                 "blk_off_boff": cl["blk_off_boff"],
+                "pay_blob": cl["pay_blob"],
+                "blk_pay_boff": cl["blk_pay_boff"],
                 "first_doc": first_val + cbase,
                 "last_doc": last_doc,
             }
@@ -586,6 +605,17 @@ def merge_segments(
                 else:
                     out["off_blob"].append(b"")
                     out["blk_off_boff"].append(b"")
+                if len(r.pay_blob):
+                    # fixed-width float32 per occurrence: drop deleted docs'
+                    # occurrences, block byte offset = 4 * occ index
+                    pay2 = np.frombuffer(r.pay_blob, np.float32)[occ_keep]
+                    out["pay_blob"].append(pay2.tobytes())
+                    out["blk_pay_boff"].append(
+                        (4 * occ_starts2[enc["blk_flat"]]).astype(np.int32).tobytes()
+                    )
+                else:
+                    out["pay_blob"].append(b"")
+                    out["blk_pay_boff"].append(b"")
                 out["first_doc"].append(int(docs2[0]) + b)
                 out["last_doc"].append(int(docs2[-1]) + b)
                 out["seg_order"].append(st["order"][seg])
@@ -621,6 +651,7 @@ def merge_segments(
         .withColumn("freq_bbase", F.coalesce(F.sum(F.octet_length("freq_blob")).over(wb), F.lit(0)))
         .withColumn("pos_bbase", F.coalesce(F.sum(F.octet_length("pos_blob")).over(wb), F.lit(0)))
         .withColumn("off_bbase", F.coalesce(F.sum(F.octet_length("off_blob")).over(wb), F.lit(0)))
+        .withColumn("pay_bbase", F.coalesce(F.sum(F.octet_length("pay_blob")).over(wb), F.lit(0)))
     )
 
     PATCH_SCHEMA = (
@@ -651,6 +682,7 @@ def merge_segments(
             fboffs = pdf["blk_freq_boff"].tolist()
             pboffs = pdf["blk_pos_boff"].tolist()
             oboffs = pdf["blk_off_boff"].tolist()
+            pboffs2 = pdf["blk_pay_boff"].tolist()
             cold_idx = np.flatnonzero(~hot_mask)
             if len(cold_idx):
                 for col, base_col, outlist in (
@@ -658,6 +690,7 @@ def merge_segments(
                     ("blk_freq_boff", "freq_bbase", fboffs),
                     ("blk_pos_boff", "pos_bbase", pboffs),
                     ("blk_off_boff", "off_bbase", oboffs),
+                    ("blk_pay_boff", "pay_bbase", pboffs2),
                 ):
                     blobs = [outlist[j] for j in cold_idx]
                     add = pdf[base_col].to_numpy(np.int64)[cold_idx]
@@ -682,6 +715,8 @@ def merge_segments(
             pdf2["blk_pos_boff"] = pboffs
             pdf2["off_blob"] = pdf["off_blob"]
             pdf2["blk_off_boff"] = oboffs
+            pdf2["pay_blob"] = pdf["pay_blob"]
+            pdf2["blk_pay_boff"] = pboffs2
             yield pdf2
 
     patched = p2.mapInPandas(patch, PATCH_SCHEMA)
@@ -763,6 +798,8 @@ def merge_segments(
             "blk_pos_boff": [b"", b""],
             "off_blob": [b"", b""],
             "blk_off_boff": [b"", b""],
+            "pay_blob": [b"", b""],
+            "blk_pay_boff": [b"", b""],
             "max_doc": [merged_max_doc, merged_max_doc],
             "doc_count": [merged_doc_count, merged_doc_count],
             "sum_len": [merged_sum_len, merged_sum_len],
@@ -812,6 +849,10 @@ def merge_segments(
     }
     if has_offsets:
         lineage_d["store_offsets"] = True
+    if has_payloads:
+        lineage_d["store_payloads"] = True
+    if has_payloads:
+        lineage_d["store_payloads"] = True
     lineage = json.dumps(lineage_d)
     man_row = (
         spark.range(1)
@@ -853,6 +894,7 @@ def _encode_term_rows(
     norms: np.ndarray,
     hot_df_threshold: int,
     offs: np.ndarray | None = None,
+    pays: np.ndarray | None = None,
 ) -> list[dict]:
     """Encode ONE merged term's postings (global doc ids, already sorted
     ascending) into final UNIFIED_SCHEMA-shaped rows. Terms with df >
@@ -862,7 +904,9 @@ def _encode_term_rows(
 
     ``offs``: optional (n_occurrences, 2) int64 array of ABSOLUTE char
     (start, length) pairs aligned with ``pos`` — re-encoded as the
-    interleaved per-(term, doc) delta stream of the build kernel."""
+    interleaved per-(term, doc) delta stream of the build kernel.
+    ``pays``: optional float32 payload per occurrence aligned with ``pos``
+    — sliced per shard, fixed-width (no re-encoding needed)."""
     n = len(docs)
     if n <= hot_df_threshold:
         bounds = [(0, n)]
@@ -901,6 +945,15 @@ def _encode_term_rows(
             )
         else:
             off_blob, blk_off_boff = b"", b""
+        if pays is not None:
+            pay_blob = np.ascontiguousarray(
+                pays[occ_cum[a] : occ_cum[b]]
+            ).tobytes()
+            blk_pay_boff = (
+                (4 * occ_starts[enc["blk_flat"]]).astype(np.int32).tobytes()
+            )
+        else:
+            pay_blob, blk_pay_boff = b"", b""
         rows.append(
             {
                 "term": term,
@@ -918,6 +971,8 @@ def _encode_term_rows(
                 "blk_pos_boff": blk_pos_boff.tobytes(),
                 "off_blob": off_blob,
                 "blk_off_boff": blk_off_boff,
+                "pay_blob": pay_blob,
+                "blk_pay_boff": blk_pay_boff,
                 "shard": shard,
             }
         )
@@ -935,6 +990,7 @@ def _merge_segments_sorted(
     new_segment_id: int,
     t0: float,
     has_offsets: bool = False,
+    has_payloads: bool = False,
 ) -> dict:
     """Sorted merge: the merged doc order is the index-sort order, so
     ``search_sorted`` early termination survives compaction.
@@ -1019,16 +1075,20 @@ def _merge_segments_sorted(
         .select(
             "segment_id", "term", "doc_blob", "freq_blob", "pos_blob",
             "blk_doc_boff", "blk_freq_boff", "blk_len",
-            "off_blob",
+            "off_blob", "pay_blob",
         )
     )
 
-    DECODED_SCHEMA = "term string, docs binary, freqs binary, pos binary, offs binary"
+    DECODED_SCHEMA = (
+        "term string, docs binary, freqs binary, pos binary, offs binary, "
+        "pays binary"
+    )
 
     def remap(it):
         docmaps_b = bc.value["docmaps"]
         for pdf in it:
-            out = {"term": [], "docs": [], "freqs": [], "pos": [], "offs": []}
+            out = {"term": [], "docs": [], "freqs": [], "pos": [], "offs": [],
+                   "pays": []}
             # per posting ROW (one term's whole blob each — numpy inside),
             # same granularity as the concatenating merge's dirty path
             for r in pdf.itertuples(index=False):
@@ -1066,6 +1126,11 @@ def _merge_segments_sorted(
                     out["offs"].append(pair[occ_keep].tobytes())
                 else:
                     out["offs"].append(b"")
+                if has_payloads and len(r.pay_blob):
+                    pay = np.frombuffer(r.pay_blob, np.float32)
+                    out["pays"].append(pay[occ_keep].tobytes())
+                else:
+                    out["pays"].append(b"")
             yield pd.DataFrame(out)
 
     decoded = posts.mapInPandas(remap, DECODED_SCHEMA)
@@ -1095,9 +1160,12 @@ def _merge_segments_sorted(
             offs = np.frombuffer(b"".join(pdf["offs"]), np.int64).reshape(-1, 2)[
                 occ_perm
             ]
+        pays = None
+        if has_payloads:
+            pays = np.frombuffer(b"".join(pdf["pays"]), np.float32)[occ_perm]
         rows = _encode_term_rows(
             term, docs_s, freqs_s, pos[occ_perm], norms, hot_df_threshold,
-            offs=offs,
+            offs=offs, pays=pays,
         )
         out = pd.DataFrame(rows)
         out.insert(0, "segment_id", np.int32(new_segment_id))
@@ -1145,6 +1213,8 @@ def _merge_segments_sorted(
             "blk_pos_boff": [b"", b""],
             "off_blob": [b"", b""],
             "blk_off_boff": [b"", b""],
+            "pay_blob": [b"", b""],
+            "blk_pay_boff": [b"", b""],
             "max_doc": [merged_max_doc, merged_max_doc],
             "doc_count": [merged_doc_count, merged_doc_count],
             "sum_len": [merged_sum_len, merged_sum_len],

@@ -131,6 +131,51 @@ def offsets_postings(spark: SparkSession, index_dir: str, terms=None) -> DataFra
     return df.mapInArrow(decode, OFF_SCHEMA)
 
 
+def payloads_postings(spark: SparkSession, index_dir: str, terms=None) -> DataFrame:
+    """(segment_id, term, doc_id, pos, payload) — the exploded payload index
+    (``PostingsEnum.PAYLOADS``, ``index/PostingsEnum.java:48-56``).
+
+    Only meaningful for indexes built with ``store_payloads=True``. Payloads
+    are fixed-width float32 per occurrence in position order — no delta
+    chain, so shard rows and merged rows decode identically."""
+    PAY_SCHEMA = (
+        "segment_id int, term string, doc_id bigint, pos bigint, payload float"
+    )
+    raw = spark.read.parquet(os.path.join(index_dir, "index"))
+    if "pay_blob" not in raw.columns:  # pre-payloads index layout
+        return spark.createDataFrame([], PAY_SCHEMA)
+    df = raw.filter((F.col("kind") == 0) & (F.octet_length("pay_blob") > 0)).select(
+        "segment_id", "term", "doc_blob", "freq_blob", "pos_blob",
+        "blk_doc_boff", "blk_freq_boff", "blk_len", "pay_blob",
+    )
+    if terms:
+        df = df.filter(sql_in("term", terms))
+
+    def decode(it):
+        for batch in it:
+            pdf = batch.to_pandas()
+            for _, r in pdf.iterrows():
+                d = np.cumsum(decode_doc_deltas(r["doc_blob"], r["blk_doc_boff"], r["blk_len"]))
+                f = decode_freq_values(r["freq_blob"], r["blk_freq_boff"], r["blk_len"])
+                occ_starts = np.zeros(len(f), dtype=np.int64)
+                np.cumsum(f[:-1], out=occ_starts[1:])
+                pdeltas = vbyte_decode(np.frombuffer(r["pos_blob"], np.uint8)).astype(np.int64)
+                pos = delta_decode_lists(pdeltas, occ_starts)
+                pay = np.frombuffer(r["pay_blob"], np.float32)
+                out = pd.DataFrame(
+                    {
+                        "segment_id": np.full(len(pos), r["segment_id"], np.int32),
+                        "term": r["term"],
+                        "doc_id": np.repeat(d, f),
+                        "pos": pos,
+                        "payload": pay,
+                    }
+                )
+                yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+
+    return df.mapInArrow(decode, PAY_SCHEMA)
+
+
 def norms_table(spark: SparkSession, index_dir: str) -> DataFrame:
     """(segment_id, doc_id, norm_byte) rows decoded from the norm blobs."""
     df = (

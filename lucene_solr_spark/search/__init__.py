@@ -2,6 +2,7 @@ from .query import (  # noqa: F401
     BooleanQuery,
     MatchAllQuery,
     MatchNoneQuery,
+    PayloadScoreQuery,
     PhraseQuery,
     Query,
     SpanFirstQuery,
@@ -15,3 +16,4 @@ from .query import (  # noqa: F401
 )
 from .executor import IndexSearcher  # noqa: F401
 from .multifield import MultiFieldSearcher  # noqa: F401
+from .edismax import EDisMaxSearcher  # noqa: F401

@@ -71,6 +71,24 @@ from .query import (
 )
 
 
+def _payload_terms(q: Query) -> set[str]:
+    """Terms whose PAYLOADS the query needs (PayloadScoreQuery leaves) —
+    the pay blobs of every other term stay unshipped, like positions."""
+    from .query import PayloadScoreQuery
+
+    if isinstance(q, PayloadScoreQuery):
+        return {q.term}
+    out: set[str] = set()
+    inner = getattr(q, "inner", None)
+    if inner is not None:
+        out |= _payload_terms(inner)
+    for attr in ("must", "should", "filter", "must_not", "disjuncts"):
+        for c in getattr(q, attr, ()):
+            if not isinstance(c, str):
+                out |= _payload_terms(c)
+    return out
+
+
 def _position_terms(q: Query) -> set[str]:
     """Terms whose POSITIONS the query needs (phrase matching). Everything
     else only needs docs+freqs — their (large) position blobs are never
@@ -631,8 +649,10 @@ class IndexSearcher:
 
         live_segs = self.live
         pos_terms: set[str] = set()
+        pay_terms: set[str] = set()
         for q in live.values():
             pos_terms |= _position_terms(q)
+            pay_terms |= _payload_terms(q)
         cols = [c for c in POSTING_COLS if c != "pos_blob"]
         if not pos_terms:
             pos_col = F.lit(None).cast("binary").alias("pos_blob")
@@ -646,11 +666,21 @@ class IndexSearcher:
                 .otherwise(F.lit(None))
                 .alias("pos_blob")
             )
+        # payload blobs ride only for PayloadScoreQuery terms (and only on
+        # indexes whose layout has them)
+        if pay_terms and "pay_blob" in self._postings_df.columns:
+            pay_col = (
+                F.when(sql_in("term", pay_terms), F.col("pay_blob"))
+                .otherwise(F.lit(None))
+                .alias("pay_blob")
+            )
+        else:
+            pay_col = F.lit(None).cast("binary").alias("pay_blob")
         postings = (
             self._postings_df
             .filter((F.col("kind") == 0) & F.col("segment_id").isin(live_segs))
             .filter(sql_in("term", all_terms))
-            .select(*cols, pos_col)
+            .select(*cols, pos_col, pay_col)
         )
         # kind=1 norms + kind=3 tombstones ride the same cogroup side
         norms = (

@@ -43,6 +43,7 @@ from .query import (
     MatchAllQuery,
     MatchNoneQuery,
     MultiPhraseQuery,
+    PayloadScoreQuery,
     PhraseQuery,
     Query,
     SloppyPhraseQuery,
@@ -94,6 +95,7 @@ class SegmentPostings:
         self._raw: dict[str, tuple] = {}
         self._docs: dict[str, tuple] = {}
         self._pos: dict[str, tuple] = {}
+        self._pay: dict[str, tuple] = {}
         self._blkinfo: dict[str, dict] = {}
         self._partial: dict[str, "_PartialPostings"] = {}
         # instrumentation: postings actually decoded (block-skip evidence)
@@ -164,6 +166,30 @@ class SegmentPostings:
                 np.cumsum(freqs[:-1], out=occ2[1:])
             self._pos[term] = (pos, np.append(occ2, len(pos)))
         return self._pos[term]
+
+    def payloads(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(flat float32 payloads, per-posting occ starts incl. end) —
+        aligned with the delete-masked docs_freqs (``PostingsEnum.PAYLOADS``
+        stream; fixed-width float32 per occurrence in position order)."""
+        docs, freqs = self.docs_freqs(term)
+        if term not in self._pay:
+            _, raw_freqs = self.docs_freqs_raw(term)
+            pay = np.concatenate(
+                [np.frombuffer(r["pay_blob"] or b"", np.float32) for r in self.rows[term]]
+            ) if term in self.rows else np.empty(0, np.float32)
+            if len(pay) != int(raw_freqs.sum()):
+                raise ValueError(
+                    f"no stored payloads for term {term!r} — the index was "
+                    "built without store_payloads=True"
+                )
+            keep = self._docs[term][2]
+            if keep is not None:
+                pay = pay[np.repeat(keep, raw_freqs)]
+            occ2 = np.zeros(len(freqs), dtype=np.int64)
+            if len(freqs):
+                np.cumsum(freqs[:-1], out=occ2[1:])
+            self._pay[term] = (pay, np.append(occ2, len(pay)))
+        return self._pay[term]
 
     def occurrences_at(self, term: str, cand: np.ndarray):
         """(docs, freqs, flat positions) of the term's postings RESTRICTED to
@@ -627,6 +653,8 @@ def eval_query(q: Query, seg: SegmentPostings, ctx: QueryContext, scoring: bool 
         if not scoring or len(docs) == 0:
             return docs, np.zeros(len(docs), dtype=np.float64)
         return docs, ctx.score(freqs, seg.norms[docs], ctx.weights[q.term])
+    if isinstance(q, PayloadScoreQuery):
+        return _eval_payload(q, seg, ctx, scoring)
     if isinstance(q, SloppyPhraseQuery):
         return _eval_sloppy_phrase(q, seg, ctx, scoring)
     if isinstance(
@@ -656,6 +684,37 @@ def eval_query(q: Query, seg: SegmentPostings, ctx: QueryContext, scoring: bool 
     if isinstance(q, DisjunctionMaxQuery):
         return _eval_dismax(q, seg, ctx, scoring)
     raise TypeError(f"unknown query type {type(q)}")
+
+
+def _eval_payload(q: PayloadScoreQuery, seg: SegmentPostings, ctx: QueryContext, scoring: bool):
+    """PayloadScoreQuery over a span term (PayloadScoreQuery.java:46,
+    PayloadSpanScorer.scoreCurrentDoc): docScore = func over the doc's
+    occurrence payloads (Min/Max/Sum/AveragePayloadFunction), times the
+    wrapped term's similarity score when include_span_score. Payloads are
+    accumulated in float like the reference (payloadScore is a float field),
+    in occurrence order."""
+    docs, freqs = seg.docs_freqs(q.term)
+    if not scoring or len(docs) == 0:
+        return docs, np.zeros(len(docs), dtype=np.float64)
+    pay, starts = seg.payloads(q.term)
+    st = starts[:-1]
+    acc = pay if ctx.f32 else pay.astype(np.float64)  # float accumulation
+    if q.func == "sum":
+        agg = np.add.reduceat(acc, st)
+    elif q.func == "max":
+        agg = np.maximum.reduceat(pay, st)
+    elif q.func == "min":
+        agg = np.minimum.reduceat(pay, st)
+    elif q.func == "average":
+        agg = np.add.reduceat(acc, st) / freqs.astype(acc.dtype)
+    else:
+        raise ValueError(f"unknown payload function {q.func!r}")
+    scores = agg.astype(np.float64)
+    if q.include_span_score:
+        scores = scores * ctx.score(freqs, seg.norms[docs], ctx.weights[q.term])
+        if ctx.f32:
+            scores = scores.astype(np.float32).astype(np.float64)
+    return docs, scores
 
 
 def _eval_synonym(q: SynonymQuery, seg: SegmentPostings, ctx: QueryContext, scoring: bool):

@@ -136,6 +136,26 @@ class SpanTermQuery(Query):
 
 
 @dataclass(frozen=True)
+class PayloadScoreQuery(Query):
+    """``queries/payloads/PayloadScoreQuery.java:46``: wraps a span term and
+    scores each matching doc by a :class:`PayloadFunction` aggregate of the
+    occurrences' float payloads — ``min`` / ``max`` / ``sum`` / ``average``
+    (``MinPayloadFunction.java`` etc.). Occurrences without a stored payload
+    contribute 1.0 (``PayloadDecoder.FLOAT_DECODER`` null contract).
+    ``include_span_score=True`` multiplies by the wrapped term's similarity
+    score (``PayloadSpanScorer.scoreCurrentDoc``); ``False`` is the
+    payload-only ``ScoreMode`` the Solr ``{!payload_score}`` parser defaults
+    to. Requires an index built with ``store_payloads=True``."""
+
+    term: str
+    func: str = "max"  # min | max | sum | average
+    include_span_score: bool = False
+
+    def terms(self):
+        return {self.term}
+
+
+@dataclass(frozen=True)
 class SpanOrQuery(Query):
     """``search/spans/SpanOrQuery.java:42``: union of the sub-queries' span
     enumerations, merged in document/start order."""

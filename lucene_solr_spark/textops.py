@@ -613,6 +613,78 @@ SELECT input, suggestion, df, dist FROM (
 )
 
 
+# PayloadScoreQuery gate (queries/payloads/PayloadScoreQuery.java +
+# DelimitedPayloadTokenFilter.java): documents re-serialized with a
+# deterministic per-occurrence payload (token i carries (i % 7) + 0.5),
+# indexed through the payload chain with store_payloads=True, scored with
+# AveragePayloadFunction (payload-only ScoreMode). The oracle computes the
+# same per-occurrence payload from the token positions directly.
+_PAY_TERM = "join"
+
+
+def payload_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = os.path.realpath(sf_dir) + ":payload"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = hashlib.sha1(f"{key}:layout-v3".encode()).hexdigest()[:12]
+    index_dir = f"/tmp/lss_docs_index/{tag}"
+    marker = os.path.join(index_dir, "_built")
+    if not os.path.exists(marker):
+        docs = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .withColumnRenamed("doc_id", "ext_id")
+            .withColumn(
+                "pay_text",
+                F.expr(
+                    "concat_ws(' ', transform("
+                    f"{_TOK_EXPR}, "
+                    "(t, i) -> concat(t, '|', cast(i % 7 as string), '.5')))"
+                ),
+            )
+        )
+        build_index(
+            spark,
+            docs,
+            index_dir,
+            num_segments=8,
+            analyzer="payload",
+            key_cols=("ext_id",),
+            content_col="pay_text",
+            store_payloads=True,
+            resume=True,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def payload_score_docs(spark, sf_dir):
+    from .search.query import PayloadScoreQuery
+
+    d = payload_index_dir(spark, sf_dir)
+    s = IndexSearcher(spark, d, analyzer="payload", precision="f64")
+    hits = s.search_many(
+        {0: PayloadScoreQuery(_PAY_TERM, func="average")}, k=None
+    ).select("segment_id", "doc_id", "score")
+    docs = spark.read.parquet(os.path.join(d, "docs")).select(
+        "segment_id", "doc_id", "ext_id"
+    )
+    return hits.join(docs, ["segment_id", "doc_id"]).select(
+        F.col("ext_id").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+PAYLOAD_SCORE_SQL = f"""
+WITH tokp AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id, {_TOKENIZE} AS arr FROM documents)
+)
+SELECT doc_id, round(avg(((pos - 1) % 7) + 0.5), 4) AS score
+FROM tokp WHERE term = '{_PAY_TERM}' GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # engine-side callables
 
@@ -1654,6 +1726,7 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "analyzing_suggest": (analyzing_suggest, _asug_sql()),
     "ft_multifield": (ft_multifield, FT_MULTIFIELD_SQL),
     "ft_edismax": (ft_edismax, FT_EDISMAX_SQL),
+    "payload_score": (payload_score_docs, PAYLOAD_SCORE_SQL),
 }
 
 
