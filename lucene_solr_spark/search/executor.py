@@ -259,7 +259,8 @@ class IndexSearcher:
         'ibll' (IBSimilarity with DistributionLL/LambdaDF/H2), 'ax2exp'
         (AxiomaticF2EXP, s=0.25/k=0.35), 'gl2'/'ifl2'/'inel2' (DFR basic
         models G / I(F) / I(ne) with AfterEffectL + NormalizationH2, c=1)
-        or 'ax1log' (AxiomaticF1LOG, s=0.25) — SURVEY §2.7;
+        'ax1log' (AxiomaticF1LOG, s=0.25) or 'ax2log' (AxiomaticF2LOG,
+        s=0.25, idf=ln((N+1)/df) over the F2 tfln) — SURVEY §2.7;
         all share the (freq, norm_byte) scoring seam, are monotone ↑freq /
         ↓length, and therefore keep the block-max pruning bounds admissible
         unchanged.
@@ -304,7 +305,7 @@ class IndexSearcher:
         # parity mode round-trips them through float32
         if self.sim in (
             "classic", "lmd", "lmjm", "inl2", "dfi", "ibll", "ax2exp",
-            "gl2", "ifl2", "inel2", "ax1log",
+            "gl2", "ifl2", "inel2", "ax1log", "ax2log",
         ):
             self.avgdl = self.sum_total_term_freq / max(self.doc_count, 1)
             c = {
@@ -317,6 +318,9 @@ class IndexSearcher:
                 # ax2exp reuses the default w·f/(f+norm) kernel branch with
                 # the F2EXP denominator as the norm table
                 "ax2exp": lambda: bm25.ax2exp_norm_cache(self.avgdl),
+                # F2LOG shares F2EXP's tfln denominator table; only the
+                # idf differs (AxiomaticF2LOG.java:69-79)
+                "ax2log": lambda: bm25.ax2exp_norm_cache(self.avgdl),
                 # the H2 tfn table serves every DFR basic model (the model
                 # only changes the per-term scalar weight)
                 "gl2": lambda: bm25.inl2_norm_cache(self.avgdl),
@@ -435,8 +439,9 @@ class IndexSearcher:
                 N = float(self.doc_count)
                 ne = N * (1.0 - ((N - 1.0) / N) ** self._ttf_cache[t])
                 out[t] = float(np.log2((N + 1.0) / (ne + 0.5)))
-            elif self.sim == "ax1log":
-                # idf = ln((N+1)/df) (AxiomaticF1LOG.java:79-80)
+            elif self.sim in ("ax1log", "ax2log"):
+                # idf = ln((N+1)/df) (AxiomaticF1LOG.java:79-80,
+                # AxiomaticF2LOG.java:77-79)
                 out[t] = float(np.log((self.doc_count + 1.0) / df))
             elif self.f32:
                 out[t] = float(

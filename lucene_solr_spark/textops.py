@@ -376,14 +376,15 @@ def _analyzed_prefix(s: str) -> str:
     )
 
 
-def analyzing_suggest(spark, sf_dir):
-    from pyspark.sql import Window
-
+def _sugg_frame(spark, sf_dir):
+    """The suggestion dictionary both analyzing/fuzzy suggesters share:
+    3-token surfaces weighted by frequency, keyed by their analyzed
+    (stop-filtered) form — the AnalyzingSuggester FST input pairs."""
     from .analysis import ENGLISH_STOP_WORDS
 
     stops = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
     d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
-    sugg = (
+    return (
         d.select(F.expr("concat_ws(' ', slice(arr, 1, 3))").alias("surface"))
         .filter(F.col("surface") != "")
         .groupBy("surface")
@@ -396,10 +397,11 @@ def analyzing_suggest(spark, sf_dir):
             ),
         )
     )
-    inputs = spark.createDataFrame(
-        [(s, _analyzed_prefix(s)) for s in _ASUG_INPUTS], "input string, aprefix string"
-    )
-    cand = sugg.join(F.broadcast(inputs), F.col("akey").startswith(F.col("aprefix")))
+
+
+def _topk_per_input(cand):
+    from pyspark.sql import Window
+
     w = Window.partitionBy("input").orderBy(
         F.col("weight").desc(), F.col("surface").asc()
     )
@@ -408,6 +410,82 @@ def analyzing_suggest(spark, sf_dir):
         .filter(F.col("rk") <= 5)
         .select("input", "surface", "weight")
     )
+
+
+def analyzing_suggest(spark, sf_dir):
+    sugg = _sugg_frame(spark, sf_dir)
+    inputs = spark.createDataFrame(
+        [(s, _analyzed_prefix(s)) for s in _ASUG_INPUTS], "input string, aprefix string"
+    )
+    cand = sugg.join(F.broadcast(inputs), F.col("akey").startswith(F.col("aprefix")))
+    return _topk_per_input(cand)
+
+
+# FuzzySuggester (``suggest/analyzing/FuzzySuggester.java:36-95``): the
+# analyzing suggester's completion with Levenshtein tolerance on the
+# analyzed input — defaults maxEdits=1, nonFuzzyPrefix=1 (first char exact),
+# minFuzzyLength=3 (shorter inputs complete exactly). The automaton accepts
+# keys whose SOME prefix is within maxEdits of the input; since one edit
+# changes prefix length by at most one, testing prefix lengths |q|-1..|q|+1
+# is exact. Deviation: classic Levenshtein (a transposition costs 2), i.e.
+# the ``transpositions=false`` constructor config.
+_FSUG_INPUTS = ["hach", "custamer", "merge grup"]
+
+
+def fuzzy_suggest(spark, sf_dir):
+    sugg = _sugg_frame(spark, sf_dir)
+    inputs = spark.createDataFrame(
+        [(s, _analyzed_prefix(s)) for s in _FSUG_INPUTS], "input string, aprefix string"
+    )
+    lev = lambda delta: (
+        F.levenshtein(
+            F.expr(f"substr(akey, 1, length(aprefix) + ({delta}))"),
+            F.col("aprefix"),
+        )
+        <= 1
+    )
+    fuzzy_ok = (
+        (F.expr("substr(akey, 1, 1) = substr(aprefix, 1, 1)"))
+        & (lev(-1) | lev(0) | lev(1))
+    )
+    cond = F.when(F.length("aprefix") < 3, F.col("akey").startswith(F.col("aprefix"))).otherwise(fuzzy_ok)
+    cand = sugg.join(F.broadcast(inputs), cond)
+    return _topk_per_input(cand)
+
+
+def _fsug_sql() -> str:
+    from .analysis import ENGLISH_STOP_WORDS
+
+    stops = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    vals = ", ".join(f"('{s}', '{_analyzed_prefix(s)}')" for s in _FSUG_INPUTS)
+    return f"""
+WITH sugg AS (
+  SELECT array_to_string(list_slice(arr, 1, 3), ' ') AS surface, count(*) AS weight
+  FROM (SELECT {_TOKENIZE} AS arr FROM documents)
+  GROUP BY 1
+), keyed AS (
+  SELECT surface, weight,
+         array_to_string(list_filter(string_split(surface, ' '),
+                                     t -> t NOT IN ({stops})), ' ') AS akey
+  FROM sugg WHERE surface <> ''
+), inputs(input, aprefix) AS (VALUES {vals}),
+cand AS (
+  SELECT i.input, s.surface, s.weight
+  FROM keyed s JOIN inputs i ON
+    CASE WHEN length(i.aprefix) < 3
+         THEN s.akey LIKE i.aprefix || '%'
+         ELSE substr(s.akey, 1, 1) = substr(i.aprefix, 1, 1)
+              AND (levenshtein(substr(s.akey, 1, length(i.aprefix) - 1), i.aprefix) <= 1
+                   OR levenshtein(substr(s.akey, 1, length(i.aprefix)), i.aprefix) <= 1
+                   OR levenshtein(substr(s.akey, 1, length(i.aprefix) + 1), i.aprefix) <= 1)
+    END
+)
+SELECT input, surface, weight FROM (
+  SELECT *, row_number() OVER (PARTITION BY input
+            ORDER BY weight DESC, surface ASC) AS rk
+  FROM cand
+) WHERE rk <= 5
+"""
 
 
 def _asug_sql() -> str:
@@ -1724,6 +1802,7 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "spellcheck_suggest": (spellcheck_suggest, SPELLCHECK_SQL),
     "freetext_suggest": (freetext_suggest, FREETEXT_SUGGEST_SQL),
     "analyzing_suggest": (analyzing_suggest, _asug_sql()),
+    "fuzzy_suggest": (fuzzy_suggest, _fsug_sql()),
     "ft_multifield": (ft_multifield, FT_MULTIFIELD_SQL),
     "ft_edismax": (ft_edismax, FT_EDISMAX_SQL),
     "payload_score": (payload_score_docs, PAYLOAD_SCORE_SQL),

@@ -209,7 +209,7 @@ def test_ax2exp_scores(spark, sim_index):
     "sim",
     [
         "classic", "lmd", "lmjm", "inl2", "dfi", "ibll", "ax2exp",
-        "gl2", "ifl2", "inel2", "ax1log",
+        "gl2", "ifl2", "inel2", "ax1log", "ax2log",
     ],
 )
 def test_pruned_paths_match_exhaustive_under_sim(spark, sim_index, sim):
@@ -324,6 +324,30 @@ def test_ifl2_and_inel2_scores(spark, sim_index):
             assert hits[coord] == pytest.approx(A * tfn / (tfn + 1), rel=1e-6), (
                 sim, coord,
             )
+
+
+def test_ax2log_scores(spark, sim_index):
+    """AxiomaticF2LOG.java:60-79: score = ln((N+1)/df) ·
+    tf/(tf + s + s·dl/avgdl), s = 0.25."""
+    from lucene_solr_spark.search import IndexSearcher
+
+    s = IndexSearcher(spark, sim_index, analyzer="code", similarity="ax2log",
+                      precision="f64")
+    per_doc, doc_count, total = _naive_stats(spark, sim_index)
+    df = sum(1 for t in per_doc.values() if "parse" in t)
+    avgdl = total / doc_count
+    hits = {(r.segment_id, r.doc_id): r.score for r in s.search("parse", k=10).collect()}
+    assert hits
+    for coord, terms in per_doc.items():
+        tf = terms.count("parse")
+        if tf == 0:
+            assert coord not in hits
+            continue
+        dl = _quantized_len(len(terms))
+        expect = math.log((doc_count + 1) / df) * tf / (
+            tf + 0.25 + 0.25 * dl / avgdl
+        )
+        assert hits[coord] == pytest.approx(expect, rel=1e-6), coord
 
 
 def test_ax1log_scores(spark, sim_index):

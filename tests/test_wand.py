@@ -339,6 +339,9 @@ def _sim_ctx(posts, norms_blob_sum_len, doc_count, sim):
     elif sim == "ax1log":
         w = {t: float(np.log((doc_count + 1.0) / df)) for t, df in dfs.items()}
         cache = bm25.axf1_norm_cache(avgdl)
+    elif sim == "ax2log":
+        w = {t: float(np.log((doc_count + 1.0) / df)) for t, df in dfs.items()}
+        cache = bm25.ax2exp_norm_cache(avgdl)
     else:
         raise AssertionError(sim)
     return QueryContext(
@@ -350,7 +353,7 @@ def _sim_ctx(posts, norms_blob_sum_len, doc_count, sim):
     "sim",
     [
         "classic", "lmd", "lmjm", "inl2", "dfi", "ibll", "ax2exp",
-        "gl2", "ifl2", "inel2", "ax1log",
+        "gl2", "ifl2", "inel2", "ax1log", "ax2log",
     ],
 )
 def test_pruned_equals_exhaustive_random_all_sims(sim):
