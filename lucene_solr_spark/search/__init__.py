@@ -9,6 +9,7 @@ from .query import (  # noqa: F401
     SpanNearQuery,
     SpanNotQuery,
     SpanOrQuery,
+    SpanPayloadCheckQuery,
     SpanTermQuery,
     TermQuery,
     parse_query,

@@ -142,27 +142,35 @@ class EDisMaxSearcher:
         mm: str | None = None,
         pf: dict[str, float] | None = None,
         ps: int = 0,
+        pf2: dict[str, float] | None = None,
+        ps2: int = 0,
+        pf3: dict[str, float] | None = None,
+        ps3: int = 0,
         k: int | None = 10,
     ) -> DataFrame:
         """Top-k (segment_id, doc_id, score, rank); ``k=None`` = exhaustive.
 
         ``mm``: min-should-match spec over the optional (SHOULD) clauses.
-        ``pf``: ``{field: boost}`` — the whole query's SHOULD/MUST terms as
-        one phrase query (slop ``ps``) per field, added to the score of docs
-        that already pass the main query (``DisMaxQParser.addPhraseQuery``).
+        ``pf``/``pf2``/``pf3``: ``{field: boost}`` shingled phrase boosts
+        (``ExtendedDismaxQParser.addShingledPhraseQueries``): the positive
+        bare terms as one whole-query phrase (pf), every consecutive bigram
+        (pf2) and trigram (pf3), each with its slop (``ps``/``ps2``/``ps3``),
+        dismaxed across its fields with ``tie`` and added to the score of
+        docs that already pass the main query.
         """
         clauses = split_clauses(q)
         if not any(occ != MUST_NOT for occ, _, _ in clauses):
             raise ValueError("query has no positive clauses")
 
-        # qid ranges: [0, n) main clauses, [n, n+len(pf)) phrase boosts
+        # qid ranges: [0, n) main clauses, [n, ...) shingled phrase boosts
         should_qids = [i for i, (o, _, _) in enumerate(clauses) if o == SHOULD]
         must_qids = [i for i, (o, _, _) in enumerate(clauses) if o == MUST]
         not_qids = [i for i, (o, _, _) in enumerate(clauses) if o == MUST_NOT]
         n = len(clauses)
 
-        # per-field batched query dicts
+        # per-field batched query dicts + per-(field, qid) boost overrides
         per_field: dict[str, dict[int, str]] = {f: {} for f in self.searchers}
+        boost_over: dict[str, dict[int, float]] = {f: {} for f in self.searchers}
         for i, (_, field, body) in enumerate(clauses):
             if field is not None and field in self.searchers:
                 per_field[field][i] = body
@@ -172,40 +180,52 @@ class EDisMaxSearcher:
                 text = body if field is None else f"{field}:{body}"
                 for f in self.searchers:
                     per_field[f][i] = text
-        pf = dict(pf or {})
-        pf_qid: dict[str, int] = {}
-        phrase_text = None
-        if pf:
-            terms = [
-                b
-                for o, fld, b in clauses
-                if o != MUST_NOT and fld is None and not b.startswith('"')
-            ]
-            if len(terms) >= 2:
-                phrase_text = '"' + " ".join(terms) + '"'
-                if ps:
-                    phrase_text += f"~{int(ps)}"
-                for j, f in enumerate(pf):
-                    if f not in self.searchers:
-                        raise ValueError(f"pf field {f!r} not in qf")
-                    pf_qid[f] = n + j
-                    per_field[f][n + j] = phrase_text
+
+        # shingled phrase boosts (pf = whole query, pf2/pf3 = bi/trigrams)
+        terms = [
+            b
+            for o, fld, b in clauses
+            if o != MUST_NOT and fld is None and not b.startswith('"')
+        ]
+        phrase_qids: list[int] = []
+        next_qid = n
+        for fb, slop, size in (
+            (pf, ps, None), (pf2, ps2, 2), (pf3, ps3, 3),
+        ):
+            if not fb:
+                continue
+            for f in fb:
+                if f not in self.searchers:
+                    raise ValueError(f"phrase field {f!r} not in qf")
+            gram = len(terms) if size is None else size
+            if gram < 2 or len(terms) < gram:
+                continue
+            for i in range(len(terms) - gram + 1):
+                text = '"' + " ".join(terms[i : i + gram]) + '"'
+                if slop:
+                    text += f"~{int(slop)}"
+                qid = next_qid
+                next_qid += 1
+                phrase_qids.append(qid)
+                for f, b in fb.items():
+                    per_field[f][qid] = text
+                    boost_over[f][qid] = float(b)
 
         frames = []
         for f, searcher in self.searchers.items():
             qd = per_field[f]
             if not qd:
                 continue
+            boost_expr = F.lit(self.boosts[f])
+            for qid, b in boost_over[f].items():
+                boost_expr = F.when(F.col("qid") == qid, F.lit(b)).otherwise(
+                    boost_expr
+                )
             hits = searcher.search_many(qd, k=None).select(
                 "qid",
                 "segment_id",
                 "doc_id",
-                (
-                    F.col("score")
-                    * F.when(
-                        F.col("qid") == pf_qid.get(f, -1), F.lit(pf.get(f, 0.0))
-                    ).otherwise(F.lit(self.boosts[f]))
-                ).alias("score"),
+                (F.col("score") * boost_expr).alias("score"),
             )
             frames.append(hits)
         tagged = frames[0]
@@ -219,7 +239,7 @@ class EDisMaxSearcher:
         cs = F.col("mx") + F.lit(self.tie) * (F.col("sm") - F.col("mx"))
         clause = clause.select("qid", "segment_id", "doc_id", cs.alias("cs"))
 
-        scoring = [i for i in range(n) if i not in not_qids] + list(pf_qid.values())
+        scoring = [i for i in range(n) if i not in not_qids] + phrase_qids
         doc = clause.groupBy("segment_id", "doc_id").agg(
             F.sum(F.when(F.col("qid").isin(scoring), F.col("cs"))).alias("score"),
             F.count(F.when(F.col("qid").isin(should_qids), F.lit(1))).alias("n_should"),

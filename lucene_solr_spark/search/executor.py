@@ -74,9 +74,9 @@ from .query import (
 def _payload_terms(q: Query) -> set[str]:
     """Terms whose PAYLOADS the query needs (PayloadScoreQuery leaves) —
     the pay blobs of every other term stay unshipped, like positions."""
-    from .query import PayloadScoreQuery
+    from .query import PayloadScoreQuery, SpanPayloadCheckQuery
 
-    if isinstance(q, PayloadScoreQuery):
+    if isinstance(q, (PayloadScoreQuery, SpanPayloadCheckQuery)):
         return {q.term}
     out: set[str] = set()
     inner = getattr(q, "inner", None)

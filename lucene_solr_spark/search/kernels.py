@@ -45,6 +45,7 @@ from .query import (
     MultiPhraseQuery,
     PayloadScoreQuery,
     PhraseQuery,
+    SpanPayloadCheckQuery,
     Query,
     SloppyPhraseQuery,
     SpanFirstQuery,
@@ -655,6 +656,8 @@ def eval_query(q: Query, seg: SegmentPostings, ctx: QueryContext, scoring: bool 
         return docs, ctx.score(freqs, seg.norms[docs], ctx.weights[q.term])
     if isinstance(q, PayloadScoreQuery):
         return _eval_payload(q, seg, ctx, scoring)
+    if isinstance(q, SpanPayloadCheckQuery):
+        return _eval_payload_check(q, seg, ctx, scoring)
     if isinstance(q, SloppyPhraseQuery):
         return _eval_sloppy_phrase(q, seg, ctx, scoring)
     if isinstance(
@@ -715,6 +718,28 @@ def _eval_payload(q: PayloadScoreQuery, seg: SegmentPostings, ctx: QueryContext,
         if ctx.f32:
             scores = scores.astype(np.float32).astype(np.float64)
     return docs, scores
+
+
+def _eval_payload_check(
+    q: SpanPayloadCheckQuery, seg: SegmentPostings, ctx: QueryContext, scoring: bool
+):
+    """SpanPayloadCheckQuery over a unit span (SpanPayloadCheckQuery.java:
+    103-135 accept): an occurrence survives iff its payload equals the
+    target; docs keep their surviving-occurrence count as the span freq and
+    score through the similarity like any span query."""
+    if len(q.payloads_to_match) != 1:
+        raise ValueError("single-term span: exactly one payload to match")
+    docs, freqs = seg.docs_freqs(q.term)
+    if len(docs) == 0:
+        return docs, np.zeros(0, dtype=np.float64)
+    pay, starts = seg.payloads(q.term)
+    hit = (pay == np.float32(q.payloads_to_match[0])).astype(np.int64)
+    freq2 = np.add.reduceat(hit, starts[:-1])
+    keep = freq2 > 0
+    docs2 = docs[keep]
+    if not scoring:
+        return docs2, np.zeros(len(docs2), dtype=np.float64)
+    return docs2, ctx.score(freq2[keep], seg.norms[docs2], ctx.weights[q.term])
 
 
 def _eval_synonym(q: SynonymQuery, seg: SegmentPostings, ctx: QueryContext, scoring: bool):

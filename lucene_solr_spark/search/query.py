@@ -156,6 +156,21 @@ class PayloadScoreQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanPayloadCheckQuery(Query):
+    """``queries/payloads/SpanPayloadCheckQuery.java:47``: keeps only span
+    matches whose payloads equal ``payloads_to_match``, scored as a normal
+    span query over the surviving occurrences (unit-span freq = surviving
+    count). Single-term spans only (the common {!payload_check} case);
+    a float payload compares exactly against the stored float32."""
+
+    term: str
+    payloads_to_match: tuple[float, ...]
+
+    def terms(self):
+        return {self.term}
+
+
+@dataclass(frozen=True)
 class SpanOrQuery(Query):
     """``search/spans/SpanOrQuery.java:42``: union of the sub-queries' span
     enumerations, merged in document/start order."""

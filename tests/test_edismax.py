@@ -277,6 +277,47 @@ def test_edismax_pf_phrase_boost(spark, two_field_indexes):
         assert s == pytest.approx(want, rel=1e-9), c
 
 
+def test_edismax_pf2_pf3_shingles(spark, two_field_indexes):
+    """pf2/pf3 add every consecutive bigram/trigram of the positive bare
+    terms as phrase boosts (addShingledPhraseQueries): score == base +
+    boost * sum of per-shingle phrase scores."""
+    from lucene_solr_spark.search import IndexSearcher
+    from lucene_solr_spark.search.edismax import EDisMaxSearcher
+
+    d_body, _ = two_field_indexes
+    body = IndexSearcher(spark, d_body, analyzer="code", precision="f64")
+    terms = ["parse", "buffer", "store"]
+    q = " ".join(terms)
+    bigrams = [f'"{terms[i]} {terms[i+1]}"~1' for i in range(2)]
+    trigram = ['"' + " ".join(terms) + '"']
+    sh_scores = {}
+    for t in bigrams + trigram:
+        sh_scores[t] = {
+            (r.segment_id, r.doc_id): float(r.score)
+            for r in body.search_many({0: t}, k=None).collect()
+        }
+    ed = EDisMaxSearcher(
+        spark, {"body": (d_body, 1.0)}, analyzer="code", precision="f64"
+    )
+    base = {
+        (r.segment_id, r.doc_id): float(r.score)
+        for r in ed.search(q, k=None).collect()
+    }
+    boosted = {
+        (r.segment_id, r.doc_id): float(r.score)
+        for r in ed.search(
+            q, pf2={"body": 2.0}, ps2=1, pf3={"body": 3.0}, k=None
+        ).collect()
+    }
+    assert boosted.keys() == base.keys()
+    for c, s in boosted.items():
+        want = base[c]
+        for t in bigrams:
+            want += 2.0 * sh_scores[t].get(c, 0.0)
+        want += 3.0 * sh_scores[trigram[0]].get(c, 0.0)
+        assert s == pytest.approx(want, rel=1e-9), c
+
+
 def test_edismax_topk_rank_shape(spark, two_field_indexes):
     from lucene_solr_spark.search.edismax import EDisMaxSearcher
 

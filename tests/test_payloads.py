@@ -295,3 +295,37 @@ def test_mixed_payloads_merge_raises(spark, pay_corpus, tmp_path_factory):
     )
     with pytest.raises(ValueError, match="store_payloads"):
         merge_segments(spark, d, [0, 1, 2, 3])
+
+
+def test_span_payload_check_query(spark, pay_corpus, pay_index):
+    """SpanPayloadCheckQuery: only occurrences whose payload equals the
+    target survive; span freq = surviving count, scored via the similarity
+    over that freq."""
+    from collections import defaultdict
+
+    from lucene_solr_spark.index.read import payloads_postings
+    from lucene_solr_spark.search import IndexSearcher, SpanPayloadCheckQuery
+
+    from collections import Counter
+
+    term = Counter(t for _, t, _, _ in _expected_rows(pay_corpus)).most_common(1)[0][0]
+    target = 2.5  # (i % 7) + 0.5 hits 2.5 when i % 7 == 2
+    s = IndexSearcher(spark, pay_index, analyzer="payload", precision="f64")
+    got = {
+        (r.segment_id, r.doc_id): float(r.score)
+        for r in s.search_many(
+            {0: SpanPayloadCheckQuery(term, (target,))}, k=None
+        ).collect()
+    }
+    per_doc = defaultdict(int)
+    for r in payloads_postings(spark, pay_index, terms=[term]).collect():
+        if np.float32(r.payload) == np.float32(target):
+            per_doc[(r.segment_id, r.doc_id)] += 1
+    assert got.keys() == {c for c, n in per_doc.items() if n > 0}
+    assert got
+    # differential: the surviving freq drives the score — same term with
+    # a never-stored payload matches nothing
+    none = s.search_many(
+        {0: SpanPayloadCheckQuery(term, (123.456,))}, k=None
+    ).count()
+    assert none == 0
