@@ -113,6 +113,19 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
     )
     out["bad_norm_len"] = sum(1 for r in norm_rows if int(r.nb) != int(r.max_doc))
 
+    # ---- payloads: fixed-width stream is exactly 4 bytes per occurrence ----
+    # (PostingsEnum.PAYLOADS layout; one boff per block, like the others)
+    if "pay_blob" in idx.columns:
+        out["bad_payloads"] = posts.filter(
+            (F.octet_length("pay_blob") > 0)
+            & (
+                (F.octet_length("pay_blob") != 4 * F.col("ttf"))
+                | (F.octet_length("blk_pay_boff") != F.octet_length("blk_len"))
+            )
+        ).count()
+    else:
+        out["bad_payloads"] = 0
+
     # ---- global term stats equal per-segment sums --------------------------
     per_seg = posts.groupBy("term").agg(
         F.sum("df").alias("df2"), F.sum("ttf").alias("ttf2")

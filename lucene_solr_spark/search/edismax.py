@@ -146,6 +146,7 @@ class EDisMaxSearcher:
         ps2: int = 0,
         pf3: dict[str, float] | None = None,
         ps3: int = 0,
+        bq: list[str] | None = None,
         k: int | None = 10,
     ) -> DataFrame:
         """Top-k (segment_id, doc_id, score, rank); ``k=None`` = exhaustive.
@@ -157,6 +158,11 @@ class EDisMaxSearcher:
         (pf2) and trigram (pf3), each with its slop (``ps``/``ps2``/``ps3``),
         dismaxed across its fields with ``tie`` and added to the score of
         docs that already pass the main query.
+        ``bq``: boost queries (``DisMaxQParser`` bq param) — each string
+        (optional trailing ``^boost``) is parsed per qf field, dismaxed
+        across fields like a clause, and ADDED to the score of matching
+        docs; bq never admits docs or counts toward mm (the SHOULD-beside-
+        the-main-query structure).
         """
         clauses = split_clauses(q)
         if not any(occ != MUST_NOT for occ, _, _ in clauses):
@@ -210,6 +216,20 @@ class EDisMaxSearcher:
                 for f, b in fb.items():
                     per_field[f][qid] = text
                     boost_over[f][qid] = float(b)
+
+        # boost queries: extra scoring-only qids across the qf fields
+        for text in bq or ():
+            b_extra = 1.0
+            m = re.search(r"\^(\d+(?:\.\d+)?)$", text)
+            if m:
+                b_extra = float(m.group(1))
+                text = text[: m.start()]
+            qid = next_qid
+            next_qid += 1
+            phrase_qids.append(qid)
+            for f in self.searchers:
+                per_field[f][qid] = text
+                boost_over[f][qid] = self.boosts[f] * b_extra
 
         frames = []
         for f, searcher in self.searchers.items():

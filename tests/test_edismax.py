@@ -330,3 +330,36 @@ def test_edismax_topk_rank_shape(spark, two_field_indexes):
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
     scores = [r.score for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_edismax_bq_boost_query(spark, two_field_indexes):
+    """bq adds the boost query's dismaxed score to matching docs without
+    admitting new docs or moving the mm bar."""
+    from lucene_solr_spark.search import IndexSearcher
+    from lucene_solr_spark.search.edismax import EDisMaxSearcher
+
+    d_body, _ = two_field_indexes
+    body = IndexSearcher(spark, d_body, analyzer="code", precision="f64")
+    ed = EDisMaxSearcher(
+        spark, {"body": (d_body, 1.0)}, analyzer="code", precision="f64"
+    )
+    base = {
+        (r.segment_id, r.doc_id): float(r.score)
+        for r in ed.search("parse", k=None).collect()
+    }
+    boosted = {
+        (r.segment_id, r.doc_id): float(r.score)
+        for r in ed.search("parse", bq=["buffer^3.0"], k=None).collect()
+    }
+    assert boosted.keys() == base.keys()
+    bq_scores = {
+        (r.segment_id, r.doc_id): float(r.score)
+        for r in body.search_many({0: "buffer"}, k=None).collect()
+    }
+    changed = 0
+    for c, s in boosted.items():
+        want = base[c] + 3.0 * bq_scores.get(c, 0.0)
+        if c in bq_scores:
+            changed += 1
+        assert s == pytest.approx(want, rel=1e-9), c
+    assert changed > 0
