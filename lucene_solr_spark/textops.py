@@ -1769,9 +1769,9 @@ FT_OPS: dict[str, tuple] = {
     "ft_intervals": (ft_intervals, FT_INTERVALS_SQL),
     "ft_phrase": (ft_phrase, ft_phrase_sql("table", "hash")),
     "ft_phrase_slop": (ft_phrase_slop, FT_PHRASE_SLOP_SQL),
-    "ft_term_tf": (ft_term_tf, FT_TF_SQL),
+    "ft_edismax": (ft_edismax, FT_EDISMAX_SQL),
     "ft_df_stats": (ft_df_stats, FT_DF_SQL),
-    "ft_norms": (ft_norms, FT_NORMS_SQL),
+    "payload_score": (payload_score_docs, PAYLOAD_SCORE_SQL),
     "ft_multiterm": (ft_multiterm, FT_MULTITERM_SQL),
     "ft_dismax": (ft_dismax, FT_DISMAX_SQL),
     "ft_synonym": (ft_synonym, FT_SYNONYM_SQL),
@@ -1804,8 +1804,8 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "analyzing_suggest": (analyzing_suggest, _asug_sql()),
     "fuzzy_suggest": (fuzzy_suggest, _fsug_sql()),
     "ft_multifield": (ft_multifield, FT_MULTIFIELD_SQL),
-    "ft_edismax": (ft_edismax, FT_EDISMAX_SQL),
-    "payload_score": (payload_score_docs, PAYLOAD_SCORE_SQL),
+    "ft_term_tf": (ft_term_tf, FT_TF_SQL),
+    "ft_norms": (ft_norms, FT_NORMS_SQL),
 }
 
 
