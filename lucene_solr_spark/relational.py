@@ -759,6 +759,71 @@ ORDER BY dist ASC, c_custkey ASC LIMIT 20
 """
 
 
+# LatLonPoint.newPolygonQuery (lucene/core document/LatLonPoint.java:253,
+# geo/Polygon2D.java:54 contains()) — arbitrary (non-convex) polygon
+# containment via even-odd ray casting. Two-phase like the reference's
+# BKD traversal: a cheap bounding-box prefilter (pushed-down scan filter,
+# the coarse-cell approximation) then the exact per-edge crossing test
+# (Polygon2D.contains). The crossing sum is generated ONCE as a SQL
+# expression string and compiled by BOTH Catalyst and DuckDB, so the two
+# engines evaluate identical IEEE-double arithmetic. No horizontal edges
+# in the polygon (the guarded division never sees y2 == y1).
+_POLY = [(10.0, -150.0), (45.0, -100.0), (10.0, -50.0), (70.0, -70.0), (80.0, -120.0)]
+
+
+def _poly_crossing_expr(lat_col: str, lon_col: str) -> str:
+    terms = []
+    for i, (y1, x1) in enumerate(_POLY):
+        y2, x2 = _POLY[(i + 1) % len(_POLY)]
+        terms.append(
+            f"(CASE WHEN (({y1} > {lat_col}) <> ({y2} > {lat_col})) AND "
+            f"({lon_col} < ({x2} - {x1}) * ({lat_col} - {y1}) / ({y2} - {y1}) + {x1}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _poly_bbox() -> tuple[float, float, float, float]:
+    lats = [p[0] for p in _POLY]
+    lons = [p[1] for p in _POLY]
+    return min(lats), max(lats), min(lons), max(lons)
+
+
+def spatial_polygon(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    lat_min, lat_max, lon_min, lon_max = _poly_bbox()
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 180) - 90 + 0.5).alias("lat"),
+        ((F.col("c_custkey") % 360) - 180 + 0.5).alias("lon"),
+    )
+    return (
+        pts.filter(F.col("lat").between(lat_min, lat_max))
+        .filter(F.col("lon").between(lon_min, lon_max))
+        .filter(F.expr(_poly_crossing_expr("lat", "lon")) % 2 == 1)
+        .select("c_custkey", "lat", "lon")
+    )
+
+
+def _spatial_polygon_sql() -> str:
+    lat_min, lat_max, lon_min, lon_max = _poly_bbox()
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey % 180) - 90 + 0.5 AS lat,
+         (c_custkey % 360) - 180 + 0.5 AS lon
+  FROM customer
+)
+SELECT c_custkey, lat, lon FROM pts
+WHERE lat BETWEEN {lat_min} AND {lat_max}
+  AND lon BETWEEN {lon_min} AND {lon_max}
+  AND ({_poly_crossing_expr("lat", "lon")}) % 2 = 1
+"""
+
+
+SPATIAL_POLYGON_SQL = _spatial_polygon_sql()
+
+
 # DiversifiedTopDocsCollector (reference lucene/misc/src/java/org/apache/
 # lucene/search/DiversifiedTopDocsCollector.java:61): global top-N with at
 # most maxHitsPerKey results per key. Two-stage Spark shape: per-key rank
@@ -1429,4 +1494,5 @@ RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
     "left_join_customer_orders": (left_join_customer_orders, LEFT_JOIN_SQL),
     "intersect_custkeys": (intersect_custkeys, INTERSECT_SQL),
     "complement_customers": (complement_customers, COMPLEMENT_SQL),
+    "spatial_polygon": (spatial_polygon, SPATIAL_POLYGON_SQL),
 }

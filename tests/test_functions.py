@@ -95,3 +95,41 @@ def test_scale_minmax(spark):
     df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
     vals = sorted(r.s for r in df.select(parse_func("scale(x,0,10)").alias("s")).collect())
     assert vals == pytest.approx([0.0, 5.0, 10.0])
+
+
+def test_spatial_polygon_matches_independent_pnpoly(spark):
+    """LatLonPoint.newPolygonQuery role: the shared Catalyst/DuckDB crossing
+    expression must agree with an independent per-point PNPOLY loop on a
+    non-convex polygon (guards expression-string generation bugs — both
+    engines would be wrong the same way; the loop would not)."""
+    from lucene_solr_spark.relational import _POLY, spatial_polygon
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    got = {
+        int(r.c_custkey)
+        for r in spatial_polygon(spark, sf).select("c_custkey").collect()
+    }
+
+    def pnpoly(lat, lon):
+        inside = False
+        for i, (y1, x1) in enumerate(_POLY):
+            y2, x2 = _POLY[(i + 1) % len(_POLY)]
+            if ((y1 > lat) != (y2 > lat)) and (
+                lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+            ):
+                inside = not inside
+        return inside
+
+    import pyspark.sql.functions as F
+
+    cust = (
+        spark.read.parquet(os.path.join(sf, "customer.parquet"))
+        .select("c_custkey")
+        .collect()
+    )
+    expect = set()
+    for r in cust:
+        k = int(r.c_custkey)
+        if pnpoly((k % 180) - 90 + 0.5, (k % 360) - 180 + 0.5):
+            expect.add(k)
+    assert got == expect and len(got) > 0
