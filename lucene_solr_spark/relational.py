@@ -824,6 +824,167 @@ WHERE lat BETWEEN {lat_min} AND {lat_max}
 SPATIAL_POLYGON_SQL = _spatial_polygon_sql()
 
 
+# Solr JSON Facet API (solr/core search/facet/FacetModule.java,
+# FacetField.java:71, FacetFieldProcessor.java): terms buckets sorted by a
+# METRIC (not count — the sort:"sum_price desc" spec), per-bucket aggs
+# (count/sum/avg/unique: CountAgg/SumAgg/AvgAgg/UniqueAgg), and a NESTED
+# subfacet evaluated within each surviving parent bucket. Scale shape: the
+# parent facet is one partial+final groupBy; the subfacet re-aggregates only
+# rows of surviving buckets (broadcast semi-join on ≤limit keys) with a
+# per-parent partitioned window for the inner top-k — never a global window.
+def json_facet_orders(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    parents = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("bucket_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.countDistinct("o_custkey").alias("uniq_cust"),
+        )
+        .orderBy(F.col("sum_price").desc(), F.col("o_orderpriority").asc())
+        .limit(3)
+    )
+    sub = (
+        o.join(F.broadcast(parents.select("o_orderpriority")), "o_orderpriority")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("status_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("status_sum"),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("status_count").desc(), F.col("o_orderstatus").asc()
+    )
+    sub = sub.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
+    return parents.join(sub, "o_orderpriority").select(
+        "o_orderpriority",
+        "bucket_count",
+        "sum_price",
+        "avg_price",
+        "uniq_cust",
+        "o_orderstatus",
+        "status_count",
+        "status_sum",
+    )
+
+
+JSON_FACET_SQL = """
+WITH parents AS (
+  SELECT o_orderpriority,
+         count(*) AS bucket_count,
+         round(sum(o_totalprice), 2) AS sum_price,
+         round(avg(o_totalprice), 2) AS avg_price,
+         count(DISTINCT o_custkey) AS uniq_cust
+  FROM orders GROUP BY o_orderpriority
+  ORDER BY sum_price DESC, o_orderpriority ASC LIMIT 3
+),
+sub AS (
+  SELECT o.o_orderpriority, o.o_orderstatus,
+         count(*) AS status_count,
+         round(sum(o.o_totalprice), 2) AS status_sum,
+         row_number() OVER (PARTITION BY o.o_orderpriority
+                            ORDER BY count(*) DESC, o.o_orderstatus ASC) AS rk
+  FROM orders o JOIN parents p USING (o_orderpriority)
+  GROUP BY o.o_orderpriority, o.o_orderstatus
+)
+SELECT p.o_orderpriority,
+       CAST(p.bucket_count AS BIGINT) AS bucket_count,
+       p.sum_price, p.avg_price,
+       CAST(p.uniq_cust AS BIGINT) AS uniq_cust,
+       s.o_orderstatus,
+       CAST(s.status_count AS BIGINT) AS status_count,
+       s.status_sum
+FROM parents p JOIN sub s USING (o_orderpriority)
+WHERE s.rk <= 2
+"""
+
+
+# RelatednessAgg (solr/core search/facet/RelatednessAgg.java:473
+# computeRelatedness + :500 sigmoidHelper) — the Semantic Knowledge Graph
+# relatedness score of each facet bucket w.r.t. a foreground query vs the
+# background collection: z = (fg_count - fg_size·bg_prob) /
+# sqrt(fg_size·bg_prob·(1-bg_prob)), squashed through the 5-sigmoid blend,
+# rounded to 5 digits (roundTo5Digits). popularity = count/bg_size (fg_pop
+# intentionally divides by BACKGROUND size, RelatednessAgg.java:356).
+# One groupBy with conditional counts + a broadcast 1-row global-sizes
+# aggregate — single shuffle, scale-safe.
+def relatedness_mktsegment(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    fg = F.col("c_acctbal") > 5000  # the foreground query $q
+    per = c.groupBy("c_mktsegment").agg(
+        F.sum(F.when(fg, 1).otherwise(0)).cast("long").alias("fg_count"),
+        F.count("*").alias("bg_count"),
+    )
+    sizes = c.agg(
+        F.sum(F.when(fg, 1).otherwise(0)).cast("double").alias("fg_size"),
+        F.count("*").cast("double").alias("bg_size"),
+    )
+    j = per.crossJoin(F.broadcast(sizes))
+    bg_prob = F.col("bg_count") / F.col("bg_size")
+    num = F.col("fg_count") - F.col("fg_size") * bg_prob
+    denom_raw = F.sqrt(F.col("fg_size") * bg_prob * (1 - bg_prob))
+    z = num / F.when(denom_raw != 0, denom_raw).otherwise(F.lit(1e-10))
+
+    def sig(off, scale):
+        return (z + off) / (scale + F.abs(z + off))
+
+    rel = F.round(
+        0.2 * sig(-80.0, 50.0)
+        + 0.2 * sig(-30.0, 30.0)
+        + 0.2 * sig(0.0, 30.0)
+        + 0.2 * sig(30.0, 30.0)
+        + 0.2 * sig(80.0, 50.0),
+        5,
+    )
+    return (
+        j.select(
+            "c_mktsegment",
+            "fg_count",
+            "bg_count",
+            F.round(F.col("fg_count") / F.col("bg_size"), 5).alias("fg_pop"),
+            F.round(F.col("bg_count") / F.col("bg_size"), 5).alias("bg_pop"),
+            rel.alias("relatedness"),
+        )
+        .orderBy(F.col("relatedness").desc(), F.col("c_mktsegment").asc())
+    )
+
+
+RELATEDNESS_SQL = """
+WITH per AS (
+  SELECT c_mktsegment,
+         CAST(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS fg_count,
+         CAST(count(*) AS BIGINT) AS bg_count
+  FROM customer GROUP BY c_mktsegment
+),
+sizes AS (
+  SELECT CAST(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS DOUBLE) AS fg_size,
+         CAST(count(*) AS DOUBLE) AS bg_size
+  FROM customer
+),
+calc AS (
+  SELECT c_mktsegment, fg_count, bg_count, fg_size, bg_size,
+         (fg_count - fg_size * (bg_count / bg_size)) /
+         (CASE WHEN sqrt(fg_size * (bg_count / bg_size) * (1 - bg_count / bg_size)) <> 0
+               THEN sqrt(fg_size * (bg_count / bg_size) * (1 - bg_count / bg_size))
+               ELSE 1e-10 END) AS z
+  FROM per CROSS JOIN sizes
+)
+SELECT c_mktsegment, fg_count, bg_count,
+       round(fg_count / bg_size, 5) AS fg_pop,
+       round(bg_count / bg_size, 5) AS bg_pop,
+       round(0.2 * (z - 80) / (50 + abs(z - 80))
+           + 0.2 * (z - 30) / (30 + abs(z - 30))
+           + 0.2 * (z + 0)  / (30 + abs(z + 0))
+           + 0.2 * (z + 30) / (30 + abs(z + 30))
+           + 0.2 * (z + 80) / (50 + abs(z + 80)), 5) AS relatedness
+FROM calc
+ORDER BY relatedness DESC, c_mktsegment ASC
+"""
+
+
 # DiversifiedTopDocsCollector (reference lucene/misc/src/java/org/apache/
 # lucene/search/DiversifiedTopDocsCollector.java:61): global top-N with at
 # most maxHitsPerKey results per key. Two-stage Spark shape: per-key rank
@@ -1495,4 +1656,6 @@ RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
     "intersect_custkeys": (intersect_custkeys, INTERSECT_SQL),
     "complement_customers": (complement_customers, COMPLEMENT_SQL),
     "spatial_polygon": (spatial_polygon, SPATIAL_POLYGON_SQL),
+    "json_facet_orders": (json_facet_orders, JSON_FACET_SQL),
+    "relatedness_mktsegment": (relatedness_mktsegment, RELATEDNESS_SQL),
 }
