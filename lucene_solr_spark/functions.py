@@ -15,6 +15,7 @@ the engine's postings/stats tables (SURVEY §2.10).
 
 from __future__ import annotations
 
+import math
 import re
 
 from pyspark.sql import Column, functions as F
@@ -108,7 +109,26 @@ FUNCTIONS: dict = {
     - F.levenshtein(a, b)
     / F.greatest(F.length(a), F.length(b)).cast("double"),
     "field": lambda c: c,
+    # dist(p, x1..xn, y1..yn) — Minkowski p-distance (DistanceUtils.vectorDistance;
+    # p=0 → sparseness "distance" is not supported, loud error)
+    "dist": lambda p, *c: _dist(p, c),
+    "top": lambda c: c,  # TopValueSource — per-reader vs top-level is moot here
+    "concat": lambda *c: F.concat(*c),
+    "e": lambda: F.lit(math.e),
+    "pi": lambda: F.lit(math.pi),
+    # ord/rord (OrdFieldSource/ReverseOrdFieldSource) — global term ordinal
+    # of the field value. Like scale(), needs a whole-frame window (Solr's
+    # ord is index-global too); use on bounded frames only.
+    "ord": lambda c: _ord(c, False),
+    "rord": lambda c: _ord(c, True),
 }
+
+
+def _ord(c, reverse: bool):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy().orderBy(c.desc() if reverse else c.asc())
+    return F.dense_rank().over(w)
 
 
 def _prod(cols):
@@ -126,7 +146,18 @@ def _sqedist(cols):
     return out
 
 
-_TOK_RE = re.compile(r"\s*([A-Za-z_][\w.]*|-?\d+\.?\d*(?:[eE][+-]?\d+)?|[(),])")
+def _dist(p, cols):
+    """Minkowski p-distance (ValueSourceParser 'dist' → DistanceUtils.
+    vectorDistance): p=1 manhattan, p=2 euclidean. p stays a Column —
+    the power arithmetic is symbolic, whole-stage-codegen applies."""
+    n = len(cols) // 2
+    out = F.lit(0.0)
+    for x, y in zip(cols[:n], cols[n:]):
+        out = out + F.abs(x - y) ** p
+    return out ** (F.lit(1.0) / p)
+
+
+_TOK_RE = re.compile(r"\s*('[^']*'|[A-Za-z_][\w.]*|-?\d+\.?\d*(?:[eE][+-]?\d+)?|[(),])")
 
 
 def parse_func(text: str, registry: dict | None = None) -> Column:
@@ -158,6 +189,10 @@ def parse_func(text: str, registry: dict | None = None) -> Column:
 
     def parse_expr() -> Column:
         t = advance()
+        if t.startswith("'") and t.endswith("'"):
+            # quoted literal (FunctionQParser string args, e.g.
+            # termfreq(body,'spark')) — passed to the builder as a plain str
+            return t[1:-1]
         if re.fullmatch(r"-?\d+\.?\d*(?:[eE][+-]?\d+)?", t):
             return F.lit(float(t) if ("." in t or "e" in t or "E" in t) else int(t))
         if peek() == "(":

@@ -19,6 +19,7 @@ Two families, both registered for the driver's queries()/oracle_sql() gate:
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import re
 
@@ -1736,6 +1737,113 @@ FROM feats ORDER BY ltr_score DESC, doc_id ASC LIMIT 50
 )
 
 
+# FunctionScoreQuery (lucene/queries function/FunctionScoreQuery.java) with
+# the Solr relevance ValueSources (ValueSourceParser.java: termfreq/docfreq/
+# idf/norm/maxdoc/numdocs/totaltermfreq/sumtotaltermfreq). The index-bound
+# names close over planner-read scalars (df/ttf/numdocs — tiny collects of
+# ≤|terms| stats rows, the reads a QueryParser does) and per-doc columns the
+# frame prepares up front (tf_<term> from a term-pushed postings scan, the
+# decoded stored norm). Lucene-9 norm semantics: the stored norm IS the
+# SmallFloat byte4 encoding of the emitted token count; ``norm(field)``
+# decodes it (SmallFloat.java:161-169 byte4ToInt as one Catalyst CASE).
+_NORM_DECODE = (
+    "CASE WHEN norm_byte < 24 THEN norm_byte ELSE 24 + ("
+    "CASE WHEN shiftright(norm_byte - 24, 3) = 0 THEN (norm_byte - 24) & 7 "
+    "ELSE shiftleft(((norm_byte - 24) & 7) | 8, shiftright(norm_byte - 24, 3) - 1) "
+    "END) END"
+)
+
+
+def relevance_registry(stats: dict) -> dict:
+    """``FUNCTIONS`` extended with the index-bound relevance names. Quoted
+    term args must be in ``stats['df']`` — postings joins are planned up
+    front like every query in this engine; unknown terms raise loudly."""
+    from .functions import FUNCTIONS
+
+    reg = dict(FUNCTIONS)
+    reg["termfreq"] = lambda f, t: F.col(f"tf_{t}")
+    reg["docfreq"] = lambda f, t: F.lit(stats["df"][t])
+    reg["idf"] = lambda f, t: F.lit(
+        math.log(stats["numdocs"] / (stats["df"][t] + 1)) + 1.0
+    )
+    reg["norm"] = lambda f: F.col("norm_len")
+    reg["maxdoc"] = lambda: F.lit(stats["maxdoc"])
+    reg["numdocs"] = lambda: F.lit(stats["numdocs"])
+    reg["totaltermfreq"] = lambda f, t: F.lit(stats["ttf"][t])
+    reg["ttf"] = reg["totaltermfreq"]
+    reg["sumtotaltermfreq"] = lambda f: F.lit(stats["sumttf"])
+    reg["sttf"] = reg["sumtotaltermfreq"]
+    return reg
+
+
+FUNCTION_SCORE_EXPR = (
+    "div(product(termfreq(content,'spark'), idf(content,'spark')), "
+    "sqrt(norm(content)))"
+)
+
+
+def function_score_rank(spark, sf_dir):
+    from .functions import parse_func
+
+    s = _searcher(spark, sf_dir)
+    term = "spark"
+    srow = (
+        s._term_stats_df.filter(F.col("term") == term)
+        .select("df", "ttf")
+        .collect()[0]
+    )
+    norms = norms_table(spark, s.index_dir)
+    counts = norms.agg(
+        F.count("*").alias("maxdoc"),
+        F.sum((F.col("norm_byte") > 0).cast("long")).alias("numdocs"),
+    ).collect()[0]
+    sumttf = int(s._term_stats_df.agg(F.sum("ttf")).collect()[0][0])
+    stats = {
+        "df": {term: int(srow["df"])},
+        "ttf": {term: int(srow["ttf"])},
+        "numdocs": int(counts["numdocs"]),
+        "maxdoc": int(counts["maxdoc"]),
+        "sumttf": sumttf,
+    }
+    posts = term_postings(spark, s.index_dir, [term]).select(
+        "segment_id", "doc_id", F.col("freq").cast("long").alias(f"tf_{term}")
+    )
+    docs = spark.read.parquet(os.path.join(s.index_dir, "docs")).select(
+        "segment_id", "doc_id", "ext_id"
+    )
+    frame = (
+        posts.join(norms, ["segment_id", "doc_id"])
+        .withColumn("norm_len", F.expr(_NORM_DECODE))
+        .join(docs, ["segment_id", "doc_id"])
+    )
+    fcol = parse_func(FUNCTION_SCORE_EXPR, registry=relevance_registry(stats))
+    return (
+        frame.select(
+            F.col("ext_id").alias("doc_id"),
+            F.col(f"tf_{term}").alias("tf"),
+            F.round(fcol, 4).alias("fscore"),
+        )
+        .orderBy(F.col("fscore").desc(), F.col("doc_id").asc())
+        .limit(15)
+    )
+
+
+FUNCTION_SCORE_SQL = (
+    _BM25_CTE
+    + """
+SELECT t.doc_id, CAST(t.tf AS BIGINT) AS tf,
+       round(t.tf * (ln(CAST(cs.n AS DOUBLE) / (df.df + 1)) + 1) / sqrt(dd.dlq), 4)
+         AS fscore
+FROM tf t
+JOIN dft df ON df.term = t.term
+JOIN dld dd ON dd.doc_id = t.doc_id
+CROSS JOIN cstats cs
+WHERE t.term = 'spark'
+ORDER BY fscore DESC, t.doc_id ASC LIMIT 15
+"""
+)
+
+
 # Lucene expressions module (lucene/expressions/, SURVEY §2.10): arbitrary
 # arithmetic over doc values compiled to a DoubleValuesSource → a Spark SQL
 # expression; rank events by a computed expression, top-N
@@ -1806,6 +1914,7 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "ft_multifield": (ft_multifield, FT_MULTIFIELD_SQL),
     "ft_term_tf": (ft_term_tf, FT_TF_SQL),
     "ft_norms": (ft_norms, FT_NORMS_SQL),
+    "function_score_rank": (function_score_rank, FUNCTION_SCORE_SQL),
 }
 
 

@@ -133,3 +133,59 @@ def test_spatial_polygon_matches_independent_pnpoly(spark):
         if pnpoly((k % 180) - 90 + 0.5, (k % 360) - 180 + 0.5):
             expect.add(k)
     assert got == expect and len(got) > 0
+
+
+def test_norm_decode_expr_matches_byte4_to_int(spark):
+    """The Catalyst CASE decode used by function_score_rank must equal the
+    numpy byte4ToInt for every possible stored byte."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.smallfloat import byte4_to_int
+    from lucene_solr_spark.textops import _NORM_DECODE
+
+    df = spark.range(256).select(F.col("id").cast("int").alias("norm_byte"))
+    got = {
+        r.norm_byte: r.dec
+        for r in df.withColumn("dec", F.expr(_NORM_DECODE)).collect()
+    }
+    expect = byte4_to_int(np.arange(256, dtype=np.uint8))
+    for b in range(256):
+        assert got[b] == int(expect[b]), b
+
+
+def test_parse_func_quoted_string_args(spark):
+    """Quoted args reach the builder as plain strings (FunctionQParser)."""
+    seen = {}
+
+    def probe(f, t):
+        seen["args"] = (f, t)
+        import pyspark.sql.functions as F
+
+        return F.lit(1.0)
+
+    col = parse_func("probe(body,'spark')", registry={**FUNCTIONS, "probe": probe})
+    assert seen["args"][1] == "spark"
+
+
+def test_dist_concat_ord_rord(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0, "a"), (3.0, 4.0, "c"), (1.0, 1.0, "b")], "x double, y double, s string"
+    )
+    # dist(2, x, y, 0, 0) = euclidean norm
+    d = df.select(parse_func("dist(2, x, y, 0, 0)").alias("d"))
+    assert sorted(r.d for r in d.collect()) == pytest.approx([0.0, 2**0.5, 5.0])
+    # dist(1, ...) = manhattan
+    m = df.select(parse_func("dist(1, x, y, 0, 0)").alias("d"))
+    assert sorted(r.d for r in m.collect()) == pytest.approx([0.0, 2.0, 7.0])
+    rows = df.select(
+        "s",
+        parse_func("ord(s)").alias("o"),
+        parse_func("rord(s)").alias("r"),
+        parse_func("concat(s, s)").alias("c"),
+    ).collect()
+    got = {r.s: (r.o, r.r, r.c) for r in rows}
+    assert got == {"a": (1, 3, "aa"), "b": (2, 2, "bb"), "c": (3, 1, "cc")}
+    assert df.select(parse_func("pi()").alias("p")).collect()[0].p == pytest.approx(math.pi)
