@@ -159,3 +159,77 @@ def test_soft_deletes_are_commit_versioned(spark, tmp_path_factory):
     at_c2_hits = _hits(IndexSearcher(spark, d, analyzer="code", commit=c2))
     assert (seg, doc) not in [(s, dd) for s, dd, _ in live_hits]
     assert (seg, doc) not in [(s, dd) for s, dd, _ in at_c2_hits]
+
+
+def test_numeric_docvalue_updates(spark, tmp_path_factory):
+    """IndexWriter.updateNumericDocValue role: sidecar generations patch the
+    base column without touching segments; newest gen wins; a time-traveled
+    reader at a commit before the update sees the original values."""
+    from lucene_solr_spark.corpus import synth_corpus_local
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.index.docvalues import (
+        numeric_docvalues,
+        update_numeric_docvalue,
+    )
+    from lucene_solr_spark.index.manifest import list_commits, next_segment_id
+
+    corpus = synth_corpus_local(120)
+    d = str(tmp_path_factory.mktemp("dvup") / "idx")
+    build_index(
+        spark, spark.createDataFrame(corpus.iloc[:60]), d,
+        num_segments=2, analyzer="code",
+    )
+    c1 = max(list_commits(spark, d))
+
+    docs = spark.read.parquet(d + "/docs").select("segment_id", "doc_id", "repo", "path")
+    keys = [
+        (r.repo, r.path)
+        for r in docs.orderBy("segment_id", "doc_id").limit(3).collect()
+    ]
+
+    base = {
+        (r.segment_id, r.doc_id): r.value
+        for r in numeric_docvalues(spark, d, "rank_boost").collect()
+    }
+    assert base and all(v is None for v in base.values())  # no base column bound
+
+    # gen 0: set three docs to 7
+    update_numeric_docvalue(
+        spark, d, "rank_boost",
+        spark.createDataFrame(
+            [(r, p, 7) for r, p in keys], "repo string, path string, value long"
+        ),
+        key_cols=["repo", "path"],
+    )
+    # land a later segment so a post-update commit exists
+    build_index(
+        spark, spark.createDataFrame(corpus.iloc[60:]), d,
+        num_segments=2, analyzer="code", segment_base=next_segment_id(spark, d),
+    )
+    # gen 1: overwrite ONE of them to 9 — newest generation must win
+    update_numeric_docvalue(
+        spark, d, "rank_boost",
+        spark.createDataFrame(
+            [(keys[0][0], keys[0][1], 9)], "repo string, path string, value long"
+        ),
+        key_cols=["repo", "path"],
+    )
+
+    patched = numeric_docvalues(spark, d, "rank_boost")
+    got = {
+        (r.repo, r.path): r.value
+        for r in patched.join(docs, ["segment_id", "doc_id"]).collect()
+        if r.value is not None
+    }
+    assert got == {keys[0]: 9, keys[1]: 7, keys[2]: 7}
+
+    # time-travel: commit c1 predates BOTH updates (watermark == c1 is not
+    # < c1) — all values revert to base
+    at_c1 = numeric_docvalues(spark, d, "rank_boost", commit=c1)
+    assert all(r.value is None for r in at_c1.collect())
+
+    # base-column binding: unpatched docs resolve to the docs-table column
+    with_base = numeric_docvalues(spark, d, "rank_boost", base_col="doc_id")
+    rows = {(r.segment_id, r.doc_id): r.value for r in with_base.collect()}
+    n_patched = sum(1 for (s, dd), v in rows.items() if v != dd)
+    assert n_patched == 3
