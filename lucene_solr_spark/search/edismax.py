@@ -30,6 +30,7 @@ qids, not Spark jobs. All joins meet on the coordinate-aligned
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -147,6 +148,8 @@ class EDisMaxSearcher:
         pf3: dict[str, float] | None = None,
         ps3: int = 0,
         bq: list[str] | None = None,
+        bf: list[str] | None = None,
+        boost: list[str] | None = None,
         k: int | None = 10,
     ) -> DataFrame:
         """Top-k (segment_id, doc_id, score, rank); ``k=None`` = exhaustive.
@@ -163,6 +166,14 @@ class EDisMaxSearcher:
         across fields like a clause, and ADDED to the score of matching
         docs; bq never admits docs or counts toward mm (the SHOULD-beside-
         the-main-query structure).
+        ``bf``: boost functions (edismax ``bf``) — Solr function-query
+        strings evaluated per matching doc over the docs-table columns of
+        the first qf index (coordinate-aligned by construction), each ADDED
+        to the score (FunctionQuery-as-SHOULD).
+        ``boost``: multiplicative boost (edismax ``boost`` →
+        ``BoostedQuery``) — score × the product of the parsed functions.
+        Both ride ``functions.parse_func``: pure Catalyst expressions, one
+        aligned-key join against the docs table before top-k.
         """
         clauses = split_clauses(q)
         if not any(occ != MUST_NOT for occ, _, _ in clauses):
@@ -276,6 +287,22 @@ class EDisMaxSearcher:
         out = doc.filter(cond).select(
             "segment_id", "doc_id", F.col("score").cast(dt).alias("score")
         )
+        if bf or boost:
+            from ..functions import parse_func
+
+            first = next(iter(self.searchers.values()))
+            docs_df = self.spark.read.parquet(
+                os.path.join(first.index_dir, "docs")
+            )
+            joined = out.join(docs_df, ["segment_id", "doc_id"])
+            score = F.col("score").cast("double")
+            for expr in bf or ():
+                score = score + parse_func(expr).cast("double")
+            for expr in boost or ():
+                score = score * parse_func(expr).cast("double")
+            out = joined.select(
+                "segment_id", "doc_id", score.cast(dt).alias("score")
+            )
         if k is None:
             return out
         top = out.orderBy(

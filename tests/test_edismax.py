@@ -363,3 +363,58 @@ def test_edismax_bq_boost_query(spark, two_field_indexes):
             changed += 1
         assert s == pytest.approx(want, rel=1e-9), c
     assert changed > 0
+
+
+def test_edismax_bf_and_boost_functions(spark, two_field_indexes):
+    """bf adds the parsed function value per doc; boost multiplies by it
+    (edismax bf/boost -> FunctionQuery / BoostedQuery). Functions evaluate
+    over the docs-table columns of the qf index."""
+    import os
+
+    from lucene_solr_spark.search.edismax import EDisMaxSearcher
+
+    d_body, _ = two_field_indexes
+    ed = EDisMaxSearcher(
+        spark, {"body": (d_body, 1.0)}, analyzer="code", precision="f64"
+    )
+    base = {
+        (r.segment_id, r.doc_id): float(r.score)
+        for r in ed.search("parse", k=None).collect()
+    }
+    docs = {
+        (r.segment_id, r.doc_id): (r.path, r.commit)
+        for r in spark.read.parquet(os.path.join(d_body, "docs")).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def strdist(a, b):
+        return 1.0 - lev(a, b) / max(len(a), len(b))
+
+    # bf: score + strdist(path, commit) — per-doc varying function value
+    with_bf = {
+        (r.segment_id, r.doc_id): float(r.score)
+        for r in ed.search("parse", bf=["strdist(path, commit)"], k=None).collect()
+    }
+    assert with_bf.keys() == base.keys()
+    varying = set()
+    for c, s in with_bf.items():
+        want = base[c] + strdist(*docs[c])
+        assert s == pytest.approx(want, rel=1e-9), c
+        varying.add(round(s - base[c], 6))
+    assert len(varying) > 1  # the function value genuinely varies per doc
+
+    # boost: score * 2.5 (constant function — exact multiplicative check)
+    with_boost = {
+        (r.segment_id, r.doc_id): float(r.score)
+        for r in ed.search("parse", boost=["sum(2.0, 0.5)"], k=None).collect()
+    }
+    for c, s in with_boost.items():
+        assert s == pytest.approx(base[c] * 2.5, rel=1e-9), c
