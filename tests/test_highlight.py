@@ -138,3 +138,67 @@ def test_highlight_offsets_graph_chain_exact(spark, tmp_path_factory):
     ref = highlight(fetched, "foobarbaz", analyzer="code").collect()
     for r in ref:
         assert "<b>" not in r.snippet
+
+
+# ------------------------------------------------------ passage scoring ----
+
+
+def _py_passage_scores(text, spans, k1=1.2, b=0.75, pivot=87.0):
+    """Independent PassageScorer implementation (PassageScorer.java:98-141)
+    over pre-computed (start, end, term) spans."""
+    import math
+    from collections import Counter
+
+    from lucene_solr_spark.highlight import _passage_bounds
+
+    doc_freq = Counter(t for _, _, t in spans)
+    out = []
+    for ps, pe in _passage_bounds(text):
+        inside = [sp for sp in spans if sp[0] >= ps and sp[1] <= pe]
+        if not inside:
+            continue
+        score = 0.0
+        for t, fp in Counter(t for _, _, t in inside).items():
+            tf = fp / (fp + k1 * ((1 - b) + b * ((pe - ps) / pivot)))
+            w = (k1 + 1) * math.log(1 + (1 + len(text) / pivot + 0.5) / (doc_freq[t] + 0.5))
+            score += tf * w
+        out.append((score * (1 + 1 / math.log(pivot + ps)), ps))
+    return sorted(out, key=lambda x: (-x[0], x[1]))
+
+
+def test_highlight_passages_scores_and_order(spark, hl_off_index):
+    """Passage scores match an independent PassageScorer implementation;
+    snippets contain tagged matches in document order."""
+    from lucene_solr_spark.highlight import _match_spans_terms, highlight_passages
+    from lucene_solr_spark.search import IndexSearcher
+    from lucene_solr_spark.analysis import ANALYZERS
+
+    s = IndexSearcher(spark, hl_off_index, analyzer="code")
+    q = "parse AND http"
+    hits = s.search(q, k=8)
+    fetched = s.fetch(hits, cols=["path", "content"])
+    rows = highlight_passages(
+        spark, hl_off_index, fetched, q, analyzer="code", max_passages=2
+    ).collect()
+    assert rows
+    terms = set(ANALYZERS["code"](q)[0])
+    content = {r.path: r.content for r in fetched.collect()}
+    for r in rows:
+        assert "<b>" in r.snippet and r.passage_score > 0
+        expect = _py_passage_scores(
+            content[r.path], _match_spans_terms(content[r.path], terms, "code")
+        )
+        assert r.passage_score == pytest.approx(expect[0][0], rel=1e-9), r.path
+
+
+def test_highlight_passages_fallback(spark, tiny_index):
+    """Offset-free index: spans come from re-analysis, scoring identical."""
+    from lucene_solr_spark.highlight import highlight_passages
+    from lucene_solr_spark.search import IndexSearcher
+
+    d, _ = tiny_index
+    s = IndexSearcher(spark, d, analyzer="code")
+    hits = s.search("parse", k=5)
+    fetched = s.fetch(hits, cols=["path", "content"])
+    rows = highlight_passages(spark, d, fetched, "parse", analyzer="code").collect()
+    assert rows and all("<b>" in r.snippet for r in rows)
