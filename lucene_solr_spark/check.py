@@ -113,6 +113,40 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
     )
     out["bad_norm_len"] = sum(1 for r in norm_rows if int(r.nb) != int(r.max_doc))
 
+    # ---- offsets: vbyte stream is exactly (start-delta, length) per
+    # occurrence, lengths positive (PostingsEnum.OFFSETS; CheckIndex.java
+    # checkpostings' startOffset/endOffset validation role) -----------------
+    if "off_blob" in idx.columns:
+        from .codec import vbyte_decode
+
+        offp = posts.filter(F.octet_length("off_blob") > 0).select("ttf", "off_blob")
+
+        def ver_off(it):
+            for pdf in it:
+                bad = 0
+                for r in pdf.itertuples(index=False):
+                    vals = vbyte_decode(np.frombuffer(r.off_blob, np.uint8))
+                    if len(vals) != 2 * r.ttf or (vals[1::2] <= 0).any():
+                        bad += 1
+                yield pd.DataFrame({"bad": [bad]})
+
+        row = offp.mapInPandas(ver_off, "bad bigint").agg(F.sum("bad")).collect()[0]
+        out["bad_offsets"] = int(row[0] or 0)
+        # presence consistency: within one segment every posting row stores
+        # offsets or none does (an index is built with store_offsets or not)
+        mix = (
+            posts.groupBy("segment_id")
+            .agg(
+                F.min((F.octet_length("off_blob") > 0).cast("int")).alias("lo"),
+                F.max((F.octet_length("off_blob") > 0).cast("int")).alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .count()
+        )
+        out["bad_offsets"] += int(mix)
+    else:
+        out["bad_offsets"] = 0
+
     # ---- payloads: fixed-width stream is exactly 4 bytes per occurrence ----
     # (PostingsEnum.PAYLOADS layout; one boff per block, like the others)
     if "pay_blob" in idx.columns:

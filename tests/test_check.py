@@ -85,3 +85,32 @@ def test_full_block_index_clean(spark, tmp_path_factory):
     max_df = idx.filter(F.col("kind") == 0).agg(F.max("df")).collect()[0][0]
     assert max_df >= 256
     _assert_clean(check_index(spark, d))
+
+
+def test_check_offsets_invariant(spark, tmp_path_factory):
+    """Offset streams verify clean on an offsets build; a posting row whose
+    off_blob holds the wrong occurrence count is detected."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.check import check_index
+    from lucene_solr_spark.corpus import synth_corpus_local
+    from lucene_solr_spark.index import build_index
+
+    d = str(tmp_path_factory.mktemp("chk_off") / "idx")
+    docs = spark.createDataFrame(synth_corpus_local(80))
+    build_index(spark, docs, d, num_segments=2, analyzer="code", store_offsets=True)
+    res = check_index(spark, d)
+    assert res["bad_offsets"] == 0
+
+    # corrupt: append a posting row whose off stream is the POS stream (a
+    # valid vbyte chain with ttf values — half the required 2*ttf)
+    idx = spark.read.parquet(os.path.join(d, "index"))
+    row = idx.filter((F.col("kind") == 0) & (F.col("ttf") > 1)).limit(1).toPandas()
+    row["off_blob"] = row["pos_blob"]
+    spark.createDataFrame(row).select(*idx.columns).write.mode("append").partitionBy(
+        "kind"
+    ).parquet(os.path.join(d, "index"))
+    res2 = check_index(spark, d)
+    assert res2["bad_offsets"] >= 1
