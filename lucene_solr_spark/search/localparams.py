@@ -1,0 +1,174 @@
+"""Solr local-params syntax — ``{!type k=v ...}body`` parsing + dispatch.
+
+Reference: ``solr/core/src/java/org/apache/solr/search/QueryParsing.java:66``
+(``parseLocalParams`` — the ``{!...}`` prefix grammar: an implicit leading
+``type``, ``k=v`` pairs with single- or double-quoted values and backslash
+escapes, ``v=`` overriding the trailing body) and ``QParserPlugin.java``
+(the type→parser registry).
+
+``parse_local_params`` is the grammar; ``local_query`` dispatches the types
+this engine implements onto its own operators:
+
+- ``lucene`` (default) — the classic parser (``queryparser.parse_classic``)
+  executed by the bound :class:`IndexSearcher`.
+- ``func`` — FunctionQuery: score = the parsed function over the frame's
+  columns (``FunctionQParserPlugin``).
+- ``frange`` — FunctionRangeQuery: filter ``l <= f(x) <= u`` with
+  ``incl``/``incu`` bounds (``FunctionRangeQParserPlugin``).
+- ``boost`` — multiplicative boost of the wrapped query's score by a
+  function (``BoostQParserPlugin``).
+
+Dollar-sign parameter refs (``$qq``) resolve from the optional ``params``
+dict; an unresolved ref raises (Solr resolves from the request — there is
+no request here). Unknown types raise ``ValueError`` naming the type: the
+block-join / graph / collapse surfaces have dedicated operators
+(``relational.block_join_*``, ``graph.*``, ``relational.collapse_*``) that
+need more context than one string (two frames, schemas) — same reason Solr
+ships them as separate QParserPlugins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def parse_local_params(
+    q: str, params: dict | None = None
+) -> tuple[str, dict[str, str], str]:
+    """``(type, local_params, body)`` for a ``{!...}rest`` string.
+
+    Without the ``{!`` prefix the whole string is the body of the default
+    ``lucene`` type. A ``v=`` local param replaces the trailing body
+    (QueryParsing.java:160-166).
+    """
+    if not q.startswith("{!"):
+        return "lucene", {}, q
+    i = 2
+    n = len(q)
+    typ = None
+    kv: dict[str, str] = {}
+
+    def skip_ws(j):
+        while j < n and q[j].isspace():
+            j += 1
+        return j
+
+    while True:
+        i = skip_ws(i)
+        if i >= n:
+            raise ValueError(f"missing '}}' in local params: {q!r}")
+        if q[i] == "}":
+            i += 1
+            break
+        # read an identifier
+        j = i
+        while j < n and (q[j].isalnum() or q[j] in "._-$"):
+            j += 1
+        ident = q[i:j]
+        if not ident:
+            raise ValueError(f"bad local params at {i}: {q!r}")
+        j2 = skip_ws(j)
+        if j2 < n and q[j2] == "=":
+            # k=v with optional quoting
+            j2 += 1
+            if j2 < n and q[j2] in "'\"":
+                quote = q[j2]
+                j2 += 1
+                val = []
+                while j2 < n and q[j2] != quote:
+                    if q[j2] == "\\" and j2 + 1 < n:
+                        j2 += 1
+                    val.append(q[j2])
+                    j2 += 1
+                if j2 >= n:
+                    raise ValueError(f"unterminated quote in local params: {q!r}")
+                j2 += 1
+                value = "".join(val)
+            else:
+                k0 = j2
+                while j2 < n and not q[j2].isspace() and q[j2] != "}":
+                    j2 += 1
+                value = q[k0:j2]
+            if value.startswith("$"):
+                ref = value[1:]
+                if params is None or ref not in params:
+                    raise ValueError(f"unresolved param ref ${ref} in {q!r}")
+                value = str(params[ref])
+            kv[ident] = value
+            i = j2
+        else:
+            # bare first token = the parser type (QueryParsing 'type' slot)
+            if typ is not None:
+                raise ValueError(f"two bare types in local params: {q!r}")
+            typ = ident
+            i = j
+    body = kv.pop("v", None)
+    if body is None:
+        body = q[i:]
+    elif q[i:].strip():
+        raise ValueError(f"both v= and trailing body in {q!r}")
+    return (typ or "lucene"), kv, body
+
+
+def local_query(
+    q: str,
+    frame: DataFrame | None = None,
+    searcher=None,
+    params: dict | None = None,
+) -> DataFrame | Column:
+    """Dispatch one local-params query string.
+
+    ``lucene``/``boost`` need ``searcher`` (an :class:`IndexSearcher`);
+    ``func``/``frange`` need ``frame`` (the relation whose columns the
+    function reads) and return a scored frame / a filtered frame.
+    """
+    from ..functions import parse_func
+
+    typ, lp, body = parse_local_params(q, params)
+    if typ == "lucene":
+        if searcher is None:
+            raise ValueError("{!lucene} needs a searcher")
+        df_field = lp.get("df")  # default-field local param accepted, unused
+        _ = df_field
+        return searcher.search(body, k=None)
+    if typ == "func":
+        if frame is None:
+            raise ValueError("{!func} needs a frame")
+        return frame.withColumn("score", parse_func(body).cast("double"))
+    if typ == "frange":
+        if frame is None:
+            raise ValueError("{!frange} needs a frame")
+        f = parse_func(body)
+        cond = None
+        if "l" in lp:
+            lo = float(lp["l"])
+            c = (f >= lo) if lp.get("incl", "true") != "false" else (f > lo)
+            cond = c
+        if "u" in lp:
+            hi = float(lp["u"])
+            c = (f <= hi) if lp.get("incu", "true") != "false" else (f < hi)
+            cond = c if cond is None else (cond & c)
+        if cond is None:
+            raise ValueError("{!frange} needs l= and/or u=")
+        return frame.filter(cond)
+    if typ == "boost":
+        if searcher is None:
+            raise ValueError("{!boost} needs a searcher")
+        b = lp.get("b")
+        if not b:
+            raise ValueError("{!boost} needs b=function")
+        hits = searcher.search(body, k=None)
+        docs = searcher.spark.read.parquet(searcher.index_dir + "/docs")
+        joined = hits.join(docs, ["segment_id", "doc_id"])
+        return joined.select(
+            "segment_id",
+            "doc_id",
+            (F.col("score").cast("double") * parse_func(b).cast("double")).alias(
+                "score"
+            ),
+        )
+    raise ValueError(
+        f"unknown local-params type {typ!r} — block join/graph/collapse have "
+        "dedicated operators (relational.block_join_*, graph.*, "
+        "relational.collapse_expand_*)"
+    )

@@ -1,0 +1,74 @@
+"""Local-params grammar (QueryParsing.parseLocalParams) + dispatch."""
+
+import pytest
+
+from lucene_solr_spark.search.localparams import local_query, parse_local_params
+
+
+def test_grammar_basics():
+    assert parse_local_params("foo bar") == ("lucene", {}, "foo bar")
+    assert parse_local_params("{!func}sum(x,1)") == ("func", {}, "sum(x,1)")
+    t, lp, body = parse_local_params("{!frange l=0 u=10 incu=false}div(x,2)")
+    assert t == "frange" and lp == {"l": "0", "u": "10", "incu": "false"}
+    assert body == "div(x,2)"
+
+
+def test_grammar_quotes_and_v():
+    t, lp, body = parse_local_params("{!lucene df='the body' v=\"parse AND http\"}")
+    assert t == "lucene" and lp == {"df": "the body"} and body == "parse AND http"
+    # backslash escape inside quotes
+    _, lp2, _ = parse_local_params(r"{!foo a='it\'s'}x")
+    assert lp2 == {"a": "it's"}
+
+
+def test_grammar_param_refs_and_errors():
+    t, lp, body = parse_local_params("{!frange l=$lo}x", params={"lo": 5})
+    assert lp == {"l": "5"}
+    with pytest.raises(ValueError, match="unresolved"):
+        parse_local_params("{!frange l=$lo}x")
+    with pytest.raises(ValueError, match="missing"):
+        parse_local_params("{!frange l=1")
+    with pytest.raises(ValueError, match="two bare"):
+        parse_local_params("{!a b}x")
+    with pytest.raises(ValueError, match="both v="):
+        parse_local_params("{!f v=a}b")
+
+
+def test_dispatch_func_frange(spark):
+    df = spark.createDataFrame([(1.0,), (4.0,), (9.0,)], "x double")
+    scored = local_query("{!func}sqrt(x)", frame=df)
+    assert sorted(r.score for r in scored.collect()) == [1.0, 2.0, 3.0]
+    kept = local_query("{!frange l=2 u=4}x", frame=df)
+    assert [r.x for r in kept.collect()] == [4.0]
+    kept2 = local_query("{!frange l=1 incl=false}x", frame=df)
+    assert sorted(r.x for r in kept2.collect()) == [4.0, 9.0]
+
+
+def test_dispatch_lucene_and_boost(spark, tiny_index):
+    from lucene_solr_spark.search import IndexSearcher
+
+    d, _ = tiny_index
+    s = IndexSearcher(spark, d, analyzer="code")
+    base = {
+        (r.segment_id, r.doc_id): float(r.score)
+        for r in local_query("{!lucene}parse AND http", searcher=s).collect()
+    }
+    direct = {
+        (r.segment_id, r.doc_id): float(r.score)
+        for r in s.search("parse AND http", k=None).collect()
+    }
+    assert base == direct and base
+    boosted = {
+        (r.segment_id, r.doc_id): float(r.score)
+        for r in local_query(
+            "{!boost b=sum(2.0,1.0)}parse AND http", searcher=s
+        ).collect()
+    }
+    assert boosted.keys() == base.keys()
+    for k_, v in boosted.items():
+        assert v == pytest.approx(3.0 * base[k_], rel=1e-6)
+
+
+def test_dispatch_unknown_type_names_operators():
+    with pytest.raises(ValueError, match="dedicated operators"):
+        local_query("{!parent which=kind:p}x", frame=None)
