@@ -298,3 +298,69 @@ def parse_classic(
     default_field: str = "content",
 ) -> Query:
     return ClassicQueryParser(analyzer, default_op, default_field).parse(text)
+
+
+# ---------------------------------------------------------------------------
+# ComplexPhraseQueryParser (lucene/queryparser/src/java/org/apache/lucene/
+# queryparser/complexPhrase/ComplexPhraseQueryParser.java:63): phrases whose
+# words may be wildcards / prefixes / fuzzy terms, rewritten against the term
+# dictionary into the span algebra — each expandable word becomes a SpanOr of
+# its concrete dictionary matches, the phrase becomes a SpanNear (in_order by
+# default, like the parser's inOrder setting).
+
+
+def parse_complex_phrase(searcher, text: str, in_order: bool = True):
+    """Parse ``"w1 w2*"~slop`` into a span Query executable by ``searcher``.
+
+    Word forms: plain terms (analyzed with the searcher's chain — a
+    camelCase token that splits becomes a nested exact SpanNear), wildcard/
+    prefix (``?``/``*``), and fuzzy ``word~N``. Expansion happens at parse
+    time against the index's term dictionary (the reference rewrites at
+    rewrite() time — same effect, one pass). Words whose expansion matches
+    nothing make the whole phrase MatchNone (a required position cannot
+    match); stopwords dropped by the chain are skipped (the parser's
+    documented analyzer limitation).
+    """
+    from .query import MatchNoneQuery, SpanNearQuery, SpanOrQuery
+
+    m = re.fullmatch(r'\s*"(.*)"(?:~(\d+))?\s*', text, re.S)
+    if not m:
+        raise ValueError(f"not a quoted phrase: {text!r}")
+    slop = int(m.group(2) or 0)
+    clauses = []
+    for word in m.group(1).split():
+        fuzzy = re.fullmatch(r"([^*?~]+)~(\d*)", word)
+        if "*" in word or "?" in word:
+            terms = searcher.matching_terms(WildcardQuery(pattern=word.lower()))
+            if not terms:
+                return MatchNoneQuery()
+            clauses.append(
+                SpanOrQuery(tuple(terms)) if len(terms) > 1 else terms[0]
+            )
+        elif fuzzy:
+            terms = searcher.matching_terms(
+                FuzzyQuery(
+                    term=fuzzy.group(1).lower(),
+                    max_edits=int(fuzzy.group(2) or 2),
+                )
+            )
+            if not terms:
+                return MatchNoneQuery()
+            clauses.append(
+                SpanOrQuery(tuple(terms)) if len(terms) > 1 else terms[0]
+            )
+        else:
+            toks = ANALYZERS[searcher.analyzer](word)[0]
+            if not toks:
+                continue  # stopword position dropped
+            if len(toks) == 1:
+                clauses.append(toks[0])
+            else:
+                clauses.append(
+                    SpanNearQuery(tuple(toks), slop=0, in_order=True)
+                )
+    if not clauses:
+        raise ValueError(f"phrase has no indexable words: {text!r}")
+    if len(clauses) == 1 and not isinstance(clauses[0], str):
+        return clauses[0]
+    return SpanNearQuery(tuple(clauses), slop=slop, in_order=in_order)

@@ -291,3 +291,54 @@ def test_roundtrip_tree_to_syntax_to_tree(q):
         return
     got = parse_classic(_to_classic(canon), analyzer="simple")
     assert got == canon, f"{_to_classic(canon)!r}: {got} != {canon}"
+
+
+# ------------------------------------------------- ComplexPhraseQueryParser
+
+
+def test_complex_phrase_wildcard_expansion(spark, tiny_index):
+    """A wildcard word inside a phrase expands to a SpanOr over dictionary
+    matches; the parsed query's hits equal the manually-built span query."""
+    from lucene_solr_spark.search import IndexSearcher
+    from lucene_solr_spark.search.query import (
+        SpanNearQuery,
+        SpanOrQuery,
+        WildcardQuery,
+    )
+    from lucene_solr_spark.search.queryparser import parse_complex_phrase
+
+    d, _ = tiny_index
+    s = IndexSearcher(spark, d, analyzer="code")
+    q = parse_complex_phrase(s, '"par* http"~10')
+    terms = s.matching_terms(WildcardQuery(pattern="par*"))
+    assert len(terms) > 1
+    manual = SpanNearQuery((SpanOrQuery(tuple(terms)), "http"), slop=10, in_order=True)
+    got = {
+        (r.segment_id, r.doc_id, round(float(r.score), 5))
+        for r in s.search_many({0: q}, k=None).collect()
+    }
+    want = {
+        (r.segment_id, r.doc_id, round(float(r.score), 5))
+        for r in s.search_many({0: manual}, k=None).collect()
+    }
+    assert got == want and got
+
+
+def test_complex_phrase_fuzzy_and_camelcase(spark, tiny_index):
+    from lucene_solr_spark.search import IndexSearcher
+    from lucene_solr_spark.search.query import MatchNoneQuery, SpanNearQuery
+    from lucene_solr_spark.search.queryparser import parse_complex_phrase
+
+    d, _ = tiny_index
+    s = IndexSearcher(spark, d, analyzer="code")
+    # fuzzy word: parse~1 expands to at least 'parse'
+    q = parse_complex_phrase(s, '"parse~1 http"~10')
+    assert s.search_many({0: q}, k=None).count() > 0
+    # camelCase word nests an exact SpanNear
+    q2 = parse_complex_phrase(s, '"parseHttp buffer"~3')
+    assert isinstance(q2, SpanNearQuery)
+    assert isinstance(q2.clauses[0], SpanNearQuery)
+    assert q2.clauses[0].clauses == ("parse", "http")
+    # unmatchable wildcard position → MatchNone
+    q3 = parse_complex_phrase(s, '"zzzqqq* http"')
+    assert isinstance(q3, MatchNoneQuery)
