@@ -2993,6 +2993,75 @@ FROM h
 """
 
 
+# PII scrubbing — a first-class training-data hygiene pass (emails / URLs /
+# IPv4 redaction + per-doc counts). The driver corpus is PII-free, so the op
+# injects deterministic doc_id-derived PII into the text IN BOTH ENGINES and
+# scrubs it — the redaction machinery (three global regexp_replace passes,
+# counts from regexp_extract_all) is what's under test, and the md5 of the
+# redacted text must agree byte-for-byte cross-engine. Pure Catalyst: one
+# scan, WholeStageCodegen, no shuffles — at 100 TB this runs at IO speed.
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_URL = "https?://[^ ]+"
+_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def pii_scrub(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or http://host"),
+        F.col("doc_id").cast("string"),
+        F.lit(".io/path via 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 end"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(injected, _PII_EMAIL, "<EMAIL>"),
+            _PII_URL,
+            "<URL>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(injected, F.lit(_PII_EMAIL), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(injected, F.lit(_PII_URL), 0))
+        .cast("long")
+        .alias("n_urls"),
+        F.size(F.regexp_extract_all(injected, F.lit(_PII_IP), 0))
+        .cast("long")
+        .alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+PII_SCRUB_SQL = f"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com or http://host' || CAST(doc_id AS VARCHAR) ||
+         '.io/path via 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 end'
+           AS s
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(s, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(s, '{_PII_URL}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(s, '{_PII_IP}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(s,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_URL}', '<URL>', 'g'),
+           '{_PII_IP}', '<IP>', 'g')) AS redacted_md5
+FROM inj
+"""
+
+
 TRAINING_OPS: dict[str, tuple] = {
     "mlt_shared_terms": (mlt_shared_terms, MLT_SQL),
     "knn_classify": (knn_classify, KNN_CLASSIFY_SQL),
@@ -3013,6 +3082,7 @@ TRAINING_EXTRA_OPS: dict[str, tuple] = {
     # signature computation is exercised transitively by the gated
     # minhash_lsh_pairs / dedup_clusters chain
     "minhash_signatures": (minhash_signatures, MINHASH_SQL),
+    "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     # fixed sign-pattern coarse quantizer — superseded in the gated window by
     # the k-means-trained emb_ivf_trained; kept as the cheap untrained variant
     "emb_ivf_probe": (emb_ivf_probe, EMB_IVF_SQL),
