@@ -295,3 +295,36 @@ def test_ltr_rescore_broadcasts_candidates(spark):
     plan = _plan(ltr_rescore(spark, sf))
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_json_facet_subfacet_broadcasts_parents(spark):
+    """The nested subfacet re-aggregates only surviving parent buckets via a
+    broadcast join (≤limit keys), and its top-k window is per-parent."""
+    from lucene_solr_spark.relational import json_facet_orders
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(json_facet_orders(spark, sf))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_function_score_rank_pushes_term_filter(spark):
+    """The relevance frame reads ONLY the query term's posting rows — the
+    term filter reaches the parquet scan."""
+    from lucene_solr_spark.textops import function_score_rank
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(function_score_rank(spark, sf))
+    assert "PushedFilters" in plan
+    assert "TakeOrderedAndProject" in plan  # top-15 never a global sort
+
+
+def test_spatial_polygon_stays_jvm_side(spark):
+    """The crossing-sum predicate compiles into WholeStageCodegen — no
+    Python stage anywhere in the polygon filter."""
+    from lucene_solr_spark.relational import spatial_polygon
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(spatial_polygon(spark, sf))
+    assert "[codegen id :" in plan  # the filter runs inside a codegen stage
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
