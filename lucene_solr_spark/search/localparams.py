@@ -167,6 +167,18 @@ def local_query(
                 "score"
             ),
         )
+    if typ == "rerank":
+        # ReRankQParserPlugin ({!rerank reRankQuery=.. reRankDocs=N
+        # reRankWeight=W}main) → QueryRescorer two-phase combine
+        if searcher is None:
+            raise ValueError("{!rerank} needs a searcher")
+        rq = lp.get("reRankQuery")
+        if not rq:
+            raise ValueError("{!rerank} needs reRankQuery=")
+        n = int(lp.get("reRankDocs", "200"))
+        w = float(lp.get("reRankWeight", "2.0"))
+        first = searcher.search(body, k=n)
+        return searcher.rescore(first, rq, weight=w, k=n)
     raise ValueError(
         f"unknown local-params type {typ!r} — block join/graph/collapse have "
         "dedicated operators (relational.block_join_*, graph.*, "

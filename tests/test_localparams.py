@@ -72,3 +72,25 @@ def test_dispatch_lucene_and_boost(spark, tiny_index):
 def test_dispatch_unknown_type_names_operators():
     with pytest.raises(ValueError, match="dedicated operators"):
         local_query("{!parent which=kind:p}x", frame=None)
+
+
+def test_dispatch_rerank(spark, tiny_index):
+    """{!rerank} == explicit two-phase rescore (ReRankQParserPlugin →
+    QueryRescorer combine)."""
+    from lucene_solr_spark.search import IndexSearcher
+
+    d, _ = tiny_index
+    s = IndexSearcher(spark, d, analyzer="code")
+    got = {
+        (r.segment_id, r.doc_id): (r.rank, float(r.score))
+        for r in local_query(
+            '{!rerank reRankQuery="parse http" reRankDocs=20 reRankWeight=3.0}parse',
+            searcher=s,
+        ).collect()
+    }
+    first = s.search("parse", k=20)
+    want = {
+        (r.segment_id, r.doc_id): (r.rank, float(r.score))
+        for r in s.rescore(first, "parse http", weight=3.0, k=20).collect()
+    }
+    assert got == want and got
