@@ -605,6 +605,19 @@ class IndexSearcher:
         parsed: dict[int, Query] = {}
         for qid, q in queries.items():
             if isinstance(q, str):
+                if q.startswith("{!"):
+                    # Solr local-params prefix: only types that stay a Query
+                    # string here — {!lucene df=..} / v= body override
+                    # (QueryParsing.parseLocalParams); frame-level types
+                    # (func/frange/boost/rerank) dispatch via local_query
+                    from .localparams import parse_local_params
+
+                    typ, _lp, q = parse_local_params(q)
+                    if typ != "lucene":
+                        raise ValueError(
+                            f"{{!{typ}}} needs localparams.local_query "
+                            "(frame/score context)"
+                        )
                 if self.parser == "classic":
                     from .queryparser import parse_classic
 

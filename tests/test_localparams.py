@@ -94,3 +94,15 @@ def test_dispatch_rerank(spark, tiny_index):
         for r in s.rescore(first, "parse http", weight=3.0, k=20).collect()
     }
     assert got == want and got
+
+
+def test_search_accepts_lucene_localparams_prefix(spark, tiny_index):
+    from lucene_solr_spark.search import IndexSearcher
+
+    d, _ = tiny_index
+    s = IndexSearcher(spark, d, analyzer="code")
+    a = {(r.segment_id, r.doc_id) for r in s.search('{!lucene v="parse AND http"}', k=None).collect()}
+    b = {(r.segment_id, r.doc_id) for r in s.search("parse AND http", k=None).collect()}
+    assert a == b and a
+    with pytest.raises(Exception, match="local_query"):
+        s.search("{!func}sqrt(x)", k=5)
