@@ -149,7 +149,12 @@ def _sqedist(cols):
 def _dist(p, cols):
     """Minkowski p-distance (ValueSourceParser 'dist' → DistanceUtils.
     vectorDistance): p=1 manhattan, p=2 euclidean. p stays a Column —
-    the power arithmetic is symbolic, whole-stage-codegen applies."""
+    the power arithmetic is symbolic, whole-stage-codegen applies (p must
+    be ≥ 1; p=0 sparseness distance is not supported and yields NULL)."""
+    if len(cols) % 2 != 0:
+        raise ValueError(
+            f"dist() needs an even coordinate count (x1..xn, y1..yn), got {len(cols)}"
+        )
     n = len(cols) // 2
     out = F.lit(0.0)
     for x, y in zip(cols[:n], cols[n:]):

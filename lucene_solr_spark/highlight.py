@@ -38,28 +38,7 @@ from .analysis import _CASE_BOUND_RE, _WORD_RE, ANALYZERS
 
 def _match_spans(text: str, terms: set[str], analyzer: str) -> list[tuple[int, int]]:
     """Char spans (in the RAW text) of chain tokens matching ``terms``."""
-    if not text:
-        return []
-    # boundary substitution only INSERTS single spaces; map modified-text
-    # offsets back by counting insertions before each position
-    ins = [m.start() for m in _CASE_BOUND_RE.finditer(text)]
-    mod_ins = [p + i for i, p in enumerate(ins)]  # insertion offsets in mod text
-    mod = _CASE_BOUND_RE.sub(" ", text)
-
-    stem = None
-    if analyzer == "english":
-        from .porter import porter_stem
-
-        stem = porter_stem
-    spans = []
-    for m in _WORD_RE.finditer(mod):
-        tok = m.group().lower()
-        if stem is not None:
-            tok = stem(tok)
-        if tok in terms:
-            s, e = m.start(), m.end()
-            spans.append((s - bisect_right(mod_ins, s - 1), e - bisect_right(mod_ins, e - 1)))
-    return spans
+    return [(s, e) for s, e, _ in _match_spans_terms(text, terms, analyzer)]
 
 
 def _match_spans_terms(
@@ -69,8 +48,10 @@ def _match_spans_terms(
     scoring needs per-term statistics."""
     if not text:
         return []
+    # boundary substitution only INSERTS single spaces; map modified-text
+    # offsets back by counting insertions before each position
     ins = [m.start() for m in _CASE_BOUND_RE.finditer(text)]
-    mod_ins = [p + i for i, p in enumerate(ins)]
+    mod_ins = [p + i for i, p in enumerate(ins)]  # insertion offsets in mod text
     mod = _CASE_BOUND_RE.sub(" ", text)
     stem = None
     if analyzer == "english":
@@ -188,6 +169,10 @@ def highlight_offsets(
     from .index.read import offsets_postings
 
     terms = set(ANALYZERS[analyzer](query_text)[0])
+    if not terms:
+        # zero analyzed terms (stopword-only / punctuation query): nothing
+        # can match — never fall through to an unfiltered offsets decode
+        return fetched.withColumn("snippet", F.substring(content_col, 1, frag_size))
     spans_df = (
         offsets_postings(spark, index_dir, terms=sorted(terms))
         .join(
@@ -332,6 +317,12 @@ def highlight_passages(
     from .index.read import offsets_postings
 
     terms = set(ANALYZERS[analyzer](query_text)[0])
+    if not terms:
+        # zero analyzed terms: no passage can contain a match — empty
+        # snippet, never an unfiltered offsets decode
+        return fetched.withColumn("snippet", F.lit("")).withColumn(
+            "passage_score", F.lit(0.0)
+        )
     spans_df = (
         offsets_postings(spark, index_dir, terms=sorted(terms))
         .join(

@@ -25,6 +25,12 @@ Scale shape: updates tables are tiny next to the corpus — the patch join
 broadcasts under AQE; the per-doc "newest gen wins" window is partitioned
 by (segment_id, doc_id), never global. Base column values never move:
 segments stay immutable, only the sidecar grows.
+
+Documented limitation: a compacting merge rebases doc ids but does NOT
+remap dv_update rows (Lucene folds DV updates into the merged segment's
+new DV generation) — updates addressed at merged-away segments stop
+applying. Re-publish updates (one `update_numeric_docvalue` call with the
+same external keys) after merging, or fold before merging.
 """
 
 from __future__ import annotations
@@ -33,7 +39,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .manifest import next_segment_id
+from .manifest import live_segments, next_segment_id
 
 
 def dv_root(index_dir: str, field: str) -> str:
@@ -64,8 +70,11 @@ def update_numeric_docvalue(
     term is a no-op). Returns the published generation directory.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    docs = spark.read.parquet(os.path.join(index_dir, "docs")).select(
-        "segment_id", "doc_id", *keys
+    live = live_segments(spark, index_dir)
+    docs = (
+        spark.read.parquet(os.path.join(index_dir, "docs"))
+        .filter(F.col("segment_id").isin(live))
+        .select("segment_id", "doc_id", *keys)
     )
     watermark = next_segment_id(spark, index_dir) - 1
     # one value per key per generation (duplicate keys in one batch have no
@@ -110,7 +119,13 @@ def numeric_docvalues(
     """
     from pyspark.sql import Window
 
-    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    # docs/ is append-only (merged-away and uncommitted segments keep their
+    # rows) — resolve the view against the live set as of the commit, like
+    # every reader in this engine
+    live = live_segments(spark, index_dir, as_of=commit)
+    docs = spark.read.parquet(os.path.join(index_dir, "docs")).filter(
+        F.col("segment_id").isin(live)
+    )
     base = docs.select(
         "segment_id",
         "doc_id",

@@ -296,10 +296,17 @@ class EDisMaxSearcher:
             )
             joined = out.join(docs_df, ["segment_id", "doc_id"])
             score = F.col("score").cast("double")
+            # missing/NULL function values behave like Solr's default-0
+            # numeric doc values: bf adds 0 (base score kept), boost
+            # multiplies by 0 (FunctionQuery on an absent value is 0)
             for expr in bf or ():
-                score = score + parse_func(expr).cast("double")
+                score = score + F.coalesce(
+                    parse_func(expr).cast("double"), F.lit(0.0)
+                )
             for expr in boost or ():
-                score = score * parse_func(expr).cast("double")
+                score = score * F.coalesce(
+                    parse_func(expr).cast("double"), F.lit(0.0)
+                )
             out = joined.select(
                 "segment_id", "doc_id", score.cast(dt).alias("score")
             )

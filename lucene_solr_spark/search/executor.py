@@ -618,6 +618,13 @@ class IndexSearcher:
                             f"{{!{typ}}} needs localparams.local_query "
                             "(frame/score context)"
                         )
+                    if _lp:
+                        # one field per index dir; silently searching the
+                        # wrong field would be worse than refusing
+                        raise ValueError(
+                            "unsupported {!lucene} local params: "
+                            + ", ".join(sorted(_lp))
+                        )
                 if self.parser == "classic":
                     from .queryparser import parse_classic
 

@@ -71,7 +71,9 @@ def parse_local_params(
         if j2 < n and q[j2] == "=":
             # k=v with optional quoting
             j2 += 1
+            quoted = False
             if j2 < n and q[j2] in "'\"":
+                quoted = True
                 quote = q[j2]
                 j2 += 1
                 val = []
@@ -89,7 +91,9 @@ def parse_local_params(
                 while j2 < n and not q[j2].isspace() and q[j2] != "}":
                     j2 += 1
                 value = q[k0:j2]
-            if value.startswith("$"):
+            # Solr dereferences only UNQUOTED $refs (QueryParsing StrParser
+            # getQuotedString vs getId) — quoted '$...' is a literal
+            if not quoted and value.startswith("$"):
                 ref = value[1:]
                 if params is None or ref not in params:
                     raise ValueError(f"unresolved param ref ${ref} in {q!r}")
@@ -128,8 +132,12 @@ def local_query(
     if typ == "lucene":
         if searcher is None:
             raise ValueError("{!lucene} needs a searcher")
-        df_field = lp.get("df")  # default-field local param accepted, unused
-        _ = df_field
+        if lp:
+            # one field per index dir — df/q.op can't be honored; refuse
+            # loudly instead of silently searching the wrong field
+            raise ValueError(
+                "unsupported {!lucene} local params: " + ", ".join(sorted(lp))
+            )
         return searcher.search(body, k=None)
     if typ == "func":
         if frame is None:

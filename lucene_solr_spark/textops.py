@@ -1771,8 +1771,15 @@ def relevance_registry(stats: dict) -> dict:
     reg["numdocs"] = lambda: F.lit(stats["numdocs"])
     reg["totaltermfreq"] = lambda f, t: F.lit(stats["ttf"][t])
     reg["ttf"] = reg["totaltermfreq"]
-    reg["sumtotaltermfreq"] = lambda f: F.lit(stats["sumttf"])
-    reg["sttf"] = reg["sumtotaltermfreq"]
+
+    def _sttf(f=None):
+        # stats["sumttf"] may be a thunk — the whole-collection aggregate is
+        # only paid if an expression actually names sumtotaltermfreq
+        v = stats["sumttf"]
+        return F.lit(v() if callable(v) else v)
+
+    reg["sumtotaltermfreq"] = _sttf
+    reg["sttf"] = _sttf
     return reg
 
 
@@ -1797,13 +1804,14 @@ def function_score_rank(spark, sf_dir):
         F.count("*").alias("maxdoc"),
         F.sum((F.col("norm_byte") > 0).cast("long")).alias("numdocs"),
     ).collect()[0]
-    sumttf = int(s._term_stats_df.agg(F.sum("ttf")).collect()[0][0])
     stats = {
         "df": {term: int(srow["df"])},
         "ttf": {term: int(srow["ttf"])},
         "numdocs": int(counts["numdocs"]),
         "maxdoc": int(counts["maxdoc"]),
-        "sumttf": sumttf,
+        # lazy: FUNCTION_SCORE_EXPR doesn't reference sumtotaltermfreq, so
+        # the whole-stats aggregate is never run unless an expression does
+        "sumttf": lambda: int(s._term_stats_df.agg(F.sum("ttf")).collect()[0][0]),
     }
     posts = term_postings(spark, s.index_dir, [term]).select(
         "segment_id", "doc_id", F.col("freq").cast("long").alias(f"tf_{term}")

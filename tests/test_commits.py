@@ -233,3 +233,22 @@ def test_numeric_docvalue_updates(spark, tmp_path_factory):
     rows = {(r.segment_id, r.doc_id): r.value for r in with_base.collect()}
     n_patched = sum(1 for (s, dd), v in rows.items() if v != dd)
     assert n_patched == 3
+
+
+def test_numeric_docvalues_exclude_merged_away_segments(spark, tmp_path_factory):
+    """docs/ is append-only: after a compacting merge the DV view must
+    resolve against the LIVE set only — no duplicate logical docs."""
+    from lucene_solr_spark.corpus import synth_corpus_local
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.index.docvalues import numeric_docvalues
+    from lucene_solr_spark.index.manifest import live_segments
+    from lucene_solr_spark.index.merge import merge_segments
+
+    corpus = synth_corpus_local(100)
+    d = str(tmp_path_factory.mktemp("dvmrg") / "idx")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=4,
+                analyzer="code")
+    merge_segments(spark, d, live_segments(spark, d))
+    view = numeric_docvalues(spark, d, "rank_boost")
+    assert view.count() == 100  # one row per logical doc, not per docs/ row
+    assert view.select("segment_id").distinct().count() == 1

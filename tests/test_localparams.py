@@ -106,3 +106,16 @@ def test_search_accepts_lucene_localparams_prefix(spark, tiny_index):
     assert a == b and a
     with pytest.raises(Exception, match="local_query"):
         s.search("{!func}sqrt(x)", k=5)
+
+
+def test_quoted_dollar_is_literal_and_lucene_refuses_df(spark, tiny_index):
+    _, lp, _ = parse_local_params("{!foo a='$5 off'}x")
+    assert lp == {"a": "$5 off"}
+    from lucene_solr_spark.search import IndexSearcher
+
+    d, _ = tiny_index
+    s = IndexSearcher(spark, d, analyzer="code")
+    with pytest.raises(ValueError, match="unsupported"):
+        local_query("{!lucene df=path}parse", searcher=s)
+    with pytest.raises(Exception, match="unsupported"):
+        s.search("{!lucene df=path}parse", k=5)
