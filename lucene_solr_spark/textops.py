@@ -573,6 +573,83 @@ FROM cscore c FULL OUTER JOIN tscore t ON c.doc_id = t.doc_id
 """
 
 
+# BM25F combined-field gate (search/bm25f.py — sandbox BM25FQuery.java +
+# MultiNormsLeafSimScorer.java): the SAME two aligned fields as ft_multifield
+# but blended BEFORE tf saturation: freq = Σ w_f·tf_f, norm =
+# intToByte4(round(Σ w_f·byte4ToInt(norm_f))), pseudo stats df=max /
+# docCount=max / sumttf=Σw·sttf. The oracle re-derives every piece in SQL,
+# including the re-quantization round-trip of the combined norm.
+_BM25F_TERMS = ("hash", "index")
+_BM25F_TITLE_W = 2.0
+
+
+def ft_bm25f(spark, sf_dir):
+    from .search.bm25f import BM25FSearcher
+
+    d_c = docs_index_dir(spark, sf_dir)
+    d_t = title_index_dir(spark, sf_dir)
+    bf = BM25FSearcher(
+        spark,
+        {"text": (d_c, 1.0), "title": (d_t, _BM25F_TITLE_W)},
+        analyzer="simple",
+        precision="f64",
+    )
+    hits = bf.search(_BM25F_TERMS, k=None)
+    docs = spark.read.parquet(os.path.join(d_c, "docs")).select(
+        "segment_id", "doc_id", "ext_id"
+    )
+    return hits.join(docs, ["segment_id", "doc_id"]).select(
+        F.col("ext_id").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _bm25f_sql() -> str:
+    tl = ", ".join(f"'{t}'" for t in _BM25F_TERMS)
+    w = _BM25F_TITLE_W
+    enc = (
+        "CASE WHEN v < 24 THEN v ELSE 24 + ("
+        "CASE WHEN (v-24) < 8 THEN (v-24) "
+        "ELSE (((v-24) >> (CAST(FLOOR(LOG2(v-24)) AS INT) - 3)) & 7) "
+        "| ((CAST(FLOOR(LOG2(v-24)) AS INT) - 2) << 3) END) END"
+    )
+    dec = (
+        "CASE WHEN nb < 24 THEN nb ELSE 24 + ("
+        "CASE WHEN ((nb-24) >> 3) = 0 THEN (nb-24) & 7 "
+        "ELSE (((nb-24) & 7) | 8) << (((nb-24) >> 3) - 1) END) END"
+    )
+    return f"""
+WITH {_bm25_chain("", _TOKENIZE)},
+{_bm25_chain("t_", f"list_slice({_TOKENIZE}, 1, {TITLE_TOKENS})")},
+cn0 AS (
+  SELECT d.doc_id, CAST(round(1.0 * d.dlq + {w} * t.dlq) AS BIGINT) AS v
+  FROM dld d JOIN t_dld t ON d.doc_id = t.doc_id
+),
+cnb AS (SELECT doc_id, {enc} AS nb FROM cn0),
+cdl AS (SELECT doc_id, {dec} AS dl FROM cnb),
+ff AS (
+  SELECT doc_id, sum(wtf) AS freq FROM (
+    SELECT doc_id, 1.0 * tf AS wtf FROM tf WHERE term IN ({tl})
+    UNION ALL
+    SELECT doc_id, {w} * tf FROM t_tf WHERE term IN ({tl})
+  ) GROUP BY doc_id
+),
+pst AS (SELECT greatest(c.n, t.n) AS n, (1.0 * c.st + {w} * t.st) AS st
+        FROM cstats c, t_cstats t),
+pdf AS (SELECT max(df) AS df FROM (
+  SELECT df FROM dft WHERE term IN ({tl})
+  UNION ALL SELECT df FROM t_dft WHERE term IN ({tl})
+))
+SELECT f.doc_id,
+       round(ln(1 + (pst.n - pdf.df + 0.5) / (pdf.df + 0.5)) * f.freq /
+             (f.freq + 1.2 * (0.25 + 0.75 * cdl.dl / (pst.st * 1.0 / pst.n))),
+             4) AS score
+FROM ff f JOIN cdl ON f.doc_id = cdl.doc_id, pst, pdf
+"""
+
+
+FT_BM25F_SQL = _bm25f_sql()
+
+
 # (e)DisMax gate (search/edismax.py — DisMaxQParser.java qf/mm/pf/tie +
 # ExtendedDismaxQParser.java leniency): q = two SHOULD clauses over
 # text^1/title^2 with per-CLAUSE dismax (tie=0.1), mm="2" (both clauses
@@ -1920,6 +1997,7 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "analyzing_suggest": (analyzing_suggest, _asug_sql()),
     "fuzzy_suggest": (fuzzy_suggest, _fsug_sql()),
     "ft_multifield": (ft_multifield, FT_MULTIFIELD_SQL),
+    "ft_bm25f": (ft_bm25f, FT_BM25F_SQL),
     "ft_term_tf": (ft_term_tf, FT_TF_SQL),
     "ft_norms": (ft_norms, FT_NORMS_SQL),
     "function_score_rank": (function_score_rank, FUNCTION_SCORE_SQL),
