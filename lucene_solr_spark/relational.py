@@ -1625,7 +1625,237 @@ FROM mid
 """
 
 
+# MultiRangeQuery (sandbox MultiRangeQuery.java): a disjunction of ranges
+# over ONE point field evaluated in a single scan/traversal rather than N
+# separate range queries. Spark-first: one OR-of-ranges predicate, pushed to
+# the parquet scan as a row-group filter (the BKD single-traversal analogue).
+_MR_RANGES = ((1, 5), (20, 25), (45, 50))
+
+
+def multi_range_quantity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    pred = None
+    for lo, hi in _MR_RANGES:
+        r = (q >= lo) & (q <= hi)
+        pred = r if pred is None else (pred | r)
+    return (
+        li.filter(pred)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(q.cast("double")).alias("sum_qty"),
+        )
+    )
+
+
+MULTI_RANGE_SQL = """
+SELECT l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE (l_quantity BETWEEN 1 AND 5)
+   OR (l_quantity BETWEEN 20 AND 25)
+   OR (l_quantity BETWEEN 45 AND 50)
+GROUP BY l_linestatus
+"""
+
+
+# DocValuesTermsQuery + DocValuesNumbersQuery (sandbox DocValuesTermsQuery
+# .java / DocValuesNumbersQuery.java): verify-time set membership against
+# per-doc values instead of an inverted index. In a columnar store the
+# index-vs-docvalues execution split collapses (IndexOrDocValuesQuery role,
+# COVERAGE §2.5) — both compile to an IN filter on the column scan; Catalyst
+# still makes the reference's cost choice (pushed filter vs post-scan) per
+# AQE statistics.
+_DV_PRIORITIES = ("1-URGENT", "3-MEDIUM")
+
+
+def dv_terms_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderpriority").isin(*_DV_PRIORITIES))
+        .filter((F.col("o_custkey") % 10).isin(0, 3, 7))
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+DV_TERMS_SQL = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+  AND (o_custkey % 10) IN (0, 3, 7)
+GROUP BY o_orderpriority, o_orderstatus
+"""
+
+
+# LatLonPoint nearest-neighbor (sandbox LatLonPointPrototypeQueries.nearest
+# + NearestNeighbor.java): k nearest indexed points to an origin. The BKD
+# best-first traversal's job is to avoid scoring every point; Spark's
+# analogue is a TakeOrderedAndProject over the distance expression (per-
+# partition top-k, then a k-row merge — never a global sort). Same derived
+# coordinate scheme as geodist_customers.
+def geo_nearest_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") % 180) - 90 + 0.5
+    lon = (F.col("c_custkey") % 360) - 180 + 0.5
+    lat0, lon0 = F.lit(40.7), F.lit(-74.0)
+    dlat = F.radians(lat - lat0)
+    dlon = F.radians(lon - lon0)
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians(lat0)) * F.cos(F.radians(lat)) * F.pow(F.sin(dlon / 2), 2)
+    )
+    dist = 2 * 6371 * F.asin(F.sqrt(a))
+    top = (
+        c.select("c_custkey", F.round(dist, 4).alias("dist_km"))
+        .orderBy(F.col("dist_km").asc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+    w = Window.orderBy(F.col("dist_km").asc(), F.col("c_custkey").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+GEO_NEAREST_SQL = """
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey % 180) - 90 + 0.5 AS lat,
+         (c_custkey % 360) - 180 + 0.5 AS lon
+  FROM customer
+), d AS (
+  SELECT c_custkey,
+         round(2 * 6371 * asin(sqrt(
+           pow(sin(radians(lat - 40.7) / 2), 2) +
+           cos(radians(40.7)) * cos(radians(lat)) * pow(sin(radians(lon - (-74.0)) / 2), 2)
+         )), 4) AS dist_km
+  FROM pts
+)
+SELECT c_custkey, dist_km,
+       CAST(row_number() OVER (ORDER BY dist_km ASC, c_custkey ASC) AS INT) AS rank
+FROM d ORDER BY dist_km ASC, c_custkey ASC LIMIT 10
+"""
+
+
+# Solr interval facets (solr/core/.../request/IntervalFacets.java:102,
+# FacetInterval parsing at :467-615): arbitrary user intervals with
+# open/closed bounds — `[0,1000)`, `(1000,5000]`, `[5000,*]` — counted in
+# ONE accumulating pass over the field (the class javadoc's contract vs N
+# facet.query passes). Spark-first: one scan, N conditional-count aggregates.
+def parse_interval(spec: str) -> tuple[float | None, float | None, bool, bool]:
+    """Solr facet.interval.set syntax -> (lo, hi, lo_open, hi_open);
+    None = unbounded (`*`). Mirrors FacetInterval's bracket parsing."""
+    s = spec.strip()
+    if s[0] not in "([" or s[-1] not in ")]":
+        raise ValueError(f"invalid interval: {spec!r}")
+    lo_open, hi_open = s[0] == "(", s[-1] == ")"
+    body = s[1:-1]
+    parts = body.split(",")
+    if len(parts) != 2:
+        raise ValueError(f"invalid interval: {spec!r}")
+    lo = None if parts[0].strip() == "*" else float(parts[0])
+    hi = None if parts[1].strip() == "*" else float(parts[1])
+    if lo is not None and hi is not None and (
+        lo > hi or (lo == hi and (lo_open or hi_open))
+    ):
+        raise ValueError(f"empty interval: {spec!r}")
+    return lo, hi, lo_open, hi_open
+
+
+def _interval_pred(col, spec: str):
+    lo, hi, lo_open, hi_open = parse_interval(spec)
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & ((col > lo) if lo_open else (col >= lo))
+    if hi is not None:
+        pred = pred & ((col < hi) if hi_open else (col <= hi))
+    return pred
+
+
+_PRICE_INTERVALS = ("[*,50000)", "[50000,150000)", "(150000,250000]", "[250000,*]")
+
+
+def facet_interval_price(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    col = F.col("o_totalprice").cast("double")
+    aggs = [
+        F.count(F.when(_interval_pred(col, spec), 1)).alias(f"i{i}")
+        for i, spec in enumerate(_PRICE_INTERVALS)
+    ]
+    wide = o.agg(*aggs)
+    # one row per interval, labeled with the user's spec string
+    pairs = F.array(*[
+        F.struct(F.lit(spec).alias("interval"), F.col(f"i{i}").alias("n"))
+        for i, spec in enumerate(_PRICE_INTERVALS)
+    ])
+    return (
+        wide.select(F.explode(pairs).alias("kv"))
+        .select(F.col("kv.interval").alias("interval"), F.col("kv.n").alias("n"))
+    )
+
+
+FACET_INTERVAL_SQL = """
+WITH p AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders)
+SELECT '[*,50000)' AS interval, count(*) FILTER (v < 50000) AS n FROM p
+UNION ALL
+SELECT '[50000,150000)', count(*) FILTER (v >= 50000 AND v < 150000) FROM p
+UNION ALL
+SELECT '(150000,250000]', count(*) FILTER (v > 150000 AND v <= 250000) FROM p
+UNION ALL
+SELECT '[250000,*]', count(*) FILTER (v >= 250000) FROM p
+"""
+
+
+# Solr heatmap facets (solr/core/.../component/SpatialHeatmapFacets.java:41;
+# backed by lucene spatial-extras HeatmapFacetCounter): counts per grid cell
+# over a bounding box at a chosen grid level. One scan, floor-div bucketing,
+# groupBy (row, col) — the 2-D histogram shape that survives any scale.
+_HM_BOX = (-60.0, 60.0, -120.0, 120.0)  # minLat, maxLat, minLon, maxLon
+_HM_ROWS, _HM_COLS = 6, 12
+
+
+def facet_heatmap_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") % 180) - 90 + 0.5
+    lon = (F.col("c_custkey") % 360) - 180 + 0.5
+    min_lat, max_lat, min_lon, max_lon = _HM_BOX
+    cell_h = (max_lat - min_lat) / _HM_ROWS
+    cell_w = (max_lon - min_lon) / _HM_COLS
+    return (
+        c.select(lat.alias("lat"), lon.alias("lon"))
+        .filter(
+            (F.col("lat") >= min_lat) & (F.col("lat") < max_lat)
+            & (F.col("lon") >= min_lon) & (F.col("lon") < max_lon)
+        )
+        .select(
+            F.floor((F.col("lat") - min_lat) / cell_h).alias("grid_row"),
+            F.floor((F.col("lon") - min_lon) / cell_w).alias("grid_col"),
+        )
+        .groupBy("grid_row", "grid_col")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+FACET_HEATMAP_SQL = """
+WITH pts AS (
+  SELECT (c_custkey % 180) - 90 + 0.5 AS lat,
+         (c_custkey % 360) - 180 + 0.5 AS lon
+  FROM customer
+)
+SELECT CAST(floor((lat - (-60.0)) / 20.0) AS BIGINT) AS grid_row,
+       CAST(floor((lon - (-120.0)) / 20.0) AS BIGINT) AS grid_col,
+       count(*) AS n
+FROM pts
+WHERE lat >= -60 AND lat < 60 AND lon >= -120 AND lon < 120
+GROUP BY 1, 2
+"""
+
+
 RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
+    "multi_range_quantity": (multi_range_quantity, MULTI_RANGE_SQL),
+    "facet_interval_price": (facet_interval_price, FACET_INTERVAL_SQL),
+    "facet_heatmap_customers": (facet_heatmap_customers, FACET_HEATMAP_SQL),
+    "dv_terms_orders": (dv_terms_orders, DV_TERMS_SQL),
+    "geo_nearest_customers": (geo_nearest_customers, GEO_NEAREST_SQL),
     "eval_let_lineitem": (eval_let_lineitem, EVAL_LET_SQL),
     "taxonomy_facets": (taxonomy_facets, TAXONOMY_SQL),
     "drill_sideways_orders": (drill_sideways_orders, DRILL_SIDEWAYS_SQL),

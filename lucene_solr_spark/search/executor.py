@@ -102,6 +102,7 @@ def _position_terms(q: Query) -> set[str]:
         SpanNotQuery,
         SpanOrQuery,
         SpanTermQuery,
+        TermAutomatonQuery,
     )
 
     from .intervals import IntervalQuery
@@ -117,6 +118,7 @@ def _position_terms(q: Query) -> set[str]:
             SpanNotQuery,
             SpanFirstQuery,
             IntervalQuery,
+            TermAutomatonQuery,
         ),
     ):
         return q.terms()
@@ -874,6 +876,59 @@ class IndexSearcher:
         ).limit(k)
         # rank over ≤ k rows (the TakeOrdered result) — bounded input, the
         # single-partition window is fine here
+        w = Window.orderBy(
+            F.col("score").desc(), F.col("segment_id").asc(), F.col("doc_id").asc()
+        )
+        return top.withColumn("rank", F.row_number().over(w))
+
+    def search_covering(
+        self,
+        queries,
+        min_match: "int | DataFrame",
+        k: int | None = 10,
+    ) -> DataFrame:
+        """``CoveringQuery`` (reference ``lucene/sandbox/src/java/org/apache/
+        lucene/search/CoveringQuery.java:54-66`` + ``CoveringScorer.java:
+        204-212``): a document matches when at least ``max(1, minMatch(doc))``
+        of the sub-queries match it; its score is the SUM of the matching
+        sub-queries' scores. ``min_match`` is either a constant int (a
+        ``LongValuesSource.constant``) or a DataFrame of ``(segment_id,
+        doc_id, <value>)`` playing the per-document ``LongValuesSource`` —
+        documents with no row in it do NOT match (ctor javadoc), hence the
+        inner join.
+
+        Shape at scale: one batched ``search_many`` job over every clause
+        (shared postings scan, term filter pushed down), one groupBy on the
+        document coordinate (count + sum are map-side combinable), an
+        equi-join against the per-doc min-match frame, TakeOrdered top-k.
+        ``k=None`` returns every covering match unranked (oracle mode)."""
+        queries = list(queries)
+        if len(queries) > MAX_CLAUSE_COUNT:
+            raise ValueError(
+                f"maxClauseCount exceeded: {len(queries)} > {MAX_CLAUSE_COUNT}"
+            )
+        hits = self.search_many({i: q for i, q in enumerate(queries)}, k=None)
+        agg = hits.groupBy("segment_id", "doc_id").agg(
+            F.count("*").alias("n_matching"),
+            F.sum(F.col("score").cast("double")).alias("score"),
+        )
+        if isinstance(min_match, DataFrame):
+            c = [c for c in min_match.columns if c not in ("segment_id", "doc_id")][0]
+            mm = min_match.select(
+                "segment_id", "doc_id", F.col(c).cast("long").alias("_mm")
+            )
+            agg = (
+                agg.join(mm, ["segment_id", "doc_id"])
+                .filter(F.col("n_matching") >= F.greatest(F.lit(1), F.col("_mm")))
+                .drop("_mm")
+            )
+        else:
+            agg = agg.filter(F.col("n_matching") >= max(1, int(min_match)))
+        if k is None:
+            return agg
+        top = agg.orderBy(
+            F.col("score").desc(), F.col("segment_id").asc(), F.col("doc_id").asc()
+        ).limit(k)
         w = Window.orderBy(
             F.col("score").desc(), F.col("segment_id").asc(), F.col("doc_id").asc()
         )

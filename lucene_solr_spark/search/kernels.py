@@ -54,6 +54,7 @@ from .query import (
     SpanOrQuery,
     SpanTermQuery,
     SynonymQuery,
+    TermAutomatonQuery,
     TermQuery,
 )
 from .intervals import IntervalQuery, eval_interval_query
@@ -686,6 +687,8 @@ def eval_query(q: Query, seg: SegmentPostings, ctx: QueryContext, scoring: bool 
         return _eval_synonym(q, seg, ctx, scoring)
     if isinstance(q, DisjunctionMaxQuery):
         return _eval_dismax(q, seg, ctx, scoring)
+    if isinstance(q, TermAutomatonQuery):
+        return _eval_term_automaton(q, seg, ctx, scoring)
     raise TypeError(f"unknown query type {type(q)}")
 
 
@@ -946,6 +949,151 @@ def _eval_sloppy_phrase_n(
     if not scoring:
         return uniq, np.zeros(len(uniq), dtype=np.float64)
     w = ctx.phrase_weight(q.phrase_terms)
+    if ctx.f32:
+        freq = freq.astype(np.float32).astype(np.float64)
+    return uniq, ctx.score(freq, seg.norms[uniq], w)
+
+
+# ------------------------------------------------- term automaton ----------
+# Sandbox TermAutomatonQuery (TermAutomatonQuery.java + TermAutomatonScorer
+# .java): token-graph matching over a determinized automaton with per-
+# position state MULTIPLICITIES (PosState appends without dedup — freq
+# counts interpretation paths, not distinct states). See the query class
+# docstring for the full countMatches contract this mirrors.
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=256)
+def _term_automaton_dfa(q: TermAutomatonQuery):
+    """Subset-construction determinization (``finish()``'s
+    ``Operations.determinize`` role; ANY/None is an ordinary alphabet
+    symbol). Returns ``(step, accept)``: ``step[s][symbol] -> dst`` and a
+    per-DFA-state accept flag."""
+    from collections import defaultdict
+
+    nfa: dict = defaultdict(lambda: defaultdict(set))
+    for s, d, t in q.transitions:
+        nfa[s][t].add(d)
+    start = frozenset({0})
+    ids = {start: 0}
+    step: list[dict] = [{}]
+    accept: list[bool] = [bool(start & q.accept)]
+    work = [start]
+    while work:
+        cur = work.pop()
+        sid = ids[cur]
+        merged: dict = defaultdict(set)
+        for s in cur:
+            for sym, dsts in nfa[s].items():
+                merged[sym] |= dsts
+        for sym, dsts in merged.items():
+            key = frozenset(dsts)
+            nid = ids.get(key)
+            if nid is None:
+                nid = ids[key] = len(ids)
+                step.append({})
+                accept.append(bool(key & q.accept))
+                work.append(key)
+            step[sid][sym] = nid
+    return step, accept
+
+
+def _automaton_count(occ, step, accept, has_any) -> int:
+    """``TermAutomatonScorer.countMatches`` over one document's query-term
+    occurrences ``occ`` = [(pos, term)] sorted by pos. ``cur`` maps DFA
+    state -> path multiplicity at the tracked position; gaps between token
+    positions advance via ANY one position at a time (holes match ANY),
+    freq counts only real-term steps into accept."""
+    init = step[0]
+    freq = 0
+    cur: dict[int, int] = {}
+    qpos = -1  # position `cur` refers to; -1 = nothing tracked yet
+    i, n = 0, len(occ)
+    while i < n:
+        p = occ[i][0]
+        j = i
+        while j < n and occ[j][0] == p:
+            j += 1
+        batch = [occ[m][1] for m in range(i, j)]
+        if cur and p > qpos:
+            if has_any:
+                for _ in range(p - qpos):
+                    nxt: dict[int, int] = {}
+                    for s, m in cur.items():
+                        d = step[s].get(None)
+                        if d is not None:
+                            nxt[d] = nxt.get(d, 0) + m
+                    cur = nxt
+                    if not cur:  # petered out (reference's early break)
+                        break
+            else:
+                cur = {}
+        nxt = {}
+        for s, m in cur.items():
+            for t in batch:
+                d = step[s].get(t)
+                if d is not None:
+                    nxt[d] = nxt.get(d, 0) + m
+                    if accept[d]:
+                        freq += m
+            if has_any:
+                d = step[s].get(None)
+                if d is not None:
+                    nxt[d] = nxt.get(d, 0) + m
+        for t in batch:
+            d = init.get(t)
+            if d is not None:
+                nxt[d] = nxt.get(d, 0) + 1
+                if accept[d]:
+                    freq += 1
+        cur = nxt
+        qpos = p + 1
+        i = j
+    return freq
+
+
+def _eval_term_automaton(
+    q: TermAutomatonQuery, seg: SegmentPostings, ctx: QueryContext, scoring: bool
+):
+    """Candidate docs = union of the real terms' postings (an ANY-only
+    automaton matches nothing — the reference scorer iterates term enums);
+    per candidate the countMatches simulation runs over its few query-term
+    occurrences, like the span family. Scored as a pseudo-term with
+    idf = Σ real-term idfs (TermAutomatonWeight gathers all termStates)."""
+    terms = sorted(q.terms())
+    if not terms:
+        return _EMPTY_I, _EMPTY_F
+    step, accept = _term_automaton_dfa(q)
+    has_any = any(None in st for st in step)
+    lists = {t: seg.docs_freqs(t) for t in terms}
+    present = [t for t in terms if len(lists[t][0])]
+    if not present:
+        return _EMPTY_I, _EMPTY_F
+    cand = np.unique(np.concatenate([lists[t][0] for t in present]))
+    pos_all = {t: seg.positions(t) for t in present}
+    match_docs, match_freq = [], []
+    for doc in cand:
+        occ = []
+        for t in present:
+            docs_t = lists[t][0]
+            k = int(np.searchsorted(docs_t, doc))
+            if k < len(docs_t) and docs_t[k] == doc:
+                pos, occ_off = pos_all[t]
+                for p in pos[occ_off[k] : occ_off[k + 1]]:
+                    occ.append((int(p), t))
+        occ.sort()
+        f = _automaton_count(occ, step, accept, has_any)
+        if f > 0:
+            match_docs.append(int(doc))
+            match_freq.append(f)
+    if not match_docs:
+        return _EMPTY_I, _EMPTY_F
+    uniq = np.array(match_docs, dtype=np.int64)
+    freq = np.array(match_freq, dtype=np.float64)
+    if not scoring:
+        return uniq, np.zeros(len(uniq), dtype=np.float64)
+    w = ctx.phrase_weight(tuple(terms))
     if ctx.f32:
         freq = freq.astype(np.float32).astype(np.float64)
     return uniq, ctx.score(freq, seg.norms[uniq], w)

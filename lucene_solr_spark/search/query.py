@@ -213,6 +213,75 @@ class SpanFirstQuery(Query):
 
 
 @dataclass(frozen=True)
+class TermAutomatonQuery(Query):
+    """Token-graph proximity query (sandbox ``search/TermAutomatonQuery.java``
+    + ``TermAutomatonScorer.java``): an automaton whose arcs are labeled with
+    terms (or ``None`` = ANY, the ``addAnyTransition`` wildcard that matches
+    whatever token sits at a position — including one of the query's own
+    terms interpreted as "any"); a document matches when some path through
+    the automaton consumes tokens at consecutive positions. State ``0`` is
+    the initial state.
+
+    Matching/counting semantics (``TermAutomatonScorer.countMatches``,
+    mirrored exactly — see ``kernels._eval_term_automaton``):
+
+    - the automaton is determinized first (``finish()`` calls
+      ``Operations.determinize``; ANY is just another alphabet symbol), and
+      path MULTIPLICITY is tracked over the DFA — per-position state counts,
+      not a set;
+    - a new thread is seeded only by a real-term step from state 0 at a
+      token position — a match can never START with an ANY step;
+    - ``freq`` increments (by the thread's multiplicity) each time a
+      REAL-term step lands in an accepting DFA state; accepts reached via an
+      ANY step are advanced but never counted (the reference's quirk);
+    - ANY steps advance threads across every position between query-term
+      tokens, so index "holes" (removed stopwords) match ANY, exactly like
+      the scorer's lastPos→pos advance loop.
+
+    Scored like a phrase: freq through the similarity with a pseudo-term
+    weight built from ALL the real terms' stats (``TermAutomatonWeight``
+    gathers every term's termStates)."""
+
+    n_states: int
+    transitions: tuple  # (src: int, dst: int, term: str | None), None = ANY
+    accept: frozenset
+
+    def __post_init__(self):
+        if not self.accept:
+            raise ValueError("automaton needs at least one accept state")
+        for s, d, _t in self.transitions:
+            if not (0 <= s < self.n_states and 0 <= d < self.n_states):
+                raise ValueError(
+                    f"transition ({s},{d}) out of range for {self.n_states} states"
+                )
+        for a in self.accept:
+            if not (0 <= a < self.n_states):
+                raise ValueError(f"accept state {a} out of range")
+
+    def terms(self):
+        return {t for _, _, t in self.transitions if t is not None}
+
+
+def term_automaton_from_token_stream(slots) -> TermAutomatonQuery:
+    """``TokenStreamToTermAutomatonQuery`` role: build the linear-chain
+    automaton from an analyzed token stream, where each slot is the tuple of
+    terms stacked at that position (posIncr=0 alternatives — e.g. a synonym
+    graph or WordDelimiterGraph output). Slot i -> state i, final state
+    accepts."""
+    slots = tuple(tuple(s) for s in slots)
+    if not slots or any(len(s) == 0 for s in slots):
+        raise ValueError("every slot needs at least one term")
+    transitions = tuple(
+        (i, i + 1, t) for i, slot in enumerate(slots) for t in slot
+    )
+    return TermAutomatonQuery(
+        n_states=len(slots) + 1,
+        transitions=transitions,
+        accept=frozenset({len(slots)}),
+    )
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     """Scores multiple terms as one pseudo-term (``search/SynonymQuery.java:55``):
     freq = Σ term freqs per doc; pseudo-stats df = max(df_i), ttf = Σ ttf_i

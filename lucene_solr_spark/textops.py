@@ -1729,6 +1729,96 @@ WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'hash')
 )
 
 
+# TermAutomatonQuery (sandbox TermAutomatonQuery.java + TermAutomatonScorer
+# .java, kernel _eval_term_automaton): (hash|index) ANY table — an OR slot,
+# then a wildcard position, then a fixed term. freq = number of start
+# positions p with (hash|index)@p AND table@p+2 (paths are unique per start
+# here), scored like a phrase with idf = Σ over ALL real terms.
+def ft_term_automaton(spark, sf_dir):
+    from .search.query import TermAutomatonQuery
+
+    q = TermAutomatonQuery(
+        n_states=4,
+        transitions=(
+            (0, 1, "hash"),
+            (0, 1, "index"),
+            (1, 2, None),
+            (2, 3, "table"),
+        ),
+        accept=frozenset({3}),
+    )
+    return _ft_search_all(spark, sf_dir, q)
+
+
+FT_TERM_AUTOMATON_SQL = (
+    _BM25_CTE
+    + f"""
+, tokp AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id, {_TOKENIZE} AS arr FROM documents)
+),
+am AS (
+  SELECT a.doc_id, count(*) AS freq
+  FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 2
+  WHERE a.term IN ('hash', 'index') AND b.term = 'table'
+  GROUP BY a.doc_id
+),
+pw AS (
+  SELECT sum(ln(1 + (cstats.n - dft.df + 0.5) / (dft.df + 0.5))) AS w
+  FROM dft, cstats WHERE dft.term IN ('hash', 'index', 'table')
+)
+SELECT am.doc_id,
+       round(pw.w * (am.freq / (am.freq + 1.2 * (0.25 + 0.75 * dld.dlq / (cstats.st * 1.0 / cstats.n)))), 4) AS score
+FROM am JOIN dld ON am.doc_id = dld.doc_id, pw, cstats
+"""
+)
+
+
+# CoveringQuery (sandbox CoveringQuery.java:54-66 + CoveringScorer.java:
+# 204-212): a doc matches when >= max(1, minMatch(doc)) sub-queries match;
+# score = SUM of the matching clauses' scores. minMatch here is the
+# LongValuesSource role played by a per-doc column: long docs (n_chars >=
+# threshold) must match 2 of the 3 clauses, short docs only 1.
+_COVERING_TERMS = ("table", "hash", "vector")
+_COVERING_THRESH = 300
+
+
+def ft_covering(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(s.index_dir, "docs")).select(
+        "segment_id", "doc_id", "ext_id"
+    )
+    src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        F.col("doc_id").alias("ext_id"),
+        F.when(F.col("n_chars") >= _COVERING_THRESH, F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("mm"),
+    )
+    mm = docs.join(src, "ext_id").select("segment_id", "doc_id", "mm")
+    hits = s.search_covering(list(_COVERING_TERMS), mm, k=None)
+    return hits.join(docs, ["segment_id", "doc_id"]).select(
+        F.col("ext_id").alias("doc_id"),
+        "n_matching",
+        F.round("score", 4).alias("score"),
+    )
+
+
+FT_COVERING_SQL = (
+    _BM25_CTE
+    + _SCORES_CTE.format(terms=_terms_list(list(_COVERING_TERMS)))
+    + f"""
+, cov AS (
+  SELECT doc_id, count(*) AS n_matching, sum(s) AS score
+  FROM scores GROUP BY doc_id
+)
+SELECT c.doc_id, c.n_matching, round(c.score, 4) AS score
+FROM cov c JOIN documents d ON c.doc_id = d.doc_id
+WHERE c.n_matching >=
+      greatest(1, CASE WHEN d.n_chars >= {_COVERING_THRESH} THEN 2 ELSE 1 END)
+"""
+)
+
+
 # FeatureQuery / FeatureField (document/FeatureField.java:109): a static
 # per-doc ranking feature folded additively into the relevance score. The
 # feature here is ln(1 + n_chars) — the "document quality/popularity signal"
@@ -1998,6 +2088,8 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "fuzzy_suggest": (fuzzy_suggest, _fsug_sql()),
     "ft_multifield": (ft_multifield, FT_MULTIFIELD_SQL),
     "ft_bm25f": (ft_bm25f, FT_BM25F_SQL),
+    "ft_covering": (ft_covering, FT_COVERING_SQL),
+    "ft_term_automaton": (ft_term_automaton, FT_TERM_AUTOMATON_SQL),
     "ft_term_tf": (ft_term_tf, FT_TF_SQL),
     "ft_norms": (ft_norms, FT_NORMS_SQL),
     "function_score_rank": (function_score_rank, FUNCTION_SCORE_SQL),
