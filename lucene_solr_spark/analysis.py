@@ -242,16 +242,135 @@ def _make_ngram_analyzer(n: int):
 # fixed-size character-gram chains: the fields NGramPhraseQuery optimizes
 NGRAM_SIZES = {"ngram2": 2, "ngram3": 3}
 
-ANALYZERS = {
+# ------------------------------------------- synonym graph filter ----------
+# SynonymGraphFilter / SolrSynonymParser (``analysis/common/.../synonym/
+# SynonymGraphFilter.java`` + ``SolrSynonymParser.java``): inject synonym
+# tokens STACKED at the original's position (posIncr=0 overlaps — they do
+# not count toward field length, discountOverlaps). Scope (documented):
+# single-token inputs and outputs only — multi-word synonyms need posLength
+# graph support the posting format doesn't store (the same limitation the
+# reference has at INDEX time: its graph flattening is lossy too, see the
+# SynonymGraphFilter javadoc's index-time warning). Rules files use Solr's
+# synonyms.txt grammar: `a, b, c` equivalence classes (expand=true) and
+# `a => b, c` explicit mappings (LHS replaced by RHS).
+#
+# Chains are addressed by SPEC STRING — ``synonym:<base>:<path>`` — so the
+# name itself carries everything a worker process needs to rebuild the
+# chain (rules load lazily per process from <path>, which must be on
+# storage every executor can read, like Solr's conf/ directory).
+
+
+def parse_synonym_rules(path: str) -> dict:
+    """Solr synonyms.txt -> {term: (replace, outputs)}. ``replace=True``
+    for `lhs => rhs` lines (LHS dropped), False for equivalence classes
+    (original kept, others stacked)."""
+    rules: dict[str, tuple[bool, tuple[str, ...]]] = {}
+    with open(path) as f:
+        for raw in f:
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if "=>" in line:
+                lhs, rhs = line.split("=>", 1)
+                lhs_items = [t.strip().lower() for t in lhs.split(",") if t.strip()]
+                rhs_items = [t.strip().lower() for t in rhs.split(",") if t.strip()]
+                items = lhs_items + rhs_items
+                if not lhs_items or not rhs_items:
+                    raise ValueError(f"bad synonym rule: {raw!r}")
+                if any(" " in t for t in items):
+                    raise ValueError(
+                        f"multi-word synonyms unsupported (single-token chain): {raw!r}"
+                    )
+                for t in lhs_items:
+                    rules[t] = (True, tuple(rhs_items))
+            else:
+                items = [t.strip().lower() for t in line.split(",") if t.strip()]
+                if len(items) < 2:
+                    raise ValueError(f"bad synonym rule: {raw!r}")
+                if any(" " in t for t in items):
+                    raise ValueError(
+                        f"multi-word synonyms unsupported (single-token chain): {raw!r}"
+                    )
+                for t in items:
+                    others = tuple(o for o in items if o != t)
+                    rules[t] = (False, others)
+    return rules
+
+
+def make_synonym_analyzer(base_fn, rules: dict):
+    """Wrap a base chain with the synonym filter: injected tokens stack at
+    the original's position (posIncr=0); explicit-mapping originals drop."""
+
+    def analyze(text: str) -> tuple[list[str], list[int]]:
+        terms, pos = base_fn(text)
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for t, p in zip(terms, pos):
+            r = rules.get(t)
+            if r is None:
+                out_t.append(t)
+                out_p.append(p)
+                continue
+            replace, outs = r
+            if not replace:
+                out_t.append(t)
+                out_p.append(p)
+            for o in outs:
+                out_t.append(o)
+                out_p.append(p)
+        return out_t, out_p
+
+    return analyze
+
+
+def _synonym_spec(spec: str) -> tuple[str, str]:
+    parts = spec.split(":", 2)
+    if len(parts) != 3 or not parts[1] or not parts[2]:
+        raise KeyError(f"bad synonym analyzer spec {spec!r} "
+                       "(want synonym:<base>:<path>)")
+    return parts[1], parts[2]
+
+
+class _AnalyzerRegistry(dict):
+    """Static chains by name, plus on-demand ``synonym:<base>:<path>``
+    chains — the spec string is self-describing, so a worker that re-imports
+    this module resolves it without any driver-side registration."""
+
+    def __missing__(self, key):
+        if isinstance(key, str) and key.startswith("synonym:"):
+            base, path = _synonym_spec(key)
+            fn = make_synonym_analyzer(
+                self[base], parse_synonym_rules(path)
+            )
+            self[key] = fn  # per-process memoization
+            return fn
+        raise KeyError(key)
+
+
+class _QueryChain(dict):
+    """Index-side graph chains analyze queries with their base rules;
+    synonym chains resolve to their declared base (index-time synonyms, the
+    standard Solr configuration — query-time graph expansion has the known
+    multi-term anomalies the reference javadoc warns about)."""
+
+    def get(self, key, default=None):
+        if key in self:
+            return self[key]
+        if isinstance(key, str) and key.startswith("synonym:"):
+            return _synonym_spec(key)[0]
+        return default
+
+
+ANALYZERS = _AnalyzerRegistry({
     "code": analyze_code,
     "code_graph": analyze_code_graph,
     "english": analyze_english,
     "simple": analyze_simple,
     **{name: _make_ngram_analyzer(n) for name, n in NGRAM_SIZES.items()},
-}
+})
 
 # graph chains are index-side only; queries analyze with the base rules
-QUERY_CHAIN = {"code_graph": "code"}
+QUERY_CHAIN = _QueryChain({"code_graph": "code"})
 
 # DuckDB-side equivalent of analyze_simple, used when emitting oracle SQL.
 SIMPLE_SQL_TOKENIZE = "regexp_extract_all(lower({col}), '[a-z0-9]+')"

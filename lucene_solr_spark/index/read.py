@@ -235,3 +235,88 @@ def positions_postings(spark: SparkSession, index_dir: str, terms=None) -> DataF
                 yield pa.RecordBatch.from_pandas(out, preserve_index=False)
 
     return df.mapInArrow(decode, "segment_id int, term string, doc_id bigint, pos bigint")
+
+def deleted_docs_table(
+    spark: SparkSession, index_dir: str, commit: int | None = None
+) -> DataFrame:
+    """(segment_id, doc_id) tombstoned pairs — kind=3 live-docs rows decoded
+    (``Lucene50LiveDocsFormat`` analogue; blobs are sorted int64 arrays).
+    ``commit``: only tombstones whose watermark < commit (the soft-delete
+    visibility rule, see ``merge.delete_docs``); None = all (live view)."""
+    df = (
+        spark.read.parquet(os.path.join(index_dir, "index"))
+        .filter(F.col("kind") == 3)
+        .select("segment_id", "doc_blob", "max_doc")
+    )
+    if commit is not None:
+        df = df.filter(F.col("max_doc") < commit)
+    df = df.select("segment_id", "doc_blob")
+
+    def decode(it):
+        for batch in it:
+            pdf = batch.to_pandas()
+            for _, r in pdf.iterrows():
+                ids = np.frombuffer(r["doc_blob"], np.int64)
+                out = pd.DataFrame(
+                    {
+                        "segment_id": np.full(len(ids), r["segment_id"], np.int32),
+                        "doc_id": ids,
+                    }
+                )
+                yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+
+    return df.mapInArrow(decode, "segment_id int, doc_id bigint").distinct()
+
+
+def realtime_get(
+    spark: SparkSession,
+    index_dir: str,
+    keys,
+    key_cols: tuple[str, ...] = ("ext_id",),
+) -> DataFrame:
+    """Solr ``/get`` (RealTimeGetComponent role, ``solr/core/src/java/org/
+    apache/solr/handler/component/RealTimeGetComponent.java``): fetch the
+    LATEST live version of documents by unique key, independent of any
+    searcher's commit snapshot. In this engine the manifest append is the
+    commit point, so "realtime" = the newest manifest prefix: live segments,
+    ALL tombstones applied (updates are delete + re-add, so the superseded
+    row is tombstoned the moment the update commits).
+
+    ``keys``: list of key values (single key column) or a DataFrame with
+    ``key_cols``. Returns full stored rows; if a key somehow has multiple
+    live rows the newest segment wins (one row per key, like /get).
+
+    Shape at scale: the key set broadcasts into the docs join (point
+    lookups prune on parquet stats); the tombstone anti-join touches only
+    the candidates' rows.
+    """
+    from .manifest import live_segments
+
+    live = live_segments(spark, index_dir)
+    docs = spark.read.parquet(os.path.join(index_dir, "docs")).filter(
+        F.col("segment_id").isin([int(s) for s in live])
+    )
+    if isinstance(keys, DataFrame):
+        cand = docs.join(F.broadcast(keys.select(*key_cols).distinct()), list(key_cols))
+    else:
+        vals = list(keys)
+        if not vals:
+            return docs.limit(0)
+        col = key_cols[0]
+        if all(isinstance(v, (int, np.integer)) for v in vals):
+            pred = F.expr(f"`{col}` IN ({', '.join(str(int(v)) for v in vals)})")
+        else:
+            pred = sql_in(col, vals)
+        cand = docs.filter(pred)
+    tombs = deleted_docs_table(spark, index_dir)
+    out = cand.join(tombs, ["segment_id", "doc_id"], "left_anti")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("segment_id").desc(), F.col("doc_id").desc()
+    )
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
