@@ -3240,6 +3240,119 @@ FROM inj
 """
 
 
+# Canonical-document selection over near-dup clusters — the pipeline stage
+# AFTER dedup_clusters: per transitive cluster keep the best doc (quality
+# desc, doc_id asc tie-break) and report cluster size. Quality is the same
+# deterministic expression as text_metrics, so the window tie-break agrees
+# bit-for-bit across engines. One join + one partitioned window over
+# cluster-member rows only (clusters ≪ corpus).
+def dedup_canonical(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    clusters = connected_components(minhash_lsh_pairs(spark, sf_dir))
+    d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
+    stop_arr = ", ".join(f"'{w}'" for w in _STOP10)
+    n_stop = F.expr(f"size(filter(arr, x -> x IN ({stop_arr})))")
+    n_tok = F.size("arr")
+    quality = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.least(n_tok / F.lit(60.0), F.lit(1.0)) * (1 - n_stop / n_tok)
+    )
+    q = d.select("doc_id", quality.alias("quality"))
+    j = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    cw = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(cw))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.round("quality", 4).alias("keep_quality"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
+DEDUP_CANONICAL_SQL = (
+    DEDUP_CLUSTERS_SQL.replace(
+        "SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node",
+        """, clus AS (
+  SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+),
+tok AS (SELECT doc_id, {tok} AS arr FROM documents),
+q AS (
+  SELECT doc_id,
+         CASE WHEN len(arr) = 0 THEN 0.0
+              ELSE least(len(arr) / 60.0, 1.0) *
+                   (1 - len(list_filter(arr, x -> x IN ({stops}))) * 1.0 / len(arr))
+         END AS quality
+  FROM tok
+),
+r AS (
+  SELECT clus.cluster_id, clus.doc_id, q.quality,
+         row_number() OVER (PARTITION BY clus.cluster_id
+                            ORDER BY q.quality DESC, clus.doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY clus.cluster_id) AS n_members
+  FROM clus JOIN q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keep_doc_id, round(quality, 4) AS keep_quality,
+       n_members
+FROM r WHERE rk = 1""",
+    )
+).format(tok=_TOK_EXPR, stops=", ".join(f"'{w}'" for w in _STOP10))
+
+
+# Rule-based quality gate (the Gopher/CCNet-style heuristic filter a
+# training pipeline runs before tokenization): first failing rule names the
+# drop reason. One scan, pure Catalyst; every threshold is derived from
+# integer counts so both engines agree exactly.
+def quality_filter(spark, sf_dir):
+    d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
+    stop_arr = ", ".join(f"'{w}'" for w in _STOP10)
+    n_stop = F.expr(f"size(filter(arr, x -> x IN ({stop_arr})))")
+    n_tok = F.size("arr")
+    n_char = F.expr("aggregate(arr, 0, (acc, x) -> acc + length(x))")
+    n_digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    reason = (
+        F.when(n_tok < 5, F.lit("too_short"))
+        .when(n_digit * 10 > n_char * 3, F.lit("too_numeric"))
+        .when(n_stop * 100 < n_tok, F.lit("no_stopwords"))
+        .when(n_char > n_tok * 12, F.lit("gibberish"))
+        .otherwise(F.lit("ok"))
+    )
+    return d.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
+QUALITY_FILTER_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_TOK_EXPR} AS arr FROM documents),
+c AS (
+  SELECT doc_id,
+         len(arr) AS n_tok,
+         len(list_filter(arr, x -> x IN ({", ".join(f"'{w}'" for w in _STOP10)}))) AS n_stop,
+         coalesce(list_sum([len(x) for x in arr]), 0) AS n_char,
+         len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+  FROM t
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN n_tok < 5 THEN 'too_short'
+              WHEN n_digit * 10 > n_char * 3 THEN 'too_numeric'
+              WHEN n_stop * 100 < n_tok THEN 'no_stopwords'
+              WHEN n_char > n_tok * 12 THEN 'gibberish'
+              ELSE 'ok' END AS reason
+  FROM c
+)
+SELECT doc_id, reason, reason = 'ok' AS keep FROM r
+"""
+
+
 TRAINING_OPS: dict[str, tuple] = {
     "mlt_shared_terms": (mlt_shared_terms, MLT_SQL),
     "knn_classify": (knn_classify, KNN_CLASSIFY_SQL),
@@ -3260,6 +3373,8 @@ TRAINING_EXTRA_OPS: dict[str, tuple] = {
     # signature computation is exercised transitively by the gated
     # minhash_lsh_pairs / dedup_clusters chain
     "minhash_signatures": (minhash_signatures, MINHASH_SQL),
+    "dedup_canonical": (dedup_canonical, DEDUP_CANONICAL_SQL),
+    "quality_filter": (quality_filter, QUALITY_FILTER_SQL),
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     # fixed sign-pattern coarse quantizer — superseded in the gated window by
     # the k-means-trained emb_ivf_trained; kept as the cheap untrained variant
