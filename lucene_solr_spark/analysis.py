@@ -242,6 +242,53 @@ def _make_ngram_analyzer(n: int):
 # fixed-size character-gram chains: the fields NGramPhraseQuery optimizes
 NGRAM_SIZES = {"ngram2": 2, "ngram3": 3}
 
+# -------------------------------------------- ASCII folding ----------------
+# ASCIIFoldingFilter (``analysis/common/.../miscellaneous/ASCIIFoldingFilter
+# .java``): map accented/decorated Latin characters to their ASCII base
+# before tokenizing. The reference's hand-rolled switch is reproduced for
+# the Latin-1 / Latin Extended-A/B ranges via Unicode NFKD decomposition
+# (drop combining marks) plus the non-decomposable special cases the
+# reference handles explicitly (ß→ss, Æ→AE, Ø→O, Þ→TH, œ→oe, ...). One
+# C-level ``str.translate`` pass per document — no per-char Python.
+
+_FOLD_TABLE: dict | None = None
+
+
+def _fold_table() -> dict:
+    global _FOLD_TABLE
+    if _FOLD_TABLE is None:
+        import unicodedata
+
+        t: dict[int, str] = {}
+        for cp in range(0x80, 0x250):
+            nf = unicodedata.normalize("NFKD", chr(cp))
+            a = "".join(c for c in nf if ord(c) < 128)
+            if a:
+                t[cp] = a
+        for k, v in {
+            "ß": "ss", "Æ": "AE", "æ": "ae", "Ø": "O", "ø": "o",
+            "Đ": "D", "đ": "d", "Ħ": "H", "ħ": "h", "ı": "i",
+            "Ł": "L", "ł": "l", "Ŋ": "N", "ŋ": "n", "Œ": "OE",
+            "œ": "oe", "Ŧ": "T", "ŧ": "t", "Þ": "TH", "þ": "th",
+            "Ð": "D", "ð": "d",
+        }.items():
+            t[ord(k)] = v
+        _FOLD_TABLE = t
+    return _FOLD_TABLE
+
+
+def fold_to_ascii(text: str) -> str:
+    """ASCIIFoldingFilter's character mapping as one translate pass."""
+    return text.translate(_fold_table())
+
+
+def analyze_simple_fold(text: str) -> tuple[list[str], list[int]]:
+    """``simple`` chain with ASCII folding ahead of tokenization — the
+    standard accent-insensitive field; queries fold identically (the filter
+    runs on both sides in the reference chain)."""
+    return analyze_simple(fold_to_ascii(text))
+
+
 # ------------------------------------------- synonym graph filter ----------
 # SynonymGraphFilter / SolrSynonymParser (``analysis/common/.../synonym/
 # SynonymGraphFilter.java`` + ``SolrSynonymParser.java``): inject synonym
@@ -366,6 +413,7 @@ ANALYZERS = _AnalyzerRegistry({
     "code_graph": analyze_code_graph,
     "english": analyze_english,
     "simple": analyze_simple,
+    "simple_fold": analyze_simple_fold,
     **{name: _make_ngram_analyzer(n) for name, n in NGRAM_SIZES.items()},
 })
 

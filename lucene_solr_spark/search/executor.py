@@ -881,6 +881,33 @@ class IndexSearcher:
         )
         return top.withColumn("rank", F.row_number().over(w))
 
+    def search_sorted_range(self, lo, hi) -> DataFrame:
+        """Range filter on the INDEX SORT field
+        (sandbox ``IndexSortSortedNumericDocValuesRangeQuery.java``: when the
+        index sort leads with the queried field, the matching docs form one
+        contiguous docID run per segment, found by binary search instead of
+        visiting every doc's value).
+
+        The columnar analogue: ``build_index(index_sort=...)`` writes the
+        docs parquet in sort order, so the pushed-down range predicate
+        prunes whole row groups by their min/max stats — the same
+        skip-most-of-the-segment effect the reference gets from the docID
+        binary search, and `.explain` shows the filter at the scan
+        (plan-asserted in tests). Matches are returned as
+        (segment_id, doc_id, <field>) — local doc ids ARE contiguous per
+        segment (asserted by the equivalence test), so downstream
+        conjunctions can treat the result as a doc-id interval, exactly the
+        reference's BitSetIterator-over-a-run shape."""
+        field = self.index_sort_field()
+        if field is None:
+            raise ValueError(
+                "search_sorted_range requires an index built with index_sort=<field>"
+            )
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        return docs.filter(F.col("segment_id").isin(list(self.live))).filter(
+            (F.col(field) >= lo) & (F.col(field) <= hi)
+        ).select("segment_id", "doc_id", field)
+
     def search_covering(
         self,
         queries,
