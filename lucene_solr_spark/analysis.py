@@ -384,7 +384,7 @@ class _AnalyzerRegistry(dict):
     this module resolves it without any driver-side registration."""
 
     def __missing__(self, key):
-        if isinstance(key, str) and key.startswith("synonym:"):
+        if isinstance(key, str) and key.startswith(("synonym:", "synonymq:")):
             base, path = _synonym_spec(key)
             fn = make_synonym_analyzer(
                 self[base], parse_synonym_rules(path)
@@ -405,6 +405,12 @@ class _QueryChain(dict):
             return self[key]
         if isinstance(key, str) and key.startswith("synonym:"):
             return _synonym_spec(key)[0]
+        # synonymq: QUERY-time synonyms (the reference's query-analyzer
+        # configuration): queries analyze WITH the synonym chain — the
+        # parser turns stacked tokens into SynonymQuery / MultiPhraseQuery /
+        # SpanOr-in-SpanNear (QueryBuilder.analyzeGraph* roles)
+        if isinstance(key, str) and key.startswith("synonymq:"):
+            return key
         return default
 
 

@@ -476,15 +476,33 @@ def _rewrite_once(q: Query) -> Query:
     return BooleanQuery(must, should, must_not, filt, q.min_should_match)
 
 
+def _slots(terms, pos) -> list[tuple[str, ...]]:
+    """Group a token stream into per-position slots (stacked posIncr=0
+    tokens share a slot) — the sausage QueryBuilder walks in
+    analyzeGraphBoolean/analyzeGraphPhrase. Slot order follows position."""
+    by_pos: dict[int, list[str]] = {}
+    for t, p in zip(terms, pos):
+        by_pos.setdefault(p, []).append(t)
+    return [tuple(dict.fromkeys(by_pos[p])) for p in sorted(by_pos)]
+
+
 def _analyze_to_query(text: str, analyzer: str) -> Query:
-    """One query-text fragment → Term / Phrase-less boolean (QueryBuilder.createBooleanQuery)."""
-    terms = ANALYZERS[analyzer](text)[0]
+    """One query-text fragment → Term / Synonym / boolean
+    (``QueryBuilder.createBooleanQuery`` + ``analyzeGraphBoolean``,
+    ``util/QueryBuilder.java:120-180,540-570``): a position slot with
+    stacked tokens — a query-time synonym chain — becomes a SynonymQuery
+    (scored as one pseudo-term), slots combine as a conjunction."""
+    terms, pos = ANALYZERS[analyzer](text)
     if not terms:
         return MatchNoneQuery()
-    if len(terms) == 1:
-        return TermQuery(terms[0])
+    slots = _slots(terms, pos)
+    per_slot = [
+        TermQuery(s[0]) if len(s) == 1 else SynonymQuery(s) for s in slots
+    ]
+    if len(per_slot) == 1:
+        return per_slot[0]
     # multi-token fragment: conjunction (QueryBuilder operator AND for code ids)
-    return BooleanQuery(must=tuple(TermQuery(t) for t in terms))
+    return BooleanQuery(must=tuple(per_slot))
 
 
 def parse_query(text: str, analyzer: str = "code") -> Query:
@@ -520,6 +538,24 @@ def _parse_query_cached(text: str, analyzer: str = "code") -> Query:
             return TermQuery(terms[0])
         base = pos[0]
         rel = tuple(p - base for p in pos)
+        if len(set(pos)) != len(terms):
+            # stacked tokens (query-time synonym chain): graph phrase
+            # (QueryBuilder.analyzeGraphPhrase, util/QueryBuilder.java:
+            # 590-640) — slop=0 builds a MultiPhraseQuery over the position
+            # slots; slop>0 builds SpanNear over per-slot SpanOr clauses
+            slots = _slots(terms, pos)
+            if slop > 0:
+                clauses = tuple(
+                    SpanTermQuery(s[0])
+                    if len(s) == 1
+                    else SpanOrQuery(tuple(SpanTermQuery(t) for t in s))
+                    for s in slots
+                )
+                return SpanNearQuery(clauses, slop=slop, in_order=True)
+            upos = sorted(set(pos))
+            return MultiPhraseQuery(
+                tuple(slots), tuple(p - upos[0] for p in upos)
+            )
         if slop > 0:
             return SloppyPhraseQuery(tuple(terms), rel, slop)
         # NGramPhraseQuery optimization (search/NGramPhraseQuery.java:34-79):
