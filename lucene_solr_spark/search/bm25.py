@@ -132,6 +132,22 @@ def raw_len_cache() -> np.ndarray:
     return LENGTH_TABLE.astype(np.float64)
 
 
+def sweetspot_norm_cache(l: int = 3, h: int = 12, steepness: float = 0.5) -> np.ndarray:
+    """SweetSpotSimilarity plateau lengthNorm table
+    (``lucene/misc/src/java/org/apache/lucene/misc/SweetSpotSimilarity.java:
+    117-133``): 1/sqrt(steepness·(|len−l| + |len−h| − (h−l)) + 1) per norm
+    byte — flat 1.0 for lengths inside [l, h], falling off on BOTH sides.
+    NOT monotone in length (short docs are penalized too), so the
+    (max_freq, min_norm) block bounds are inadmissible — sweetspot is in
+    ``kernels.UNPRUNABLE_SIMS`` and always evaluates exhaustively. float64."""
+    table = LENGTH_TABLE.astype(np.float64)
+    t = 1.0 / np.sqrt(
+        steepness * (np.abs(table - l) + np.abs(table - h) - (h - l)) + 1.0
+    )
+    t[table == 0] = 0.0
+    return t
+
+
 def ax2exp_norm_cache(avgdl: float, s: float = 0.25) -> np.ndarray:
     """Axiomatic F2EXP denominator table s + s·dl/avgdl per norm byte
     (``AxiomaticF2EXP.java:91-93`` tfln; Axiomatic defaults s=0.25,

@@ -36,6 +36,7 @@ from ..index.manifest import live_stats
 from ..index.read import sql_in
 from . import bm25
 from .kernels import (
+    UNPRUNABLE_SIMS,
     QueryContext,
     SegmentPostings,
     eval_query,
@@ -241,6 +242,9 @@ class LRUQueryResultCache:
 class IndexSearcher:
     LMD_MU = 2000.0  # LMDirichletSimilarity default µ (:54)
     AX2_K = 0.35  # AxiomaticF2EXP default k (Axiomatic.java:100)
+    # SweetSpotSimilarity lengthNorm plateau (the class javadoc's worked
+    # example; defaults ln_min=ln_max=1 would degenerate to classic)
+    SS_MIN, SS_MAX, SS_STEEP = 3, 12, 0.5
 
     def __init__(
         self,
@@ -261,11 +265,16 @@ class IndexSearcher:
         'ibll' (IBSimilarity with DistributionLL/LambdaDF/H2), 'ax2exp'
         (AxiomaticF2EXP, s=0.25/k=0.35), 'gl2'/'ifl2'/'inel2' (DFR basic
         models G / I(F) / I(ne) with AfterEffectL + NormalizationH2, c=1)
-        'ax1log' (AxiomaticF1LOG, s=0.25) or 'ax2log' (AxiomaticF2LOG,
-        s=0.25, idf=ln((N+1)/df) over the F2 tfln) — SURVEY §2.7;
-        all share the (freq, norm_byte) scoring seam, are monotone ↑freq /
-        ↓length, and therefore keep the block-max pruning bounds admissible
-        unchanged.
+        'ax1log' (AxiomaticF1LOG, s=0.25), 'ax2log' (AxiomaticF2LOG,
+        s=0.25, idf=ln((N+1)/df) over the F2 tfln), or 'sweetspot'
+        (lucene/misc SweetSpotSimilarity: classic idf · sqrt(tf) · plateau
+        lengthNorm, min=3/max=12/steepness=0.5) — SURVEY §2.7;
+        all share the (freq, norm_byte) scoring seam. Every model except
+        sweetspot is monotone ↑freq / ↓length and keeps the block-max
+        pruning bounds admissible unchanged; sweetspot's length plateau is
+        non-monotone, so it is in ``kernels.UNPRUNABLE_SIMS`` and always
+        evaluates exhaustively (k-bounded results still equal the
+        exhaustive top-k).
 
         ``commit``: open a PAST commit point (a segment id from
         ``manifest.list_commits``) — the ``DirectoryReader.open(IndexCommit)``
@@ -307,11 +316,14 @@ class IndexSearcher:
         # parity mode round-trips them through float32
         if self.sim in (
             "classic", "lmd", "lmjm", "inl2", "dfi", "ibll", "ax2exp",
-            "gl2", "ifl2", "inel2", "ax1log", "ax2log",
+            "gl2", "ifl2", "inel2", "ax1log", "ax2log", "sweetspot",
         ):
             self.avgdl = self.sum_total_term_freq / max(self.doc_count, 1)
             c = {
                 "classic": bm25.classic_norm_cache,
+                "sweetspot": lambda: bm25.sweetspot_norm_cache(
+                    self.SS_MIN, self.SS_MAX, self.SS_STEEP
+                ),
                 "lmd": lambda: bm25.lmd_norm_cache(self.LMD_MU),
                 "lmjm": bm25.lmjm_norm_cache,
                 "inl2": lambda: bm25.inl2_norm_cache(self.avgdl),
@@ -400,7 +412,8 @@ class IndexSearcher:
             df = dfs.get(t, 0)
             if df == 0:
                 out[t] = 0.0
-            elif self.sim == "classic":
+            elif self.sim in ("classic", "sweetspot"):
+                # SweetSpotSimilarity extends ClassicSimilarity — same idf
                 out[t] = float(bm25.classic_idf(np.array([df]), self.doc_count)[0])
             elif self.sim == "lmd":
                 # weight = µ · p(t|C); the kernel computes ln(1 + freq/weight)
@@ -647,6 +660,9 @@ class IndexSearcher:
         cache = self.cache
         f32 = self.f32
         sim = self.sim
+        # non-monotone-in-length similarities bypass the pruned kernels
+        # (their (max_freq, min_norm) block bounds are inadmissible)
+        prunable = sim not in UNPRUNABLE_SIMS
         live = {
             qid: q for qid, q in parsed.items() if not isinstance(q, MatchNoneQuery)
         }
@@ -773,11 +789,11 @@ class IndexSearcher:
                 elif first_k:
                     d = first_k_matches(q, seg, ctx, k or 10, reverse=reverse)
                     s = np.zeros(len(d), dtype=np.float32)
-                elif k is not None and isinstance(q, TermQuery):
+                elif k is not None and prunable and isinstance(q, TermQuery):
                     d, s = topk_term_pruned(q.term, seg, ctx, k)
-                elif (or_terms := (_pure_or_terms(q) if k is not None else None)) is not None:
+                elif (or_terms := (_pure_or_terms(q) if k is not None and prunable else None)) is not None:
                     d, s = topk_or_pruned(or_terms, seg, ctx, k)
-                elif (and_terms := (_pure_and_terms(q) if k is not None else None)) is not None:
+                elif (and_terms := (_pure_and_terms(q) if k is not None and prunable else None)) is not None:
                     d, s = topk_and_pruned(and_terms, seg, ctx, k)
                 else:
                     docs, scores = eval_query(q, seg, ctx, scoring=scoring)

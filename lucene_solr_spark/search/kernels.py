@@ -67,6 +67,12 @@ _POS_SHIFT = np.int64(1) << np.int64(32)
 # LMJelinekMercerSimilarity default λ (LMJelinekMercerSimilarity.java:47)
 LMJM_LAMBDA = 0.1
 
+# Similarities whose score is NOT monotone non-increasing in encoded length
+# — the pruned kernels' (max_freq, min_norm) block bounds are inadmissible
+# for these, so the executor routes them through exhaustive evaluation
+# (the invariant documented in CLAUDE.md / codec.py).
+UNPRUNABLE_SIMS = frozenset({"sweetspot"})
+
 
 class SegmentPostings:
     """Lazy decoder over one segment's posting rows for the query's terms.
@@ -480,7 +486,7 @@ class QueryContext:
         df = max((self.dfs.get(t, 0) for t in terms), default=0)
         if df == 0:
             return 0.0
-        if self.sim == "classic":
+        if self.sim in ("classic", "sweetspot"):
             w = 1.0 + np.log((self.doc_count + 1) / (df + 1.0))
         elif self.sim == "inl2":
             w = np.log2((self.doc_count + 1) / (df + 0.5))
@@ -516,7 +522,10 @@ class QueryContext:
         """
         f = np.asarray(freqs, dtype=np.float64)
         norm = self.cache64[np.asarray(norm_bytes, dtype=np.uint8)]
-        if self.sim == "classic":
+        if self.sim in ("classic", "sweetspot"):
+            # sweetspot default baselineTf (min=base=0) is sqrt(freq), the
+            # classic tf (SweetSpotSimilarity.java:141-165); only the norm
+            # table differs (plateau lengthNorm)
             out = float(weight) * np.sqrt(f) * norm
         elif self.sim == "lmd":
             w = float(weight)
