@@ -310,8 +310,23 @@ def analyze_simple_fold(text: str) -> tuple[list[str], list[int]]:
 def parse_synonym_rules(path: str) -> dict:
     """Solr synonyms.txt -> {term: (replace, outputs)}. ``replace=True``
     for `lhs => rhs` lines (LHS dropped), False for equivalence classes
-    (original kept, others stacked)."""
+    (original kept, others stacked).
+
+    A term appearing on SEVERAL lines merges like ``SynonymMap.Builder.add``
+    does: outputs are the union (first-seen order), and the original is
+    kept if ANY of its rules keeps it (includeOrig is per-add in the
+    reference, so one keep wins)."""
     rules: dict[str, tuple[bool, tuple[str, ...]]] = {}
+
+    def _add(term: str, replace: bool, outs):
+        old = rules.get(term)
+        if old is None:
+            rules[term] = (replace, tuple(outs))
+            return
+        old_replace, old_outs = old
+        merged = tuple(dict.fromkeys((*old_outs, *outs)))
+        rules[term] = (old_replace and replace, merged)
+
     with open(path) as f:
         for raw in f:
             line = raw.split("#", 1)[0].strip()
@@ -329,7 +344,7 @@ def parse_synonym_rules(path: str) -> dict:
                         f"multi-word synonyms unsupported (single-token chain): {raw!r}"
                     )
                 for t in lhs_items:
-                    rules[t] = (True, tuple(rhs_items))
+                    _add(t, True, rhs_items)
             else:
                 items = [t.strip().lower() for t in line.split(",") if t.strip()]
                 if len(items) < 2:
@@ -339,14 +354,19 @@ def parse_synonym_rules(path: str) -> dict:
                         f"multi-word synonyms unsupported (single-token chain): {raw!r}"
                     )
                 for t in items:
-                    others = tuple(o for o in items if o != t)
-                    rules[t] = (False, others)
+                    _add(t, False, (o for o in items if o != t))
     return rules
 
 
 def make_synonym_analyzer(base_fn, rules: dict):
     """Wrap a base chain with the synonym filter: injected tokens stack at
-    the original's position (posIncr=0); explicit-mapping originals drop."""
+    the original's position (posIncr=0); explicit-mapping originals drop.
+
+    Per-token Python (like the ``code_graph`` chain) — an OPT-IN chain, not
+    the engine default; the documented exception to the no-per-row-Python
+    invariant. A vocabulary-factorized vectorization (the ``english``
+    chain's stem-the-dictionary trick) is possible but the substitution is
+    1→many, which changes doc_lens/positions — left to a future pass."""
 
     def analyze(text: str) -> tuple[list[str], list[int]]:
         terms, pos = base_fn(text)
@@ -404,7 +424,10 @@ class _QueryChain(dict):
         if key in self:
             return self[key]
         if isinstance(key, str) and key.startswith("synonym:"):
-            return _synonym_spec(key)[0]
+            # recurse: a graph BASE (e.g. code_graph) must still analyze
+            # queries with ITS base rules
+            base = _synonym_spec(key)[0]
+            return self.get(base, base)
         # synonymq: QUERY-time synonyms (the reference's query-analyzer
         # configuration): queries analyze WITH the synonym chain — the
         # parser turns stacked tokens into SynonymQuery / MultiPhraseQuery /

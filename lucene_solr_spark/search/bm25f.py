@@ -31,7 +31,11 @@ TakeOrdered top-k — no global sort, no driver collect beyond scalar stats.
 
 Coordinate alignment contract (same as ``multifield.py``): all field
 indexes must be built from the same docs frame with the same
-key_cols/num_segments/segment_base so (segment_id, doc_id) match.
+key_cols/num_segments/segment_base so (segment_id, doc_id) match. Merges
+remap coordinates, so after compaction the alignment holds only if every
+field index was merged with the same source segments in the same order
+(deterministic `merge_segments` over identical manifests) — merge all
+fields together or none.
 """
 
 from __future__ import annotations
@@ -99,28 +103,20 @@ class BM25FSearcher:
     # -- pseudo stats (driver-side scalars: planner reads, never row data) --
 
     def _pseudo_stats(self, terms: list[str]) -> tuple[int, float, int]:
-        """(docFreq, avgdl, docCount) per BM25FWeight/mergeCollectionStatistics."""
-        from ..index.read import sql_in
+        """(docFreq, avgdl, docCount) per BM25FWeight/mergeCollectionStatistics.
 
+        Collection stats come from each per-field searcher's precomputed
+        live-set values (``live_stats``, resolved once at open) — no
+        full-index rescans, and merged-away segments don't inflate them."""
         df_max = 0
         sttf_weighted = 0.0
         doc_count = 0
         for f, s in self.searchers.items():
-            rows = (
-                s._term_stats_df.filter(sql_in("term", list(terms)))
-                .select("term", "df")
-                .collect()
-            )
-            for r in rows:
-                df_max = max(df_max, int(r["df"]))
-            sttf = s._term_stats_df.agg(F.sum("ttf")).collect()[0][0] or 0
-            sttf_weighted += self.weights[f] * float(sttf)
-            n = (
-                norms_table(self.spark, s.index_dir)
-                .filter(F.col("norm_byte") > 0)
-                .count()
-            )
-            doc_count = max(doc_count, n)
+            dfs = s.term_stats(set(terms))
+            for d in dfs.values():
+                df_max = max(df_max, int(d))
+            sttf_weighted += self.weights[f] * float(s.sum_total_term_freq)
+            doc_count = max(doc_count, int(s.doc_count))
         avgdl = sttf_weighted / doc_count if doc_count else 1.0
         return df_max, avgdl, doc_count
 
@@ -130,15 +126,26 @@ class BM25FSearcher:
         terms = list(terms)
         df_pseudo, avgdl, doc_count = self._pseudo_stats(terms)
         if df_pseudo == 0:
-            return self.spark.createDataFrame(
-                [], "segment_id int, doc_id bigint, score double"
-            )
+            schema = "segment_id int, doc_id bigint, score double"
+            if k is not None:
+                schema += ", rank int"
+            return self.spark.createDataFrame([], schema)
         idf = math.log(1.0 + (doc_count - df_pseudo + 0.5) / (df_pseudo + 0.5))
+
+        # live-set + tombstone view, like every other searcher path: the
+        # index dirs are append-only (merged-away segments keep their rows)
+        # and deletes are kind=3 tombstones
+        from ..index.read import deleted_docs_table
+
+        def _live(df: DataFrame, s) -> DataFrame:
+            df = df.filter(F.col("segment_id").isin([int(x) for x in s.live]))
+            tombs = deleted_docs_table(self.spark, s.index_dir)
+            return df.join(tombs, ["segment_id", "doc_id"], "left_anti")
 
         # weighted per-(field, term) postings union -> blended freq
         freq_frames = []
         for f, s in self.searchers.items():
-            posts = term_postings(self.spark, s.index_dir, terms).select(
+            posts = _live(term_postings(self.spark, s.index_dir, terms), s).select(
                 "segment_id",
                 "doc_id",
                 (F.col("freq").cast("double") * F.lit(self.weights[f])).alias("wf"),
@@ -152,7 +159,7 @@ class BM25FSearcher:
         # combined norm: re-quantized weighted sum of decoded per-field norms
         norm_frames = []
         for f, s in self.searchers.items():
-            dl = norms_table(self.spark, s.index_dir).select(
+            dl = _live(norms_table(self.spark, s.index_dir), s).select(
                 "segment_id",
                 "doc_id",
                 (

@@ -919,10 +919,15 @@ class IndexSearcher:
             raise ValueError(
                 "search_sorted_range requires an index built with index_sort=<field>"
             )
+        from ..index.read import deleted_docs_table
+
         docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
-        return docs.filter(F.col("segment_id").isin(list(self.live))).filter(
+        out = docs.filter(F.col("segment_id").isin(list(self.live))).filter(
             (F.col(field) >= lo) & (F.col(field) <= hi)
         ).select("segment_id", "doc_id", field)
+        # liveDocs intersection, like the reference query (and search_sorted)
+        tombs = deleted_docs_table(self.spark, self.index_dir, commit=self.commit)
+        return out.join(tombs, ["segment_id", "doc_id"], "left_anti")
 
     def search_covering(
         self,
@@ -1087,7 +1092,9 @@ class IndexSearcher:
         total = 0.0
         for r in posts:
             w = weights.get(r.term, 0.0)
-            if self.sim == "classic":
+            if self.sim in ("classic", "sweetspot"):
+                # same shape: idf · sqrt(freq) · lengthNorm[normByte] — only
+                # the norm table differs (sweetspot plateau)
                 tf_val = float(np.sqrt(float(r.freq)))
                 s = w * tf_val * float(cache[norm_byte])
             elif self.sim == "lmd":
@@ -1115,7 +1122,9 @@ class IndexSearcher:
             else:
                 tf_val = float(r.freq) / (float(r.freq) + float(cache[norm_byte]))
                 s = float(np.float32(w) * np.float32(tf_val)) if self.f32 else w * tf_val
-            if self.f32 and self.sim in ("classic", "lmd", "lmjm", "inl2", "dfi", "ibll"):
+            if self.f32 and self.sim in (
+                "classic", "sweetspot", "lmd", "lmjm", "inl2", "dfi", "ibll"
+            ):
                 s = float(np.float32(s))
             details.append(
                 {

@@ -517,8 +517,12 @@ class QueryContext:
         - inl2 (``DFRSimilarity.java:63`` with BasicModelIn/AfterEffectL/
           NormalizationH2, c=1): weight · tfn/(tfn+1) where tfn =
           freq·log2(1+avgdl/dl)[normByte] and weight = log2((N+1)/(n+0.5)).
-        All are monotone ↑ in freq and ↓ in encoded length, so the
-        block-max pruning bound stays admissible unchanged.
+        All of the above are monotone ↑ in freq and ↓ in encoded length, so
+        the block-max pruning bound stays admissible unchanged. sweetspot
+        (classic idf · sqrt(freq) · plateau lengthNorm) is NOT monotone in
+        length — it is in :data:`UNPRUNABLE_SIMS` and the executor routes
+        it around the pruned kernels; any future non-monotone model must
+        join that set.
         """
         f = np.asarray(freqs, dtype=np.float64)
         norm = self.cache64[np.asarray(norm_bytes, dtype=np.uint8)]
@@ -1079,7 +1083,26 @@ def _eval_term_automaton(
     present = [t for t in terms if len(lists[t][0])]
     if not present:
         return _EMPTY_I, _EMPTY_F
-    cand = np.unique(np.concatenate([lists[t][0] for t in present]))
+    # candidate restriction (sound): a match must START with a real-term
+    # step from DFA state 0, and freq only counts real-term steps INTO an
+    # accepting state — so a matching doc contains at least one seed term
+    # AND at least one accept-entering term. The intersection of those two
+    # unions keeps the per-doc Python sweep candidate-restricted (the same
+    # contract the span family honors) even when one OR-slot holds a
+    # high-df term.
+    seed_terms = [t for t in present if t in step[0]]
+    accept_terms = [
+        t
+        for t in present
+        if any(accept[st[t]] for st in step if t in st)
+    ]
+    if not seed_terms or not accept_terms:
+        return _EMPTY_I, _EMPTY_F
+    seed_docs = np.unique(np.concatenate([lists[t][0] for t in seed_terms]))
+    acc_docs = np.unique(np.concatenate([lists[t][0] for t in accept_terms]))
+    cand = np.intersect1d(seed_docs, acc_docs, assume_unique=True)
+    if len(cand) == 0:
+        return _EMPTY_I, _EMPTY_F
     pos_all = {t: seg.positions(t) for t in present}
     match_docs, match_freq = [], []
     for doc in cand:

@@ -132,3 +132,48 @@ def test_bm25f_differs_from_per_field_sum(spark, two_field_indexes):
     assert common
     diffs = [abs(a[c] - b[c]) for c in common]
     assert max(diffs) > 1e-6
+
+
+def test_bm25f_excludes_deleted_docs(spark, two_field_indexes):
+    """Tombstoned docs must not be scored (live-view contract — review fix)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.index.merge import delete_docs
+    from lucene_solr_spark.search.bm25f import BM25FSearcher
+
+    d_body, d_title = two_field_indexes
+    bf = BM25FSearcher(
+        spark, {"body": (d_body, 1.0), "title": (d_title, 2.0)},
+        analyzer="code", precision="f64",
+    )
+    before = {(r.segment_id, r.doc_id)
+              for r in bf.search(["store"], k=None).collect()}
+    assert before
+    victim = sorted(before)[0]
+    docs = spark.read.parquet(d_body + "/docs")
+    vic = docs.filter(
+        (F.col("segment_id") == victim[0]) & (F.col("doc_id") == victim[1])
+    )
+    delete_docs(spark, d_body, vic)
+    delete_docs(spark, d_title, vic)
+    # new searcher instances: live/tombstone views resolve at open
+    bf2 = BM25FSearcher(
+        spark, {"body": (d_body, 1.0), "title": (d_title, 2.0)},
+        analyzer="code", precision="f64",
+    )
+    after = {(r.segment_id, r.doc_id)
+             for r in bf2.search(["store"], k=None).collect()}
+    assert victim not in after
+    assert after == before - {victim}
+
+
+def test_bm25f_empty_result_schema_has_rank(spark, two_field_indexes):
+    from lucene_solr_spark.search.bm25f import BM25FSearcher
+
+    d_body, d_title = two_field_indexes
+    bf = BM25FSearcher(spark, {"body": (d_body, 1.0), "title": (d_title, 2.0)},
+                       analyzer="code")
+    empty = bf.search(["zzzznotaterm"], k=10)
+    assert empty.count() == 0
+    assert "rank" in empty.columns
+    assert "rank" not in bf.search(["zzzznotaterm"], k=None).columns

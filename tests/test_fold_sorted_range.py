@@ -96,3 +96,23 @@ def test_sorted_range_filter_pushed_to_scan(spark, sorted_index):
     plan = s.search_sorted_range(20, 55)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(price,20)" in plan and "LessThanOrEqual(price,55)" in plan
+
+
+def test_sorted_range_excludes_deleted(spark, sorted_index):
+    """liveDocs intersection (review fix): a tombstoned in-range doc is not
+    returned."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.index.merge import delete_docs
+    from lucene_solr_spark.search import IndexSearcher
+
+    s = IndexSearcher(spark, sorted_index, analyzer="simple")
+    before = {(r.segment_id, r.doc_id) for r in s.search_sorted_range(20, 55).collect()}
+    victim = sorted(before)[0]
+    docs = spark.read.parquet(sorted_index + "/docs")
+    vic = docs.filter(
+        (F.col("segment_id") == victim[0]) & (F.col("doc_id") == victim[1])
+    )
+    delete_docs(spark, sorted_index, vic)
+    after = {(r.segment_id, r.doc_id) for r in s.search_sorted_range(20, 55).collect()}
+    assert after == before - {victim}

@@ -131,3 +131,25 @@ def test_searcher_equivalence_classes_symmetric_df(spark, tmp_path, syn_file):
     counts = {r["term"]: r["n"] for r in
               tp.groupBy("term").agg(F.count("*").alias("n")).collect()}
     assert counts == {"big": 3, "large": 3, "huge": 3}
+
+
+def test_rules_merge_across_lines(tmp_path):
+    """A term on several lines merges outputs (SynonymMap.Builder.add
+    semantics); keep-original wins if any rule keeps it — review fix."""
+    from lucene_solr_spark.analysis import parse_synonym_rules
+
+    p = tmp_path / "multi.txt"
+    p.write_text("couch, sofa\ncouch, divan\nlift => elevator\nlift, hoist\n")
+    r = parse_synonym_rules(str(p))
+    assert r["couch"] == (False, ("sofa", "divan"))
+    # equivalence line keeps the original even though the => rule replaced
+    assert r["lift"] == (False, ("elevator", "hoist"))
+
+
+def test_query_chain_recurses_through_graph_base(syn_file):
+    """synonym:<graph-base> queries must analyze with the graph base's OWN
+    query rules (code_graph -> code) — review fix."""
+    from lucene_solr_spark.analysis import QUERY_CHAIN
+
+    assert QUERY_CHAIN.get(f"synonym:code_graph:{syn_file}", None) == "code"
+    assert QUERY_CHAIN.get(f"synonym:simple:{syn_file}", None) == "simple"
