@@ -1774,6 +1774,89 @@ FROM am JOIN dld ON am.doc_id = dld.doc_id, pw, cstats
 )
 
 
+# LambdaMART-style tree-ensemble LTR (solr/contrib/ltr/.../model/
+# MultipleAdditiveTreesModel.java:92-188): score = Σ_t weight_t · tree_t(fv),
+# each tree a binary regression tree over named features with the
+# reference's `feature <= threshold + NODE_SPLIT_SLACK` split rule
+# (:125,152). The ensemble compiles to ONE nested-CASE SQL expression
+# generated once and evaluated by BOTH Catalyst and DuckDB (the shared-
+# expression oracle pattern of spatial_polygon) — at scale the whole model
+# constant-folds into WholeStageCodegen, zero extra exchanges.
+_LTR_NODE_SLACK = 1e-6
+
+
+def ltr_tree_sql(node) -> str:
+    """RegressionTreeNode.score as SQL (leaf = {'value': v}; split =
+    {'feature', 'threshold', 'left', 'right'})."""
+    if "value" in node:
+        return repr(float(node["value"]))
+    thr = float(node["threshold"]) + _LTR_NODE_SLACK
+    return (
+        f"CASE WHEN {node['feature']} <= {thr!r} "
+        f"THEN {ltr_tree_sql(node['left'])} "
+        f"ELSE {ltr_tree_sql(node['right'])} END"
+    )
+
+
+LTR_TREES = (
+    (1.0, {
+        "feature": "f_bm25", "threshold": 0.35,
+        "left": {"feature": "f_tf", "threshold": 0.5,
+                 "left": {"value": 0.1}, "right": {"value": 0.3}},
+        "right": {"feature": "f_doclen", "threshold": 5.5,
+                  "left": {"value": 0.6}, "right": {"value": 0.9}},
+    }),
+    (2.0, {
+        "feature": "f_lang", "threshold": 0.5,
+        "left": {"value": 0.05},
+        "right": {"feature": "f_bm25", "threshold": 0.6,
+                  "left": {"value": 0.4}, "right": {"value": 0.8}},
+    }),
+)
+
+LTR_ENSEMBLE_EXPR = " + ".join(
+    f"{w!r} * ({ltr_tree_sql(t)})" for w, t in LTR_TREES
+)
+
+
+def ltr_trees_rescore(spark, sf_dir):
+    base = _ft_search_all(spark, sf_dir, "spark").withColumnRenamed("score", "f_bm25")
+    feats = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.log(F.lit(1.0) + F.col("n_chars").cast("double")).alias("f_doclen"),
+        F.expr(
+            f"CAST(size(filter({_TOK_EXPR}, t -> t = 'hash')) AS DOUBLE)"
+        ).alias("f_tf"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("f_lang"),
+    )
+    fv = feats.join(F.broadcast(base), "doc_id")
+    return (
+        fv.select("doc_id", F.round(F.expr(LTR_ENSEMBLE_EXPR), 4).alias("ltr_score"))
+        .orderBy(F.col("ltr_score").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+LTR_TREES_SQL = (
+    _BM25_CTE
+    + _SCORES_CTE.format(terms=_terms_list(["spark"]))
+    + f"""
+, feats AS (
+  SELECT s.doc_id,
+         round(s.s, 4) AS f_bm25,
+         ln(1 + d.n_chars) AS f_doclen,
+         CAST(COALESCE(t.tf, 0) AS DOUBLE) AS f_tf,
+         CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS f_lang
+  FROM scores s
+  JOIN documents d ON s.doc_id = d.doc_id
+  LEFT JOIN tf t ON t.doc_id = s.doc_id AND t.term = 'hash'
+)
+SELECT doc_id, round({LTR_ENSEMBLE_EXPR}, 4) AS ltr_score
+FROM feats ORDER BY ltr_score DESC, doc_id ASC LIMIT 50
+"""
+)
+
+
 # CoveringQuery (sandbox CoveringQuery.java:54-66 + CoveringScorer.java:
 # 204-212): a doc matches when >= max(1, minMatch(doc)) sub-queries match;
 # score = SUM of the matching clauses' scores. minMatch here is the
@@ -2081,6 +2164,7 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "ft_term_in_set": (ft_term_in_set, FT_IN_SET_SQL),
     "ft_boost": (ft_boost, FT_BOOST_SQL),
     "ltr_rescore": (ltr_rescore, LTR_RESCORE_SQL),
+    "ltr_trees_rescore": (ltr_trees_rescore, LTR_TREES_SQL),
     "terms_component": (terms_component, TERMS_COMPONENT_SQL),
     "spellcheck_suggest": (spellcheck_suggest, SPELLCHECK_SQL),
     "freetext_suggest": (freetext_suggest, FREETEXT_SUGGEST_SQL),
