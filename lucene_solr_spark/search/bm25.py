@@ -166,6 +166,17 @@ def axf1_norm_cache(avgdl: float, s: float = 0.25) -> np.ndarray:
     return (avgdl + s) / (avgdl + table * s)
 
 
+def ax3_gamma_cache(avgdl: float, query_len: int = 1, s: float = 0.25) -> np.ndarray:
+    """Axiomatic F3 family gamma table (dl − queryLen)·s·queryLen/avgdl per
+    norm byte (``AxiomaticF3EXP.java:106-109`` / ``AxiomaticF3LOG.java:96-99``
+    gamma(); defaults s=0.25, queryLen=1, ``Axiomatic.java:99-101``). The F3
+    score is tf·idf − gamma (ln = tfln = 1), clamped at 0
+    (``Axiomatic.java:104-112``): gamma grows with dl, so the score stays
+    monotone ↓ in length and the block-max bound admissible. float64."""
+    table = LENGTH_TABLE.astype(np.float64)
+    return (table - query_len) * s * query_len / max(avgdl, 1e-12)
+
+
 def max_block_score(
     max_freq: np.ndarray, min_norm_byte: np.ndarray, weight: np.float32, cache: np.ndarray
 ) -> np.ndarray:

@@ -255,6 +255,7 @@ class IndexSearcher:
         similarity: str = "bm25",
         commit: int | None = None,
         parser: str = "benchmark",
+        ax3_query_len: int = 1,
     ):
         """precision='f32' replicates the reference's float arithmetic
         (Lucene score parity); 'f64' computes in double (SQL-oracle mode).
@@ -266,7 +267,11 @@ class IndexSearcher:
         (AxiomaticF2EXP, s=0.25/k=0.35), 'gl2'/'ifl2'/'inel2' (DFR basic
         models G / I(F) / I(ne) with AfterEffectL + NormalizationH2, c=1)
         'ax1log' (AxiomaticF1LOG, s=0.25), 'ax2log' (AxiomaticF2LOG,
-        s=0.25, idf=ln((N+1)/df) over the F2 tfln), or 'sweetspot'
+        s=0.25, idf=ln((N+1)/df) over the F2 tfln), 'ax3exp'/'ax3log'
+        (AxiomaticF3EXP/F3LOG — score = max(0, (1+ln(1+ln(tf+1)))·idf − γ),
+        γ = (dl−queryLen)·s·queryLen/avgdl with queryLen from
+        ``ax3_query_len``, Lucene's explicit constructor parameter,
+        default 1 per ``Axiomatic.java:99-101``), or 'sweetspot'
         (lucene/misc SweetSpotSimilarity: classic idf · sqrt(tf) · plateau
         lengthNorm, min=3/max=12/steepness=0.5) — SURVEY §2.7;
         all share the (freq, norm_byte) scoring seam. Every model except
@@ -317,6 +322,7 @@ class IndexSearcher:
         if self.sim in (
             "classic", "lmd", "lmjm", "inl2", "dfi", "ibll", "ax2exp",
             "gl2", "ifl2", "inel2", "ax1log", "ax2log", "sweetspot",
+            "ax3exp", "ax3log",
         ):
             self.avgdl = self.sum_total_term_freq / max(self.doc_count, 1)
             c = {
@@ -341,6 +347,9 @@ class IndexSearcher:
                 "ifl2": lambda: bm25.inl2_norm_cache(self.avgdl),
                 "inel2": lambda: bm25.inl2_norm_cache(self.avgdl),
                 "ax1log": lambda: bm25.axf1_norm_cache(self.avgdl),
+                # F3's norm table is the gamma SUBTRACTED by the kernel
+                "ax3exp": lambda: bm25.ax3_gamma_cache(self.avgdl, ax3_query_len),
+                "ax3log": lambda: bm25.ax3_gamma_cache(self.avgdl, ax3_query_len),
             }[self.sim]()
             self.cache = c.astype(np.float32).astype(np.float64) if self.f32 else c
         elif self.f32:
@@ -435,8 +444,9 @@ class IndexSearcher:
             elif self.sim == "ibll":
                 # weight = λ = (n+1)/(N+1) (LambdaDF.java:32-38)
                 out[t] = (df + 1.0) / (self.doc_count + 1.0)
-            elif self.sim == "ax2exp":
-                # idf = ((N+1)/df)^k, k=0.35 (AxiomaticF2EXP.java:99-101)
+            elif self.sim in ("ax2exp", "ax3exp"):
+                # idf = ((N+1)/df)^k, k=0.35 (AxiomaticF2EXP.java:99-101,
+                # AxiomaticF3EXP.java:100-103)
                 out[t] = float(((self.doc_count + 1.0) / df) ** self.AX2_K)
             elif self.sim == "gl2":
                 # λ = (F+1)/(N+F+1) (BasicModelG.java:36-39); the kernel
@@ -454,9 +464,9 @@ class IndexSearcher:
                 N = float(self.doc_count)
                 ne = N * (1.0 - ((N - 1.0) / N) ** self._ttf_cache[t])
                 out[t] = float(np.log2((N + 1.0) / (ne + 0.5)))
-            elif self.sim in ("ax1log", "ax2log"):
+            elif self.sim in ("ax1log", "ax2log", "ax3log"):
                 # idf = ln((N+1)/df) (AxiomaticF1LOG.java:79-80,
-                # AxiomaticF2LOG.java:77-79)
+                # AxiomaticF2LOG.java:77-79, AxiomaticF3LOG.java:90-93)
                 out[t] = float(np.log((self.doc_count + 1.0) / df))
             elif self.f32:
                 out[t] = float(

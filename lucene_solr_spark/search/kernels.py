@@ -435,7 +435,8 @@ class QueryContext:
         dt = np.float32 if f32 else np.float64
         self.f32 = f32
         # "bm25" | "classic" | "lmd" | "lmjm" | "inl2" | "dfi" | "ibll"
-        # | "ax2exp" (SURVEY §2.7)
+        # | "ax2exp" | "ax2log" | "ax3exp" | "ax3log" | DFR gl2/ifl2/inel2
+        # | "ax1log" | "sweetspot" (SURVEY §2.7)
         self.sim = sim
         self.weights = {t: dt(w) for t, w in weights.items()}
         self.cache = cache.astype(dt)
@@ -493,11 +494,13 @@ class QueryContext:
         elif self.sim == "ibll":
             # LambdaDF over the pseudo-term df (LambdaDF.java:32-38)
             w = (df + 1.0) / (self.doc_count + 1.0)
-        elif self.sim == "ax2exp":
-            # F2EXP idf over the pseudo-term df (AxiomaticF2EXP.java:99-101)
+        elif self.sim in ("ax2exp", "ax3exp"):
+            # F2/F3EXP idf over the pseudo-term df (AxiomaticF2EXP.java:
+            # 99-101, AxiomaticF3EXP.java:100-103)
             w = ((self.doc_count + 1.0) / df) ** 0.35
-        elif self.sim == "ax1log":
-            # F1LOG idf over the pseudo-term df (AxiomaticF1LOG.java:79-80)
+        elif self.sim in ("ax1log", "ax2log", "ax3log"):
+            # F1/F2/F3LOG idf over the pseudo-term df (AxiomaticF1LOG.java:
+            # 79-80, AxiomaticF2LOG.java:77-79, AxiomaticF3LOG.java:90-93)
             w = np.log((self.doc_count + 1.0) / df)
         else:
             w = np.log1p((self.doc_count - df + 0.5) / (df + 0.5))
@@ -566,6 +569,16 @@ class QueryContext:
             # 104-110): score = (1+ln(1+ln(f+1))) · lnNorm[normByte] · idf,
             # idf = ln((N+1)/df) riding in as the weight, tfln = 1, γ = 0
             out = float(weight) * norm * (1.0 + np.log1p(np.log1p(f)))
+        elif self.sim in ("ax3exp", "ax3log"):
+            # Axiomatic F3 family (AxiomaticF3EXP.java:75-109 /
+            # AxiomaticF3LOG.java:66-99, Axiomatic.java:104-112): ln = tfln
+            # = 1; score = max(0, (1+ln(1+ln(f+1)))·idf − γ[normByte]) with
+            # γ = (dl − queryLen)·s·queryLen/avgdl riding in as the norm
+            # cache. γ grows with dl and the clamp preserves monotonicity,
+            # so the (max_freq, min_norm) block bound stays admissible.
+            out = np.maximum(
+                float(weight) * (1.0 + np.log1p(np.log1p(f))) - norm, 0.0
+            )
         elif self.sim == "dfi":
             # DFISimilarity.java:55-64 with IndependenceStandardized
             # (IndependenceStandardized.java:37): expected = w·dl where the

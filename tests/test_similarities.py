@@ -209,7 +209,7 @@ def test_ax2exp_scores(spark, sim_index):
     "sim",
     [
         "classic", "lmd", "lmjm", "inl2", "dfi", "ibll", "ax2exp",
-        "gl2", "ifl2", "inel2", "ax1log", "ax2log",
+        "gl2", "ifl2", "inel2", "ax1log", "ax2log", "ax3exp", "ax3log",
     ],
 )
 def test_pruned_paths_match_exhaustive_under_sim(spark, sim_index, sim):
@@ -373,4 +373,72 @@ def test_ax1log_scores(spark, sim_index):
             * ((avgdl + 0.25) / (avgdl + dl * 0.25))
             * math.log((doc_count + 1) / df)
         )
+        assert hits[coord] == pytest.approx(expect, rel=1e-6), coord
+
+
+def test_ax3_scores(spark, sim_index):
+    """AxiomaticF3EXP.java:75-109 / AxiomaticF3LOG.java:66-99: score =
+    max(0, (1+ln(1+ln(tf+1))) · idf − γ), γ = (dl−queryLen)·s·queryLen/avgdl
+    (s=0.25; queryLen an explicit constructor parameter)."""
+    from lucene_solr_spark.search import IndexSearcher
+
+    per_doc, doc_count, total = _naive_stats(spark, sim_index)
+    df = sum(1 for t in per_doc.values() if "parse" in t)
+    avgdl = total / doc_count
+    for sim, qlen in (("ax3exp", 1), ("ax3log", 3)):
+        s = IndexSearcher(spark, sim_index, analyzer="code", similarity=sim,
+                          precision="f64", ax3_query_len=qlen)
+        idf = (
+            ((doc_count + 1) / df) ** 0.35
+            if sim == "ax3exp"
+            else math.log((doc_count + 1) / df)
+        )
+        hits = {
+            (r.segment_id, r.doc_id): r.score
+            for r in s.search("parse", k=100).collect()
+        }
+        assert hits
+        for coord, terms in per_doc.items():
+            tf = terms.count("parse")
+            if tf == 0:
+                assert coord not in hits
+                continue
+            dl = _quantized_len(len(terms))
+            gamma = (dl - qlen) * 0.25 * qlen / avgdl
+            expect = max(0.0, (1 + math.log(1 + math.log(tf + 1))) * idf - gamma)
+            assert hits[coord] == pytest.approx(expect, rel=1e-6, abs=1e-12), (
+                sim, coord,
+            )
+
+
+def test_ax2log_synonym_weight(spark, sim_index):
+    """Regression: SynonymQuery under ax2log must use the F2LOG idf
+    ln((N+1)/max df) for the pseudo-term (SynonymQuery.java:204-218), not
+    fall through to the BM25 idf."""
+    from lucene_solr_spark.search import IndexSearcher
+    from lucene_solr_spark.search.query import SynonymQuery
+
+    s = IndexSearcher(spark, sim_index, analyzer="code", similarity="ax2log",
+                      precision="f64")
+    per_doc, doc_count, total = _naive_stats(spark, sim_index)
+    avgdl = total / doc_count
+    dfs = {
+        t: sum(1 for terms in per_doc.values() if t in terms)
+        for t in ("parse", "buffer")
+    }
+    hits = {
+        (r.segment_id, r.doc_id): r.score
+        for r in s.search_many(
+            {0: SynonymQuery(("parse", "buffer"))}, k=None
+        ).collect()
+    }
+    assert hits
+    idf = math.log((doc_count + 1) / max(dfs.values()))
+    for coord, terms in per_doc.items():
+        tf = terms.count("parse") + terms.count("buffer")
+        if tf == 0:
+            assert coord not in hits
+            continue
+        dl = _quantized_len(len(terms))
+        expect = idf * tf / (tf + 0.25 + 0.25 * dl / avgdl)
         assert hits[coord] == pytest.approx(expect, rel=1e-6), coord

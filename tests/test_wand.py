@@ -342,6 +342,12 @@ def _sim_ctx(posts, norms_blob_sum_len, doc_count, sim):
     elif sim == "ax2log":
         w = {t: float(np.log((doc_count + 1.0) / df)) for t, df in dfs.items()}
         cache = bm25.ax2exp_norm_cache(avgdl)
+    elif sim == "ax3exp":
+        w = {t: float(((doc_count + 1.0) / df) ** 0.35) for t, df in dfs.items()}
+        cache = bm25.ax3_gamma_cache(avgdl, query_len=2)
+    elif sim == "ax3log":
+        w = {t: float(np.log((doc_count + 1.0) / df)) for t, df in dfs.items()}
+        cache = bm25.ax3_gamma_cache(avgdl, query_len=2)
     else:
         raise AssertionError(sim)
     return QueryContext(
@@ -353,7 +359,7 @@ def _sim_ctx(posts, norms_blob_sum_len, doc_count, sim):
     "sim",
     [
         "classic", "lmd", "lmjm", "inl2", "dfi", "ibll", "ax2exp",
-        "gl2", "ifl2", "inel2", "ax1log", "ax2log",
+        "gl2", "ifl2", "inel2", "ax1log", "ax2log", "ax3exp", "ax3log",
     ],
 )
 def test_pruned_equals_exhaustive_random_all_sims(sim):
