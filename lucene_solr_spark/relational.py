@@ -13,6 +13,7 @@ nothing collects to the driver.
 
 from __future__ import annotations
 
+import datetime
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -1850,7 +1851,43 @@ GROUP BY 1, 2
 """
 
 
+# Solr date-math range filter (solr/core/.../util/DateMathParser.java via
+# the `ts:[NOW/DAY-7DAYS TO NOW/DAY+1DAY]` range-query form,
+# TrieDateField/DatePointField semantics: NOW frozen once per request).
+# The Spark side evaluates the date-math chain with datemath.parse_datemath
+# and pushes the resolved bounds down as literals (exactly how the
+# reference's parsed Date enters the query as a constant — the predicate
+# stays a parquet row-group pruning filter); the DuckDB oracle recomputes
+# the SAME expressions independently with date_trunc + INTERVAL arithmetic,
+# cross-checking the rounding/add semantics rather than sharing them.
+DATEMATH_NOW = "2024-01-20T13:45:30Z"
+
+
+def datemath_range_events(spark, sf_dir):
+    from .datemath import parse_datemath
+
+    now = datetime.datetime(2024, 1, 20, 13, 45, 30, tzinfo=datetime.timezone.utc)
+    lo = parse_datemath("NOW/DAY-7DAYS", now=now).replace(tzinfo=None)
+    hi = parse_datemath("NOW/DAY+1DAY", now=now).replace(tzinfo=None)
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+DATEMATH_RANGE_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM events
+WHERE ts >= date_trunc('day', TIMESTAMP '2024-01-20 13:45:30') - INTERVAL 7 DAY
+  AND ts <  date_trunc('day', TIMESTAMP '2024-01-20 13:45:30') + INTERVAL 1 DAY
+GROUP BY 1
+"""
+
+
 RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
+    "datemath_range_events": (datemath_range_events, DATEMATH_RANGE_SQL),
     "multi_range_quantity": (multi_range_quantity, MULTI_RANGE_SQL),
     "facet_interval_price": (facet_interval_price, FACET_INTERVAL_SQL),
     "facet_heatmap_customers": (facet_heatmap_customers, FACET_HEATMAP_SQL),
