@@ -16,7 +16,7 @@ from __future__ import annotations
 import datetime
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 
@@ -1886,8 +1886,82 @@ GROUP BY 1
 """
 
 
+# CellStream / TupStream (solrj/io/stream/CellStream.java:110-143,
+# TupStream.java:45-180): cell(name, stream) drains a stream and emits ONE
+# tuple {name: [tuples…]}; tup(k1=v, k2=evaluator, k3=stream) emits one
+# tuple of evaluated params, stream params collected as lists. In Spark the
+# "one tuple carrying a list" is a single-row DataFrame with an
+# array<struct> column — a bounded agg (the reference materializes the
+# whole child stream in memory too, CellStream.open(), so the small-result
+# contract is inherited, not invented). No shuffle beyond the child's own
+# plan: collect_list runs as a partial+final agg.
+
+
+def cell_stream(df: DataFrame, name: str) -> DataFrame:
+    """cell(name, stream): one row, one array<struct> column named
+    ``name`` holding every tuple of ``df`` (CellStream.java:123-143).
+    Order within the cell follows the child's sort if any — pass a sorted
+    struct key when determinism matters."""
+    return df.agg(F.collect_list(F.struct(*df.columns)).alias(name))
+
+
+def tup_stream(spark: SparkSession, params: dict) -> DataFrame:
+    """tup(name=value, …): one tuple of evaluated params
+    (TupStream.java:95-180). Values may be literals, Columns (evaluator
+    params), or DataFrames (stream params — collected as array<struct>,
+    the reference's list-valued entries)."""
+    row = spark.range(1).select()
+    for name, v in params.items():
+        if isinstance(v, DataFrame):
+            cell = cell_stream(v, name)
+            row = row.crossJoin(F.broadcast(cell))
+        elif isinstance(v, Column):
+            row = row.withColumn(name, v)
+        else:
+            row = row.withColumn(name, F.lit(v))
+    return row
+
+
+def tup_cell_orders(spark, sf_dir):
+    # tup(label=string param, n_urgent=count tuple, top=cell of the top-5
+    # URGENT orders by price). The cell's array<struct> payload is then
+    # serialized to a sorted comma-joined key list so both engines hash the
+    # LIST VALUE itself (sort_array over (−price, key) structs — no global
+    # window, no reliance on collect_list input order).
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    top = (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(5)
+        .select((-F.col("o_totalprice")).alias("negprice"), "o_orderkey")
+    )
+    n = o.agg(F.count("*").alias("n_urgent"))
+    out = tup_stream(spark, {"label": "urgent", "top": top})
+    return out.crossJoin(F.broadcast(n)).select(
+        "label",
+        "n_urgent",
+        F.array_join(
+            F.transform(
+                F.sort_array(F.col("top")),
+                lambda s: s["o_orderkey"].cast("string"),
+            ),
+            ",",
+        ).alias("top_keys"),
+    )
+
+
+TUP_CELL_SQL = """
+SELECT 'urgent' AS label,
+       (SELECT count(*) FROM orders WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       (SELECT string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_totalprice DESC, o_orderkey ASC)
+        FROM (SELECT o_orderkey, o_totalprice
+              FROM orders WHERE o_orderpriority = '1-URGENT'
+              ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5)) AS top_keys
+"""
+
+
 RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
     "datemath_range_events": (datemath_range_events, DATEMATH_RANGE_SQL),
+    "tup_cell_orders": (tup_cell_orders, TUP_CELL_SQL),
     "multi_range_quantity": (multi_range_quantity, MULTI_RANGE_SQL),
     "facet_interval_price": (facet_interval_price, FACET_INTERVAL_SQL),
     "facet_heatmap_customers": (facet_heatmap_customers, FACET_HEATMAP_SQL),
