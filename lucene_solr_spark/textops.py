@@ -2755,6 +2755,101 @@ SELECT vec_id, round(cosine, 4) AS cosine FROM (
 """
 
 
+# Random-hyperplane LSH near-dup over embeddings (SimHash in embedding
+# space — Charikar'02, the scale path for embedding-cosine near-dup where
+# the brute-force emb_cosine_pairs all-pairs join is impossible): 16
+# deterministic integer hyperplanes → 16 sign bits per vector, banded
+# 4×4 bits; candidate pairs come from a bucket EQUI-JOIN per band (never
+# all-pairs — at 100 TB each band shuffles on (band, bkey) and only
+# same-bucket vectors meet), then a cosine >= τ verify stage over the
+# candidates only. Recall is the standard banding curve (1-(1-p^r)^b,
+# p = 1 - θ/π); candidates missed by every band are absent by design —
+# the DuckDB oracle mirrors the banding, so the comparison checks the
+# exact LSH semantics, not a recall illusion.
+_ELSH_H, _ELSH_DIM, _ELSH_BANDS, _ELSH_ROWS = 16, 64, 4, 4
+_ELSH_TAU = 0.4
+
+
+def _elsh_plane(h: int) -> list[int]:
+    # deterministic integer components in [-3, 3] — exact in float64 on
+    # both engines, no RNG state to ship
+    return [((h * 1315423911 + i * 2654435761) % 7) - 3 for i in range(_ELSH_DIM)]
+
+
+def emb_lsh_neardup(spark, sf_dir):
+    e = _emb(spark, sf_dir).withColumn(
+        "v", F.expr("transform(embedding, x -> cast(x AS double))")
+    )
+    bits = []
+    for h in range(_ELSH_H):
+        lits = ", ".join(f"{c}.0D" for c in _elsh_plane(h))
+        dot = (
+            f"aggregate(zip_with(v, array({lits}), (x, y) -> x * y), "
+            "cast(0.0 AS double), (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << h} ELSE 0 END)")
+    sig = e.select("vec_id", F.expr(" + ".join(bits)).alias("sig"))
+    keyed = sig.select(
+        "vec_id",
+        F.explode(F.expr(f"sequence(0, {_ELSH_BANDS - 1})")).alias("band"),
+        "sig",
+    ).select(
+        "vec_id", "band",
+        F.expr(f"shiftright(sig, band * {_ELSH_ROWS}) & {(1 << _ELSH_ROWS) - 1}").alias("bkey"),
+    )
+    a = keyed.select("band", "bkey", F.col("vec_id").alias("id_a"))
+    b = keyed.select("band", "bkey", F.col("vec_id").alias("id_b"))
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    j = cand.join(va, "id_a").join(vb, "id_b")
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 AS double), (acc, x) -> acc + x)")
+    na = F.expr("aggregate(va, cast(0.0 AS double), (acc, x) -> acc + x * x)")
+    nb = F.expr("aggregate(vb, cast(0.0 AS double), (acc, x) -> acc + x * x)")
+    return (
+        j.withColumn("cosine", dot / (F.sqrt(na) * F.sqrt(nb)))
+        .filter(F.col("cosine") >= _ELSH_TAU)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def _elsh_sig_sql() -> str:
+    bits = []
+    for h in range(_ELSH_H):
+        lits = ", ".join(f"{c}" for c in _elsh_plane(h))
+        bits.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]::DOUBLE[]) >= 0 "
+            f"THEN {1 << h} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+EMB_LSH_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, {_elsh_sig_sql()} AS sig FROM v),
+keyed AS (
+  SELECT vec_id, band, (sig >> (band * {_ELSH_ROWS})) & {(1 << _ELSH_ROWS) - 1} AS bkey
+  FROM sig, generate_series(0, {_ELSH_BANDS - 1}) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cosine, 4) AS cosine FROM (
+  SELECT c.id_a, c.id_b,
+         list_dot_product(x.v, y.v) /
+         (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cosine
+  FROM cand c JOIN v x ON x.vec_id = c.id_a JOIN v y ON y.vec_id = c.id_b
+) WHERE cosine >= {_ELSH_TAU}
+"""
+
+
 # language-ID heuristic: stopword-density rule (n-gram/стоп-слово heuristic —
 # the cheap first-pass language filter of a web-scale pipeline)
 _STOP10 = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
@@ -3465,6 +3560,7 @@ TRAINING_EXTRA_OPS: dict[str, tuple] = {
     "emb_ivf_probe": (emb_ivf_probe, EMB_IVF_SQL),
     "emb_cosine_pairs": (emb_cosine_pairs, EMB_COSINE_SQL),
     "emb_knn_threshold": (emb_knn_threshold, EMB_KNN_SQL),
+    "emb_lsh_neardup": (emb_lsh_neardup, EMB_LSH_SQL),
     "simhash16": (simhash16, SIMHASH_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "quality_score": (quality_score, QUALITY_SQL),
