@@ -15,6 +15,7 @@ from .query import (  # noqa: F401
     parse_query,
     rewrite,
 )
+from .simpleparser import SimpleQueryParser, parse_simple  # noqa: F401
 from .executor import IndexSearcher  # noqa: F401
 from .multifield import MultiFieldSearcher  # noqa: F401
 from .edismax import EDisMaxSearcher  # noqa: F401

@@ -1220,6 +1220,49 @@ def ft_classic_parse(spark, sf_dir):
     return _ft_search_all(spark, sf_dir, q)
 
 
+def ft_simple_parse(spark, sf_dir):
+    """SimpleQueryParser end-to-end (queryparser/simple/SimpleQueryParser.
+    java): '+' AND-folds, a trailing '*' prefix (constant score 1 inside the
+    conjunction), and a NEAR phrase '"…"~2' — all three as MUST clauses of
+    one folded BooleanQuery, scored and summed by the engine."""
+    from .search.simpleparser import parse_simple
+
+    q = parse_simple('table + hash* + "table hash"~2', analyzer="simple")
+    return _ft_search_all(spark, sf_dir, q)
+
+
+FT_SIMPLE_SQL = (
+    _BM25_CTE
+    + _SCORES_CTE.format(terms=_terms_list(["table"]))
+    + f"""
+, tokp AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id, {_TOKENIZE} AS arr FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id, 1.0 / (1 + abs((b.pos - 1) - a.pos)) AS w
+  FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id
+  WHERE a.term = 'table' AND b.term = 'hash'
+    AND abs((b.pos - 1) - a.pos) <= 2
+),
+phr AS (SELECT doc_id, sum(w) AS freq FROM pairs GROUP BY doc_id),
+pw AS (
+  SELECT sum(ln(1 + (cstats.n - dft.df + 0.5) / (dft.df + 0.5))) AS w
+  FROM dft, cstats WHERE dft.term IN ('table', 'hash')
+),
+pref AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'hash%')
+SELECT s.doc_id,
+       round(s.s + 1.0
+             + pw.w * (phr.freq / (phr.freq + 1.2 * (0.25 + 0.75 * dld.dlq / (cstats.st * 1.0 / cstats.n)))),
+             4) AS score
+FROM scores s
+JOIN phr ON s.doc_id = phr.doc_id
+JOIN pref ON s.doc_id = pref.doc_id
+JOIN dld ON s.doc_id = dld.doc_id, pw, cstats
+"""
+)
+
+
 FT_CLASSIC_SQL = (
     _BM25_CTE
     + _SCORES_CTE.format(terms=_terms_list(["table", "hash"]))
@@ -2152,6 +2195,7 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "ft_bool_msm": (ft_bool_msm, FT_MSM_SQL),
     "ft_bool_filter": (ft_bool_filter, FT_FILTER_SQL),
     "ft_classic_parse": (ft_classic_parse, FT_CLASSIC_SQL),
+    "ft_simple_parse": (ft_simple_parse, FT_SIMPLE_SQL),
     "ft_common_terms": (ft_common_terms, FT_COMMON_TERMS_SQL),
     "term_vectors": (term_vectors, TERM_VECTORS_SQL),
     "infix_suggest": (infix_suggest, INFIX_SUGGEST_SQL),
