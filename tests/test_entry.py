@@ -63,7 +63,7 @@ def _all_ops():
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from lucene_solr_spark.graph import GRAPH_OPS
+    from lucene_solr_spark.graph import GRAPH_EXTRA_OPS, GRAPH_OPS
     from lucene_solr_spark.multimodal import MULTIMODAL_OPS
     from lucene_solr_spark.relational import RELATIONAL_EXTRA_OPS, RELATIONAL_OPS
     from lucene_solr_spark.textops import (
@@ -85,6 +85,7 @@ def _all_ops():
         FT_EXTRA_OPS,
         RELATIONAL_EXTRA_OPS,
         TRAINING_EXTRA_OPS,
+        GRAPH_EXTRA_OPS,
     ):
         ops.update(reg)
     return ops

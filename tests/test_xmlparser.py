@@ -1,0 +1,188 @@
+"""XML CoreParser (reference ``lucene/queryparser/.../xml/CoreParser.java``
++ builders): element registry, occurs clauses, fieldName inheritance, span
+composition, error contract, engine equivalence."""
+
+import pytest
+
+from lucene_solr_spark.search.query import (
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    MatchAllQuery,
+    SpanFirstQuery,
+    SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
+    SpanTermQuery,
+    TermQuery,
+    TermRangeQuery,
+)
+from lucene_solr_spark.search.xmlparser import parse_xml_query
+
+T = TermQuery
+ST = SpanTermQuery
+
+
+def P(x):
+    return parse_xml_query(x, analyzer="simple")
+
+
+def test_term_and_boolean():
+    assert P("<TermQuery>foo</TermQuery>") == T("foo")
+    # raw term text is NOT analyzed (TermQueryBuilder) — only lowercased here
+    assert P("<TermQuery>FooBar</TermQuery>") == T("foobar")
+    assert P('<TermQuery boost="2.5">foo</TermQuery>') == BoostQuery(T("foo"), 2.5)
+    q = P(
+        """
+        <BooleanQuery minimumNumberShouldMatch="1">
+          <Clause occurs="must"><TermQuery>a</TermQuery></Clause>
+          <Clause occurs="should"><TermQuery>b</TermQuery></Clause>
+          <Clause occurs="should"><TermQuery>c</TermQuery></Clause>
+          <Clause occurs="mustNot"><TermQuery>d</TermQuery></Clause>
+          <Clause occurs="filter"><TermQuery>e</TermQuery></Clause>
+        </BooleanQuery>"""
+    )
+    assert q == BooleanQuery(
+        must=(T("a"),),
+        should=(T("b"), T("c")),
+        must_not=(T("d"),),
+        filter=(T("e"),),
+        min_should_match=1,
+    )
+
+
+def test_terms_query_analyzes():
+    # TermsQueryBuilder runs the analyzer; SHOULD per token
+    assert P('<TermsQuery fieldName="content">Foo-Bar baz</TermsQuery>') == BooleanQuery(
+        should=(T("foo"), T("bar"), T("baz"))
+    )
+
+
+def test_range_matchall_dismax_constantscore():
+    assert P("<MatchAllDocsQuery/>") == MatchAllQuery()
+    assert P('<RangeQuery lowerTerm="aaa" upperTerm="bbb" includeUpper="false"/>') == (
+        TermRangeQuery(lower="aaa", upper="bbb", include_lower=True, include_upper=False)
+    )
+    assert P('<RangeQuery lowerTerm="mmm"/>') == TermRangeQuery(lower="mmm", upper=None)
+    q = P(
+        """
+        <DisjunctionMaxQuery tieBreaker="0.1">
+          <TermQuery>a</TermQuery>
+          <TermQuery>b</TermQuery>
+        </DisjunctionMaxQuery>"""
+    )
+    assert q == DisjunctionMaxQuery((T("a"), T("b")), 0.1)
+    assert P("<ConstantScoreQuery><TermQuery>a</TermQuery></ConstantScoreQuery>") == (
+        ConstantScoreQuery(T("a"))
+    )
+
+
+def test_user_query_delegates_to_classic():
+    from lucene_solr_spark.search.queryparser import parse_classic
+
+    q = P("<UserQuery>a AND b</UserQuery>")
+    assert q == parse_classic("a AND b", analyzer="simple")
+
+
+def test_span_family():
+    q = P(
+        """
+        <SpanNear slop="2" inOrder="true">
+          <SpanTerm>foo</SpanTerm>
+          <SpanOr>
+            <SpanTerm>bar</SpanTerm>
+            <SpanTerm>baz</SpanTerm>
+          </SpanOr>
+        </SpanNear>"""
+    )
+    assert q == SpanNearQuery(
+        (ST("foo"), SpanOrQuery((ST("bar"), ST("baz")))), slop=2, in_order=True
+    )
+    # inOrder defaults FALSE in the XML builder (SpanNearBuilder)
+    q = P('<SpanNear slop="0"><SpanTerm>a</SpanTerm><SpanTerm>b</SpanTerm></SpanNear>')
+    assert q == SpanNearQuery((ST("a"), ST("b")), slop=0, in_order=False)
+    # SpanOrTerms analyzes
+    assert P('<SpanOrTerms fieldName="content">Foo Bar</SpanOrTerms>') == SpanOrQuery(
+        (ST("foo"), ST("bar"))
+    )
+    q = P(
+        """
+        <SpanNot>
+          <Include><SpanTerm>a</SpanTerm></Include>
+          <Exclude><SpanTerm>b</SpanTerm></Exclude>
+        </SpanNot>"""
+    )
+    assert q == SpanNotQuery(ST("a"), ST("b"))
+    assert P('<SpanFirst end="5"><SpanTerm>a</SpanTerm></SpanFirst>') == SpanFirstQuery(
+        ST("a"), 5
+    )
+
+
+def test_fieldname_inheritance_and_errors():
+    # fieldName inherited from an ancestor element
+    q = P(
+        """
+        <BooleanQuery fieldName="content">
+          <Clause occurs="must"><TermQuery>a</TermQuery></Clause>
+        </BooleanQuery>"""
+    )
+    assert q == BooleanQuery(must=(T("a"),))
+    with pytest.raises(ValueError):
+        P('<TermQuery fieldName="nosuch">a</TermQuery>')
+    with pytest.raises(ValueError):
+        P("<NoSuchQuery>a</NoSuchQuery>")
+    with pytest.raises(ValueError):
+        P("<TermQuery>  </TermQuery>")  # blank text
+    with pytest.raises(ValueError):
+        P("<SpanNear><SpanTerm>a</SpanTerm></SpanNear>")  # missing slop
+    with pytest.raises(ValueError):
+        P('<BooleanQuery><Clause occurs="wrong"><TermQuery>a</TermQuery></Clause></BooleanQuery>')
+    with pytest.raises(ValueError):
+        P("<SpanOr><TermQuery>a</TermQuery></SpanOr>")  # non-span child
+    with pytest.raises(ValueError):
+        P("not xml at all <<<")
+    with pytest.raises(ValueError):
+        P('<PointRangeQuery lowerTerm="1" upperTerm="2"/>')  # documented out
+
+
+def test_engine_equivalence(spark, tiny_index):
+    from lucene_solr_spark.search import IndexSearcher
+
+    d, _ = tiny_index
+    s = IndexSearcher(spark, d, analyzer="code")
+    pairs = [
+        (
+            parse_xml_query(
+                """
+                <BooleanQuery>
+                  <Clause occurs="must"><TermQuery>parse</TermQuery></Clause>
+                  <Clause occurs="mustNot"><TermQuery>cache</TermQuery></Clause>
+                </BooleanQuery>""",
+                analyzer="code",
+            ),
+            BooleanQuery(must=(T("parse"),), must_not=(T("cache"),)),
+        ),
+        (
+            # "merge the segments" in the corpus: stopword gap -> slop 1
+            parse_xml_query(
+                '<SpanNear slop="1" inOrder="true">'
+                "<SpanTerm>merge</SpanTerm><SpanTerm>segments</SpanTerm>"
+                "</SpanNear>",
+                analyzer="code",
+            ),
+            SpanNearQuery((ST("merge"), ST("segments")), 1, True),
+        ),
+    ]
+    qs = {}
+    for i, (a, b) in enumerate(pairs):
+        qs[2 * i] = a
+        qs[2 * i + 1] = b
+    rows = {}
+    for r in s.search_many(qs, k=None).collect():
+        rows.setdefault(r.qid, set()).add(
+            (r.segment_id, r.doc_id, round(float(r.score), 5))
+        )
+    for i in range(len(pairs)):
+        assert rows.get(2 * i, set()) == rows.get(2 * i + 1, set()), f"pair {i}"
+    assert rows.get(2), "span pair should match"
