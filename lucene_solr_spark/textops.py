@@ -1137,6 +1137,83 @@ SELECT input, suggestion, df FROM (
 )
 
 
+# BlendedInfixSuggester (reference lucene/suggest/src/java/org/apache/
+# lucene/search/suggest/analyzing/BlendedInfixSuggester.java:62-93): an
+# AnalyzingInfixSuggester whose suggestion weight is BLENDED by the POSITION
+# of the first matched token inside the suggestion text — POSITION_LINEAR
+# coefficient = 1 − 0.10·position (LINEAR_COEF), POSITION_RECIPROCAL =
+# 1/(position+1). Here suggestions are the documents' leading token windows
+# weighted by n_chars; the typed fragment prefix-matches a token and the
+# earliest match position sets the coefficient. (The reference's
+# long-truncation of weight·coefficient and its <1/LINEAR_COEF weight
+# rescale are skipped — scores stay f64; documented deviation.)
+_BLENDED_WINDOW = 8
+
+
+def blended_infix_suggest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("weight"),
+        F.slice(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"),
+            1,
+            _BLENDED_WINDOW,
+        ).alias("toks"),
+    )
+    inputs = spark.createDataFrame([(w,) for w in _INFIX_INPUTS], "input string")
+    cand = docs.crossJoin(F.broadcast(inputs)).select(
+        "input",
+        "doc_id",
+        "weight",
+        F.expr(
+            "get(filter(transform(toks, (t, i) -> IF(startswith(t, input), i, -1)),"
+            " x -> x >= 0), 0)"
+        ).alias("position"),
+    ).filter(F.col("position").isNotNull())
+    scored = cand.select(
+        "input",
+        "doc_id",
+        F.col("position").cast("long").alias("position"),
+        F.round(
+            F.col("weight") * (F.lit(1.0) - F.lit(0.10) * F.col("position")), 4
+        ).alias("score"),
+    )
+    w = Window.partitionBy("input").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("input", "doc_id", "position", "score")
+    )
+
+
+BLENDED_INFIX_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         unnest(arr[1:{_BLENDED_WINDOW}]) AS term,
+         generate_subscripts(arr[1:{_BLENDED_WINDOW}], 1) - 1 AS pos
+  FROM (SELECT doc_id, n_chars,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+        FROM documents)
+),
+inputs AS (SELECT unnest([{", ".join(f"'{w}'" for w in _INFIX_INPUTS)}]) AS input),
+hit AS (
+  SELECT i.input, t.doc_id, min(t.pos) AS position, any_value(t.weight) AS weight
+  FROM tok t JOIN inputs i ON t.term LIKE i.input || '%'
+  GROUP BY i.input, t.doc_id
+)
+SELECT input, doc_id, CAST(position AS BIGINT) AS position,
+       round(weight * (1.0 - 0.10 * position), 4) AS score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY input ORDER BY round(weight * (1.0 - 0.10 * position), 4) DESC,
+    doc_id ASC) AS rk
+  FROM hit
+) WHERE rk <= 5
+"""
+
+
 # Solr QueryElevationComponent (solr/core/.../component/
 # QueryElevationComponent.java:94): editorially pin documents to the top of
 # a query's results; organic hits follow, pinned ids deduplicated out. The
@@ -2199,6 +2276,7 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "ft_common_terms": (ft_common_terms, FT_COMMON_TERMS_SQL),
     "term_vectors": (term_vectors, TERM_VECTORS_SQL),
     "infix_suggest": (infix_suggest, INFIX_SUGGEST_SQL),
+    "blended_infix_suggest": (blended_infix_suggest, BLENDED_INFIX_SQL),
     "elevated_search": (elevated_search, ELEVATED_SQL),
     "ft_prefix": (ft_prefix, FT_PREFIX_SQL),
     "ft_wildcard": (ft_wildcard, FT_WILDCARD_SQL),
