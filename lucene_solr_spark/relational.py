@@ -1959,7 +1959,101 @@ SELECT 'urgent' AS label,
 """
 
 
+# Solr `cardinality` stat (solr/core/src/java/org/apache/solr/search/facet/
+# HLLAgg.java:36 + the stats-component hll option): HyperLogLog approximate
+# distinct counting. Engine sketch builtins (approx_count_distinct) differ
+# across engines, so this runs the HLL ALGORITHM itself identically on both:
+# md5-based 60-bit hash (15 hex chars), m = 64 registers keyed by the top 6
+# bits, register = max leading-zero rank of the low 54 bits, raw estimate
+# alpha_64·m²/Σ2^(-M_j) with the small-range linear-counting correction
+# (Flajolet et al. 2007, the same algorithm HLLAgg's java-hll implements).
+# All register math is exact integer on both engines (the Σ2^(-M_j) sum is
+# scaled by 2^55 and summed as BIGINT) so the f64 estimate is bit-identical
+# — a sketch the driver can hash-gate. At 100 TB this is the point of the
+# stat: registers combine map-side (max per bucket), the shuffle is ≤
+# groups × 64 rows, while exact count(distinct) shuffles every value.
+def stats_cardinality(spark, sf_dir):
+    vals = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_partkey")
+        .distinct()
+    )
+    reg = vals.select(
+        "l_returnflag",
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("v"),
+    ).select(
+        "l_returnflag",
+        F.expr("v div 18014398509481984").alias("bucket"),  # top 6 of 60 bits
+        F.expr("v % 18014398509481984").alias("w"),  # low 54 bits
+    )
+    mreg = reg.groupBy("l_returnflag", "bucket").agg(
+        F.max(
+            F.when(F.col("w") > 0, F.lit(55) - F.length(F.expr("bin(w)"))).otherwise(
+                F.lit(55)
+            )
+        ).alias("m")
+    )
+    est = mreg.groupBy("l_returnflag").agg(
+        (
+            F.sum(F.expr("shiftleft(1L, 55 - m)"))
+            + (F.lit(64) - F.count("*")) * F.lit(2**55)
+        ).alias("s"),  # Σ 2^(-M_j) scaled by 2^55, exact integer
+        (F.lit(64) - F.count("*")).alias("zeros"),
+    )
+    raw = F.lit(0.709 * 4096.0 * float(2**55)) / F.col("s").cast("double")
+    corrected = F.when(
+        (raw <= F.lit(160.0)) & (F.col("zeros") > 0),
+        F.lit(64.0) * F.log(F.lit(64.0) / F.col("zeros").cast("double")),
+    ).otherwise(raw)
+    exact = vals.groupBy("l_returnflag").agg(F.count("*").alias("card_exact"))
+    return (
+        est.select("l_returnflag", F.round(corrected, 4).alias("card_est"))
+        .join(exact, "l_returnflag")
+    )
+
+
+STATS_CARDINALITY_SQL = """
+WITH vals AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+hx AS (SELECT l_returnflag, substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS h FROM vals),
+iv AS (
+  SELECT l_returnflag,
+    (SELECT sum(CAST(instr('0123456789abcdef', substr(h, i, 1)) - 1 AS HUGEINT)
+                * (CAST(1 AS HUGEINT) << CAST(4 * (15 - i) AS INTEGER)))
+     FROM unnest(range(1, 16)) AS t(i)) AS val
+  FROM hx
+),
+reg AS (
+  SELECT l_returnflag,
+         CAST(val // 18014398509481984 AS BIGINT) AS bucket,
+         CAST(val % 18014398509481984 AS BIGINT) AS w
+  FROM iv
+),
+mreg AS (
+  SELECT l_returnflag, bucket,
+         max(CASE WHEN w > 0 THEN 55 - length(bin(w)) ELSE 55 END) AS m
+  FROM reg GROUP BY l_returnflag, bucket
+),
+est AS (
+  SELECT l_returnflag,
+         sum(CAST(1 AS BIGINT) << (55 - m)) + (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS s,
+         64 - count(*) AS zeros
+  FROM mreg GROUP BY l_returnflag
+),
+ex AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS card_exact FROM vals GROUP BY l_returnflag)
+SELECT e.l_returnflag,
+       round(CASE WHEN 1.0462993238608057e+20 / CAST(s AS DOUBLE) <= 160.0
+                   AND zeros > 0
+             THEN 64.0 * ln(64.0 / zeros)
+             ELSE 1.0462993238608057e+20 / CAST(s AS DOUBLE) END, 4) AS card_est,
+       ex.card_exact
+FROM est e JOIN ex ON e.l_returnflag = ex.l_returnflag
+"""
+
+
 RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
+    "stats_cardinality": (stats_cardinality, STATS_CARDINALITY_SQL),
     "datemath_range_events": (datemath_range_events, DATEMATH_RANGE_SQL),
     "tup_cell_orders": (tup_cell_orders, TUP_CELL_SQL),
     "multi_range_quantity": (multi_range_quantity, MULTI_RANGE_SQL),
