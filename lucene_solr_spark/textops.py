@@ -3667,10 +3667,239 @@ TRAINING_OPS: dict[str, tuple] = {
     "doc_signatures": (doc_signatures, DOC_SIGNATURES_SQL),
 }
 
+# Solr features() / FeaturesSelectionStream (reference solr/solrj/src/java/
+# org/apache/solr/client/solrj/io/stream/FeaturesSelectionStream.java:63,
+# shard side solr/core/src/java/org/apache/solr/search/
+# IGainTermsQParserPlugin.java:156-182): select the numTerms most
+# class-informative terms by information gain against a binary outcome —
+# score = H(P/N) − (df/N)·H(xc/df) − (1 − df/N)·H((P − xc)/(N − df + 1)),
+# natural-log binary entropy, including the reference's ``+1`` quirk in the
+# not-containing branch. Everything derives from integer doc counts (one
+# explode + two aggs, map-side combinable; the outcome join broadcasts), so
+# the f64 scores are bit-identical cross-engine. Outcome: lang = 'en'.
+_IGAIN_TOP = 12
+
+
+def features_igain_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.array_distinct(F.expr(_TOK_EXPR)).alias("toks"),
+    )
+    n_docs = d.count()
+    n_pos = d.filter("y = 1").count()
+    doc_term = d.select("doc_id", "y", F.explode("toks").alias("term"))
+    counts = doc_term.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("y").alias("xc")
+    )
+
+    def H(p):
+        return F.when(
+            (p <= 0) | (p >= 1), F.lit(0.0)
+        ).otherwise(-p * F.log(p) - (1.0 - p) * F.log(1.0 - p))
+
+    pc = float(n_pos) / float(n_docs)
+    entropy_c = 0.0 if pc in (0.0, 1.0) else (-pc * math.log(pc) - (1 - pc) * math.log(1 - pc))
+    df = F.col("df").cast("double")
+    xc = F.col("xc").cast("double")
+    score = (
+        F.lit(entropy_c)
+        - (df / F.lit(float(n_docs))) * H(xc / df)
+        - (1.0 - df / F.lit(float(n_docs)))
+        * H((F.lit(float(n_pos)) - xc) / (F.lit(float(n_docs)) - df + 1.0))
+    )
+    out = counts.select(
+        "term",
+        F.col("df").cast("long").alias("doc_freq"),
+        F.round(score, 4).alias("score"),
+    )
+    # TakeOrdered (never a global window); term-asc tie-break keeps the
+    # truncation deterministic across engines
+    return out.orderBy(F.col("score").desc(), F.col("term").asc()).limit(_IGAIN_TOP)
+
+
+FEATURES_IGAIN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+  FROM documents
+),
+tot AS (SELECT count(*) AS n, sum(y) AS p FROM d),
+dt AS (SELECT doc_id, y, unnest(toks) AS term FROM d),
+counts AS (SELECT term, count(*) AS df, sum(y) AS xc FROM dt GROUP BY term),
+scored AS (
+  SELECT term, df,
+    (CASE WHEN CAST(p AS DOUBLE) / n <= 0 OR CAST(p AS DOUBLE) / n >= 1 THEN 0.0
+          ELSE -(CAST(p AS DOUBLE) / n) * ln(CAST(p AS DOUBLE) / n)
+               - (1.0 - CAST(p AS DOUBLE) / n) * ln(1.0 - CAST(p AS DOUBLE) / n) END)
+    - (CAST(df AS DOUBLE) / n) *
+      (CASE WHEN CAST(xc AS DOUBLE) / CAST(df AS DOUBLE) <= 0
+              OR CAST(xc AS DOUBLE) / CAST(df AS DOUBLE) >= 1 THEN 0.0
+            ELSE -(CAST(xc AS DOUBLE) / CAST(df AS DOUBLE)) * ln(CAST(xc AS DOUBLE) / CAST(df AS DOUBLE))
+                 - (1.0 - CAST(xc AS DOUBLE) / CAST(df AS DOUBLE)) * ln(1.0 - CAST(xc AS DOUBLE) / CAST(df AS DOUBLE)) END)
+    - (1.0 - CAST(df AS DOUBLE) / n) *
+      (CASE WHEN (CAST(p AS DOUBLE) - xc) / (CAST(n AS DOUBLE) - df + 1.0) <= 0
+              OR (CAST(p AS DOUBLE) - xc) / (CAST(n AS DOUBLE) - df + 1.0) >= 1 THEN 0.0
+            ELSE -((CAST(p AS DOUBLE) - xc) / (CAST(n AS DOUBLE) - df + 1.0)) * ln((CAST(p AS DOUBLE) - xc) / (CAST(n AS DOUBLE) - df + 1.0))
+                 - (1.0 - (CAST(p AS DOUBLE) - xc) / (CAST(n AS DOUBLE) - df + 1.0)) * ln(1.0 - (CAST(p AS DOUBLE) - xc) / (CAST(n AS DOUBLE) - df + 1.0)) END)
+    AS raw
+  FROM counts, tot
+)
+SELECT term, CAST(df AS BIGINT) AS doc_freq, round(raw, 4) AS score
+FROM scored
+ORDER BY round(raw, 4) DESC, term ASC
+LIMIT {_IGAIN_TOP}
+"""
+
+
+# Solr train() / TextLogitStream (reference solr/solrj/src/java/org/apache/
+# solr/client/solrj/io/stream/TextLogitStream.java:60, shard side solr/core/
+# src/java/org/apache/solr/search/TextLogisticRegressionQParserPlugin.java:
+# 188-210): logistic regression over tf-idf text features — vector[0] = 1
+# (intercept), vector[t] = idf_t · (1 + ln(tf)) — iterated with learning
+# rate alpha, weights initialised to 1.0. The reference updates weights
+# per-document IN SCAN ORDER inside each shard (order-dependent SGD);
+# deterministic deviation here (same spirit as classify_docs): full-batch
+# gradient descent, gradient components rounded to 6 dp each iteration so
+# both engines stay in bit-identical lockstep. Per iteration the corpus
+# contributes one scan + one |features|-row agg; the weight vector is
+# driver-side model state (9 floats), broadcast back — the TextLogitStream
+# shard/reduce shape.
+_LOGIT_FEATURES = 8
+_LOGIT_ITERS = 3
+_LOGIT_ALPHA = 0.5
+
+
+def _logit_setup_sql() -> str:
+    """Shared DuckDB CTEs: feature terms (top df, term-asc tie-break),
+    idf, per-doc tf-idf vectors, outcomes."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+tot AS (SELECT count(*) AS n FROM d),
+dt AS (SELECT doc_id, unnest(toks) AS term FROM d),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+feats AS (
+  SELECT term, ln((CAST(n AS DOUBLE) + 1.0) / (df + 1.0)) AS idf
+  FROM dfreq, tot ORDER BY df DESC, term ASC LIMIT {_LOGIT_FEATURES}
+),
+x AS (
+  SELECT tf.doc_id, tf.term, f.idf * (1.0 + ln(tf.tf)) AS xv
+  FROM tf JOIN feats f USING (term)
+),
+y AS (SELECT doc_id, CAST(y AS DOUBLE) AS y FROM d)
+"""
+
+
+def _logit_iter_sql(k: int) -> str:
+    """One batch-GD iteration as chained CTEs: weights w{k} -> w{k+1}."""
+    return f"""
+, dot{k} AS (
+  SELECT y.doc_id, y.y,
+         (SELECT w FROM w{k} WHERE term = '(intercept)')
+         + coalesce(sum(x.xv * w.w), 0.0) AS z
+  FROM y LEFT JOIN x ON y.doc_id = x.doc_id
+  LEFT JOIN w{k} w ON x.term = w.term
+  GROUP BY y.doc_id, y.y
+),
+err{k} AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS e FROM dot{k}),
+g{k} AS (
+  SELECT x.term, round(sum(e.e * x.xv) / (SELECT n FROM tot), 6) AS g
+  FROM err{k} e JOIN x ON e.doc_id = x.doc_id GROUP BY x.term
+  UNION ALL
+  SELECT '(intercept)', round(sum(e) / (SELECT n FROM tot), 6) FROM err{k}
+),
+w{k + 1} AS (
+  SELECT w.term, w.w - {_LOGIT_ALPHA} * g.g AS w
+  FROM w{k} w JOIN g{k} g USING (term)
+)
+"""
+
+
+def train_logit_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.expr(_TOK_EXPR).alias("toks"),
+    )
+    n_docs = d.count()
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    feats = {
+        r["term"]: math.log((n_docs + 1.0) / (r["df"] + 1.0))
+        for r in dfreq.orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(_LOGIT_FEATURES)
+        .collect()
+    }
+    idf_map = F.create_map(
+        *[F.lit(v) for kv in feats.items() for v in kv]
+    )
+    x = tf.filter(F.col("term").isin(list(feats))).select(
+        "doc_id",
+        "term",
+        (idf_map[F.col("term")] * (1.0 + F.log(F.col("tf").cast("double")))).alias("xv"),
+    ).cache()
+    y = d.select("doc_id", "y")
+    weights = {t: 1.0 for t in feats}
+    w_int = 1.0
+    for _ in range(_LOGIT_ITERS):
+        w_map = F.create_map(*[F.lit(v) for kv in weights.items() for v in kv])
+        dot = (
+            y.join(x, "doc_id", "left")
+            .groupBy("doc_id", "y")
+            .agg(
+                (
+                    F.lit(w_int)
+                    + F.coalesce(F.sum(F.col("xv") * w_map[F.col("term")]), F.lit(0.0))
+                ).alias("z")
+            )
+        )
+        err = dot.select(
+            "doc_id", (1.0 / (1.0 + F.exp(-F.col("z"))) - F.col("y")).alias("e")
+        )
+        g_rows = (
+            err.join(x, "doc_id")
+            .groupBy("term")
+            .agg(F.round(F.sum(F.col("e") * F.col("xv")) / n_docs, 6).alias("g"))
+            .collect()
+        )
+        g_int = err.agg(
+            F.round(F.sum("e") / n_docs, 6).alias("g")
+        ).collect()[0]["g"]
+        for r in g_rows:
+            weights[r["term"]] -= _LOGIT_ALPHA * r["g"]
+        w_int -= _LOGIT_ALPHA * g_int
+    x.unpersist()
+    rows = [("(intercept)", round(w_int, 4))] + [
+        (t, round(w, 4)) for t, w in sorted(weights.items())
+    ]
+    return spark.createDataFrame(rows, "feature string, weight double")
+
+
+TRAIN_LOGIT_SQL = (
+    _logit_setup_sql()
+    + ", w0 AS (SELECT term, 1.0 AS w FROM feats UNION ALL SELECT '(intercept)', 1.0)"
+    + "".join(_logit_iter_sql(k) for k in range(_LOGIT_ITERS))
+    + f"""
+SELECT term AS feature, round(w, 4) AS weight FROM w{_LOGIT_ITERS}
+"""
+)
+
+
 # pytest-gated only: the single-metric ops folded into text_metrics /
 # doc_signatures above; emb_knn_threshold is the brute-force ANN baseline
 # whose scale path is the gated emb_ivf_probe.
 TRAINING_EXTRA_OPS: dict[str, tuple] = {
+    "features_igain_docs": (features_igain_docs, FEATURES_IGAIN_SQL),
+    "train_logit_docs": (train_logit_docs, TRAIN_LOGIT_SQL),
     # signature computation is exercised transitively by the gated
     # minhash_lsh_pairs / dedup_clusters chain
     "minhash_signatures": (minhash_signatures, MINHASH_SQL),
