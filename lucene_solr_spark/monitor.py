@@ -69,6 +69,7 @@ from .search.query import (
     RegexpQuery,
     SloppyPhraseQuery,
     SpanFirstQuery,
+    SpanPositionRangeQuery,
     SpanNearQuery,
     SpanNotQuery,
     SpanOrQuery,
@@ -142,7 +143,7 @@ def anchor_terms(q: Query) -> frozenset | None:
         return _union_children([anchor_terms(c) for c in q.clauses])
     if isinstance(q, SpanNotQuery):
         return anchor_terms(q.include)
-    if isinstance(q, SpanFirstQuery):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
         return anchor_terms(q.match)
     if isinstance(q, DisjunctionMaxQuery):
         return _union_children([anchor_terms(d) for d in q.disjuncts])

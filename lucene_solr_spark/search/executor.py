@@ -102,6 +102,7 @@ def _position_terms(q: Query) -> set[str]:
         SpanNearQuery,
         SpanNotQuery,
         SpanOrQuery,
+        SpanPositionRangeQuery,
         SpanTermQuery,
         TermAutomatonQuery,
     )
@@ -118,6 +119,7 @@ def _position_terms(q: Query) -> set[str]:
             SpanOrQuery,
             SpanNotQuery,
             SpanFirstQuery,
+            SpanPositionRangeQuery,
             IntervalQuery,
             TermAutomatonQuery,
         ),

@@ -52,6 +52,7 @@ from .query import (
     SpanNearQuery,
     SpanNotQuery,
     SpanOrQuery,
+    SpanPositionRangeQuery,
     SpanTermQuery,
     SynonymQuery,
     TermAutomatonQuery,
@@ -688,7 +689,9 @@ def eval_query(q: Query, seg: SegmentPostings, ctx: QueryContext, scoring: bool 
     if isinstance(q, SloppyPhraseQuery):
         return _eval_sloppy_phrase(q, seg, ctx, scoring)
     if isinstance(
-        q, (SpanNearQuery, SpanTermQuery, SpanOrQuery, SpanNotQuery, SpanFirstQuery)
+        q,
+        (SpanNearQuery, SpanTermQuery, SpanOrQuery, SpanNotQuery, SpanFirstQuery,
+         SpanPositionRangeQuery),
     ):
         return _eval_spans(q, seg, ctx, scoring)
     if isinstance(q, PhraseQuery):
@@ -1219,7 +1222,7 @@ def _span_candidates(q, seg: SegmentPostings) -> np.ndarray:
         return np.unique(np.concatenate(parts)) if parts else _EMPTY_I
     if isinstance(q, SpanNotQuery):
         return _span_candidates(_as_span(q.include), seg)
-    if isinstance(q, SpanFirstQuery):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
         return _span_candidates(_as_span(q.match), seg)
     raise TypeError(type(q))
 
@@ -1300,6 +1303,13 @@ def _doc_spans(q, seg: SegmentPostings, doc: int):
         ]
     if isinstance(q, SpanFirstQuery):
         return [s for s in _doc_spans(_as_span(q.match), seg, doc) if s[1] <= q.end]
+    if isinstance(q, SpanPositionRangeQuery):
+        # acceptPosition (SpanPositionRangeQuery.java:41-46)
+        return [
+            s
+            for s in _doc_spans(_as_span(q.match), seg, doc)
+            if s[0] >= q.start and s[1] <= q.end
+        ]
     raise TypeError(type(q))
 
 
@@ -1308,7 +1318,7 @@ def _span_scoring_terms(q) -> list[str]:
     exclusion side (it never matches, only removes)."""
     if isinstance(q, SpanNotQuery):
         return _span_scoring_terms(_as_span(q.include))
-    if isinstance(q, SpanFirstQuery):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
         return _span_scoring_terms(_as_span(q.match))
     return sorted(q.terms())
 

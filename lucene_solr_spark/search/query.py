@@ -213,6 +213,20 @@ class SpanFirstQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanPositionRangeQuery(Query):
+    """``search/spans/SpanPositionRangeQuery.java:30``: spans of ``match``
+    accepted iff ``start >= self.start and end <= self.end``
+    (``acceptPosition:41-46``). SpanFirst is the ``start=0`` special case."""
+
+    match: Query
+    start: int
+    end: int
+
+    def terms(self):
+        return {self.match} if isinstance(self.match, str) else self.match.terms()
+
+
+@dataclass(frozen=True)
 class TermAutomatonQuery(Query):
     """Token-graph proximity query (sandbox ``search/TermAutomatonQuery.java``
     + ``TermAutomatonScorer.java``): an automaton whose arcs are labeled with

@@ -25,11 +25,12 @@ Element set (CoreParser.java:94-138, default registry):
   (``slop`` required, ``inOrder`` default false) / ``SpanNot``
   (``Include``/``Exclude`` children) / ``SpanFirst`` (``end`` default 1)
 
+- ``SpanPositionRange`` (``start``/``end`` attributes)
+
 Not carried over (documented): ``PointRangeQuery`` (numeric point fields
 live on the relational side of this engine — ``relational.point_range``;
-the text index has no point columns) and ``SpanPositionRange`` (the span
-algebra here has SpanFirst only); both raise with a pointer. Raw term text
-is lowercased to meet the engine's lowercased term dictionary.
+the text index has no point columns); it raises with a pointer. Raw term
+text is lowercased to meet the engine's lowercased term dictionary.
 
 Every parse error raises ``ValueError`` (the ParserException role).
 """
@@ -47,6 +48,7 @@ from .query import (
     PayloadScoreQuery,
     Query,
     SpanFirstQuery,
+    SpanPositionRangeQuery,
     SpanNearQuery,
     SpanNotQuery,
     SpanOrQuery,
@@ -58,7 +60,7 @@ from ..analysis import ANALYZERS, QUERY_CHAIN
 
 _SPAN_ELEMENTS = frozenset(
     {"SpanTerm", "SpanOr", "SpanOrTerms", "SpanNear", "SpanNot", "SpanFirst",
-     "BoostingTermQuery"}
+     "SpanPositionRange", "BoostingTermQuery"}
 )
 
 
@@ -89,12 +91,11 @@ class CoreParser:
         field = self._field(e, inherited_field, required=False)
         build = getattr(self, f"_q_{tag}", None)
         if build is None:
-            if tag in ("PointRangeQuery", "SpanPositionRange"):
+            if tag == "PointRangeQuery":
                 raise ValueError(
-                    f"xml query: {tag} is not carried over — numeric point "
-                    "ranges live on the relational side (relational.point_range)"
-                    if tag == "PointRangeQuery"
-                    else "xml query: SpanPositionRange unsupported (SpanFirst only)"
+                    "xml query: PointRangeQuery is not carried over — numeric "
+                    "point ranges live on the relational side "
+                    "(relational.point_range)"
                 )
             raise ValueError(f"xml query: unknown element <{tag}>")
         q = build(e, field)
@@ -230,6 +231,16 @@ class CoreParser:
         if not kids:
             raise ValueError("xml query: <SpanFirst> needs a child span")
         return SpanFirstQuery(self._span(kids[0], field), int(e.get("end", 1)))
+
+    def _q_SpanPositionRange(self, e, field, as_span=False):
+        kids = [k for k in e]
+        if not kids:
+            raise ValueError("xml query: <SpanPositionRange> needs a child span")
+        return SpanPositionRangeQuery(
+            self._span(kids[0], field),
+            int(e.get("start", 0)),
+            int(e.get("end", 1)),
+        )
 
 
 def _text(e: ET.Element) -> str:

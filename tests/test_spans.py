@@ -280,3 +280,38 @@ def test_generic_path_equals_unit_span_helpers():
             )
             got = sum(1.0 / (1 + x) for _, _, x in _doc_spans(q, seg, i))
             assert got == pytest.approx(ref), (clauses, slop, in_order, i)
+
+
+def test_span_position_range():
+    """SpanPositionRangeQuery.acceptPosition (SpanPositionRangeQuery.java:
+    41-46): start >= range-start AND end <= range-end; SpanFirst is the
+    start=0 special case."""
+    from lucene_solr_spark.search.query import (
+        SpanFirstQuery,
+        SpanNearQuery,
+        SpanPositionRangeQuery,
+    )
+
+    docs = [
+        "needle early in doc",            # needle at position 0
+        "one two needle after",           # needle at position 2
+        "one two three four five needle", # needle at position 5
+    ]
+    seg, ctx = _seg(docs)
+    q = SpanPositionRangeQuery(match="needle", start=1, end=4)
+    d, _ = eval_query(q, seg, ctx)
+    assert list(d) == [1]
+    # start=0 degenerates to SpanFirst
+    for end in (1, 3, 6):
+        a, wa = eval_query(SpanPositionRangeQuery(match="needle", start=0, end=end), seg, ctx)
+        b, wb = eval_query(SpanFirstQuery(match="needle", end=end), seg, ctx)
+        assert list(a) == list(b) and list(wa) == list(wb)
+    # composite span inside the range check
+    near = SpanNearQuery(("two", "needle"), slop=0, in_order=True)
+    d, _ = eval_query(SpanPositionRangeQuery(match=near, start=1, end=3), seg, ctx)
+    assert list(d) == [1]  # doc 1 span is (1,3); doc 2 has no two-needle pair
+    # brute force over every (start, end) window on doc 2's needle at pos 5
+    for s in range(0, 7):
+        for e in range(0, 8):
+            d, _ = eval_query(SpanPositionRangeQuery(match="needle", start=s, end=e), seg, ctx)
+            assert (2 in list(d)) == (s <= 5 and 6 <= e)
