@@ -3894,12 +3894,221 @@ SELECT term AS feature, round(w, 4) AS weight FROM w{_LOGIT_ITERS}
 )
 
 
+# Solr ClusteringComponent (reference solr/contrib/clustering/src/java/org/
+# apache/solr/handler/clustering/ClusteringComponent.java:63 +
+# SearchClusteringEngine.java): cluster the RESULT SET of a search into
+# topic groups with term labels (the Carrot2 integration). The Carrot2
+# algorithms (Lingo/STC) are order-dependent native libraries; the
+# deterministic stand-in keeps the component's contract — top-k result docs
+# → tf-idf vectors → k clusters, each labeled by its centroid's top terms —
+# via Lloyd k-means with id-ordered seeds, 2 iterations, and 6-dp rounding
+# of centroids/distances so both engines assign identically (the
+# round-before-argmax pattern). Distances expand as |x|²+|c|²−2⟨x,c⟩ over a
+# sparse (doc, term) join — never a dense doc×cluster×term blowup; at 100 TB
+# the result set is top-k bounded, so the whole op is k-bounded.
+_CLUSTER_K = 3
+_CLUSTER_ITERS = 2
+_CLUSTER_FEATURES = 16
+
+
+def _cluster_setup_sql() -> str:
+    return f"""
+WITH hits AS (
+  SELECT doc_id, lower(text) AS text FROM documents
+  WHERE lower(text) LIKE '%table%'
+),
+tot AS (SELECT count(*) AS n FROM hits),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+    FROM hits
+  ) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+feats AS (
+  SELECT term, ln((CAST(n AS DOUBLE) + 1.0) / (df + 1.0)) AS idf
+  FROM dfreq, tot ORDER BY df DESC, term ASC LIMIT {_CLUSTER_FEATURES}
+),
+x AS (
+  SELECT tf.doc_id, tf.term,
+         round(f.idf * (1.0 + ln(tf.tf)), 6) AS xv
+  FROM tf JOIN feats f USING (term)
+),
+xn AS (SELECT doc_id, sum(xv * xv) AS x2 FROM x GROUP BY doc_id),
+seeds AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id ASC) - 1 AS cluster
+  FROM (SELECT DISTINCT doc_id FROM x ORDER BY doc_id ASC LIMIT {_CLUSTER_K})
+),
+c0 AS (
+  SELECT s.cluster, x.term, x.xv AS cv FROM seeds s JOIN x USING (doc_id)
+)
+"""
+
+
+def _cluster_iter_sql(k: int) -> str:
+    """One Lloyd iteration: assign to nearest centroid c{k}, recompute
+    c{k+1} (6-dp rounding on distances and centroids, ties to the lowest
+    cluster id / the doc's own id order)."""
+    return f"""
+, cn{k} AS (SELECT cluster, sum(cv * cv) AS c2 FROM c{k} GROUP BY cluster),
+dots{k} AS (
+  SELECT x.doc_id, c.cluster, sum(x.xv * c.cv) AS dot
+  FROM x JOIN c{k} c USING (term) GROUP BY x.doc_id, c.cluster
+),
+dist{k} AS (
+  SELECT xn.doc_id, cn.cluster,
+         round(xn.x2 + cn.c2 - 2.0 * coalesce(d.dot, 0.0), 6) AS dist
+  FROM xn CROSS JOIN cn{k} cn
+  LEFT JOIN dots{k} d ON d.doc_id = xn.doc_id AND d.cluster = cn.cluster
+),
+assign{k} AS (
+  SELECT doc_id, cluster FROM (
+    SELECT doc_id, cluster,
+           row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, cluster ASC) AS rk
+    FROM dist{k}
+  ) WHERE rk = 1
+),
+size{k} AS (SELECT cluster, count(*) AS n_k FROM assign{k} GROUP BY cluster),
+c{k + 1} AS (
+  SELECT a.cluster, x.term, round(sum(x.xv) / any_value(s.n_k), 6) AS cv
+  FROM assign{k} a JOIN x USING (doc_id) JOIN size{k} s ON a.cluster = s.cluster
+  GROUP BY a.cluster, x.term
+)
+"""
+
+
+def cluster_results_docs(spark, sf_dir):
+    """ClusteringComponent role: k-means over the 'table' result set; output
+    = (doc_id, cluster, label) with label = the final centroid's top-3
+    terms (weight desc, term asc), '|'-joined."""
+    from pyspark.sql import Window
+
+    hits = (
+        _docs(spark, sf_dir)
+        .filter(F.lower(F.col("text")).contains("table"))
+        .select("doc_id", F.lower(F.col("text")).alias("text"))
+    )
+    n = hits.count()
+    tf = (
+        hits.select(
+            "doc_id",
+            F.explode(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    feats = {
+        r["term"]: math.log((n + 1.0) / (r["df"] + 1.0))
+        for r in dfreq.orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(_CLUSTER_FEATURES)
+        .collect()
+    }
+    idf_map = F.create_map(*[F.lit(v) for kv in feats.items() for v in kv])
+    x = tf.filter(F.col("term").isin(list(feats))).select(
+        "doc_id",
+        "term",
+        F.round(
+            idf_map[F.col("term")] * (1.0 + F.log(F.col("tf").cast("double"))), 6
+        ).alias("xv"),
+    ).cache()
+    xn = x.groupBy("doc_id").agg(F.sum(F.col("xv") * F.col("xv")).alias("x2"))
+    seed_ids = [
+        r["doc_id"]
+        for r in x.select("doc_id").distinct().orderBy("doc_id").limit(_CLUSTER_K).collect()
+    ]
+    # centroids as driver model state: K × features floats (ann.py pattern)
+    cent = {
+        k: {
+            r["term"]: r["xv"]
+            for r in x.filter(F.col("doc_id") == seed_ids[k]).collect()
+        }
+        for k in range(_CLUSTER_K)
+    }
+    assign = None
+    for _ in range(_CLUSTER_ITERS):
+        cent_rows = [
+            (k, t, v) for k, tv in cent.items() for t, v in tv.items()
+        ]
+        c = spark.createDataFrame(cent_rows, "cluster int, term string, cv double")
+        cn = {k: sum(v * v for v in tv.values()) for k, tv in cent.items()}
+        cn_df = spark.createDataFrame(
+            [(k, v) for k, v in cn.items()], "cluster int, c2 double"
+        )
+        dots = (
+            x.join(F.broadcast(c), "term")
+            .groupBy("doc_id", "cluster")
+            .agg(F.sum(F.col("xv") * F.col("cv")).alias("dot"))
+        )
+        dist = (
+            xn.crossJoin(F.broadcast(cn_df))
+            .join(dots, ["doc_id", "cluster"], "left")
+            .select(
+                "doc_id",
+                "cluster",
+                F.round(
+                    F.col("x2") + F.col("c2") - 2.0 * F.coalesce("dot", F.lit(0.0)), 6
+                ).alias("dist"),
+            )
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.col("dist").asc(), F.col("cluster").asc())
+        assign = (
+            dist.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("doc_id", "cluster")
+        ).cache()
+        sizes = {r["cluster"]: r["n_k"] for r in assign.groupBy("cluster").agg(F.count("*").alias("n_k")).collect()}
+        sums = (
+            assign.join(x, "doc_id")
+            .groupBy("cluster", "term")
+            .agg(F.sum("xv").alias("s"))
+            .collect()
+        )
+        cent = {k: {} for k in range(_CLUSTER_K)}
+        for r in sums:
+            cent[r["cluster"]][r["term"]] = round(r["s"] / sizes[r["cluster"]], 6)
+    # labels: top-3 centroid terms per cluster
+    labels = {
+        k: "|".join(
+            t for t, _ in sorted(tv.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        )
+        for k, tv in cent.items()
+    }
+    label_map = F.create_map(*[F.lit(v) for kv in labels.items() for v in kv])
+    out = assign.select(
+        "doc_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        label_map[F.col("cluster")].alias("label"),
+    )
+    x.unpersist()
+    return out
+
+
+CLUSTER_RESULTS_SQL = (
+    _cluster_setup_sql()
+    + "".join(_cluster_iter_sql(k) for k in range(_CLUSTER_ITERS))
+    + f"""
+, lab AS (
+  SELECT cluster, string_agg(term, '|' ORDER BY cv DESC, term ASC) AS label
+  FROM (
+    SELECT cluster, term, cv,
+           row_number() OVER (PARTITION BY cluster ORDER BY cv DESC, term ASC) AS rk
+    FROM c{_CLUSTER_ITERS}
+  ) WHERE rk <= 3 GROUP BY cluster
+)
+SELECT a.doc_id, CAST(a.cluster AS BIGINT) AS cluster, lab.label
+FROM assign{_CLUSTER_ITERS - 1} a JOIN lab ON a.cluster = lab.cluster
+"""
+)
+
+
 # pytest-gated only: the single-metric ops folded into text_metrics /
 # doc_signatures above; emb_knn_threshold is the brute-force ANN baseline
 # whose scale path is the gated emb_ivf_probe.
 TRAINING_EXTRA_OPS: dict[str, tuple] = {
     "features_igain_docs": (features_igain_docs, FEATURES_IGAIN_SQL),
     "train_logit_docs": (train_logit_docs, TRAIN_LOGIT_SQL),
+    "cluster_results_docs": (cluster_results_docs, CLUSTER_RESULTS_SQL),
     # signature computation is exercised transitively by the gated
     # minhash_lsh_pairs / dedup_clusters chain
     "minhash_signatures": (minhash_signatures, MINHASH_SQL),
