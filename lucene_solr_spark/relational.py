@@ -2052,8 +2052,86 @@ FROM est e JOIN ex ON e.l_returnflag = ex.l_returnflag
 """
 
 
+# BlockJoinFacetComponent (reference solr/core/src/java/org/apache/solr/
+# search/join/BlockJoinFacetComponent.java:21 +
+# BlockJoinFieldFacetAccumulator.java): facet counts over CHILD documents of
+# matching parents, where each facet value counts a PARENT at most once no
+# matter how many of its children carry the value (the "uniqueBlock"
+# semantics). Spark shape: child filter → per-(value, parent) dedup inside
+# the count-distinct agg — one shuffle keyed by facet value; never a
+# per-parent loop.
+def block_join_child_facets(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    child = l.filter(F.col("l_quantity") >= 45)
+    joined = child.join(
+        o.select("o_orderkey"), child.l_orderkey == F.col("o_orderkey")
+    )
+    facets = []
+    for fld in ("l_returnflag", "l_linestatus"):
+        facets.append(
+            joined.groupBy(F.col(fld).alias("value")).agg(
+                F.countDistinct("o_orderkey").alias("parent_count")
+            ).select(F.lit(fld).alias("field"), "value", "parent_count")
+        )
+    out = facets[0]
+    for f in facets[1:]:
+        out = out.unionAll(f)
+    return out.select("field", "value", F.col("parent_count").cast("long").alias("parent_count"))
+
+
+BLOCK_JOIN_FACETS_SQL = """
+WITH joined AS (
+  SELECT l.l_returnflag, l.l_linestatus, o.o_orderkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= 45 AND o.o_orderstatus = 'O'
+)
+SELECT 'l_returnflag' AS field, l_returnflag AS value,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS parent_count
+FROM joined GROUP BY l_returnflag
+UNION ALL
+SELECT 'l_linestatus', l_linestatus, CAST(count(DISTINCT o_orderkey) AS BIGINT)
+FROM joined GROUP BY l_linestatus
+"""
+
+
+# RandomStream (reference solr/solrj/src/java/org/apache/solr/client/solrj/
+# io/stream/RandomStream.java:55 — the random() expression: a pseudo-random
+# sample of a query's results). Solr's sample changes per call; a data
+# pipeline needs the REPRODUCIBLE variant, so the randomness here is a
+# seeded hash order — rank by md5(key ‖ seed), take n (the standard
+# deterministic-sampling idiom; same spirit as with_segment_id's hash
+# routing). One TakeOrdered, no shuffle beyond top-n.
+_RANDOM_SEED = "seed42"
+_RANDOM_N = 50
+
+
+def random_sample_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(_RANDOM_SEED))).alias("rnd"),
+        )
+        .orderBy(F.col("rnd").asc(), F.col("o_orderkey").asc())
+        .limit(_RANDOM_N)
+        .select("o_orderkey", "o_custkey", "rnd")
+    )
+
+
+RANDOM_SAMPLE_SQL = f"""
+SELECT o_orderkey, o_custkey, md5(CAST(o_orderkey AS VARCHAR) || '{_RANDOM_SEED}') AS rnd
+FROM orders
+ORDER BY rnd ASC, o_orderkey ASC
+LIMIT {_RANDOM_N}
+"""
+
+
 RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
     "stats_cardinality": (stats_cardinality, STATS_CARDINALITY_SQL),
+    "block_join_child_facets": (block_join_child_facets, BLOCK_JOIN_FACETS_SQL),
+    "random_sample_orders": (random_sample_orders, RANDOM_SAMPLE_SQL),
     "datemath_range_events": (datemath_range_events, DATEMATH_RANGE_SQL),
     "tup_cell_orders": (tup_cell_orders, TUP_CELL_SQL),
     "multi_range_quantity": (multi_range_quantity, MULTI_RANGE_SQL),
