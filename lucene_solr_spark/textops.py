@@ -354,6 +354,113 @@ SELECT context, suggestion, weight FROM (
 """
 
 
+# FreeTextSuggester with STUPID BACKOFF (FreeTextSuggester.java:96-133,
+# lookup:506-669): scores smooth across n-gram orders — at the bigram level
+# score = count(context, w) / count(context); a word NOT accepted there may
+# still surface from the unigram level at ALPHA(=0.4) · count(w) / totTokens
+# (backoff *= ALPHA per order, :548,669). The `seen` set holding back lower
+# orders contains only the candidates ACCEPTED at higher orders (:658-662),
+# i.e. the bigram top-k, not every continuation. All scores are one integer
+# division (+ the ALPHA factor) — f64-identical cross-engine. Scale shape:
+# same scan-local bigram slice+zip as freetext_suggest plus one unigram
+# count agg; the per-context union is window-topped at k.
+def freetext_backoff_suggest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
+    pairs = F.expr(
+        "transform(slice(arr, 1, greatest(size(arr)-1, 0)), "
+        "(x, i) -> struct(x AS context, arr[i+1] AS suggestion))"
+    )
+    uni = (
+        d.select(F.explode("arr").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .cache()
+    )
+    tot_tokens = uni.agg(F.sum("cnt")).collect()[0][0]
+    ctx_counts = {
+        r["term"]: r["cnt"] for r in uni.filter(F.col("term").isin(_SUGGEST_CTX)).collect()
+    }
+    ctx_map = F.create_map(*[F.lit(v) for kv in ctx_counts.items() for v in kv])
+    big = (
+        d.select(F.explode(pairs).alias("p"))
+        .select("p.context", "p.suggestion")
+        .filter(F.col("context").isin(_SUGGEST_CTX))
+        .groupBy("context", "suggestion")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "context",
+            "suggestion",
+            F.round(F.col("c").cast("double") / ctx_map[F.col("context")], 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("context").orderBy(
+        F.col("score").desc(), F.col("suggestion").asc()
+    )
+    big_top = big.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    # unigram backoff level: every word, ALPHA-damped, minus the accepted set
+    contexts = spark.createDataFrame([(c,) for c in _SUGGEST_CTX], "context string")
+    uni_lvl = (
+        uni.crossJoin(F.broadcast(contexts))
+        .select(
+            "context",
+            F.col("term").alias("suggestion"),
+            F.round(0.4 * F.col("cnt").cast("double") / F.lit(float(tot_tokens)), 6).alias("score"),
+        )
+        .join(big_top.select("context", "suggestion"), ["context", "suggestion"], "left_anti")
+    )
+    both = big_top.select("context", "suggestion", "score").unionAll(uni_lvl)
+    out = (
+        both.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("context", "suggestion", "score")
+    )
+    uni.unpersist()
+    return out
+
+
+FREETEXT_BACKOFF_SQL = f"""
+WITH tokp AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id, {{tok}} AS arr FROM documents)
+),
+uni AS (SELECT term, count(*) AS cnt FROM tokp GROUP BY term),
+tot AS (SELECT sum(cnt) AS t FROM uni),
+big AS (
+  SELECT a.term AS context, b.term AS suggestion,
+         round(CAST(count(*) AS DOUBLE) / any_value(u.cnt), 6) AS score
+  FROM tokp a
+  JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN uni u ON u.term = a.term
+  WHERE a.term IN ({{ctx}})
+  GROUP BY a.term, b.term
+),
+big_top AS (
+  SELECT context, suggestion, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY context
+              ORDER BY score DESC, suggestion ASC) AS rk FROM big
+  ) WHERE rk <= 5
+),
+uni_lvl AS (
+  SELECT c.context, u.term AS suggestion,
+         round(0.4 * CAST(u.cnt AS DOUBLE) / (SELECT CAST(t AS DOUBLE) FROM tot), 6) AS score
+  FROM uni u CROSS JOIN (SELECT unnest([{{ctx}}]) AS context) c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM big_top bt
+    WHERE bt.context = c.context AND bt.suggestion = u.term
+  )
+),
+lvls AS (SELECT * FROM big_top UNION ALL SELECT * FROM uni_lvl)
+SELECT context, suggestion, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY context
+            ORDER BY score DESC, suggestion ASC) AS rk FROM lvls
+) WHERE rk <= 5
+""".format(tok=_TOKENIZE, ctx=_SUGGEST_CTX_LIST)
+
+
 # AnalyzingSuggester (reference lucene/suggest/src/java/org/apache/lucene/
 # search/suggest/analyzing/AnalyzingSuggester.java:119-175): completion
 # where BOTH the stored suggestions and the typed prefix go through the
@@ -2277,6 +2384,7 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "term_vectors": (term_vectors, TERM_VECTORS_SQL),
     "infix_suggest": (infix_suggest, INFIX_SUGGEST_SQL),
     "blended_infix_suggest": (blended_infix_suggest, BLENDED_INFIX_SQL),
+    "freetext_backoff_suggest": (freetext_backoff_suggest, FREETEXT_BACKOFF_SQL),
     "elevated_search": (elevated_search, ELEVATED_SQL),
     "ft_prefix": (ft_prefix, FT_PREFIX_SQL),
     "ft_wildcard": (ft_wildcard, FT_WILDCARD_SQL),
