@@ -1,0 +1,99 @@
+"""Luke handler — index introspection (the Solr admin/luke surface).
+
+Reference: ``solr/core/src/java/org/apache/solr/handler/admin/
+LukeRequestHandler.java`` (``getIndexInfo``: numDocs / maxDoc / deletedDocs
+/ indexVersion / segmentCount / current commit; per-field ``topTerms`` and
+distinct-term counts via the terms enum). Here the same report reads ONLY
+metadata-sized tables: the manifest (segment rows), the published
+``term_stats`` generation (term dictionary with df/ttf), and the tombstone
+rows' delete counts — no posting blob is ever decoded, so ``luke()`` on a
+100-TB index costs a manifest scan plus one term_stats agg.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .index.manifest import (
+    latest_term_stats_dir,
+    list_commits,
+    live_segments,
+    live_stats,
+    read_manifest,
+)
+
+KIND_DELETES = 3
+
+
+def luke(spark: SparkSession, index_dir: str) -> dict:
+    """Index overview (LukeRequestHandler.getIndexInfo role):
+    ``numDocs`` (live, delete-adjusted), ``maxDoc``, ``deletedDocs``,
+    ``segmentCount``, ``indexVersion`` (the latest commit id), ``commits``,
+    ``numTerms``, ``sumTotalTermFreq``."""
+    stats = live_stats(spark, index_dir)
+    live = set(stats["live"])
+    # deleted docs: union of tombstoned local ids over live segments
+    idx = spark.read.parquet(os.path.join(index_dir, "index"))
+    tombs = (
+        idx.filter((F.col("kind") == KIND_DELETES))
+        .filter(F.col("segment_id").isin([int(s) for s in live]))
+        .select("segment_id", "df")
+        .groupBy("segment_id")
+        .agg(F.sum("df").alias("n"))
+    )
+    # df on a tombstone row = number of ids in its blob; rows are append-only
+    # so the same id may appear twice — report the DISTINCT count like
+    # liveDocs does, via the decoded table only when tombstones exist at all
+    n_rows = tombs.agg(F.sum("n")).collect()[0][0]
+    deleted = 0
+    if n_rows:
+        from .index.read import deleted_docs_table
+
+        deleted = (
+            deleted_docs_table(spark, index_dir)
+            .filter(F.col("segment_id").isin([int(s) for s in live]))
+            .distinct()
+            .count()
+        )
+    ts = spark.read.parquet(latest_term_stats_dir(index_dir))
+    term_agg = ts.agg(
+        F.count("*").alias("n_terms"), F.sum("ttf").alias("sum_ttf")
+    ).collect()[0]
+    commits = list_commits(spark, index_dir)
+    return {
+        "numDocs": stats["doc_count"] - deleted,
+        "maxDoc": stats["max_doc"],
+        "deletedDocs": deleted,
+        "segmentCount": stats["segments"],
+        "indexVersion": commits[-1] if commits else -1,
+        "commits": len(commits),
+        "numTerms": int(term_agg["n_terms"]),
+        "sumTotalTermFreq": int(term_agg["sum_ttf"] or 0),
+    }
+
+
+def top_terms(spark: SparkSession, index_dir: str, n: int = 10) -> DataFrame:
+    """LukeRequestHandler ``topTerms``: the n highest-docFreq terms of the
+    (single) indexed field — (term, df, ttf), df desc / term asc. Reads the
+    published term_stats generation only (TakeOrdered, no postings)."""
+    ts = spark.read.parquet(latest_term_stats_dir(index_dir))
+    return (
+        ts.select("term", "df", "ttf")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(n)
+    )
+
+
+def segments_info(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Per-segment report (the Solr admin/segments handler,
+    ``SegmentsInfoRequestHandler.java``): live segments with doc counts,
+    token sums, and merge lineage straight from the manifest."""
+    live = live_segments(spark, index_dir)
+    return (
+        read_manifest(spark, index_dir)
+        .filter(F.col("segment_id").isin(live))
+        .select("segment_id", "max_doc", "doc_count", "sum_len", "lineage")
+        .orderBy("segment_id")
+    )
