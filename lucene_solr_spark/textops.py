@@ -354,6 +354,87 @@ SELECT context, suggestion, weight FROM (
 """
 
 
+# PhoneticFilterFactory role (reference lucene/analysis/phonetic/src/java/
+# org/apache/lucene/analysis/phonetic/PhoneticFilter.java:33 + Solr's
+# solr.PhoneticFilterFactory with the commons-codec Soundex encoder):
+# sound-alike matching by phonetic key. The key here is the classic
+# American Soundex (public algorithm; the SQL-style variant that strips
+# h/w up front), expressed as the SAME strip → translate → per-digit run
+# collapse → zero-strip chain in Catalyst and DuckDB so keys are identical
+# by construction (RE2 has no backreferences, hence six per-digit collapse
+# replaces instead of one (\d)\1+). Keying the dictionary is one scan-local
+# pass over term_stats; suggestion lookup is a broadcast join on the key.
+_SOUNDEX_FROM = "abcdefgijklmnopqrstuvxyz0123456789"
+_SOUNDEX_TO = "012301202245501262301202" + "0" * 10
+
+
+def _soundex_spark(col):
+    s = F.regexp_replace(col, "[hw]", "")
+    m = F.translate(s, _SOUNDEX_FROM, _SOUNDEX_TO)
+    for d in "123456":
+        m = F.regexp_replace(m, f"{d}+", d)
+    return F.concat(
+        F.upper(F.substring(col, 1, 1)),
+        F.rpad(F.regexp_replace(F.substring(m, 2, 100), "0", ""), 3, "0").substr(1, 3),
+    )
+
+
+def _soundex_sql(expr: str) -> str:
+    m = f"translate(regexp_replace({expr}, '[hw]', '', 'g'), '{_SOUNDEX_FROM}', '{_SOUNDEX_TO}')"
+    for d in "123456":
+        m = f"regexp_replace({m}, '{d}+', '{d}', 'g')"
+    return (
+        f"upper(substr({expr}, 1, 1)) || "
+        f"substr(rpad(replace(substr({m}, 2), '0', ''), 3, '0'), 1, 3)"
+    )
+
+
+_PHONETIC_INPUTS = ["kache", "parz", "hasch", "tabel"]
+
+
+def phonetic_suggest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    s = _searcher(spark, sf_dir)
+    inputs = spark.createDataFrame(
+        [(w,) for w in _PHONETIC_INPUTS], "input string"
+    ).select("input", _soundex_spark(F.col("input")).alias("key"))
+    cand = (
+        s._term_stats_df.select("term", "df")
+        .withColumn("key", _soundex_spark(F.col("term")))
+        .join(F.broadcast(inputs), "key")
+        .filter(F.col("term") != F.col("input"))
+    )
+    w = Window.partitionBy("input").orderBy(F.col("df").desc(), F.col("term").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("input", F.col("term").alias("suggestion"), "df", "key")
+    )
+
+
+_PHONETIC_LIST = ", ".join(f"'{w}'" for w in _PHONETIC_INPUTS)
+PHONETIC_SUGGEST_SQL = (
+    _BM25_CTE
+    + f"""
+, d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+inputs AS (
+  SELECT input, {_soundex_sql('input')} AS key
+  FROM (SELECT unnest([{_PHONETIC_LIST}]) AS input)
+),
+cand AS (
+  SELECT i.input, d.term AS suggestion, d.df, i.key
+  FROM d JOIN inputs i ON {_soundex_sql('d.term')} = i.key
+  WHERE d.term <> i.input
+)
+SELECT input, suggestion, df, key FROM (
+  SELECT *, row_number() OVER (PARTITION BY input
+            ORDER BY df DESC, suggestion ASC) AS rk FROM cand
+) WHERE rk <= 5
+"""
+)
+
+
 # FreeTextSuggester with STUPID BACKOFF (FreeTextSuggester.java:96-133,
 # lookup:506-669): scores smooth across n-gram orders — at the bigram level
 # score = count(context, w) / count(context); a word NOT accepted there may
@@ -2385,6 +2466,7 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "infix_suggest": (infix_suggest, INFIX_SUGGEST_SQL),
     "blended_infix_suggest": (blended_infix_suggest, BLENDED_INFIX_SQL),
     "freetext_backoff_suggest": (freetext_backoff_suggest, FREETEXT_BACKOFF_SQL),
+    "phonetic_suggest": (phonetic_suggest, PHONETIC_SUGGEST_SQL),
     "elevated_search": (elevated_search, ELEVATED_SQL),
     "ft_prefix": (ft_prefix, FT_PREFIX_SQL),
     "ft_wildcard": (ft_wildcard, FT_WILDCARD_SQL),
