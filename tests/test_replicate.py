@@ -109,3 +109,24 @@ def test_torn_sync_converges(spark, master):
         if side == d:
             expect = counts
     assert counts == expect
+
+
+def test_replica_follows_merge(spark, master):
+    """A compacting merge on the master replicates as ordinary new segments
+    + manifest lineage; the replica's LIVE set (merge sources excluded)
+    matches, and search stays identical (IndexFetcher after a merge —
+    segments are immutable so the merged segment is just one more copy)."""
+    from lucene_solr_spark.index.manifest import live_segments
+    from lucene_solr_spark.index.merge import run_merges
+    from lucene_solr_spark.index.replicate import replicate_index
+
+    d, _, root = master
+    dst = str(root / "replica_merge")
+    replicate_index(spark, d, dst)
+
+    merges = run_merges(spark, d, segs_per_tier=2, max_merge_at_once=8, floor_size=10**9)
+    assert merges  # the fixture's segments qualify for at least one merge
+    res = replicate_index(spark, d, dst)
+    assert res["segments_copied"] >= 1
+    assert live_segments(spark, dst) == live_segments(spark, d)
+    assert _results(spark, dst, QUERIES) == _results(spark, d, QUERIES)
