@@ -16,6 +16,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .index.merge import KIND_DELETES
 from .index.manifest import (
     latest_term_stats_dir,
     list_commits,
@@ -23,9 +24,6 @@ from .index.manifest import (
     live_stats,
     read_manifest,
 )
-
-KIND_DELETES = 3
-
 
 def luke(spark: SparkSession, index_dir: str) -> dict:
     """Index overview (LukeRequestHandler.getIndexInfo role):
@@ -36,17 +34,15 @@ def luke(spark: SparkSession, index_dir: str) -> dict:
     live = set(stats["live"])
     # deleted docs: union of tombstoned local ids over live segments
     idx = spark.read.parquet(os.path.join(index_dir, "index"))
-    tombs = (
-        idx.filter((F.col("kind") == KIND_DELETES))
-        .filter(F.col("segment_id").isin([int(s) for s in live]))
-        .select("segment_id", "df")
-        .groupBy("segment_id")
-        .agg(F.sum("df").alias("n"))
-    )
     # df on a tombstone row = number of ids in its blob; rows are append-only
     # so the same id may appear twice — report the DISTINCT count like
     # liveDocs does, via the decoded table only when tombstones exist at all
-    n_rows = tombs.agg(F.sum("n")).collect()[0][0]
+    n_rows = (
+        idx.filter(F.col("kind") == KIND_DELETES)
+        .filter(F.col("segment_id").isin([int(s) for s in live]))
+        .agg(F.sum("df"))
+        .collect()[0][0]
+    )
     deleted = 0
     if n_rows:
         from .index.read import deleted_docs_table

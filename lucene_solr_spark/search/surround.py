@@ -334,6 +334,8 @@ class SurroundQueryParser:
     # ---------------------------------------------------- translation -----
     def _to_query(self, node, in_span: bool):
         if isinstance(node, _Boost):
+            if in_span:  # see _check_distance_sub: weights drop inside W/N
+                return self._to_query(node.sub, True)
             return BoostQuery(self._to_query(node.sub, in_span), node.weight)
         if isinstance(node, _Term):
             return SpanTermQuery(node.text) if in_span else TermQuery(node.text)
@@ -375,6 +377,12 @@ class SurroundQueryParser:
 
 
 def _check_distance_sub(node, op):
+    if isinstance(node, _Boost):
+        # ^w on a distance operand is grammatical (OptionalWeights attaches
+        # to any PrimaryQuery); the weight itself cannot influence span
+        # matching, so it parses and is dropped inside W/N (documented)
+        _check_distance_sub(node.sub, op)
+        return
     if isinstance(node, (_Term, _Prefix, _Trunc)):
         return
     if isinstance(node, _Or):

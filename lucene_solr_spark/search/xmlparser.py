@@ -105,8 +105,11 @@ class CoreParser:
         if e.tag not in _SPAN_ELEMENTS:
             raise ValueError(f"xml query: <{e.tag}> is not a span element")
         field = self._field(e, inherited_field, required=False)
-        q = getattr(self, f"_q_{e.tag}")(e, field, as_span=True)
-        return _boost(q, e)
+        # boost attributes on NESTED span clauses parse but do not wrap: the
+        # span kernel composes raw span clauses, and in the reference an
+        # inner SpanBoostQuery does not change the composite SpanNear score
+        # either (only a top-level boost does — handled by _query's _boost)
+        return getattr(self, f"_q_{e.tag}")(e, field, as_span=True)
 
     def _field(self, e: ET.Element, inherited: str | None, required: bool) -> str | None:
         f = e.get("fieldName") or inherited
@@ -191,6 +194,11 @@ class CoreParser:
         )
 
     def _q_BoostingTermQuery(self, e, field, as_span=False):
+        if as_span:
+            # inside span composition the payload-scoring wrapper degrades
+            # to its term spans (payload aggregation is a top-level scorer
+            # here; the match positions are the term's either way)
+            return SpanTermQuery(_text(e).lower())
         return PayloadScoreQuery(
             term=_text(e).lower(), func="average", include_span_score=True
         )

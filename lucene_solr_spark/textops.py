@@ -4217,6 +4217,10 @@ def cluster_results_docs(spark, sf_dir):
     }
     assign = None
     for _ in range(_CLUSTER_ITERS):
+        # an emptied cluster disappears (its centroid has no rows) — the
+        # oracle's c{k+1} CTE has the same semantics; keeping a phantom
+        # zero centroid would diverge the next assignment round
+        cent = {k: tv for k, tv in cent.items() if tv}
         cent_rows = [
             (k, t, v) for k, tv in cent.items() for t, v in tv.items()
         ]
@@ -4242,19 +4246,22 @@ def cluster_results_docs(spark, sf_dir):
             )
         )
         w = Window.partitionBy("doc_id").orderBy(F.col("dist").asc(), F.col("cluster").asc())
+        prev_assign = assign
         assign = (
             dist.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
             .select("doc_id", "cluster")
         ).cache()
         sizes = {r["cluster"]: r["n_k"] for r in assign.groupBy("cluster").agg(F.count("*").alias("n_k")).collect()}
+        if prev_assign is not None:
+            prev_assign.unpersist()
         sums = (
             assign.join(x, "doc_id")
             .groupBy("cluster", "term")
             .agg(F.sum("xv").alias("s"))
             .collect()
         )
-        cent = {k: {} for k in range(_CLUSTER_K)}
+        cent = {k: {} for k in sizes}
         for r in sums:
             cent[r["cluster"]][r["term"]] = round(r["s"] / sizes[r["cluster"]], 6)
     # labels: top-3 centroid terms per cluster

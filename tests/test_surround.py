@@ -193,3 +193,19 @@ def test_engine_equivalence(spark, tiny_index):
     for i in range(len(pairs)):
         assert rows.get(2 * i, set()) == rows.get(2 * i + 1, set()), f"pair {i}"
     assert rows.get(0), "ordered near should match"
+
+
+def test_boost_inside_distance_op_parses():
+    """^w on a distance operand is grammatical (OptionalWeights on any
+    PrimaryQuery); the weight drops inside W/N (review fix: previously
+    rejected as 'subquery not allowed')."""
+    assert parse_surround("3w(hash^2, table)") == SpanNearQuery(
+        (ST("hash"), ST("table")), slop=2, in_order=True
+    )
+    assert parse_surround("hash^2 w table") == SpanNearQuery(
+        (ST("hash"), ST("table")), slop=0, in_order=True
+    )
+    # outside a distance op the boost is honored
+    assert parse_surround("(hash w table)^2") == BoostQuery(
+        SpanNearQuery((ST("hash"), ST("table")), 0, True), 2.0
+    )

@@ -186,3 +186,28 @@ def test_engine_equivalence(spark, tiny_index):
     for i in range(len(pairs)):
         assert rows.get(2 * i, set()) == rows.get(2 * i + 1, set()), f"pair {i}"
     assert rows.get(2), "span pair should match"
+
+
+def test_nested_span_boost_and_boosting_term_are_span_safe(spark, tiny_index):
+    """Boost attributes on NESTED span clauses and BoostingTermQuery inside
+    span composition must yield kernel-evaluable span trees (review fix:
+    previously wrapped in BoostQuery/PayloadScoreQuery and crashed)."""
+    from lucene_solr_spark.search import IndexSearcher
+
+    q1 = parse_xml_query(
+        '<SpanNear slop="1" inOrder="true">'
+        '<SpanTerm boost="2.0">merge</SpanTerm><SpanTerm>segments</SpanTerm>'
+        "</SpanNear>",
+        analyzer="code",
+    )
+    assert q1 == SpanNearQuery((ST("merge"), ST("segments")), 1, True)
+    q2 = parse_xml_query(
+        '<SpanNear slop="1" inOrder="true">'
+        "<BoostingTermQuery>merge</BoostingTermQuery><SpanTerm>segments</SpanTerm>"
+        "</SpanNear>",
+        analyzer="code",
+    )
+    assert q2 == SpanNearQuery((ST("merge"), ST("segments")), 1, True)
+    d, _ = tiny_index
+    s = IndexSearcher(spark, d, analyzer="code")
+    assert s.search_many({0: q1, 1: q2}, k=None).count() > 0
