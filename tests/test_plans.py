@@ -328,3 +328,47 @@ def test_spatial_polygon_stays_jvm_side(spark):
     plan = _plan(spatial_polygon(spark, sf))
     assert "[codegen id :" in plan  # the filter runs inside a codegen stage
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_phonetic_suggest_broadcasts_inputs(spark):
+    from lucene_solr_spark.textops import phonetic_suggest
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(phonetic_suggest(spark, sf))
+    # the handful of typed inputs broadcast against the dictionary — the
+    # dictionary side (the big side at 100 TB) never shuffles for the join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_score_nodes_stats_join_not_cross(spark):
+    from lucene_solr_spark.graph import score_nodes_parts
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(score_nodes_parts(spark, sf))
+    # gather-count x corpus-docFreq is an equi-join (broadcast or shuffled
+    # hash — AQE's call), never a nested-loop cross join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # partial+final aggregation for the corpus docFreq side
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_igain_counts_are_partial_final_and_take_ordered(spark):
+    from lucene_solr_spark.textops import features_igain_docs
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(features_igain_docs(spark, sf))
+    # top-N by score is TakeOrdered (never a global single-partition window)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_blended_infix_windows_are_partitioned(spark):
+    from lucene_solr_spark.textops import blended_infix_suggest
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(blended_infix_suggest(spark, sf))
+    # per-input top-5 window partitions by input; no global empty-key window
+    assert "WindowGroupLimit" in plan or "Window" in plan
+    assert "CartesianProduct" not in plan  # inputs broadcast
