@@ -175,6 +175,71 @@ def local_query(
                 "score"
             ),
         )
+    if typ in ("term", "raw"):
+        # TermQParserPlugin / RawQParserPlugin (solr/core/.../search/
+        # TermQParserPlugin.java:40, RawQParserPlugin.java:35): the body is
+        # ONE term, no query-syntax parsing. `term` normalizes through the
+        # field type (here: the lowercase dictionary); `raw` is verbatim.
+        # The `f=` param names the field — one field per searcher here.
+        if searcher is None:
+            raise ValueError(f"{{!{typ}}} needs a searcher")
+        from .query import TermQuery
+
+        text = body.strip()
+        return searcher.search_many(
+            {0: TermQuery(text.lower() if typ == "term" else text)}, k=None
+        ).drop("qid")
+    if typ == "prefix":
+        # PrefixQParserPlugin (solr/core/.../search/PrefixQParserPlugin.java)
+        if searcher is None:
+            raise ValueError("{!prefix} needs a searcher")
+        from .query import PrefixQuery
+
+        return searcher.search_many(
+            {0: PrefixQuery(prefix=body.strip().lower())}, k=None
+        ).drop("qid")
+    if typ == "graphTerms":
+        # GraphTermsQParserPlugin (solr/core/.../search/GraphTermsQParserPlugin
+        # .java:62): a terms filter that DROPS terms whose docFreq exceeds
+        # maxDocFreq — gatherNodes uses it to skip super-nodes. The df check
+        # reads the published term_stats (pushdown point-reads), never
+        # postings.
+        if searcher is None:
+            raise ValueError("{!graphTerms} needs a searcher")
+        from .query import TermInSetQuery
+
+        max_df = int(lp.get("maxDocFreq", 2**31 - 1))
+        want = [t.strip().lower() for t in body.split(",") if t.strip()]
+        keep = tuple(
+            r["term"]
+            for r in searcher._term_stats_df.filter(
+                F.col("term").isin(want) & (F.col("df") <= max_df)
+            )
+            .select("term")
+            .collect()
+        )
+        return searcher.search_many(
+            {0: TermInSetQuery(set_terms=keep)}, k=None
+        ).drop("qid")
+    if typ == "maxscore":
+        # MaxScoreQParserPlugin (solr/core/.../search/MaxScoreQParserPlugin
+        # .java:35): parse like lucene, but SHOULD clauses score as the MAX
+        # of their sub-scores (wrapped in a DisjunctionMaxQuery with `tie`)
+        # instead of the sum.
+        if searcher is None:
+            raise ValueError("{!maxscore} needs a searcher")
+        from .query import BooleanQuery, DisjunctionMaxQuery, parse_query
+
+        tie = float(lp.get("tie", "0.0"))
+        q = parse_query(body, searcher.analyzer)
+        if isinstance(q, BooleanQuery) and len(q.should) > 1:
+            q = BooleanQuery(
+                must=q.must + (DisjunctionMaxQuery(q.should, tie),),
+                should=(),
+                must_not=q.must_not,
+                filter=q.filter,
+            )
+        return searcher.search_many({0: q}, k=None).drop("qid")
     if typ == "rerank":
         # ReRankQParserPlugin ({!rerank reRankQuery=.. reRankDocs=N
         # reRankWeight=W}main) → QueryRescorer two-phase combine

@@ -119,3 +119,94 @@ def test_quoted_dollar_is_literal_and_lucene_refuses_df(spark, tiny_index):
         local_query("{!lucene df=path}parse", searcher=s)
     with pytest.raises(Exception, match="unsupported"):
         s.search("{!lucene df=path}parse", k=5)
+
+
+def test_dispatch_term_raw_prefix(spark, tiny_index):
+    from lucene_solr_spark.search import IndexSearcher
+    from lucene_solr_spark.search.localparams import local_query
+    from lucene_solr_spark.search.query import PrefixQuery, TermQuery
+
+    d, _ = tiny_index
+    s = IndexSearcher(spark, d, analyzer="code")
+    got = {
+        (r.segment_id, r.doc_id, round(float(r.score), 5))
+        for r in local_query("{!term f=content}Parse", searcher=s).collect()
+    }
+    want = {
+        (r.segment_id, r.doc_id, round(float(r.score), 5))
+        for r in s.search_many({0: TermQuery("parse")}, k=None).collect()
+    }
+    assert got == want and got
+    # raw: verbatim (uppercase term is absent from the lowercase dictionary)
+    assert local_query("{!raw f=content}Parse", searcher=s).count() == 0
+    got_p = {
+        (r.segment_id, r.doc_id)
+        for r in local_query("{!prefix f=content}pars", searcher=s).collect()
+    }
+    want_p = {
+        (r.segment_id, r.doc_id)
+        for r in s.search_many({0: PrefixQuery(prefix="pars")}, k=None).collect()
+    }
+    assert got_p == want_p and got_p
+
+
+def test_dispatch_graph_terms_drops_super_nodes(spark, tiny_index):
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.search import IndexSearcher
+    from lucene_solr_spark.search.localparams import local_query
+
+    d, _ = tiny_index
+    s = IndexSearcher(spark, d, analyzer="code")
+    dfs = {
+        r["term"]: r["df"]
+        for r in s._term_stats_df.filter(
+            F.col("term").isin("parse", "http")
+        ).collect()
+    }
+    lo, hi = sorted(dfs, key=dfs.get)
+    cap = dfs[lo]  # keeps the rarer term only
+    hits = local_query(
+        f"{{!graphTerms f=content maxDocFreq={cap}}}{lo},{hi}", searcher=s
+    )
+    from lucene_solr_spark.search.query import TermInSetQuery
+
+    want = {
+        (r.segment_id, r.doc_id)
+        for r in s.search_many({0: TermInSetQuery(set_terms=(lo,))}, k=None).collect()
+    }
+    assert {(r.segment_id, r.doc_id) for r in hits.collect()} == want and want
+
+
+def test_dispatch_maxscore_takes_max_of_should(spark, tiny_index):
+    from lucene_solr_spark.search import IndexSearcher
+    from lucene_solr_spark.search.localparams import local_query
+    from lucene_solr_spark.search.query import (
+        BooleanQuery,
+        DisjunctionMaxQuery,
+        TermQuery,
+    )
+
+    d, _ = tiny_index
+    s = IndexSearcher(spark, d, analyzer="code")
+    got = {
+        (r.segment_id, r.doc_id, round(float(r.score), 5))
+        for r in local_query("{!maxscore}parse OR http", searcher=s).collect()
+    }
+    want = {
+        (r.segment_id, r.doc_id, round(float(r.score), 5))
+        for r in s.search_many(
+            {0: DisjunctionMaxQuery((TermQuery("parse"), TermQuery("http")), 0.0)},
+            k=None,
+        ).collect()
+    }
+    assert got == want and got
+    # and it differs from the plain sum-of-should scoring somewhere
+    plain = {
+        (r.segment_id, r.doc_id, round(float(r.score), 5))
+        for r in s.search_many(
+            {0: BooleanQuery(should=(TermQuery("parse"), TermQuery("http")))},
+            k=None,
+        ).collect()
+    }
+    assert got != plain
