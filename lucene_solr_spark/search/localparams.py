@@ -175,6 +175,40 @@ def local_query(
                 "score"
             ),
         )
+    if typ in ("geofilt", "bbox"):
+        # SpatialFilterQParserPlugin (solr/core/.../search/
+        # SpatialFilterQParserPlugin.java:42): {!geofilt sfield=lat,lon
+        # pt=40.7,-74.0 d=km} keeps rows within d km great-circle distance;
+        # {!bbox} keeps the circle's BOUNDING BOX (cheaper, a superset —
+        # LatLonType.createSpatialQuery's box path). sfield names the two
+        # coordinate COLUMNS of the frame (one spatial field = a lat/lon
+        # column pair here). Both stay pure Catalyst — pushdown-friendly
+        # range predicates for bbox, one haversine expression for geofilt.
+        if frame is None:
+            raise ValueError(f"{{!{typ}}} needs a frame")
+        from ..functions import _EARTH_RADIUS_KM, _haversine
+
+        try:
+            lat_c, lon_c = (c.strip() for c in lp["sfield"].split(","))
+            lat0, lon0 = (float(v) for v in lp["pt"].split(","))
+            d_km = float(lp["d"])
+        except KeyError as exc:
+            raise ValueError(f"{{!{typ}}} needs sfield=, pt=, d=") from exc
+        lat, lon = F.col(lat_c), F.col(lon_c)
+        if typ == "geofilt":
+            return frame.filter(
+                _haversine(F.lit(lat0), F.lit(lon0), lat, lon) <= d_km
+            )
+        import math as _math
+
+        dlat = _math.degrees(d_km / _EARTH_RADIUS_KM)
+        dlon = _math.degrees(
+            d_km / (_EARTH_RADIUS_KM * _math.cos(_math.radians(lat0)))
+        )
+        return frame.filter(
+            lat.between(lat0 - dlat, lat0 + dlat)
+            & lon.between(lon0 - dlon, lon0 + dlon)
+        )
     if typ in ("term", "raw"):
         # TermQParserPlugin / RawQParserPlugin (solr/core/.../search/
         # TermQParserPlugin.java:40, RawQParserPlugin.java:35): the body is

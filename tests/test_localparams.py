@@ -210,3 +210,38 @@ def test_dispatch_maxscore_takes_max_of_should(spark, tiny_index):
         ).collect()
     }
     assert got != plain
+
+
+def test_dispatch_geofilt_and_bbox(spark):
+    from lucene_solr_spark.functions import _haversine
+    from lucene_solr_spark.search.localparams import local_query
+
+    import pyspark.sql.functions as F
+
+    pts = spark.createDataFrame(
+        [(i, float((i * 37) % 180 - 90) / 2, float((i * 91) % 360 - 180) / 2) for i in range(500)],
+        "id long, lat double, lon double",
+    )
+    kept = local_query(
+        "{!geofilt sfield=lat,lon pt=40.7,-74.0 d=3000}", frame=pts
+    )
+    want = pts.filter(
+        _haversine(F.lit(40.7), F.lit(-74.0), F.col("lat"), F.col("lon")) <= 3000.0
+    )
+    assert {r.id for r in kept.collect()} == {r.id for r in want.collect()}
+    assert kept.count() > 0
+    # bbox is a superset of geofilt (the circle's bounding box)
+    boxed = local_query("{!bbox sfield=lat,lon pt=40.7,-74.0 d=3000}", frame=pts)
+    assert {r.id for r in kept.collect()} <= {r.id for r in boxed.collect()}
+    # bbox stays pushdown-friendly: plain range predicates, no trig in the plan
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        boxed.explain()
+    assert "SIN" not in buf.getvalue().upper() or "asin" not in buf.getvalue()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        local_query("{!geofilt sfield=lat,lon pt=1,2}", frame=pts)  # missing d
