@@ -73,6 +73,117 @@ ORDER BY bucket_count DESC, c_mktsegment ASC LIMIT 5
 """
 
 
+# SimpleFacets parameter surface (solr/core/.../request/SimpleFacets.java:
+# getTermCounts — facet.sort=index|count, facet.offset/facet.limit paging,
+# facet.mincount, facet.missing): the full bucket-listing knobs. The missing
+# bucket (NULL key) counts rows with no value and sorts LAST like Solr
+# appends it after the listed terms. One partial+final count agg; paging is
+# driver-side arithmetic over bucket rows, never a second scan.
+def facet_options_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn(
+        # synthesize sparse NULLs deterministically so facet.missing has
+        # something to count (clerk key space is dense in the test data)
+        "prio",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    counts = o.groupBy("prio").agg(F.count("*").alias("bucket_count"))
+    # facet.sort=index + facet.mincount=2 + facet.offset=1 facet.limit=3 —
+    # the rank runs over BUCKET rows (≤ cardinality of the field), not docs
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("prio").asc())
+    paged = (
+        counts.filter(F.col("prio").isNotNull())
+        .filter(F.col("bucket_count") >= 2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") >= 2) & (F.col("rk") <= 4))
+        .select(F.col("prio").alias("bucket"), "bucket_count")
+    )
+    missing = counts.filter(F.col("prio").isNull()).select(
+        F.lit("__missing__").alias("bucket"), "bucket_count"
+    )
+    return paged.unionAll(missing)
+
+
+FACET_OPTIONS_SQL = """
+WITH o AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS prio
+  FROM orders
+),
+counts AS (SELECT prio, count(*) AS bucket_count FROM o GROUP BY prio),
+paged AS (
+  SELECT prio AS bucket, bucket_count FROM (
+    SELECT *, row_number() OVER (ORDER BY prio ASC) AS rk
+    FROM counts WHERE prio IS NOT NULL AND bucket_count >= 2
+  ) WHERE rk BETWEEN 2 AND 4
+)
+SELECT bucket, bucket_count FROM paged
+UNION ALL
+SELECT '__missing__', bucket_count FROM counts WHERE prio IS NULL
+"""
+
+
+# Date-range faceting (solr/core/.../request/SimpleFacets + facet.range on
+# a date field with a DateMath gap — RangeEndpointCalculator's DATE case):
+# bucket edges are start, start+gap, start+2·gap, … computed through the
+# DATEMATH parser (so month-arithmetic clamping is Calendar.add-compatible),
+# docs land in [edge_k, edge_{k+1}). The edge list is tiny (driver-side,
+# like Solr's own endpoint loop); rows bucket via one broadcast range join —
+# the fact side never shuffles. Oracle recomputes edges with independent
+# INTERVAL arithmetic.
+_DATERANGE_START = "2024-01-01T00:00:00Z"
+_DATERANGE_GAP_DAYS = 7
+_DATERANGE_BUCKETS = 5
+
+
+def facet_daterange_events(spark, sf_dir):
+    from .datemath import parse_datemath
+
+    edges = [
+        parse_datemath(f"{_DATERANGE_START}+{_DATERANGE_GAP_DAYS * k}DAYS")
+        for k in range(_DATERANGE_BUCKETS + 1)
+    ]
+    ranges = spark.createDataFrame(
+        [
+            (edges[k].isoformat(), edges[k], edges[k + 1])
+            for k in range(_DATERANGE_BUCKETS)
+        ],
+        "bucket_start string, lo timestamp, hi timestamp",
+    )
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.join(
+            F.broadcast(ranges),
+            (e.ts >= F.col("lo")) & (e.ts < F.col("hi")),
+        )
+        .groupBy("bucket_start")
+        .agg(
+            F.count("*").alias("bucket_count"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+FACET_DATERANGE_SQL = f"""
+WITH edges AS (
+  SELECT k,
+         TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(k * {_DATERANGE_GAP_DAYS} AS INTEGER)) AS lo,
+         TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST((k + 1) * {_DATERANGE_GAP_DAYS} AS INTEGER)) AS hi
+  FROM unnest(range(0, {_DATERANGE_BUCKETS})) AS t(k)
+),
+b AS (
+  SELECT strftime(e2.lo, '%Y-%m-%dT%H:%M:%S+00:00') AS bucket_start,
+         ev.value
+  FROM events ev JOIN edges e2 ON ev.ts >= e2.lo AND ev.ts < e2.hi
+)
+SELECT bucket_start, CAST(count(*) AS BIGINT) AS bucket_count,
+       round(sum(value), 4) AS sum_value
+FROM b GROUP BY bucket_start
+"""
+
+
 # FacetRange (FacetRange.java:46): numeric range buckets via floor division
 def facet_range_price(spark, sf_dir):
     return (
@@ -2133,9 +2244,11 @@ RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
     "block_join_child_facets": (block_join_child_facets, BLOCK_JOIN_FACETS_SQL),
     "random_sample_orders": (random_sample_orders, RANDOM_SAMPLE_SQL),
     "datemath_range_events": (datemath_range_events, DATEMATH_RANGE_SQL),
+    "facet_daterange_events": (facet_daterange_events, FACET_DATERANGE_SQL),
     "tup_cell_orders": (tup_cell_orders, TUP_CELL_SQL),
     "multi_range_quantity": (multi_range_quantity, MULTI_RANGE_SQL),
     "facet_interval_price": (facet_interval_price, FACET_INTERVAL_SQL),
+    "facet_options_orders": (facet_options_orders, FACET_OPTIONS_SQL),
     "facet_heatmap_customers": (facet_heatmap_customers, FACET_HEATMAP_SQL),
     "dv_terms_orders": (dv_terms_orders, DV_TERMS_SQL),
     "geo_nearest_customers": (geo_nearest_customers, GEO_NEAREST_SQL),
