@@ -111,10 +111,203 @@ def _factorial(n: Column) -> Column:
     )
 
 
+def _sorted(arr: Column) -> Column:
+    return F.array_sort(arr)
+
+
+def _percentile(arr: Column, p: Column) -> Column:
+    """commons-math ``Percentile`` LEGACY estimation (the Solr
+    PercentileEvaluator default): pos = p/100·(n+1); below 1 → min, at/past
+    n → max, else linear interpolation between the straddling order
+    statistics."""
+    s = _sorted(arr)
+    n = F.size(s)
+    pos = p / F.lit(100.0) * (n + F.lit(1)).cast("double")
+    fpos = F.floor(pos).cast("int")
+    d = pos - fpos.cast("double")
+    lower = F.element_at(s, fpos)
+    upper = F.element_at(s, fpos + 1)
+    return (
+        F.when(pos < 1.0, F.element_at(s, 1))
+        .when(pos >= n.cast("double"), F.element_at(s, -1))
+        .otherwise(lower + d * (upper - lower))
+    )
+
+
+def _mode(arr: Column) -> Column:
+    """StatUtils.mode: ALL most-frequent values, ascending (ModeEvaluator)."""
+    dist = F.array_distinct(arr)
+    cnt = lambda v: F.size(F.filter(arr, lambda x: x == v))  # noqa: E731
+    maxc = F.array_max(F.transform(dist, cnt))
+    return F.array_sort(F.filter(dist, lambda v: cnt(v) == maxc))
+
+
+def _cov(a: Column, b: Column) -> Column:
+    """commons-math Covariance (bias-corrected, CovarianceEvaluator)."""
+    ma, mb = _mean(a), _mean(b)
+    s = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - ma) * (y - mb)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return s / (F.size(a) - F.lit(1))
+
+
+def _corr_arrays(a: Column, b: Column) -> Column:
+    """PearsonsCorrelation over two numeric arrays (CorrelationEvaluator's
+    vector-pair form; the relation-level corr() lives in relational.py)."""
+    return _cov(a, b) / (F.sqrt(_var(a)) * F.sqrt(_var(b)))
+
+
+def _windows(arr: Column, w) -> Column:
+    """array<array>: all length-w sliding windows (helper for moving*)."""
+    n = F.size(arr)
+    return F.transform(
+        F.sequence(F.lit(1), n - w.cast("int") + 1),
+        lambda i: F.slice(arr, i, w.cast("int")),
+    )
+
+
+def _median_of(win: Column) -> Column:
+    s = F.array_sort(win)
+    n = F.size(s)
+    mid = (n / 2).cast("int")
+    return F.when(
+        n % 2 == 1, F.element_at(s, mid + 1)
+    ).otherwise((F.element_at(s, mid) + F.element_at(s, mid + 1)) / 2.0)
+
+
+def _exp_moving_avg(arr: Column, w) -> Column:
+    """ExponentialMovingAverageEvaluator: seed = SMA of the first window,
+    alpha = 2/(window+1), then ema += alpha·(x − ema) per remaining value;
+    output length n − window + 1 (like movingAvg)."""
+    wi = w.cast("int")
+    alpha = F.lit(2.0) / (w.cast("double") + 1.0)
+    seed = _mean(F.slice(arr, 1, wi))
+    rest = F.slice(arr, wi + 1, F.greatest(F.size(arr) - wi, F.lit(0)))
+    acc0 = F.struct(F.array(seed).alias("out"), seed.alias("prev"))
+    folded = F.aggregate(
+        rest,
+        acc0,
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["out"], F.array((x - acc["prev"]) * alpha + acc["prev"])
+            ).alias("out"),
+            ((x - acc["prev"]) * alpha + acc["prev"]).alias("prev"),
+        ),
+    )
+    return folded["out"]
+
+
+def _describe(arr: Column) -> Column:
+    """DescribeEvaluator: the DescriptiveStatistics summary as a struct."""
+    return F.struct(
+        F.size(arr).cast("long").alias("N"),
+        F.array_min(arr).alias("min"),
+        F.array_max(arr).alias("max"),
+        _agg_sum(arr).alias("sum"),
+        _mean(arr).alias("mean"),
+        _var(arr).alias("var"),
+        F.sqrt(_var(arr)).alias("stdev"),
+        F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x).alias("sumsq"),
+    )
+
+
+def _freq_table(arr: Column) -> Column:
+    """FrequencyTableEvaluator: (value, count, pct) per distinct value asc."""
+    dist = F.array_sort(F.array_distinct(arr))
+    n = F.size(arr).cast("double")
+    return F.transform(
+        dist,
+        lambda v: F.struct(
+            v.alias("value"),
+            F.size(F.filter(arr, lambda x: x == v)).cast("long").alias("count"),
+            (F.size(F.filter(arr, lambda x: x == v)).cast("double") / n).alias("pct"),
+        ),
+    )
+
+
+def _pair_sort(a: Column, b: Column) -> Column:
+    """PairSortEvaluator: sort both vectors by the FIRST; returns the 2×n
+    matrix [sorted_a, reordered_b]."""
+    z = F.array_sort(F.zip_with(a, b, lambda x, y: F.struct(x.alias("k"), y.alias("v"))))
+    return F.array(
+        F.transform(z, lambda s: s["k"]), F.transform(z, lambda s: s["v"])
+    )
+
+
+def _transpose(m: Column) -> Column:
+    cols = F.size(F.element_at(m, 1))
+    return F.transform(
+        F.sequence(F.lit(1), cols), lambda j: F.transform(m, lambda row: F.element_at(row, j))
+    )
+
+
+def _matrix_mult(a: Column, b: Column) -> Column:
+    """MatrixMultiplyEvaluator: (r×k)·(k×c) via per-cell dot products —
+    nested transforms, whole-stage codegen, no Python."""
+    cols_b = F.size(F.element_at(b, 1))
+    return F.transform(
+        a,
+        lambda row: F.transform(
+            F.sequence(F.lit(1), cols_b),
+            lambda j: F.aggregate(
+                F.zip_with(
+                    row,
+                    F.transform(b, lambda brow: F.element_at(brow, j)),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # the registry — name parity with Lang.java registrations
 
 EVALUATORS: dict = {
+    # second tranche: array statistics (Lang.java stats block)
+    "avg": _mean,  # MeanEvaluator alias registration
+    "min": F.array_min,
+    "max": F.array_max,
+    "sum": _agg_sum,
+    "count": lambda a: F.size(a).cast("long"),
+    "mode": _mode,
+    "percentile": _percentile,
+    "cov": _cov,
+    "corr": _corr_arrays,
+    "distance": lambda a, b: _l2(F.zip_with(a, b, lambda x, y: x - y)),
+    "meanDifference": lambda a, b: _mean(F.zip_with(a, b, lambda x, y: x - y)),
+    "sumDifference": lambda a, b: _agg_sum(F.zip_with(a, b, lambda x, y: x - y)),
+    "describe": _describe,
+    "freqTable": _freq_table,
+    "pairSort": _pair_sort,
+    # moving windows (ExponentialMovingAverage/MovingMedian/MovingMAD)
+    "expMovingAvg": _exp_moving_avg,
+    "movingMedian": lambda a, w: F.transform(_windows(a, w), _median_of),
+    # moving mean-absolute-deviation around each window's mean
+    "movingMAD": lambda a, w: F.transform(
+        _windows(a, w),
+        lambda win: _mean(F.transform(win, lambda x: F.abs(x - _mean(win)))),
+    ),
+    "replace": lambda a, old, new: F.transform(
+        a, lambda x: F.when(x == old, new).otherwise(x)
+    ),
+    "dateTime": lambda ts, fmt: F.date_format(ts, fmt),
+    # matrices as array<array<double>> (Lang.java matrix block)
+    "matrix": lambda *rows: F.array(*rows),
+    "transpose": _transpose,
+    "rowAt": lambda m, i: F.element_at(m, i.cast("int") + 1),  # 0-based
+    "colAt": lambda m, j: F.transform(
+        m, lambda row: F.element_at(row, j.cast("int") + 1)
+    ),
+    "rowCount": lambda m: F.size(m).cast("long"),
+    "columnCount": lambda m: F.size(F.element_at(m, 1)).cast("long"),
+    "sumRows": lambda m: F.transform(m, _agg_sum),
+    "sumColumns": lambda m: F.transform(_transpose(m), _agg_sum),
+    "matrixMult": _matrix_mult,
     # scalar math (Lang.java tail block: abs..cbrt)
     "abs": F.abs,
     "add": lambda *c: sum(c[1:], c[0]),

@@ -299,3 +299,94 @@ def test_registry_size():
 
     merged = {**FUNCTIONS, **EVALUATORS}
     assert len(merged) >= 100
+
+
+def test_array_statistics_second_tranche(frame):
+    r = frame.filter("id = 3").select(
+        _ev("avg", F.col("a")).alias("avg"),
+        _ev("min", F.col("a")).alias("mn"),
+        _ev("max", F.col("a")).alias("mx"),
+        _ev("sum", F.col("a")).alias("sm"),
+        _ev("count", F.col("a")).alias("n"),
+        _ev("percentile", F.col("a"), F.lit(50.0)).alias("p50"),
+        _ev("percentile", F.col("a"), F.lit(90.0)).alias("p90"),
+        _ev("cov", F.col("a"), F.col("b")).alias("cov"),
+        _ev("corr", F.col("a"), F.col("a")).alias("selfcorr"),
+        _ev("distance", F.col("a"), F.col("b")).alias("dist"),
+        _ev("meanDifference", F.col("a"), F.col("b")).alias("md"),
+        _ev("sumDifference", F.col("a"), F.col("b")).alias("sd"),
+    ).first()
+    a = np.array([-2.0, 8.0, 0.5, 1.5, 10.0])
+    b = np.ones(5)
+    assert r.avg == pytest.approx(a.mean())
+    assert (r.mn, r.mx, r.sm, r.n) == (a.min(), a.max(), pytest.approx(a.sum()), 5)
+    # commons-math LEGACY percentile: pos = p/100*(n+1)
+    s = np.sort(a)
+    assert r.p50 == pytest.approx(s[2])  # pos=3 exactly -> 3rd order stat
+    assert r.p90 == pytest.approx(s[-1])  # pos=5.4 >= n -> max
+    assert r.cov == pytest.approx(np.cov(a, b, ddof=1)[0, 1])
+    assert r.selfcorr == pytest.approx(1.0)
+    assert r.dist == pytest.approx(np.linalg.norm(a - b))
+    assert r.md == pytest.approx((a - b).mean())
+    assert r.sd == pytest.approx((a - b).sum())
+
+
+def test_mode_freqtable_describe(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 2.0, 3.0, 3.0, 4.0],)], "a array<double>")
+    r = df.select(
+        _ev("mode", F.col("a")).alias("mode"),
+        _ev("freqTable", F.col("a")).alias("ft"),
+        _ev("describe", F.col("a")).alias("d"),
+    ).first()
+    assert r.mode == [2.0, 3.0]  # ALL most-frequent values, ascending
+    ft = [(x["value"], x["count"], round(x["pct"], 6)) for x in r.ft]
+    assert ft == [(1.0, 1, round(1 / 6, 6)), (2.0, 2, round(2 / 6, 6)),
+                  (3.0, 2, round(2 / 6, 6)), (4.0, 1, round(1 / 6, 6))]
+    a = np.array([1.0, 2, 2, 3, 3, 4])
+    assert r.d["N"] == 6 and r.d["mean"] == pytest.approx(a.mean())
+    assert r.d["var"] == pytest.approx(a.var(ddof=1))
+
+
+def test_moving_windows_and_pairsort(spark):
+    df = spark.createDataFrame(
+        [([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0], [10.0, 20.0, 30.0])],
+        "a array<double>, b array<double>",
+    )
+    r = df.select(
+        _ev("movingMedian", F.col("a"), F.lit(3)).alias("mm"),
+        _ev("movingMAD", F.col("a"), F.lit(3)).alias("mad"),
+        _ev("expMovingAvg", F.col("b"), F.lit(2)).alias("ema"),
+        _ev("pairSort", F.col("b"), _ev("rev", F.col("b"))).alias("ps"),
+    ).first()
+    a = np.array([3.0, 1, 4, 1, 5, 9, 2])
+    want_mm = [float(np.median(a[i:i + 3])) for i in range(5)]
+    assert r.mm == pytest.approx(want_mm)
+    want_mad = [float(np.abs(a[i:i + 3] - a[i:i + 3].mean()).mean()) for i in range(5)]
+    assert r.mad == pytest.approx(want_mad)
+    # EMA: seed = mean(10,20)=15; alpha=2/3; next = 15 + 2/3*(30-15) = 25
+    assert r.ema == pytest.approx([15.0, 25.0])
+    # pairSort sorts by the first vector, carrying the second
+    assert r.ps[0] == [10.0, 20.0, 30.0] and r.ps[1] == [30.0, 20.0, 10.0]
+
+
+def test_matrix_family(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    m = _ev("matrix", F.array(F.lit(1.0), F.lit(2.0)), F.array(F.lit(3.0), F.lit(4.0)))
+    r = df.select(
+        _ev("transpose", m).alias("t"),
+        _ev("rowAt", m, F.lit(1)).alias("r1"),
+        _ev("colAt", m, F.lit(0)).alias("c0"),
+        _ev("rowCount", m).alias("rc"),
+        _ev("columnCount", m).alias("cc"),
+        _ev("sumRows", m).alias("sr"),
+        _ev("sumColumns", m).alias("sc"),
+        _ev("matrixMult", m, m).alias("mm"),
+        _ev("replace", F.array(F.lit(1.0), F.lit(2.0), F.lit(1.0)), F.lit(1.0), F.lit(9.0)).alias("rep"),
+    ).first()
+    assert r.t == [[1.0, 3.0], [2.0, 4.0]]
+    assert r.r1 == [3.0, 4.0] and r.c0 == [1.0, 3.0]
+    assert (r.rc, r.cc) == (2, 2)
+    assert r.sr == [3.0, 7.0] and r.sc == [4.0, 6.0]
+    # [[1,2],[3,4]]^2 = [[7,10],[15,22]]
+    assert r.mm == [[7.0, 10.0], [15.0, 22.0]]
+    assert r.rep == [9.0, 2.0, 9.0]
