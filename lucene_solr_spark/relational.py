@@ -2239,7 +2239,46 @@ LIMIT {_RANDOM_N}
 """
 
 
+# The streaming-expression LANGUAGE end-to-end (streaming_expr.py — the
+# StreamExpressionParser/StreamFactory role): a Solr user's expression
+# STRING compiles onto the engine's plans. Gate exercises search q-syntax
+# pushdown, rollup metrics with Solr tuple names, having(), and select
+# renames in one pipeline.
+def stream_expr_rollup(spark, sf_dir):
+    from .streaming_expr import run_stream_expr
+
+    out = run_stream_expr(
+        spark,
+        sf_dir,
+        'select(having(rollup(search(lineitem, q="l_quantity:[20 TO *] -l_returnflag:N"),'
+        ' over="l_returnflag,l_linestatus", sum(l_quantity), avg(l_extendedprice), count(*)),'
+        " gt(count(*), 10)),"
+        ' "l_returnflag", "l_linestatus", "sum(l_quantity) as sum_qty",'
+        ' "avg(l_extendedprice) as avg_price", "count(*) as n")',
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("double"),
+        F.round("avg_price", 4).alias("avg_price"),
+        F.col("n").cast("long"),
+    )
+
+
+STREAM_EXPR_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_quantity >= 20 AND l_returnflag <> 'N'
+GROUP BY l_returnflag, l_linestatus
+HAVING count(*) > 10
+"""
+
+
 RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
+    "stream_expr_rollup": (stream_expr_rollup, STREAM_EXPR_SQL),
     "stats_cardinality": (stats_cardinality, STATS_CARDINALITY_SQL),
     "block_join_child_facets": (block_join_child_facets, BLOCK_JOIN_FACETS_SQL),
     "random_sample_orders": (random_sample_orders, RANDOM_SAMPLE_SQL),
