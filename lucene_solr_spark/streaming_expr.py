@@ -227,8 +227,20 @@ def _compile(spark, sf_dir, node: Expr):
 
     if h == "search":
         table = node.pos[0]
-        df = _q_filter(_t(spark, sf_dir, table), node.named.get("q", "*:*"))
-        sort = _sort_spec(node.named["sort"]) if "sort" in node.named else []
+        q = node.named.get("q", "*:*")
+        if table == "documents" and q != "*:*" and ":" not in q:
+            # FULL-TEXT search (the real CloudSolrStream/SearchStream path):
+            # free text q runs through the BM25 engine over the docs index,
+            # scores join back to the stored fields, default order = the
+            # searcher's (score desc, tie-broken) total order
+            from .textops import _ft_search_all
+
+            hits = _ft_search_all(spark, sf_dir, q)  # (doc_id, score)
+            df = hits.join(_t(spark, sf_dir, table), "doc_id")
+            sort = _sort_spec(node.named.get("sort", "score desc,doc_id asc"))
+        else:
+            df = _q_filter(_t(spark, sf_dir, table), q)
+            sort = _sort_spec(node.named["sort"]) if "sort" in node.named else []
         if sort:
             df = _apply_sort(df, sort)
         if "fl" in node.named:

@@ -160,3 +160,23 @@ def test_top_merge_parallel(spark):
     )
     rows = [r.r_name for r in got.collect()]
     assert rows == sorted(rows) and len(rows) == 5
+
+
+def test_search_free_text_routes_to_ft_engine(spark):
+    """search(documents, q="<free text>") runs the BM25 engine (the real
+    CloudSolrStream contract), scores join the stored fields, order is the
+    searcher's score-desc total order."""
+    from lucene_solr_spark.textops import _ft_search_all
+
+    got = run_stream_expr(
+        spark, SF, 'search(documents, q="table hash", fl="doc_id,score,lang", rows=10)'
+    )
+    rows = got.collect()
+    assert 0 < len(rows) <= 10
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    want = {
+        (r.doc_id, r.score)
+        for r in _ft_search_all(spark, SF, "table hash").collect()
+    }
+    assert {(r.doc_id, r.score) for r in rows} <= want
