@@ -2277,7 +2277,29 @@ HAVING count(*) > 10
 """
 
 
+# /sql handler (SQLHandler.java role — see sqlhandler.py): the SAME SQL
+# string runs on Spark (as the engine) and on DuckDB (as the oracle) —
+# dialect-neutral SELECT, the strongest possible parity statement for the
+# surface.
+SQL_HANDLER_STMT = """
+SELECT o.o_orderstatus, c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o.o_totalprice), 4) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 1000
+GROUP BY o.o_orderstatus, c.c_mktsegment
+HAVING count(*) > 5
+"""
+
+
+def sql_handler_orders(spark, sf_dir):
+    from .sqlhandler import sql_handler
+
+    return sql_handler(spark, sf_dir, SQL_HANDLER_STMT)
+
+
 RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
+    "sql_handler_orders": (sql_handler_orders, SQL_HANDLER_STMT),
     "stream_expr_rollup": (stream_expr_rollup, STREAM_EXPR_SQL),
     "stats_cardinality": (stats_cardinality, STATS_CARDINALITY_SQL),
     "block_join_child_facets": (block_join_child_facets, BLOCK_JOIN_FACETS_SQL),

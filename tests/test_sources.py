@@ -195,3 +195,16 @@ def test_read_jdbc_against_live_derby(spark, tmp_path):
     rows = out.collect()
     assert len(rows) == 50  # predicate executed remotely
     assert sum(r.V for r in rows) == 2 * sum(range(50))
+
+
+def test_sql_handler_rejects_dml(spark):
+    import pytest
+
+    from lucene_solr_spark.sqlhandler import sql_handler
+
+    sf = "/root/testdata/sf0.001"
+    assert sql_handler(spark, sf, "SELECT count(*) AS n FROM region").first().n == 5
+    assert sql_handler(spark, sf, "WITH x AS (SELECT 1 AS a) SELECT * FROM x").count() == 1
+    for bad in ("DROP TABLE region", "INSERT INTO region VALUES (9)", "UPDATE region SET r_name='x'"):
+        with pytest.raises(ValueError):
+            sql_handler(spark, sf, bad)
