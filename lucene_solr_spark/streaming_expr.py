@@ -356,6 +356,20 @@ def _compile(spark, sf_dir, node: Expr):
         sort = _sort_spec(node.named["on"])
         return _apply_sort(a.unionByName(b), sort), sort
 
+    if h == "update":
+        # UpdateStream (solrj/io/stream/UpdateStream.java:46): index the
+        # wrapped stream's tuples into the destination collection — here a
+        # storage path (`dest=`); format parquet by default. Side-effectful
+        # by design, exactly like the reference; returns the tuple stream so
+        # the expression composes (the reference emits batch summaries —
+        # deviation documented).
+        from .sources import write_docs
+
+        sub, sort = _compile(spark, sf_dir, next(p for p in node.pos if isinstance(p, Expr)))
+        dest = node.named["dest"]
+        write_docs(sub, dest, fmt=node.named.get("fmt", "parquet"))
+        return sub, sort
+
     if h in ("parallel", "plist"):
         # physical parallelism is Spark's; the nested stream is the plan
         sub = next(p for p in node.pos if isinstance(p, Expr))

@@ -180,3 +180,14 @@ def test_search_free_text_routes_to_ft_engine(spark):
         for r in _ft_search_all(spark, SF, "table hash").collect()
     }
     assert {(r.doc_id, r.score) for r in rows} <= want
+
+
+def test_update_head_sinks_tuples(spark, tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("upd") / "out")
+    got = run_stream_expr(
+        spark,
+        SF,
+        f'update(search(region, fl="r_regionkey,r_name"), dest="{dest}")',
+    )
+    assert got.count() == 5
+    assert _rows(spark.read.parquet(dest)) == _rows(got)
