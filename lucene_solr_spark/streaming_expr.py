@@ -356,6 +356,81 @@ def _compile(spark, sf_dir, node: Expr):
         sort = _sort_spec(node.named["on"])
         return _apply_sort(a.unionByName(b), sort), sort
 
+    if h == "timeseries":
+        # TimeSeriesStream (solrj/io/stream/TimeSeriesStream.java:63):
+        # date-range buckets between start/end with a DateMath gap, metrics
+        # per bucket. Edges run through the datemath parser (month-clamping
+        # Calendar.add semantics); rows bucket via one broadcast range join.
+        from .datemath import parse_datemath
+
+        table = node.pos[0]
+        df = _q_filter(_t(spark, sf_dir, table), node.named.get("q", "*:*"))
+        fld = node.named["field"]
+        start_s, end_s, gap = node.named["start"], node.named["end"], node.named["gap"]
+        edges = [parse_datemath(start_s)]
+        end = parse_datemath(end_s)
+        while edges[-1] < end and len(edges) < 10000:
+            edges.append(parse_datemath(f"{edges[-1].isoformat().replace('+00:00', 'Z')}{gap}"))
+        ranges = spark.createDataFrame(
+            [
+                (edges[k].isoformat(), edges[k].replace(tzinfo=None), edges[k + 1].replace(tzinfo=None))
+                for k in range(len(edges) - 1)
+            ],
+            "bucket string, __lo timestamp, __hi timestamp",
+        )
+        metrics = [_metric_col(p) for p in node.pos[1:]]
+        col = F.col(fld)
+        out = (
+            df.join(F.broadcast(ranges), (col >= F.col("__lo")) & (col < F.col("__hi")))
+            .groupBy("bucket")
+            .agg(*[c for c, _ in metrics])
+            .orderBy("bucket")
+        )
+        return out, [("bucket", True)]
+
+    if h == "cartesianProduct":
+        # CartesianProductStream (solrj/io/stream/CartesianProductStream.
+        # java:46): one tuple per element of an array field
+        df, sort = _compile(spark, sf_dir, node.pos[0])
+        fld = node.pos[1]
+        return df.withColumn(fld, F.explode(fld)), sort
+
+    if h == "fetch":
+        # FetchStream (solrj/io/stream/FetchStream.java:49): decorate the
+        # stream's tuples with fields fetched from another collection by key
+        table = node.pos[0]
+        left, sort = _compile(spark, sf_dir, node.pos[1])
+        on = node.named["on"]
+        if "=" in on:
+            lkey, rkey = (x.strip() for x in on.split("="))
+        else:
+            lkey = rkey = on.strip()
+        fl = [c.strip() for c in node.named["fl"].split(",")]
+        right = _t(spark, sf_dir, table).select(
+            F.col(rkey).alias(lkey), *[c for c in fl if c != rkey]
+        )
+        return left.join(F.broadcast(right), lkey, "left"), sort
+
+    if h == "nodes":
+        # GatherNodesStream (solrj/io/graph/GatherNodesStream.java:60): one
+        # traversal level per nodes() call — walk="from->to" joins the
+        # incoming tuples' `from` values to the edge collection, emitting
+        # the distinct `gather` values (nested nodes() calls walk further;
+        # the multi-hop builder API is graph.gather_nodes)
+        table = node.pos[0]
+        sub, _ = _compile(spark, sf_dir, node.pos[1])
+        frm, to = (x.strip() for x in node.named["walk"].split("->"))
+        gather = node.named.get("gather", to)
+        edges = _t(spark, sf_dir, table).select(F.col(to).alias("__to"), F.col(gather))
+        roots = sub.select(F.col(frm)).distinct()
+        out = (
+            edges.join(roots, edges["__to"] == roots[frm])
+            .select(F.col(gather).alias("node"))
+            .distinct()
+            .select(F.lit("level1").alias("level"), "node")
+        )
+        return out, []
+
     if h == "update":
         # UpdateStream (solrj/io/stream/UpdateStream.java:46): index the
         # wrapped stream's tuples into the destination collection — here a

@@ -191,3 +191,57 @@ def test_update_head_sinks_tuples(spark, tmp_path_factory):
     )
     assert got.count() == 5
     assert _rows(spark.read.parquet(dest)) == _rows(got)
+
+
+def test_timeseries_cartesian_fetch_nodes(spark):
+    from lucene_solr_spark.relational import _t
+
+    ts = run_stream_expr(
+        spark,
+        SF,
+        'timeseries(events, field="ts", start="2024-01-01T00:00:00Z",'
+        ' end="2024-01-29T00:00:00Z", gap="+7DAYS", count(*), sum(value))',
+    )
+    rows = ts.collect()
+    assert len(rows) == 4  # four full weeks
+    assert sum(r["count(*)"] for r in rows) == (
+        _t(spark, SF, "events")
+        .filter("ts >= timestamp'2024-01-01' AND ts < timestamp'2024-01-29'")
+        .count()
+    )
+
+    cp = run_stream_expr(
+        spark,
+        SF,
+        'cartesianProduct(select(search(region, fl="r_regionkey"),'
+        ' "r_regionkey", "array(r_regionkey, r_regionkey) as pair"), "pair")',
+    )
+    assert cp.count() == 10  # 5 regions x 2 elements each
+
+    f = run_stream_expr(
+        spark,
+        SF,
+        'fetch(customer, search(orders, fl="o_orderkey,o_custkey", rows=20,'
+        ' sort="o_orderkey asc"), on="o_custkey=c_custkey", fl="c_mktsegment")',
+    )
+    assert f.count() == 20 and "c_mktsegment" in f.columns
+    assert f.filter(F.col("c_mktsegment").isNull()).count() == 0
+
+    n = run_stream_expr(
+        spark,
+        SF,
+        'nodes(orders, search(customer, q="c_mktsegment:BUILDING", fl="c_custkey"),'
+        ' walk="c_custkey->o_custkey", gather="o_orderkey")',
+    )
+    want = (
+        _t(spark, SF, "orders")
+        .join(
+            _t(spark, SF, "customer")
+            .filter("c_mktsegment = 'BUILDING'")
+            .select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+    assert n.count() == want.count()
