@@ -160,11 +160,16 @@ def _corr_arrays(a: Column, b: Column) -> Column:
 
 
 def _windows(arr: Column, w) -> Column:
-    """array<array>: all length-w sliding windows (helper for moving*)."""
+    """array<array>: all length-w sliding windows (helper for moving*).
+    A window longer than the array fails loudly (the reference throws),
+    not with an inscrutable descending-sequence slice error."""
     n = F.size(arr)
-    return F.transform(
-        F.sequence(F.lit(1), n - w.cast("int") + 1),
-        lambda i: F.slice(arr, i, w.cast("int")),
+    wi = w.cast("int")
+    return F.when(
+        n >= wi,
+        F.transform(F.sequence(F.lit(1), n - wi + 1), lambda i: F.slice(arr, i, wi)),
+    ).otherwise(
+        F.raise_error(F.lit("moving window is larger than the array"))
     )
 
 
@@ -183,7 +188,9 @@ def _exp_moving_avg(arr: Column, w) -> Column:
     output length n − window + 1 (like movingAvg)."""
     wi = w.cast("int")
     alpha = F.lit(2.0) / (w.cast("double") + 1.0)
-    seed = _mean(F.slice(arr, 1, wi))
+    seed = F.when(F.size(arr) >= wi, _mean(F.slice(arr, 1, wi))).otherwise(
+        F.raise_error(F.lit("expMovingAvg window is larger than the array"))
+    )
     rest = F.slice(arr, wi + 1, F.greatest(F.size(arr) - wi, F.lit(0)))
     acc0 = F.struct(F.array(seed).alias("out"), seed.alias("prev"))
     folded = F.aggregate(
@@ -268,11 +275,14 @@ def _matrix_mult(a: Column, b: Column) -> Column:
 # the registry — name parity with Lang.java registrations
 
 EVALUATORS: dict = {
-    # second tranche: array statistics (Lang.java stats block)
-    "avg": _mean,  # MeanEvaluator alias registration
-    "min": F.array_min,
-    "max": F.array_max,
-    "sum": _agg_sum,
+    # second tranche: array statistics (Lang.java stats block). min/max/
+    # sum/avg are POLYMORPHIC like the reference evaluators: one arg = the
+    # numeric-array form, several args = the scalar form (so the
+    # function-query scalar spellings keep working through parse_eval)
+    "avg": lambda *c: _mean(c[0]) if len(c) == 1 else sum(c[1:], c[0]) / len(c),
+    "min": lambda *c: F.array_min(c[0]) if len(c) == 1 else F.least(*c),
+    "max": lambda *c: F.array_max(c[0]) if len(c) == 1 else F.greatest(*c),
+    "sum": lambda *c: _agg_sum(c[0]) if len(c) == 1 else sum(c[1:], c[0]),
     "count": lambda a: F.size(a).cast("long"),
     "mode": _mode,
     "percentile": _percentile,

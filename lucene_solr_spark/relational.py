@@ -145,9 +145,16 @@ def facet_daterange_events(spark, sf_dir):
         parse_datemath(f"{_DATERANGE_START}+{_DATERANGE_GAP_DAYS * k}DAYS")
         for k in range(_DATERANGE_BUCKETS + 1)
     ]
+    # tz-naive edges: events.ts is a naive parquet timestamp and the oracle
+    # compares naive TIMESTAMP edges — tz-aware values would shift under a
+    # non-UTC session timezone
     ranges = spark.createDataFrame(
         [
-            (edges[k].isoformat(), edges[k], edges[k + 1])
+            (
+                edges[k].isoformat(),
+                edges[k].replace(tzinfo=None),
+                edges[k + 1].replace(tzinfo=None),
+            )
             for k in range(_DATERANGE_BUCKETS)
         ],
         "bucket_start string, lo timestamp, hi timestamp",

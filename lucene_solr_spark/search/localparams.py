@@ -32,6 +32,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _check_field(typ: str, lp: dict, known: tuple[str, ...] = ("content",)) -> None:
+    """One field per index dir: an `f=` naming anything else would silently
+    search the wrong field, so refuse loudly (the same contract as
+    {!lucene}'s df= refusal)."""
+    f = lp.get("f")
+    if f is not None and f not in known:
+        raise ValueError(
+            f"{{!{typ}}} f={f!r}: this searcher indexes the {known[0]!r} "
+            "field only"
+        )
+
+
 def parse_local_params(
     q: str, params: dict | None = None
 ) -> tuple[str, dict[str, str], str]:
@@ -214,9 +226,9 @@ def local_query(
         # TermQParserPlugin.java:40, RawQParserPlugin.java:35): the body is
         # ONE term, no query-syntax parsing. `term` normalizes through the
         # field type (here: the lowercase dictionary); `raw` is verbatim.
-        # The `f=` param names the field — one field per searcher here.
         if searcher is None:
             raise ValueError(f"{{!{typ}}} needs a searcher")
+        _check_field(typ, lp)
         from .query import TermQuery
 
         text = body.strip()
@@ -227,6 +239,7 @@ def local_query(
         # PrefixQParserPlugin (solr/core/.../search/PrefixQParserPlugin.java)
         if searcher is None:
             raise ValueError("{!prefix} needs a searcher")
+        _check_field(typ, lp)
         from .query import PrefixQuery
 
         return searcher.search_many(
@@ -240,6 +253,7 @@ def local_query(
         # postings.
         if searcher is None:
             raise ValueError("{!graphTerms} needs a searcher")
+        _check_field(typ, lp)
         from .query import TermInSetQuery
 
         max_df = int(lp.get("maxDocFreq", 2**31 - 1))

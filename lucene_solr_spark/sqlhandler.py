@@ -34,20 +34,15 @@ TABLES = (
     "embeddings",
 )
 
-_REGISTERED: set[tuple[int, str]] = set()
-
-
 def register_collections(spark: SparkSession, sf_dir: str) -> None:
-    """Bind each collection name to its parquet as a temp view (idempotent
-    per session + data dir — the handler's collection→table catalog)."""
-    key = (id(spark), os.path.realpath(sf_dir))
-    if key in _REGISTERED:
-        return
+    """Bind each collection name to its parquet as a temp view — always
+    re-registered (createOrReplaceTempView is a catalog-only operation;
+    temp views are session-scoped, so any cache keyed off the session
+    object's identity would go stale when sessions are recycled)."""
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             spark.read.parquet(p).createOrReplaceTempView(t)
-    _REGISTERED.add(key)
 
 
 def sql_handler(spark: SparkSession, sf_dir: str, stmt: str) -> DataFrame:

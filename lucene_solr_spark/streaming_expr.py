@@ -147,8 +147,9 @@ def _q_filter(df: DataFrame, q: str) -> DataFrame:
         return df
     # clause split respecting [lo TO hi] / {lo TO hi} range bodies; anything
     # the clause grammar didn't consume is a syntax error, not silence
-    clauses = re.findall(r"-?[\w.]+:(?:[\[{][^\]}]*[\]}]|\S+)", q)
-    if " ".join(clauses) != re.sub(r"\s+", " ", q):
+    pat = r"-?[\w.]+:(?:[\[{][^\]}]*[\]}]|\S+)"
+    clauses = re.findall(pat, q)
+    if re.sub(pat, "", q).strip():
         raise ValueError(f"unsupported q syntax: {q!r}")
     for clause in clauses:
         neg = clause.startswith("-")
@@ -158,16 +159,23 @@ def _q_filter(df: DataFrame, q: str) -> DataFrame:
         fld, val = body.split(":", 1)
         if val.startswith(("[", "{")) and val.endswith(("]", "}")):
             inc_lo, inc_hi = val[0] == "[", val[-1] == "]"
-            lo, hi = re.split(r"\s+TO\s+", val[1:-1])
-            c = F.lit(True)
+            lo, hi = re.split(r"\s+TO\s+", val[1:-1].strip())
             col = F.col(fld)
+            # Solr [* TO *] means "field exists" — NULL rows never match a
+            # positive clause
+            c = col.isNotNull()
             if lo != "*":
                 c = c & (col >= _lit(lo) if inc_lo else col > _lit(lo))
             if hi != "*":
                 c = c & (col <= _lit(hi) if inc_hi else col < _lit(hi))
         else:
             c = F.col(fld) == _lit(val)
-        df = df.filter(~c if neg else c)
+        if neg:
+            # -f:v keeps docs where f is missing OR != v (Lucene MUST_NOT
+            # over a field clause; a NULL comparison must not drop the row)
+            df = df.filter(~F.coalesce(c, F.lit(False)))
+        else:
+            df = df.filter(c)
     return df
 
 
@@ -284,7 +292,7 @@ def _compile(spark, sf_dir, node: Expr):
 
     if h == "having":
         df, sort = _compile(spark, sf_dir, node.pos[0])
-        return df.filter(_condition(node.pos[1])), sort
+        return df.filter(_condition(node.pos[1], df.columns)), sort
 
     if h == "select":
         df, sort = _compile(spark, sf_dir, node.pos[0])
@@ -369,8 +377,13 @@ def _compile(spark, sf_dir, node: Expr):
         start_s, end_s, gap = node.named["start"], node.named["end"], node.named["gap"]
         edges = [parse_datemath(start_s)]
         end = parse_datemath(end_s)
-        while edges[-1] < end and len(edges) < 10000:
-            edges.append(parse_datemath(f"{edges[-1].isoformat().replace('+00:00', 'Z')}{gap}"))
+        while edges[-1] < end:
+            nxt = parse_datemath(f"{edges[-1].isoformat().replace('+00:00', 'Z')}{gap}")
+            if nxt <= edges[-1]:
+                raise ValueError(f"timeseries gap {gap!r} does not advance")
+            if len(edges) >= 10000:
+                raise ValueError("timeseries range/gap yields > 10000 buckets")
+            edges.append(nxt)
         ranges = spark.createDataFrame(
             [
                 (edges[k].isoformat(), edges[k].replace(tzinfo=None), edges[k + 1].replace(tzinfo=None))
@@ -456,18 +469,25 @@ def _compile(spark, sf_dir, node: Expr):
     )
 
 
-def _condition(node: Expr):
+def _condition(node: Expr, columns):
     """HavingStream boolean operations over tuple fields."""
     if node.name == "and":
-        return _condition(node.pos[0]) & _condition(node.pos[1])
+        return _condition(node.pos[0], columns) & _condition(node.pos[1], columns)
     if node.name == "or":
-        return _condition(node.pos[0]) | _condition(node.pos[1])
+        return _condition(node.pos[0], columns) | _condition(node.pos[1], columns)
     if node.name == "not":
-        return ~_condition(node.pos[0])
+        return ~_condition(node.pos[0], columns)
     if node.name in _COMPS:
         lhs, rhs = node.pos
         lcol = F.col(f"`{lhs.name}({lhs.pos[0]})`") if isinstance(lhs, Expr) else F.col(f"`{lhs}`")
-        r = _lit(rhs) if isinstance(rhs, str) else rhs
+        if isinstance(rhs, Expr):
+            r = F.col(f"`{rhs.name}({rhs.pos[0]})`")
+        elif isinstance(rhs, str) and rhs in columns:
+            # a bare word naming a tuple field compares COLUMNS, like
+            # HavingStream's field-vs-field operations
+            r = F.col(f"`{rhs}`")
+        else:
+            r = _lit(rhs) if isinstance(rhs, str) else rhs
         return {
             "eq": lcol == r,
             "gt": lcol > r,

@@ -240,8 +240,10 @@ def test_dispatch_geofilt_and_bbox(spark):
     buf = io.StringIO()
     with redirect_stdout(buf):
         boxed.explain()
-    assert "SIN" not in buf.getvalue().upper() or "asin" not in buf.getvalue()
+    assert "ASIN" not in buf.getvalue().upper()
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         local_query("{!geofilt sfield=lat,lon pt=1,2}", frame=pts)  # missing d
+    with _pytest.raises(ValueError, match="indexes the"):
+        local_query("{!term f=nosuchfield}parse", searcher=object())
