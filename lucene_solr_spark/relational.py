@@ -2305,9 +2305,347 @@ def sql_handler_orders(spark, sf_dir):
     return sql_handler(spark, sf_dir, SQL_HANDLER_STMT)
 
 
+# ---------------------------------------------------------------------------
+# Streaming-expression LANGUAGE gates, round 4: one compound stream_expr_*
+# op per newly-compilable head family (Lang.java:116-330 registrations —
+# intersect/complement, reduce+group, significantTerms, knn, random, let/col,
+# facet2D, scoreNodes(nodes()), features, search fq/start paging). Each runs
+# a Solr expression STRING through run_stream_expr and is value-gated against
+# a DuckDB oracle; heads without a SQL shape (train/classify lockstep, topic,
+# executor, eval, shortestPath path tuples, daemon, priority, echo/list/calc)
+# are covered in tests/test_streaming_expr.py.
+
+
+def stream_expr_setops(spark, sf_dir):
+    from .streaming_expr import run_stream_expr
+
+    has = run_stream_expr(
+        spark,
+        sf_dir,
+        'intersect(search(customer, fl="c_custkey,c_mktsegment"),'
+        ' search(orders, fl="o_custkey"), on="c_custkey=o_custkey")',
+    )
+    hasnt = run_stream_expr(
+        spark,
+        sf_dir,
+        'complement(search(customer, fl="c_custkey,c_mktsegment"),'
+        ' search(orders, fl="o_custkey"), on="c_custkey=o_custkey")',
+    )
+    return has.withColumn("tag", F.lit("with")).unionByName(
+        hasnt.withColumn("tag", F.lit("without"))
+    )
+
+
+STREAM_EXPR_SETOPS_SQL = """
+SELECT c_custkey, c_mktsegment, 'with' AS tag FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, c_mktsegment, 'without' AS tag FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def stream_expr_reduce_top(spark, sf_dir):
+    from .streaming_expr import run_stream_expr
+
+    out = run_stream_expr(
+        spark,
+        sf_dir,
+        'reduce(search(orders, q="o_totalprice:[100000 TO *]",'
+        ' fl="o_custkey,o_orderkey,o_totalprice"), by="o_custkey",'
+        ' group(sort="o_totalprice desc,o_orderkey asc", n=2))',
+    )
+    g = out.select("o_custkey", F.explode("group").alias("g"))
+    return g.select(
+        "o_custkey",
+        F.col("g.o_orderkey").alias("o_orderkey"),
+        F.col("g.o_totalprice").alias("o_totalprice"),
+    )
+
+
+STREAM_EXPR_REDUCE_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders WHERE o_totalprice >= 100000
+) WHERE rk <= 2
+"""
+
+
+def stream_expr_significant(spark, sf_dir):
+    from .streaming_expr import run_stream_expr
+
+    return run_stream_expr(
+        spark,
+        sf_dir,
+        'significantTerms(documents, q="lang:en", field="text", limit=15,'
+        " minDocFreq=5, maxDocFreq=0.5, minTermLength=4)",
+    )
+
+
+STREAM_EXPR_SIGNIFICANT_SQL = """
+WITH d AS (
+  SELECT doc_id, lang,
+         list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+  FROM documents
+),
+tot AS (SELECT count(*) AS n FROM d),
+bg AS (
+  SELECT term, count(*) AS background
+  FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY term
+),
+fg AS (
+  SELECT term, count(*) AS foreground
+  FROM (SELECT doc_id, unnest(toks) AS term FROM d WHERE lang = 'en')
+  GROUP BY term
+)
+SELECT term, CAST(foreground AS BIGINT) AS foreground,
+       CAST(background AS BIGINT) AS background,
+       round((ln(foreground) + 1.0) * (ln((n + 1.0) / (background + 1.0)) + 1.0), 4)
+         AS score
+FROM fg JOIN bg USING (term), tot
+WHERE length(term) >= 4 AND background >= 5 AND background <= 0.5 * n
+ORDER BY score DESC, term ASC
+LIMIT 15
+"""
+
+
+def stream_expr_knn(spark, sf_dir):
+    from .streaming_expr import run_stream_expr
+
+    return run_stream_expr(
+        spark,
+        sf_dir,
+        'knn(documents, id=7, qf="text", k=12, mindf=3, minwl=4,'
+        ' fl="doc_id,score,lang")',
+    )
+
+
+STREAM_EXPR_KNN_SQL = """
+WITH d AS (
+  SELECT doc_id, lang,
+         list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(toks) AS term FROM d) WHERE length(term) >= 4
+),
+target AS (SELECT DISTINCT term FROM tok WHERE doc_id = 7),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tok
+  WHERE term IN (SELECT term FROM target)
+  GROUP BY term HAVING count(*) >= 3
+),
+tot AS (SELECT count(*) AS n FROM d),
+scored AS (
+  SELECT t.doc_id,
+         round(sum(ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS score
+  FROM tok t JOIN dfreq USING (term), tot
+  WHERE t.doc_id <> 7
+  GROUP BY t.doc_id
+)
+SELECT s.doc_id, s.score, d2.lang
+FROM scored s JOIN documents d2 ON s.doc_id = d2.doc_id
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT 12
+"""
+
+
+def stream_expr_facet2d(spark, sf_dir):
+    from .streaming_expr import run_stream_expr
+
+    out = run_stream_expr(
+        spark,
+        sf_dir,
+        'facet2D(orders, x="o_orderpriority", y="o_orderstatus",'
+        ' dimensions="3,2", sum(o_totalprice))',
+    )
+    return out.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.round(F.col("`sum(o_totalprice)`"), 2).alias("total"),
+    )
+
+
+STREAM_EXPR_FACET2D_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, sum(o_totalprice) AS m
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+),
+xtot AS (
+  SELECT o_orderpriority FROM cells
+  GROUP BY o_orderpriority ORDER BY sum(m) DESC, o_orderpriority ASC LIMIT 3
+),
+ranked AS (
+  SELECT c.o_orderpriority, c.o_orderstatus, c.m,
+         row_number() OVER (PARTITION BY c.o_orderpriority
+                            ORDER BY c.m DESC, c.o_orderstatus ASC) AS rk
+  FROM cells c JOIN xtot USING (o_orderpriority)
+)
+SELECT o_orderpriority, o_orderstatus, round(m, 2) AS total
+FROM ranked WHERE rk <= 2
+"""
+
+
+def stream_expr_scorenodes(spark, sf_dir):
+    from .streaming_expr import run_stream_expr
+
+    out = run_stream_expr(
+        spark,
+        sf_dir,
+        'scoreNodes(nodes(lineitem, search(orders, q="o_totalprice:[150000 TO *]",'
+        ' fl="o_orderkey"), walk="o_orderkey->l_orderkey", gather="l_partkey",'
+        " count(*)))",
+    )
+    # the gate's column compare is case-insensitive on the oracle side only —
+    # expose the reference's camelCase tuple name as lowercase here
+    return out.withColumnRenamed("nodeScore", "nodescore")
+
+
+STREAM_EXPR_SCORENODES_SQL = """
+WITH roots AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice >= 150000),
+hit AS (
+  SELECT l.l_partkey AS node, count(*) AS term_freq
+  FROM lineitem l JOIN roots r ON l.l_orderkey = r.o_orderkey
+  GROUP BY l.l_partkey
+),
+corpus AS (SELECT l_partkey AS node, count(*) AS doc_freq FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT count(*) AS n FROM lineitem)
+SELECT h.node, CAST(h.term_freq AS BIGINT) AS term_freq,
+       CAST(c.doc_freq AS BIGINT) AS doc_freq,
+       round((ln(h.term_freq) + 1.0) * (ln((n + 1.0) / (c.doc_freq + 1.0)) + 1.0), 4)
+         AS nodescore
+FROM hit h JOIN corpus c USING (node), tot
+"""
+
+
+def stream_expr_random(spark, sf_dir):
+    from .streaming_expr import run_stream_expr
+
+    return run_stream_expr(
+        spark,
+        sf_dir,
+        'random(orders, q="o_orderstatus:F", rows=30, seed=r4,'
+        ' fl="o_orderkey,o_custkey")',
+    )
+
+
+STREAM_EXPR_RANDOM_SQL = """
+SELECT o_orderkey, o_custkey FROM (
+  SELECT o_orderkey, o_custkey,
+         md5(CAST(o_orderkey AS VARCHAR) || 'r4') AS rnd
+  FROM orders WHERE o_orderstatus = 'F'
+  ORDER BY rnd ASC, o_orderkey ASC LIMIT 30
+)
+"""
+
+
+def stream_expr_let_col(spark, sf_dir):
+    from .streaming_expr import run_stream_expr
+
+    out = run_stream_expr(
+        spark,
+        sf_dir,
+        'let(a=search(lineitem, q="l_quantity:[48 TO *]",'
+        ' fl="l_orderkey,l_linenumber,l_quantity",'
+        ' sort="l_orderkey asc,l_linenumber asc"),'
+        ' q=col(a, l_quantity), echo="q")',
+    )
+    return out.select(F.col("q").alias("quantities"))
+
+
+STREAM_EXPR_LET_SQL = """
+SELECT list(l_quantity ORDER BY l_orderkey, l_linenumber) AS quantities
+FROM lineitem WHERE l_quantity >= 48
+"""
+
+
+def stream_expr_features(spark, sf_dir):
+    from .streaming_expr import run_stream_expr
+
+    out = run_stream_expr(
+        spark,
+        sf_dir,
+        'features(documents, field="text", outcome="lang:en", numTerms=10,'
+        ' featureSet="fs1")',
+    )
+    return out.withColumnRenamed("featureSet_s", "featureset_s")
+
+
+STREAM_EXPR_FEATURES_SQL = """
+WITH d AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+  FROM documents
+),
+tot AS (SELECT count(*) AS n, sum(y) AS p FROM d),
+dt AS (SELECT doc_id, y, unnest(toks) AS term FROM d),
+counts AS (SELECT term, count(*) AS df, sum(y) AS xc FROM dt GROUP BY term),
+scored AS (
+  SELECT term,
+    (CASE WHEN CAST(p AS DOUBLE) / n <= 0 OR CAST(p AS DOUBLE) / n >= 1 THEN 0.0
+          ELSE -(CAST(p AS DOUBLE) / n) * ln(CAST(p AS DOUBLE) / n)
+               - (1.0 - CAST(p AS DOUBLE) / n) * ln(1.0 - CAST(p AS DOUBLE) / n) END)
+    - (CAST(df AS DOUBLE) / n) *
+      (CASE WHEN CAST(xc AS DOUBLE) / CAST(df AS DOUBLE) <= 0
+              OR CAST(xc AS DOUBLE) / CAST(df AS DOUBLE) >= 1 THEN 0.0
+            ELSE -(CAST(xc AS DOUBLE) / CAST(df AS DOUBLE)) * ln(CAST(xc AS DOUBLE) / CAST(df AS DOUBLE))
+                 - (1.0 - CAST(xc AS DOUBLE) / CAST(df AS DOUBLE)) * ln(1.0 - CAST(xc AS DOUBLE) / CAST(df AS DOUBLE)) END)
+    - (1.0 - CAST(df AS DOUBLE) / n) *
+      (CASE WHEN (CAST(p AS DOUBLE) - xc) / (CAST(n AS DOUBLE) - df + 1.0) <= 0
+              OR (CAST(p AS DOUBLE) - xc) / (CAST(n AS DOUBLE) - df + 1.0) >= 1 THEN 0.0
+            ELSE -((CAST(p AS DOUBLE) - xc) / (CAST(n AS DOUBLE) - df + 1.0)) * ln((CAST(p AS DOUBLE) - xc) / (CAST(n AS DOUBLE) - df + 1.0))
+                 - (1.0 - (CAST(p AS DOUBLE) - xc) / (CAST(n AS DOUBLE) - df + 1.0)) * ln(1.0 - (CAST(p AS DOUBLE) - xc) / (CAST(n AS DOUBLE) - df + 1.0)) END)
+    AS raw,
+    ln((CAST(n AS DOUBLE) + 1.0) / (df + 1.0)) AS idf
+  FROM counts, tot
+),
+top AS (
+  SELECT term, round(raw, 4) AS score_f, round(idf, 6) AS idf_d
+  FROM scored ORDER BY round(raw, 4) DESC, term ASC LIMIT 10
+)
+SELECT 'fs1' AS featureSet_s,
+       CAST(row_number() OVER (ORDER BY score_f DESC, term ASC) AS INT) AS index_i,
+       term AS term_s, score_f, idf_d
+FROM top
+"""
+
+
+def stream_expr_search_page(spark, sf_dir):
+    from .streaming_expr import run_stream_expr
+
+    return run_stream_expr(
+        spark,
+        sf_dir,
+        'search(orders, q="o_orderstatus:O", fq="o_totalprice:[50000 TO *]",'
+        ' fl="o_orderkey,o_totalprice", sort="o_totalprice desc,o_orderkey asc",'
+        " start=10, rows=15)",
+    )
+
+
+STREAM_EXPR_SEARCH_PAGE_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice >= 50000
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 15 OFFSET 10
+"""
+
+
 RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
     "sql_handler_orders": (sql_handler_orders, SQL_HANDLER_STMT),
     "stream_expr_rollup": (stream_expr_rollup, STREAM_EXPR_SQL),
+    "stream_expr_setops": (stream_expr_setops, STREAM_EXPR_SETOPS_SQL),
+    "stream_expr_reduce_top": (stream_expr_reduce_top, STREAM_EXPR_REDUCE_SQL),
+    "stream_expr_significant": (stream_expr_significant, STREAM_EXPR_SIGNIFICANT_SQL),
+    "stream_expr_knn": (stream_expr_knn, STREAM_EXPR_KNN_SQL),
+    "stream_expr_facet2d": (stream_expr_facet2d, STREAM_EXPR_FACET2D_SQL),
+    "stream_expr_scorenodes": (stream_expr_scorenodes, STREAM_EXPR_SCORENODES_SQL),
+    "stream_expr_random": (stream_expr_random, STREAM_EXPR_RANDOM_SQL),
+    "stream_expr_let_col": (stream_expr_let_col, STREAM_EXPR_LET_SQL),
+    "stream_expr_features": (stream_expr_features, STREAM_EXPR_FEATURES_SQL),
+    "stream_expr_search_page": (stream_expr_search_page, STREAM_EXPR_SEARCH_PAGE_SQL),
     "stats_cardinality": (stats_cardinality, STATS_CARDINALITY_SQL),
     "block_join_child_facets": (block_join_child_facets, BLOCK_JOIN_FACETS_SQL),
     "random_sample_orders": (random_sample_orders, RANDOM_SAMPLE_SQL),

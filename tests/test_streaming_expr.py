@@ -245,3 +245,180 @@ def test_timeseries_cartesian_fetch_nodes(spark):
         .distinct()
     )
     assert n.count() == want.count()
+
+
+# ---------------------------------------------------------------------------
+# round 4: the full Lang.java head registry
+
+
+def test_intersect_complement_reduce_distinct(spark):
+    from lucene_solr_spark.relational import _t
+
+    has = run_stream_expr(
+        spark,
+        SF,
+        'intersect(search(customer, fl="c_custkey"),'
+        ' search(orders, fl="o_custkey"), on="c_custkey=o_custkey")',
+    )
+    hasnt = run_stream_expr(
+        spark,
+        SF,
+        'complement(search(customer, fl="c_custkey"),'
+        ' search(orders, fl="o_custkey"), on="c_custkey=o_custkey")',
+    )
+    total = _t(spark, SF, "customer").count()
+    assert has.count() + hasnt.count() == total
+    assert has.join(hasnt, "c_custkey").count() == 0
+
+    # reduce(distinct()) = first tuple per key in stream sort order
+    rd = run_stream_expr(
+        spark,
+        SF,
+        'reduce(search(orders, sort="o_totalprice desc,o_orderkey asc",'
+        ' fl="o_custkey,o_orderkey,o_totalprice"), by="o_custkey", distinct())',
+    )
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    want = (
+        _t(spark, SF, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .drop("rk")
+    )
+    assert _rows(rd) == _rows(want)
+
+
+def test_ml_chain_train_model_classify(spark, tmp_path_factory):
+    """features → train → update(dest) → model(id) → classify: the TextLogit
+    chain end-to-end from one expression string each, with the classify
+    scores re-derived by hand from the stored model tuple."""
+    import math
+    import re as _re
+
+    dest = str(tmp_path_factory.mktemp("mdl") / "models")
+    trained = run_stream_expr(
+        spark,
+        SF,
+        f'update(train(documents, features(documents, field="text",'
+        f' outcome="lang:en", numTerms=4), field="text", outcome="lang:en",'
+        f' maxIterations=2, name="m1"), dest="{dest}")',
+    )
+    rows = trained.orderBy("iteration_i").collect()
+    assert [r.iteration_i for r in rows] == [1, 2]
+    assert len(rows[0].weights_ds) == 5  # intercept + 4 terms
+    assert len(rows[0].terms_ss) == 4
+
+    m = run_stream_expr(spark, SF, f'model("{dest}", id="m1")').collect()
+    assert len(m) == 1 and m[0].iteration_i == 2
+
+    got = run_stream_expr(
+        spark,
+        SF,
+        f'classify(model("{dest}", id="m1"), search(documents, q="lang:de",'
+        f' fl="doc_id,text"), field="text")',
+    )
+    out = sorted((r.doc_id, r.score_d, r.probability_d, r.text) for r in got.collect())
+    assert out
+    mrow = m[0]
+    idx = {
+        t: (w, i)
+        for t, w, i in zip(mrow.terms_ss, mrow.weights_ds[1:], mrow.idfs_ds)
+    }
+    for doc_id, score, prob, text in out[:5]:
+        tf = {}
+        for t in _re.findall(r"[a-z0-9]+", text.lower()):
+            if t in idx:
+                tf[t] = tf.get(t, 0) + 1
+        z = mrow.weights_ds[0] + sum(
+            idx[t][1] * (1.0 + math.log(c)) * idx[t][0] for t, c in tf.items()
+        )
+        assert abs(score - z) < 1e-3
+        assert abs(prob - 1.0 / (1.0 + math.exp(-z))) < 1e-3
+
+
+def test_shortest_path_expr(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"), ("a", "x")],
+        "src string, dst string",
+    )
+    edges.write.mode("overwrite").parquet(str(tmp_path / "g.parquet"))
+    got = run_stream_expr(
+        spark,
+        str(tmp_path),
+        'shortestPath(g, from="a", to="d", edge="src=dst", maxDepth=4)',
+    ).collect()
+    assert sorted(tuple(r.path) for r in got) == [("a", "b", "d"), ("a", "c", "d")]
+    assert {r.dist for r in got} == {2}
+    # unreachable (directed) within maxDepth → empty
+    none = run_stream_expr(
+        spark,
+        str(tmp_path),
+        'shortestPath(g, from="e", to="a", edge="src=dst", maxDepth=3)',
+    )
+    assert none.count() == 0
+
+
+def test_small_heads(spark):
+    assert run_stream_expr(spark, SF, "echo(hello)").collect()[0].echo == "hello"
+
+    lst = run_stream_expr(
+        spark, SF, 'list(search(region, fl="r_name"), search(nation, fl="n_name as r_name"))'
+    )
+    assert lst.count() == 30
+
+    nul = run_stream_expr(spark, SF, "null(search(region))").collect()
+    assert nul[0].nullCount == 5
+
+    # priority: high-priority stream empty → low drains; else high wins
+    assert (
+        run_stream_expr(
+            spark, SF, 'priority(search(region, q="r_regionkey:[99 TO *]"), search(nation))'
+        ).count()
+        == 25
+    )
+    assert run_stream_expr(spark, SF, "priority(search(region), search(nation))").count() == 5
+
+    # calc(): collection-free evaluator math
+    assert run_stream_expr(spark, SF, 'select(calc(), "add(1, 2) as x")').collect()[0].x == 3
+
+    # eval(): run the first tuple's expr_s
+    ev = run_stream_expr(spark, SF, 'eval(tuple(expr_s="search(region, fl=\\"r_name\\")"))')
+    assert ev.count() == 5
+
+    # daemon: one-iteration pass-through
+    assert (
+        run_stream_expr(spark, SF, 'daemon(search(region), id="d1", runInterval="1000")').count()
+        == 5
+    )
+
+
+def test_executor_tuple_get_sql(spark):
+    ex = run_stream_expr(spark, SF, 'executor(tuple(expr_s="search(region)"))')
+    assert [r.expr_s for r in ex.collect()] == ["search(region)"]
+
+    t = run_stream_expr(spark, SF, "tuple(a=1, b=add(2, 3))").collect()[0]
+    assert str(t.a) == "1" and t.b == 5
+
+    g = run_stream_expr(
+        spark, SF, 'let(a=search(region, fl="r_name", sort="r_name asc"), get(a))'
+    )
+    assert g.count() == 5
+
+    s = run_stream_expr(spark, SF, 'sql(stmt="SELECT count(*) AS n FROM region")').collect()
+    assert s[0].n == 5
+
+
+def test_topic_head_incremental(spark, tmp_path):
+    first = run_stream_expr(
+        spark, SF, f'topic("{tmp_path}", documents, q="hash", id="t1")'
+    )
+    assert first.count() > 0
+    again = run_stream_expr(
+        spark, SF, f'topic("{tmp_path}", documents, q="hash", id="t1")'
+    )
+    assert again.count() == 0
