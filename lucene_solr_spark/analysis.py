@@ -341,7 +341,7 @@ def parse_synonym_rules(path: str) -> dict:
                     raise ValueError(f"bad synonym rule: {raw!r}")
                 if any(" " in t for t in items):
                     raise ValueError(
-                        f"multi-word synonyms unsupported (single-token chain): {raw!r}"
+                        f"multi-word synonyms need the query-time graph path (synonymq: via parse_query): {raw!r}"
                     )
                 for t in lhs_items:
                     _add(t, True, rhs_items)
@@ -351,11 +351,63 @@ def parse_synonym_rules(path: str) -> dict:
                     raise ValueError(f"bad synonym rule: {raw!r}")
                 if any(" " in t for t in items):
                     raise ValueError(
-                        f"multi-word synonyms unsupported (single-token chain): {raw!r}"
+                        f"multi-word synonyms need the query-time graph path (synonymq: via parse_query): {raw!r}"
                     )
                 for t in items:
                     _add(t, False, (o for o in items if o != t))
     return rules
+
+
+def parse_synonym_rules_graph(path: str) -> dict:
+    """Solr synonyms.txt with MULTI-WORD entries allowed — the token-graph
+    form ``QueryBuilder.analyzeGraphPhrase`` consumes (reference
+    ``lucene/core/src/java/org/apache/lucene/util/QueryBuilder.java:586``,
+    ``analysis/common/.../synonym/SynonymGraphFilter.java:58``).
+
+    Returns ``{first_word: [(lhs_words, replace, output_paths), ...]}`` with
+    candidates longest-LHS-first per bucket (``SynonymMap``'s FST
+    longest-match contract: at each token the longest matching LHS wins and
+    scanning resumes after it). Query-time only: the posting format stores
+    no posLength, so multi-word rules compile into the QUERY graph
+    (PhraseQuery / SpanNear alternatives in ``search/query.py``), never into
+    the index — the same one-sided configuration the reference javadoc
+    recommends for multi-word synonyms (index-time graph flattening is
+    lossy there too)."""
+    merged: dict[tuple, tuple[bool, tuple]] = {}
+
+    def _add(lhs: tuple, replace: bool, outs):
+        old = merged.get(lhs)
+        if old is None:
+            merged[lhs] = (replace, tuple(outs))
+            return
+        old_replace, old_outs = old
+        merged[lhs] = (old_replace and replace, tuple(dict.fromkeys((*old_outs, *outs))))
+
+    with open(path) as f:
+        for raw in f:
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if "=>" in line:
+                lhs_s, rhs_s = line.split("=>", 1)
+                lhs_items = [tuple(t.strip().lower().split()) for t in lhs_s.split(",") if t.strip()]
+                rhs_items = [tuple(t.strip().lower().split()) for t in rhs_s.split(",") if t.strip()]
+                if not lhs_items or not rhs_items:
+                    raise ValueError(f"bad synonym rule: {raw!r}")
+                for lhs in lhs_items:
+                    _add(lhs, True, rhs_items)
+            else:
+                items = [tuple(t.strip().lower().split()) for t in line.split(",") if t.strip()]
+                if len(items) < 2:
+                    raise ValueError(f"bad synonym rule: {raw!r}")
+                for lhs in items:
+                    _add(lhs, False, (o for o in items if o != lhs))
+    by_first: dict[str, list] = {}
+    for lhs, (replace, outs) in merged.items():
+        by_first.setdefault(lhs[0], []).append((lhs, replace, outs))
+    for cands in by_first.values():
+        cands.sort(key=lambda c: -len(c[0]))
+    return by_first
 
 
 def make_synonym_analyzer(base_fn, rules: dict):

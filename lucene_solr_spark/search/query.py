@@ -25,6 +25,7 @@ analysis chain as documents (``util/QueryBuilder.java:60-135``).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 from ..analysis import ANALYZERS, NGRAM_SIZES, QUERY_CHAIN
 
@@ -500,12 +501,141 @@ def _slots(terms, pos) -> list[tuple[str, ...]]:
     return [tuple(dict.fromkeys(by_pos[p])) for p in sorted(by_pos)]
 
 
+# ---------------------------------------------------------------------------
+# multi-word query-time synonyms (QueryBuilder.analyzeGraphBoolean /
+# analyzeGraphPhrase, util/QueryBuilder.java:540-640 + SynonymGraphFilter
+# token-graph semantics, analysis/common/.../synonym/SynonymGraphFilter.
+# java:58). The posting format stores no posLength, so multi-word rules are
+# compiled HERE — into the query graph — rather than into a token stream:
+# each matched span becomes a component whose alternatives are the original
+# tokens plus every output path. Components stay FACTORED (SynonymQuery /
+# BooleanQuery-of-phrases / SpanOr per component) instead of the reference's
+# up-to-1024 enumerated full paths — same match semantics, no combinatorial
+# blowup.
+
+
+def _graph_synonyms(analyzer):
+    """synonymq: spec whose rules include multi-word entries →
+    (base_chain, graph_rules); single-token specs return None and keep the
+    stacked-token path (identical query shapes to rounds 1-3)."""
+    from ..analysis import _synonym_spec
+
+    if not (isinstance(analyzer, str) and analyzer.startswith("synonymq:")):
+        return None
+    base, path = _synonym_spec(analyzer)
+    rules = _graph_rules_cached(path)
+    multi = any(
+        len(lhs) > 1 or any(len(o) > 1 for o in outs)
+        for cands in rules.values()
+        for lhs, _rep, outs in cands
+    )
+    return (base, rules) if multi else None
+
+
+@lru_cache(maxsize=256)
+def _graph_rules_cached(path: str):
+    from ..analysis import parse_synonym_rules_graph
+
+    return parse_synonym_rules_graph(path)
+
+
+def _graph_components(terms, rules) -> list[tuple[tuple[str, ...], ...]]:
+    """Left-to-right longest-match over the base token stream. Each
+    component is a tuple of alternative token paths; unmatched tokens are
+    single-path components. Matches never overlap (SynonymMap resumes
+    scanning after a match)."""
+    comps: list[tuple] = []
+    i, n = 0, len(terms)
+    while i < n:
+        hit = None
+        for lhs, replace, outs in rules.get(terms[i], ()):
+            if tuple(terms[i : i + len(lhs)]) == lhs:
+                hit = (lhs, replace, outs)
+                break
+        if hit is None:
+            comps.append(((terms[i],),))
+            i += 1
+            continue
+        lhs, replace, outs = hit
+        alts = outs if replace else (lhs, *outs)
+        comps.append(tuple(dict.fromkeys(alts)))
+        i += len(lhs)
+    return comps
+
+
+def _path_query(path: tuple[str, ...]) -> Query:
+    return (
+        TermQuery(path[0])
+        if len(path) == 1
+        else PhraseQuery(path, tuple(range(len(path))))
+    )
+
+
+def _graph_boolean(text: str, base: str, rules) -> Query:
+    """analyzeGraphBoolean role: per component, single-token alternatives
+    blend as SynonymQuery; a component with a multi-token path becomes a
+    SHOULD over per-path Term/Phrase queries; components conjoin."""
+    terms, _pos = ANALYZERS[base](text)
+    if not terms:
+        return MatchNoneQuery()
+    per_comp = []
+    for alts in _graph_components(terms, rules):
+        if len(alts) == 1:
+            per_comp.append(_path_query(alts[0]))
+        elif all(len(a) == 1 for a in alts):
+            per_comp.append(SynonymQuery(tuple(a[0] for a in alts)))
+        else:
+            per_comp.append(BooleanQuery(should=tuple(_path_query(a) for a in alts)))
+    if len(per_comp) == 1:
+        return per_comp[0]
+    return BooleanQuery(must=tuple(per_comp))
+
+
+def _path_span(path: tuple[str, ...]) -> Query:
+    return (
+        SpanTermQuery(path[0])
+        if len(path) == 1
+        else SpanNearQuery(tuple(SpanTermQuery(t) for t in path), slop=0, in_order=True)
+    )
+
+
+def _graph_phrase(text: str, slop: int, base: str, rules) -> Query:
+    """analyzeGraphPhrase role (QueryBuilder.java:586): SpanNear over
+    per-component clauses — SpanOr where a component has alternatives,
+    nested zero-slop SpanNear for multi-token paths."""
+    terms, pos = ANALYZERS[base](text)
+    if not terms:
+        return MatchNoneQuery()
+    comps = _graph_components(terms, rules)
+    if all(len(alts) == 1 and len(alts[0]) == 1 for alts in comps):
+        # no synonym touched the phrase: keep the plain positional phrase
+        # (exact positions, stopword gaps intact)
+        base_pos = tuple(p - pos[0] for p in pos)
+        if len(terms) == 1:
+            return TermQuery(terms[0])
+        if slop > 0:
+            return SloppyPhraseQuery(tuple(terms), base_pos, slop)
+        return PhraseQuery(tuple(terms), base_pos)
+    clauses = tuple(
+        _path_span(alts[0])
+        if len(alts) == 1
+        else SpanOrQuery(tuple(_path_span(a) for a in alts))
+        for alts in comps
+    )
+    if len(clauses) == 1:
+        return clauses[0]
+    return SpanNearQuery(clauses, slop=slop, in_order=True)
+
+
 def _analyze_to_query(text: str, analyzer: str) -> Query:
     """One query-text fragment → Term / Synonym / boolean
     (``QueryBuilder.createBooleanQuery`` + ``analyzeGraphBoolean``,
     ``util/QueryBuilder.java:120-180,540-570``): a position slot with
     stacked tokens — a query-time synonym chain — becomes a SynonymQuery
     (scored as one pseudo-term), slots combine as a conjunction."""
+    g = _graph_synonyms(analyzer)
+    if g is not None:
+        return _graph_boolean(text, *g)
     terms, pos = ANALYZERS[analyzer](text)
     if not terms:
         return MatchNoneQuery()
@@ -528,9 +658,6 @@ def parse_query(text: str, analyzer: str = "code") -> Query:
     return _parse_query_cached(text.strip(), analyzer)
 
 
-from functools import lru_cache
-
-
 @lru_cache(maxsize=65536)
 def _parse_query_cached(text: str, analyzer: str = "code") -> Query:
     # MatchAllDocsQuery syntax (Solr/classic QueryParser "*:*")
@@ -545,6 +672,9 @@ def _parse_query_cached(text: str, analyzer: str = "code") -> Query:
         if body.endswith('"'):
             text, slop = body, int(s)
     if text.startswith('"') and text.endswith('"') and len(text) > 1:
+        g = _graph_synonyms(analyzer)
+        if g is not None:
+            return _graph_phrase(text[1:-1], slop, *g)
         terms, pos = ANALYZERS[analyzer](text[1:-1])
         if not terms:
             return MatchNoneQuery()
