@@ -11,13 +11,18 @@ manipulated with the higher-order builtins (``transform``/``aggregate``/
 ``zip_with``/``slice``/``filter``) — whole-stage codegen applies, no Python
 in the row path.
 
-Scope (documented): per-tuple evaluators only. Names that need driver-side
-model state (kmeans/fft/loess/spline/distributions/monteCarlo) or matrices
-are out — the ones that map 1:1 onto Spark built-ins are in (the judge's
-"pragmatic zoo" subset, VERDICT r2 #8). ``corr``/``regress``/``movingAvg``
-over whole relations live in ``relational.py`` (streaming-expression ops);
-here ``movingAvg``/``diff`` are the per-tuple ARRAY forms
-(``MovingAverageEvaluator.java``, ``TimeDifferencingEvaluator.java``).
+Scope (documented): per-tuple evaluators only — 170 names. Round 4 adds the
+deterministic model-state tranche (distributions as value-typed structs +
+cumulativeProbability/probability/density, regress/predict/residuals,
+polyfit via Cramer-solved normal equations, knn rows, fft/convolve/
+oscillate/primes, bias-corrected skewness/kurtosis). Still out: names that
+need an RNG (``sample``/``monteCarlo``/``random*``) or runtime-sized model
+state a Column cannot hold (``kmeans``/``loess``/``spline`` — the engine's
+k-means is ``textops.cluster_results_docs``). ``corr``/``regress``/
+``movingAvg`` over whole relations live in ``relational.py``
+(streaming-expression ops); here ``movingAvg``/``diff`` are the per-tuple
+ARRAY forms (``MovingAverageEvaluator.java``,
+``TimeDifferencingEvaluator.java``).
 
 ``let()`` (``solr/solrj/.../io/stream/LetStream.java``) is the variable-
 binding wrapper: ``parse_let`` parses ``let(a=expr, b=expr(a), ...)`` into
@@ -532,3 +537,489 @@ def apply_let(df: DataFrame, text: str) -> DataFrame:
     for name, col in parse_let(text):
         df = df.withColumn(name, col)
     return df
+
+
+# --------------------------------------------------------------------------
+# round 4: the deterministic model-state tranche — distributions, regression
+# / curve fitting, signal and number-theory names (reference
+# ``solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/*Evaluator.java``,
+# registered in ``Lang.java:116-330``). A distribution VALUE is a struct
+# Column ``(d = tag, p = params-or-data)`` consumed by cumulativeProbability
+# / probability / density — no driver state, so the same expression runs on
+# every engine deterministically. Sampling names (``sample``, ``monteCarlo``,
+# ``random*``) stay out: they need an RNG (documented). ``kmeans``'s array
+# form needs runtime-sized model state a Column expression cannot hold —
+# the engine's k-means is ``textops.cluster_results_docs`` (documented).
+
+import math as _math
+
+_SQRT2 = 1.4142135623730951
+
+
+def _erf(x: Column) -> Column:
+    """Abramowitz & Stegun 7.1.26 polynomial erf (|err| < 1.5e-7) — the
+    engine's documented deterministic approximation (Catalyst has no erf);
+    both the Spark side and any SQL oracle use this same polynomial."""
+    ax = F.abs(x)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * ax)
+    poly = t * (
+        F.lit(0.254829592)
+        + t
+        * (
+            F.lit(-0.284496736)
+            + t * (F.lit(1.421413741) + t * (F.lit(-1.453152027) + t * F.lit(1.061405429)))
+        )
+    )
+    e = F.lit(1.0) - poly * F.exp(-ax * ax)
+    return F.when(x < 0, -e).otherwise(e)
+
+
+def _norm_cdf(x: Column, m: Column, sd: Column) -> Column:
+    return F.lit(0.5) * (F.lit(1.0) + _erf((x - m) / (sd * F.lit(_SQRT2))))
+
+
+def _lgamma(x: Column) -> Column:
+    """Lanczos log-gamma (g=7, the classic 9 public coefficients), x > 0;
+    |rel err| ~1e-13 — within the 6dp the evaluator tests pin."""
+    g = [
+        0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+        771.32342877765313, -176.61502916214059, 12.507343278686905,
+        -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7,
+    ]
+    xm1 = x - 1.0
+    s = F.lit(g[0])
+    for i, c in enumerate(g[1:], 1):
+        s = s + F.lit(c) / (xm1 + F.lit(float(i)))
+    t = xm1 + 7.5
+    return (
+        F.lit(0.5 * _math.log(2 * _math.pi))
+        + (xm1 + 0.5) * F.log(t)
+        - t
+        + F.log(s)
+    )
+
+
+def _gammainc_p(a: Column, x: Column) -> Column:
+    """Regularized lower incomplete gamma P(a, x) by the standard series
+    γ(a,x) = x^a e^−x Σ xⁿ/(a(a+1)…(a+n)) with a FIXED 160 terms —
+    converges for the x ≲ a + 120 regime distribution CDFs live in; the
+    result is clamped to [0, 1]."""
+    s = F.aggregate(
+        F.sequence(F.lit(1), F.lit(160)),
+        F.struct(F.lit(1.0).alias("t"), F.lit(1.0).alias("s")),
+        lambda acc, n: F.struct(
+            (acc["t"] * x / (a + n.cast("double"))).alias("t"),
+            (acc["s"] + acc["t"] * x / (a + n.cast("double"))).alias("s"),
+        ),
+        lambda acc: acc["s"],
+    )
+    p = s * F.exp(a * F.log(x) - x - _lgamma(a + 1.0))
+    return F.when(x <= 0, F.lit(0.0)).otherwise(
+        F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
+    )
+
+
+def _dist(tag: str, *params: Column) -> Column:
+    return F.struct(
+        F.lit(tag).alias("d"),
+        F.array(*[p.cast("double") for p in params]).alias("p"),
+    )
+
+
+def _dist_data(tag: str, arr: Column) -> Column:
+    return F.struct(F.lit(tag).alias("d"), arr.cast("array<double>").alias("p"))
+
+
+def _binom_pmf(n: Column, p: Column, j: Column) -> Column:
+    return F.exp(
+        _lgamma(n + 1.0)
+        - _lgamma(j + 1.0)
+        - _lgamma(n - j + 1.0)
+        + j * F.log(p)
+        + (n - j) * F.log(F.lit(1.0) - p)
+    )
+
+
+def _pois_pmf(lam: Column, j: Column) -> Column:
+    return F.exp(-lam + j * F.log(lam) - _lgamma(j + 1.0))
+
+
+def _zipf_h(n: Column, s: Column) -> Column:
+    return F.aggregate(
+        F.sequence(F.lit(1), n.cast("int")),
+        F.lit(0.0),
+        lambda acc, j: acc + F.lit(1.0) / F.pow(j.cast("double"), s),
+    )
+
+
+def _dsum(x: Column, pmf, lo: int = 0) -> Column:
+    """Σ_{j=lo..⌊x⌋} pmf(j) — discrete CDF by direct summation."""
+    k = F.floor(x).cast("int")
+    return F.when(x < F.lit(float(lo)), F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(lo), F.greatest(k, F.lit(lo))),
+            F.lit(0.0),
+            lambda s, j: s + pmf(j.cast("double")),
+        )
+    )
+
+
+def _cdf(dist: Column, x: Column) -> Column:
+    d, p = dist["d"], dist["p"]
+    a, b, c = F.element_at(p, 1), F.element_at(p, 2), F.element_at(p, 3)
+    kf = F.floor(x)
+    tri = (
+        F.when(x <= a, F.lit(0.0))
+        .when(x <= b, (x - a) * (x - a) / ((c - a) * (b - a)))
+        .when(x < c, F.lit(1.0) - (c - x) * (c - x) / ((c - a) * (c - b)))
+        .otherwise(F.lit(1.0))
+    )
+    emp = F.size(F.filter(p, lambda v: v <= x)).cast("double") / F.size(p)
+    return (
+        F.when(d == "normal", _norm_cdf(x, a, b))
+        .when(
+            d == "lognormal",
+            F.when(x <= 0, F.lit(0.0)).otherwise(_norm_cdf(F.log(x), a, b)),
+        )
+        .when(
+            d == "uniform",
+            F.least(F.greatest((x - a) / (b - a), F.lit(0.0)), F.lit(1.0)),
+        )
+        .when(
+            d == "uniformint",
+            F.least(F.greatest((kf - a + 1) / (b - a + 1), F.lit(0.0)), F.lit(1.0)),
+        )
+        .when(d == "triangular", tri)
+        .when(
+            d == "weibull",
+            F.when(x <= 0, F.lit(0.0)).otherwise(
+                F.lit(1.0) - F.exp(-F.pow(x / b, a))
+            ),
+        )
+        .when(d == "constant", (x >= a).cast("double"))
+        .when(d == "gamma", _gammainc_p(a, x / b))
+        .when(d == "binomial", _dsum(x, lambda j: _binom_pmf(a, b, j)))
+        .when(d == "poisson", _dsum(x, lambda j: _pois_pmf(a, j)))
+        .when(
+            d == "geometric",
+            F.when(x < 0, F.lit(0.0)).otherwise(
+                F.lit(1.0) - F.pow(F.lit(1.0) - a, kf + 1)
+            ),
+        )
+        .when(d == "zipf", _dsum(x, lambda j: F.lit(1.0) / F.pow(j, b) / _zipf_h(a, b), lo=1))
+        .when((d == "empirical") | (d == "enumerated"), emp)
+        .otherwise(F.lit(None).cast("double"))
+    )
+
+
+def _pmf(dist: Column, x: Column) -> Column:
+    d, p = dist["d"], dist["p"]
+    a, b = F.element_at(p, 1), F.element_at(p, 2)
+    frac_eq = F.size(F.filter(p, lambda v: v == x)).cast("double") / F.size(p)
+    return (
+        F.when(d == "binomial", _binom_pmf(a, b, x))
+        .when(d == "poisson", _pois_pmf(a, x))
+        .when(d == "geometric", a * F.pow(F.lit(1.0) - a, x))
+        .when(
+            d == "uniformint",
+            F.when((x >= a) & (x <= b), F.lit(1.0) / (b - a + 1)).otherwise(F.lit(0.0)),
+        )
+        .when(d == "zipf", F.lit(1.0) / F.pow(x, b) / _zipf_h(a, b))
+        .when(d == "constant", (x == a).cast("double"))
+        .when(d == "enumerated", frac_eq)
+        .otherwise(F.lit(0.0))  # continuous point probability is 0
+    )
+
+
+def _probability(dist: Column, *args: Column) -> Column:
+    """ProbabilityEvaluator: pmf at a point (discrete) or, with two bounds,
+    the interval probability CDF(hi) − CDF(lo) (the commons-math
+    ``probability(x0, x1)`` continuous form)."""
+    if len(args) == 2:
+        return _cdf(dist, args[1]) - _cdf(dist, args[0])
+    return _pmf(dist, args[0])
+
+
+def _density(dist: Column, x: Column) -> Column:
+    d, p = dist["d"], dist["p"]
+    a, b, c = F.element_at(p, 1), F.element_at(p, 2), F.element_at(p, 3)
+    inv_sqrt2pi = 1.0 / _math.sqrt(2 * _math.pi)
+    norm_pdf = (
+        F.lit(inv_sqrt2pi) / b * F.exp(-(x - a) * (x - a) / (F.lit(2.0) * b * b))
+    )
+    logn_pdf = F.lit(inv_sqrt2pi) / (x * b) * F.exp(
+        -(F.log(x) - a) * (F.log(x) - a) / (F.lit(2.0) * b * b)
+    )
+    tri_pdf = (
+        F.when((x < a) | (x > c), F.lit(0.0))
+        .when(x < b, F.lit(2.0) * (x - a) / ((c - a) * (b - a)))
+        .when(x > b, F.lit(2.0) * (c - x) / ((c - a) * (c - b)))
+        .otherwise(F.lit(2.0) / (c - a))
+    )
+    weib_pdf = F.when(x <= 0, F.lit(0.0)).otherwise(
+        (a / b) * F.pow(x / b, a - 1.0) * F.exp(-F.pow(x / b, a))
+    )
+    gamma_pdf = F.when(x <= 0, F.lit(0.0)).otherwise(
+        F.exp((a - 1.0) * F.log(x) - x / b - _lgamma(a) - a * F.log(b))
+    )
+    return (
+        F.when(d == "normal", norm_pdf)
+        .when(d == "lognormal", F.when(x <= 0, F.lit(0.0)).otherwise(logn_pdf))
+        .when(
+            d == "uniform",
+            F.when((x >= a) & (x <= b), F.lit(1.0) / (b - a)).otherwise(F.lit(0.0)),
+        )
+        .when(d == "triangular", tri_pdf)
+        .when(d == "weibull", weib_pdf)
+        .when(d == "gamma", gamma_pdf)
+        .otherwise(F.lit(None).cast("double"))
+    )
+
+
+# -- regression / curve fitting ---------------------------------------------
+
+
+def _regress(x: Column, y: Column) -> Column:
+    """RegressionEvaluator (commons SimpleRegression): OLS over paired
+    arrays → tuple (slope, intercept, R, RSquared)."""
+    mx, my = _mean(x), _mean(y)
+    sxy = F.aggregate(
+        F.zip_with(x, y, lambda a, b: (a - mx) * (b - my)), F.lit(0.0), lambda s, v: s + v
+    )
+    sxx = F.aggregate(x, F.lit(0.0), lambda s, v: s + (v - mx) * (v - mx))
+    syy = F.aggregate(y, F.lit(0.0), lambda s, v: s + (v - my) * (v - my))
+    slope = sxy / sxx
+    r = sxy / F.sqrt(sxx * syy)
+    return F.struct(
+        slope.alias("slope"),
+        (my - slope * mx).alias("intercept"),
+        r.alias("R"),
+        (r * r).alias("RSquared"),
+    )
+
+
+def _det(A: list) -> Column:
+    """Determinant of a small matrix of Columns by cofactor expansion —
+    built in PYTHON at plan time (≤ 4×4 here), evaluated JVM-side."""
+    if len(A) == 1:
+        return A[0][0]
+    out = None
+    for j in range(len(A)):
+        minor = [row[:j] + row[j + 1 :] for row in A[1:]]
+        term = A[0][j] * _det(minor)
+        if j % 2 == 1:
+            term = -term
+        out = term if out is None else out + term
+    return out
+
+
+def _polyfit(y: Column, degree: Column | None = None) -> Column:
+    """PolyFitEvaluator: least-squares polynomial over x = 0..n−1 via the
+    normal equations, solved by Cramer's rule (degrees 1-3; the Solr default
+    is 3). Returns coefficients ascending-degree, like commons
+    PolynomialCurveFitter."""
+    n = F.size(y)
+    xs = F.transform(F.sequence(F.lit(0), n - 1), lambda i: i.cast("double"))
+
+    def S(k):
+        return F.aggregate(xs, F.lit(0.0), lambda s, v: s + F.pow(v, F.lit(float(k))))
+
+    def T(k):
+        return F.aggregate(
+            F.zip_with(xs, y, lambda a, b: F.pow(a, F.lit(float(k))) * b),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    Ss = [S(k) for k in range(7)]
+    Ts = [T(k) for k in range(4)]
+
+    def solve(d):
+        A = [[Ss[i + j] for j in range(d + 1)] for i in range(d + 1)]
+        det = _det(A)
+        coefs = []
+        for j in range(d + 1):
+            Aj = [
+                [(Ts[i] if jj == j else A[i][jj]) for jj in range(d + 1)]
+                for i in range(d + 1)
+            ]
+            coefs.append(_det(Aj) / det)
+        return F.array(*coefs)
+
+    dg = F.lit(3) if degree is None else degree.cast("int")
+    return F.when(dg == 1, solve(1)).when(dg == 2, solve(2)).otherwise(solve(3))
+
+
+def _knn_rows(m: Column, v: Column, k: Column) -> Column:
+    """KnnEvaluator array form: the k rows of matrix m nearest to vector v
+    (euclidean), nearest first."""
+    scored = F.transform(
+        m,
+        lambda row: F.struct(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(row, v, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda s, z: s + z,
+                )
+            ).alias("dist"),
+            row.alias("r"),
+        ),
+    )
+    return F.transform(F.slice(F.array_sort(scored), 1, k.cast("int")), lambda s: s["r"])
+
+
+# -- signal / number theory ---------------------------------------------------
+
+
+def _convolve(a: Column, b: Column) -> Column:
+    """ConvolutionEvaluator: full convolution, length |a|+|b|−1."""
+    na, nb = F.size(a), F.size(b)
+    return F.transform(
+        F.sequence(F.lit(0), na + nb - 2),
+        lambda k: F.aggregate(
+            F.sequence(F.greatest(F.lit(0), k - nb + 1), F.least(k, na - 1)),
+            F.lit(0.0),
+            lambda s, j: s
+            + F.element_at(a, (j + 1).cast("int"))
+            * F.element_at(b, (k - j + 1).cast("int")),
+        ),
+    )
+
+
+def _fft(arr: Column) -> Column:
+    """FFTEvaluator shape: returns [real[], imag[]] — computed as a direct
+    DFT (O(n²) inside one row's array; the per-tuple regime these run in)."""
+    n = F.size(arr)
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def comp(trig):
+        return F.transform(
+            idx,
+            lambda k: F.aggregate(
+                F.zip_with(
+                    arr,
+                    idx,
+                    lambda v, j: v
+                    * trig(
+                        F.lit(-2.0 * _math.pi)
+                        * k.cast("double")
+                        * j.cast("double")
+                        / n.cast("double")
+                    ),
+                ),
+                F.lit(0.0),
+                lambda s, z: s + z,
+            ),
+        )
+
+    return F.array(comp(F.cos), comp(F.sin))
+
+
+def _oscillate(amp: Column, ang: Column, phase: Column) -> Column:
+    """OscillateEvaluator: 128-sample sine wave amp·sin(ang·i + phase)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(127)),
+        lambda i: amp * F.sin(ang * i.cast("double") + phase),
+    )
+
+
+def _primes(n: Column, start: Column) -> Column:
+    """PrimesEvaluator: the first n primes ≥ start (trial division over a
+    bounded candidate window)."""
+    lo = F.greatest(start.cast("int"), F.lit(2))
+    cand = F.sequence(lo, lo + n.cast("int") * 20 + 200)
+    isp = lambda x: ~F.exists(
+        F.sequence(F.lit(2), F.greatest(F.floor(F.sqrt(x)).cast("int"), F.lit(2))),
+        lambda d: (x % d == 0) & (d < x),
+    )
+    return F.transform(
+        F.slice(F.filter(cand, isp), 1, n.cast("int")), lambda v: v.cast("double")
+    )
+
+
+def _haversine_m(*args: Column) -> Column:
+    """HaversineMetersEvaluator: great-circle metres between [lat, lon]
+    arrays (2-arg form) or four scalars; mean earth radius 6371008.7714 m
+    (Lucene GeoUtils constant)."""
+    if len(args) == 2:
+        o, t = args
+        lat1, lon1 = F.element_at(o, 1), F.element_at(o, 2)
+        lat2, lon2 = F.element_at(t, 1), F.element_at(t, 2)
+    else:
+        lat1, lon1, lat2, lon2 = args
+    rad = _math.pi / 180.0
+    dlat = (lat2 - lat1) * rad
+    dlon = (lon2 - lon1) * rad
+    h = F.pow(F.sin(dlat / 2), 2) + F.cos(lat1 * F.lit(rad)) * F.cos(
+        lat2 * F.lit(rad)
+    ) * F.pow(F.sin(dlon / 2), 2)
+    return F.lit(2.0 * 6371008.7714) * F.asin(F.sqrt(h))
+
+
+EVALUATORS.update(
+    {
+        # distribution constructors (commons-math parameterizations)
+        "normalDistribution": lambda m, sd: _dist("normal", m, sd),
+        "logNormalDistribution": lambda scale, shape: _dist("lognormal", scale, shape),
+        "uniformDistribution": lambda lo, hi: _dist("uniform", lo, hi),
+        "uniformIntegerDistribution": lambda lo, hi: _dist("uniformint", lo, hi),
+        "triangularDistribution": lambda lo, mode, hi: _dist("triangular", lo, mode, hi),
+        "weibullDistribution": lambda shape, scale: _dist("weibull", shape, scale),
+        "constantDistribution": lambda v: _dist("constant", v),
+        "binomialDistribution": lambda n, p: _dist("binomial", n, p),
+        "poissonDistribution": lambda lam: _dist("poisson", lam),
+        "geometricDistribution": lambda p: _dist("geometric", p),
+        "zipFDistribution": lambda n, s: _dist("zipf", n, s),
+        "gammaDistribution": lambda shape, scale: _dist("gamma", shape, scale),
+        "empiricalDistribution": lambda arr: _dist_data("empirical", arr),
+        "enumeratedDistribution": lambda arr: _dist_data("enumerated", arr),
+        # distribution functions
+        "cumulativeProbability": _cdf,
+        "probability": _probability,
+        "density": _density,
+        # regression / curve fitting
+        "regress": _regress,
+        "predict": lambda m, x: m["intercept"] + m["slope"] * x,
+        "residuals": lambda m, x, y: F.zip_with(
+            y, x, lambda yy, xx: yy - (m["intercept"] + m["slope"] * xx)
+        ),
+        "polyfit": lambda y, *d: _polyfit(y, d[0] if d else None),
+        "knn": _knn_rows,
+        # univariate stats (commons-math bias-corrected forms)
+        "harmonicMean": lambda arr: F.size(arr)
+        / F.aggregate(arr, F.lit(0.0), lambda s, v: s + F.lit(1.0) / v),
+        # NOTE: F.log is two-arg (base, expr) — transform would feed it
+        # (element, index); the lambda pins the one-arg ln form
+        "geometricMean": lambda arr: F.exp(_mean(F.transform(arr, lambda x: F.log(x)))),
+        "median": _median_of,
+        "mad": lambda arr: _mean(F.transform(arr, lambda x: F.abs(x - _mean(arr)))),
+        "skewness": lambda arr: (
+            F.size(arr).cast("double")
+            / ((F.size(arr) - 1) * (F.size(arr) - 2)).cast("double")
+        )
+        * F.aggregate(
+            arr, F.lit(0.0), lambda s, v: s + F.pow((v - _mean(arr)) / F.sqrt(_var(arr)), 3)
+        ),
+        "kurtosis": lambda arr: (
+            F.size(arr).cast("double")
+            * (F.size(arr) + 1).cast("double")
+            / (
+                (F.size(arr) - 1) * (F.size(arr) - 2) * (F.size(arr) - 3)
+            ).cast("double")
+        )
+        * F.aggregate(
+            arr, F.lit(0.0), lambda s, v: s + F.pow((v - _mean(arr)) / F.sqrt(_var(arr)), 4)
+        )
+        - F.lit(3.0)
+        * F.pow((F.size(arr) - 1).cast("double"), 2)
+        / ((F.size(arr) - 2) * (F.size(arr) - 3)).cast("double"),
+        # signal / number theory / geo
+        "convolve": _convolve,
+        "fft": _fft,
+        "oscillate": _oscillate,
+        "primes": _primes,
+        "cosine": lambda a, b: _dot(a, b) / (_l2(a) * _l2(b)),
+        "haversineMeters": _haversine_m,
+    }
+)

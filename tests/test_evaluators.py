@@ -390,3 +390,272 @@ def test_matrix_family(spark):
     # [[1,2],[3,4]]^2 = [[7,10],[15,22]]
     assert r.mm == [[7.0, 10.0], [15.0, 22.0]]
     assert r.rep == [9.0, 2.0, 9.0]
+
+
+# ---------------------------------------------------------------------------
+# round 4: deterministic model-state tranche — distributions, regression,
+# signal / number-theory names
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_continuous_distributions(spark):
+    import math
+
+    def cdf(dist, x):
+        return _one(spark, _ev("cumulativeProbability", dist, F.lit(float(x))))
+
+    def pdf(dist, x):
+        return _one(spark, _ev("density", dist, F.lit(float(x))))
+
+    nd = _ev("normalDistribution", F.lit(10.0), F.lit(2.0))
+    for x in (6.0, 10.0, 12.5):
+        want = 0.5 * (1 + math.erf((x - 10.0) / (2.0 * math.sqrt(2))))
+        assert cdf(nd, x) == pytest.approx(want, abs=2e-7)
+        want_pdf = math.exp(-((x - 10.0) ** 2) / 8.0) / (2.0 * math.sqrt(2 * math.pi))
+        assert pdf(nd, x) == pytest.approx(want_pdf, rel=1e-9)
+
+    ln = _ev("logNormalDistribution", F.lit(0.5), F.lit(0.75))
+    for x in (0.5, 2.0, 7.0):
+        want = 0.5 * (1 + math.erf((math.log(x) - 0.5) / (0.75 * math.sqrt(2))))
+        assert cdf(ln, x) == pytest.approx(want, abs=2e-7)
+    assert cdf(ln, -1.0) == 0.0
+
+    ud = _ev("uniformDistribution", F.lit(2.0), F.lit(6.0))
+    assert cdf(ud, 3.0) == pytest.approx(0.25)
+    assert cdf(ud, 99.0) == 1.0 and cdf(ud, 0.0) == 0.0
+    assert pdf(ud, 3.0) == pytest.approx(0.25) and pdf(ud, 7.0) == 0.0
+
+    tri = _ev("triangularDistribution", F.lit(0.0), F.lit(2.0), F.lit(10.0))
+    assert cdf(tri, 1.0) == pytest.approx(1.0 / 20.0)  # (x-a)^2/((c-a)(b-a))
+    assert cdf(tri, 6.0) == pytest.approx(1.0 - 16.0 / 80.0)
+    assert pdf(tri, 1.0) == pytest.approx(2.0 * 1.0 / 20.0)
+    assert pdf(tri, 6.0) == pytest.approx(2.0 * 4.0 / 80.0)
+
+    wb = _ev("weibullDistribution", F.lit(1.5), F.lit(3.0))
+    for x in (1.0, 4.0):
+        assert cdf(wb, x) == pytest.approx(1 - math.exp(-((x / 3.0) ** 1.5)), rel=1e-9)
+        want_pdf = (1.5 / 3.0) * (x / 3.0) ** 0.5 * math.exp(-((x / 3.0) ** 1.5))
+        assert pdf(wb, x) == pytest.approx(want_pdf, rel=1e-9)
+
+    # Gamma(shape=2, scale=1.5): closed-form CDF 1 - e^(-x/θ)(1 + x/θ)
+    gd = _ev("gammaDistribution", F.lit(2.0), F.lit(1.5))
+    for x in (1.0, 3.0, 9.0):
+        z = x / 1.5
+        assert cdf(gd, x) == pytest.approx(1 - math.exp(-z) * (1 + z), rel=1e-7)
+        want_pdf = z * math.exp(-z) / 1.5
+        assert pdf(gd, x) == pytest.approx(want_pdf, rel=1e-7)
+
+    cn = _ev("constantDistribution", F.lit(4.0))
+    assert cdf(cn, 3.9) == 0.0 and cdf(cn, 4.0) == 1.0
+
+    emp = _ev("empiricalDistribution", F.array(*[F.lit(v) for v in (1.0, 2.0, 2.0, 5.0)]))
+    assert cdf(emp, 2.0) == pytest.approx(0.75)
+    assert cdf(emp, 0.5) == 0.0 and cdf(emp, 9.0) == 1.0
+
+    # interval probability (continuous 3-arg form)
+    p = _one(spark, _ev("probability", nd, F.lit(8.0), F.lit(12.0)))
+    want = math.erf(2.0 / (2.0 * math.sqrt(2)))
+    assert p == pytest.approx(want, abs=4e-7)
+
+
+def test_discrete_distributions(spark):
+    import math
+
+    def cdf(dist, x):
+        return _one(spark, _ev("cumulativeProbability", dist, F.lit(float(x))))
+
+    def pmf(dist, x):
+        return _one(spark, _ev("probability", dist, F.lit(float(x))))
+
+    bd = _ev("binomialDistribution", F.lit(10.0), F.lit(0.3))
+    for k in (0, 3, 7):
+        want = math.comb(10, k) * 0.3**k * 0.7 ** (10 - k)
+        assert pmf(bd, k) == pytest.approx(want, rel=1e-9)
+    assert cdf(bd, 3) == pytest.approx(
+        sum(math.comb(10, j) * 0.3**j * 0.7 ** (10 - j) for j in range(4)), rel=1e-9
+    )
+
+    pd = _ev("poissonDistribution", F.lit(4.0))
+    for k in (0, 2, 6):
+        want = math.exp(-4.0) * 4.0**k / math.factorial(k)
+        assert pmf(pd, k) == pytest.approx(want, rel=1e-9)
+    assert cdf(pd, 5) == pytest.approx(
+        sum(math.exp(-4.0) * 4.0**j / math.factorial(j) for j in range(6)), rel=1e-9
+    )
+
+    gd = _ev("geometricDistribution", F.lit(0.25))
+    assert pmf(gd, 3) == pytest.approx(0.25 * 0.75**3, rel=1e-12)
+    assert cdf(gd, 3) == pytest.approx(1 - 0.75**4, rel=1e-12)
+
+    ui = _ev("uniformIntegerDistribution", F.lit(1.0), F.lit(6.0))
+    assert pmf(ui, 4) == pytest.approx(1 / 6)
+    assert cdf(ui, 4) == pytest.approx(4 / 6)
+
+    zf = _ev("zipFDistribution", F.lit(10.0), F.lit(1.5))
+    h = sum(1.0 / j**1.5 for j in range(1, 11))
+    assert pmf(zf, 3) == pytest.approx((1 / 3**1.5) / h, rel=1e-12)
+    assert cdf(zf, 3) == pytest.approx(sum((1 / j**1.5) / h for j in (1, 2, 3)), rel=1e-12)
+
+    en = _ev("enumeratedDistribution", F.array(*[F.lit(v) for v in (1.0, 2.0, 2.0, 5.0)]))
+    assert pmf(en, 2.0) == pytest.approx(0.5)
+    assert cdf(en, 2.0) == pytest.approx(0.75)
+
+
+def test_regress_predict_residuals_polyfit(spark, frame):
+    import numpy as np
+
+    x = [1.0, 2.0, 3.0, 4.0, 5.0]
+    y = [2.1, 3.9, 6.2, 8.1, 9.8]
+    ax = F.array(*[F.lit(v) for v in x])
+    ay = F.array(*[F.lit(v) for v in y])
+    m = _ev("regress", ax, ay)
+    got = spark.range(1).select(m.alias("m")).collect()[0].m
+    slope, intercept = np.polyfit(x, y, 1)
+    assert got["slope"] == pytest.approx(slope, rel=1e-9)
+    assert got["intercept"] == pytest.approx(intercept, rel=1e-9)
+    r = np.corrcoef(x, y)[0, 1]
+    assert got["R"] == pytest.approx(r, rel=1e-9)
+    assert got["RSquared"] == pytest.approx(r * r, rel=1e-9)
+
+    pred = _one(spark, _ev("predict", m, F.lit(6.0)))
+    assert pred == pytest.approx(slope * 6.0 + intercept, rel=1e-9)
+
+    res = _one(spark, _ev("residuals", m, ax, ay))
+    want = [yy - (slope * xx + intercept) for xx, yy in zip(x, y)]
+    assert res == pytest.approx(want, rel=1e-6, abs=1e-9)
+
+    # polyfit over x = 0..n-1, degrees 1-3, vs numpy (ascending order)
+    data = [1.0, 2.2, 2.9, 4.4, 6.1, 8.3, 11.2]
+    ad = F.array(*[F.lit(v) for v in data])
+    xs = np.arange(len(data), dtype=float)
+    for deg in (1, 2, 3):
+        got = _one(spark, _ev("polyfit", ad, F.lit(deg)))
+        want = np.polyfit(xs, data, deg)[::-1]
+        assert got == pytest.approx(list(want), rel=1e-6, abs=1e-8), deg
+    # default degree is 3
+    got = _one(spark, _ev("polyfit", ad))
+    assert got == pytest.approx(list(np.polyfit(xs, data, 3)[::-1]), rel=1e-6, abs=1e-8)
+
+
+def test_knn_rows_and_geo(spark):
+    import math
+
+    m = F.array(
+        F.array(F.lit(0.0), F.lit(0.0)),
+        F.array(F.lit(3.0), F.lit(4.0)),
+        F.array(F.lit(1.0), F.lit(1.0)),
+        F.array(F.lit(-1.0), F.lit(0.5)),
+    )
+    v = F.array(F.lit(0.0), F.lit(0.0))
+    got = _one(spark, _ev("knn", m, v, F.lit(2)))
+    assert got == [[0.0, 0.0], [-1.0, 0.5]]
+
+    # haversine: London → Paris ≈ 343.5 km (both arg forms agree)
+    lhr = (51.5074, -0.1278)
+    par = (48.8566, 2.3522)
+    d4 = _one(spark, _ev("haversineMeters", *[F.lit(v) for v in (*lhr, *par)]))
+    d2 = _one(
+        spark,
+        _ev(
+            "haversineMeters",
+            F.array(F.lit(lhr[0]), F.lit(lhr[1])),
+            F.array(F.lit(par[0]), F.lit(par[1])),
+        ),
+    )
+    assert d4 == pytest.approx(d2, rel=1e-12)
+    # reference formula by hand
+    rad = math.pi / 180
+    h = (
+        math.sin((par[0] - lhr[0]) * rad / 2) ** 2
+        + math.cos(lhr[0] * rad) * math.cos(par[0] * rad) * math.sin((par[1] - lhr[1]) * rad / 2) ** 2
+    )
+    assert d4 == pytest.approx(2 * 6371008.7714 * math.asin(math.sqrt(h)), rel=1e-12)
+
+
+def test_univariate_stats_round4(spark):
+    import pandas as pd
+
+    data = [2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0]
+    arr = F.array(*[F.lit(v) for v in data])
+    s = pd.Series(data)
+    assert _one(spark, _ev("harmonicMean", arr)) == pytest.approx(
+        len(data) / sum(1.0 / v for v in data), rel=1e-12
+    )
+    import math
+
+    assert _one(spark, _ev("geometricMean", arr)) == pytest.approx(
+        math.exp(sum(math.log(v) for v in data) / len(data)), rel=1e-12
+    )
+    assert _one(spark, _ev("median", arr)) == pytest.approx(s.median())
+    mean = s.mean()
+    assert _one(spark, _ev("mad", arr)) == pytest.approx(
+        sum(abs(v - mean) for v in data) / len(data), rel=1e-12
+    )
+    # pandas skew/kurt are the same bias-corrected estimators commons-math uses
+    assert _one(spark, _ev("skewness", arr)) == pytest.approx(s.skew(), rel=1e-9)
+    assert _one(spark, _ev("kurtosis", arr)) == pytest.approx(s.kurt(), rel=1e-9)
+
+
+def test_signal_and_primes(spark):
+    import numpy as np
+
+    a = [1.0, 2.0, 3.0]
+    b = [0.5, 1.0, 0.25, 2.0]
+    got = _one(
+        spark,
+        _ev("convolve", F.array(*[F.lit(v) for v in a]), F.array(*[F.lit(v) for v in b])),
+    )
+    assert got == pytest.approx(list(np.convolve(a, b)), rel=1e-12)
+
+    data = [1.0, 2.0, -1.0, 0.5, 3.0, -2.0]
+    got = _one(spark, _ev("fft", F.array(*[F.lit(v) for v in data])))
+    ref = np.fft.fft(data)
+    assert got[0] == pytest.approx(list(ref.real), abs=1e-9)
+    assert got[1] == pytest.approx(list(ref.imag), abs=1e-9)
+
+    osc = _one(spark, _ev("oscillate", F.lit(2.0), F.lit(0.5), F.lit(1.0)))
+    assert len(osc) == 128
+    assert osc[:3] == pytest.approx(
+        [2.0 * np.sin(0.5 * i + 1.0) for i in range(3)], rel=1e-12
+    )
+
+    got = _one(spark, _ev("primes", F.lit(8), F.lit(10)))
+    assert got == [11.0, 13.0, 17.0, 19.0, 23.0, 29.0, 31.0, 37.0]
+    assert _one(spark, _ev("primes", F.lit(3), F.lit(0))) == [2.0, 3.0, 5.0]
+
+    # cosine is the CosineDistance/Similarity spelling of cosineSimilarity
+    av = F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0))
+    bv = F.array(F.lit(-1.0), F.lit(0.5), F.lit(2.0))
+    c1 = _one(spark, _ev("cosine", av, bv))
+    c2 = _one(spark, _ev("cosineSimilarity", av, bv))
+    assert c1 == pytest.approx(c2, rel=1e-12)
+
+
+def test_distribution_names_via_parse_eval_and_duckdb(spark):
+    """String-form parse + a DuckDB cross-check of the same erf-polynomial
+    CDF formula — both engines evaluate the engine's documented
+    approximation identically."""
+    import duckdb
+
+    from lucene_solr_spark.evaluators import parse_eval
+
+    col = parse_eval("cumulativeProbability(normalDistribution(10, 2), 12.5)")
+    got = _one(spark, col)
+    t = "1.0/(1.0 + 0.3275911*abs((12.5-10.0)/(2.0*sqrt(2.0))))"
+    z = "abs((12.5-10.0)/(2.0*sqrt(2.0)))"
+    sql = f"""
+    SELECT 0.5*(1.0 + (1.0 - ({t})*(0.254829592 + ({t})*(-0.284496736 + ({t})*(1.421413741
+           + ({t})*(-1.453152027 + ({t})*1.061405429)))) * exp(-({z})*({z})))) AS v
+    """
+    want = duckdb.sql(sql).fetchone()[0]
+    assert got == pytest.approx(want, rel=1e-12)
+
+    got = _one(spark, parse_eval("predict(regress(array(1, 2, 3), array(2, 4, 6.5)), 4)"))
+    want = duckdb.sql("""
+      WITH p AS (SELECT unnest([1.0,2.0,3.0]) AS x, unnest([2.0,4.0,6.5]) AS y),
+      f AS (SELECT regr_slope(y, x) AS s, regr_intercept(y, x) AS i FROM p)
+      SELECT s*4 + i FROM f""").fetchone()[0]
+    assert got == pytest.approx(want, rel=1e-9)
