@@ -1,25 +1,44 @@
-"""Numeric doc-values updates — ``IndexWriter.updateNumericDocValue``.
+"""Doc-values updates — ``IndexWriter.updateNumericDocValue`` /
+``updateBinaryDocValue`` / ``updateDocValues``.
 
 Reference: ``lucene/core/src/java/org/apache/lucene/index/IndexWriter.java``
-(updateNumericDocValue) + ``NumericDocValuesFieldUpdates.java`` /
+(updateNumericDocValue:1705, updateBinaryDocValue:1742) +
+``NumericDocValuesFieldUpdates.java`` / ``BinaryDocValuesFieldUpdates.java`` /
 ``ReadersAndUpdates.java``: Lucene never rewrites a segment for a DV
 update — it publishes a NEW generation of sidecar .dvd/.dvm files
 (``dvGen`` in FieldInfos) and readers resolve field values through the
-newest generation. This module is that design on parquet:
+newest generation. This module is that design on parquet, one protocol
+for all three value types:
 
-- ``update_numeric_docvalue`` resolves external keys to (segment_id,
-  doc_id) with one distributed join against the docs table and publishes
-  ``dv_updates/<field>/gen=N`` (tmp-dir write + atomic rename — the same
-  single-writer snapshot protocol as ``manifest.publish_term_stats``).
-  Every row is stamped with the commit watermark (max committed segment
-  id at publish time), mirroring the versioned-tombstone scheme in
-  ``merge.delete_docs``.
-- ``numeric_docvalues`` reads the patched view: the base docs column
-  left-joined with all visible generations, newest generation winning
-  per doc (``gen`` is a Spark partition column of the layout — no
+- ``update_{numeric,binary,sortedset}_docvalue`` resolves external keys to
+  (segment_id, doc_id) with one distributed join against the docs table and
+  publishes ``dv_updates/<field>/gen=N`` (tmp-dir write + atomic rename —
+  the same single-writer snapshot protocol as
+  ``manifest.publish_term_stats``). Every row is stamped with the commit
+  watermark (max committed segment id at publish time), mirroring the
+  versioned-tombstone scheme in ``merge.delete_docs``.
+- ``{numeric,binary,sortedset}_docvalues`` reads the patched view: the base
+  docs column left-joined with all visible generations, newest generation
+  winning per doc (``gen`` is a Spark partition column of the layout — no
   manifest bookkeeping needed). A time-traveled reader at commit N sees
   only updates with ``watermark < N`` — exactly the tombstone visibility
   rule, so deletes and DV updates time-travel consistently.
+- One DV type per field (Lucene throws IllegalArgumentException when an
+  update names a field with a different DV type — ``IndexWriter.java``
+  updateDocValues javadoc): the sidecar root records the type in a
+  ``_dv_type`` marker file at first publish (the leading underscore keeps
+  parquet readers from treating it as data); a later publish of another
+  type raises ``ValueError``.
+
+Per-type semantics for duplicate keys inside ONE update batch (unlike
+IndexWriter's sequenced updates, a batch has no defined order — resolution
+must be deterministic): numeric → max, binary → lexicographic max,
+sorted-set → the UNION of the sets. Sorted-set values are stored
+sorted + deduped, matching the ordinal-order contract of
+``SortedSetDocValues`` (``lucene/core/src/java/org/apache/lucene/index/
+SortedSetDocValues.java`` — ords ascend, each value once). Across
+generations, newest REPLACES (all three types — a generation is a full
+per-doc value, not a delta).
 
 Scale shape: updates tables are tiny next to the corpus — the patch join
 broadcasts under AQE; the per-doc "newest gen wins" window is partitioned
@@ -29,7 +48,7 @@ segments stay immutable, only the sidecar grows.
 Documented limitation: a compacting merge rebases doc ids but does NOT
 remap dv_update rows (Lucene folds DV updates into the merged segment's
 new DV generation) — updates addressed at merged-away segments stop
-applying. Re-publish updates (one `update_numeric_docvalue` call with the
+applying. Re-publish updates (one ``update_*_docvalue`` call with the
 same external keys) after merging, or fold before merging.
 """
 
@@ -37,9 +56,11 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from .manifest import live_segments, next_segment_id
+
+_TYPE_MARKER = "_dv_type"
 
 
 def dv_root(index_dir: str, field: str) -> str:
@@ -52,6 +73,116 @@ def _dv_gens(index_dir: str, field: str) -> list[int]:
         return []
     return sorted(
         int(d[4:]) for d in os.listdir(root) if d.startswith("gen=") and d[4:].isdigit()
+    )
+
+
+def _bind_type(root: str, field: str, dv_type: str) -> None:
+    """Record the field's DV type at first publish; reject a later publish
+    of another type (Lucene: wrong-type DV update → IllegalArgumentException)."""
+    os.makedirs(root, exist_ok=True)
+    marker = os.path.join(root, _TYPE_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            existing = f.read().strip()
+        if existing != dv_type:
+            raise ValueError(
+                f"DV type mismatch for field {field!r}: published as "
+                f"{existing!r}, update is {dv_type!r} — one DV type per field"
+            )
+    else:
+        with open(marker, "w") as f:
+            f.write(dv_type)
+
+
+def _publish_docvalue(
+    spark: SparkSession,
+    index_dir: str,
+    field: str,
+    updates: DataFrame,
+    key_cols: list[str] | str,
+    dv_type: str,
+    value_expr: Column,
+    combine: Column,
+) -> str:
+    """Shared publish path: resolve keys → one generation dir, atomically.
+
+    ``value_expr`` normalizes the incoming ``value`` column; ``combine`` is
+    the per-key aggregate resolving duplicate keys within the batch.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    root = dv_root(index_dir, field)
+    _bind_type(root, field, dv_type)
+    live = live_segments(spark, index_dir)
+    docs = (
+        spark.read.parquet(os.path.join(index_dir, "docs"))
+        .filter(F.col("segment_id").isin(live))
+        .select("segment_id", "doc_id", *keys)
+    )
+    watermark = next_segment_id(spark, index_dir) - 1
+    resolved = (
+        updates.select(*keys, value_expr.alias("value"))
+        .groupBy(*keys)
+        .agg(combine.alias("value"))
+        .join(docs, keys)
+        .select(
+            "segment_id",
+            "doc_id",
+            "value",
+            F.lit(watermark).cast("long").alias("watermark"),
+        )
+    )
+    gens = _dv_gens(index_dir, field)
+    gen = (gens[-1] + 1) if gens else 0
+    tmp = os.path.join(root, f"_tmp_gen_{gen}")
+    resolved.write.mode("overwrite").parquet(tmp)
+    final = os.path.join(root, f"gen={gen}")
+    os.rename(tmp, final)
+    return final
+
+
+def _docvalues_view(
+    spark: SparkSession,
+    index_dir: str,
+    field: str,
+    value_type: str,
+    base_col: str | None,
+    commit: int | None,
+) -> DataFrame:
+    """Shared patched view: ``(segment_id, doc_id, value)`` of ``value_type``."""
+    from pyspark.sql import Window
+
+    # docs/ is append-only (merged-away and uncommitted segments keep their
+    # rows) — resolve the view against the live set as of the commit, like
+    # every reader in this engine
+    live = live_segments(spark, index_dir, as_of=commit)
+    docs = spark.read.parquet(os.path.join(index_dir, "docs")).filter(
+        F.col("segment_id").isin(live)
+    )
+    base = docs.select(
+        "segment_id",
+        "doc_id",
+        (
+            F.col(base_col).cast(value_type)
+            if base_col
+            else F.lit(None).cast(value_type)
+        ).alias("base_value"),
+    )
+    gens = _dv_gens(index_dir, field)
+    if not gens:
+        return base.select("segment_id", "doc_id", F.col("base_value").alias("value"))
+    ups = spark.read.parquet(dv_root(index_dir, field))
+    if commit is not None:
+        ups = ups.filter(F.col("watermark") < commit)
+    w = Window.partitionBy("segment_id", "doc_id").orderBy(F.col("gen").desc())
+    latest = (
+        ups.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("segment_id", "doc_id", F.col("value").alias("new_value"))
+    )
+    return base.join(latest, ["segment_id", "doc_id"], "left").select(
+        "segment_id",
+        "doc_id",
+        F.coalesce("new_value", "base_value").alias("value"),
     )
 
 
@@ -69,38 +200,16 @@ def update_numeric_docvalue(
     silently (Lucene's updateNumericDocValue(term, ...) on a non-matching
     term is a no-op). Returns the published generation directory.
     """
-    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    live = live_segments(spark, index_dir)
-    docs = (
-        spark.read.parquet(os.path.join(index_dir, "docs"))
-        .filter(F.col("segment_id").isin(live))
-        .select("segment_id", "doc_id", *keys)
+    return _publish_docvalue(
+        spark,
+        index_dir,
+        field,
+        updates,
+        key_cols,
+        "numeric",
+        F.col("value").cast("long"),
+        F.max("value"),
     )
-    watermark = next_segment_id(spark, index_dir) - 1
-    # one value per key per generation (duplicate keys in one batch have no
-    # defined order here, unlike IndexWriter's sequenced updates — resolve
-    # deterministically to the max)
-    resolved = (
-        updates.select(*keys, F.col("value").cast("long").alias("value"))
-        .groupBy(*keys)
-        .agg(F.max("value").alias("value"))
-        .join(docs, keys)
-        .select(
-            "segment_id",
-            "doc_id",
-            "value",
-            F.lit(watermark).cast("long").alias("watermark"),
-        )
-    )
-    root = dv_root(index_dir, field)
-    os.makedirs(root, exist_ok=True)
-    gens = _dv_gens(index_dir, field)
-    gen = (gens[-1] + 1) if gens else 0
-    tmp = os.path.join(root, f"_tmp_gen_{gen}")
-    resolved.write.mode("overwrite").parquet(tmp)
-    final = os.path.join(root, f"gen={gen}")
-    os.rename(tmp, final)
-    return final
 
 
 def numeric_docvalues(
@@ -117,38 +226,76 @@ def numeric_docvalues(
     ``commit``: time-travel — only updates with ``watermark < commit``
     apply (the versioned-tombstone visibility rule).
     """
-    from pyspark.sql import Window
+    return _docvalues_view(spark, index_dir, field, "long", base_col, commit)
 
-    # docs/ is append-only (merged-away and uncommitted segments keep their
-    # rows) — resolve the view against the live set as of the commit, like
-    # every reader in this engine
-    live = live_segments(spark, index_dir, as_of=commit)
-    docs = spark.read.parquet(os.path.join(index_dir, "docs")).filter(
-        F.col("segment_id").isin(live)
+
+def update_binary_docvalue(
+    spark: SparkSession,
+    index_dir: str,
+    field: str,
+    updates: DataFrame,
+    key_cols: list[str] | str = "ext_id",
+) -> str:
+    """``IndexWriter.updateBinaryDocValue`` (IndexWriter.java:1742): same
+    sidecar protocol as numeric, value type binary. Duplicate keys within a
+    batch resolve to the lexicographically greatest value (deterministic
+    stand-in for IndexWriter's sequence numbers)."""
+    return _publish_docvalue(
+        spark,
+        index_dir,
+        field,
+        updates,
+        key_cols,
+        "binary",
+        F.col("value").cast("binary"),
+        F.max("value"),
     )
-    base = docs.select(
-        "segment_id",
-        "doc_id",
-        (
-            F.col(base_col).cast("long") if base_col else F.lit(None).cast("long")
-        ).alias("base_value"),
+
+
+def binary_docvalues(
+    spark: SparkSession,
+    index_dir: str,
+    field: str,
+    base_col: str | None = None,
+    commit: int | None = None,
+) -> DataFrame:
+    """Patched per-doc binary view; ``base_col`` (e.g. a string column) is
+    cast to binary for unpatched docs."""
+    return _docvalues_view(spark, index_dir, field, "binary", base_col, commit)
+
+
+def update_sortedset_docvalue(
+    spark: SparkSession,
+    index_dir: str,
+    field: str,
+    updates: DataFrame,
+    key_cols: list[str] | str = "ext_id",
+) -> str:
+    """Sorted-set sidecar updates (engine extension — the reference updates
+    only numeric/binary DVs; ``SortedSetDocValues`` ordinal order is the
+    storage contract being matched). ``value`` is ``array<string>``; values
+    are stored sorted + deduped, and duplicate keys within one batch
+    resolve to the UNION of their sets. Across generations, newest
+    REPLACES (same gen semantics as numeric/binary)."""
+    return _publish_docvalue(
+        spark,
+        index_dir,
+        field,
+        updates,
+        key_cols,
+        "sortedset",
+        F.col("value").cast("array<string>"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("value")))),
     )
-    gens = _dv_gens(index_dir, field)
-    if not gens:
-        return base.select(
-            "segment_id", "doc_id", F.col("base_value").alias("value")
-        )
-    ups = spark.read.parquet(dv_root(index_dir, field))
-    if commit is not None:
-        ups = ups.filter(F.col("watermark") < commit)
-    w = Window.partitionBy("segment_id", "doc_id").orderBy(F.col("gen").desc())
-    latest = (
-        ups.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select("segment_id", "doc_id", F.col("value").alias("new_value"))
-    )
-    return base.join(latest, ["segment_id", "doc_id"], "left").select(
-        "segment_id",
-        "doc_id",
-        F.coalesce("new_value", "base_value").alias("value"),
-    )
+
+
+def sortedset_docvalues(
+    spark: SparkSession,
+    index_dir: str,
+    field: str,
+    base_col: str | None = None,
+    commit: int | None = None,
+) -> DataFrame:
+    """Patched per-doc sorted-set view: ``(segment_id, doc_id, value)``
+    with ``value: array<string>`` sorted + deduped."""
+    return _docvalues_view(spark, index_dir, field, "array<string>", base_col, commit)

@@ -252,3 +252,177 @@ def test_numeric_docvalues_exclude_merged_away_segments(spark, tmp_path_factory)
     view = numeric_docvalues(spark, d, "rank_boost")
     assert view.count() == 100  # one row per logical doc, not per docs/ row
     assert view.select("segment_id").distinct().count() == 1
+
+
+def test_binary_docvalue_updates(spark, tmp_path_factory):
+    """IndexWriter.updateBinaryDocValue role (IndexWriter.java:1742): the
+    same dvGen sidecar protocol as numeric, value type binary — newest gen
+    wins, time-travel reverts, base-column binding works."""
+    from lucene_solr_spark.corpus import synth_corpus_local
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.index.docvalues import (
+        binary_docvalues,
+        update_binary_docvalue,
+    )
+    from lucene_solr_spark.index.manifest import list_commits, next_segment_id
+
+    corpus = synth_corpus_local(100)
+    d = str(tmp_path_factory.mktemp("dvbin") / "idx")
+    build_index(
+        spark, spark.createDataFrame(corpus.iloc[:50]), d,
+        num_segments=2, analyzer="code",
+    )
+    c1 = max(list_commits(spark, d))
+    docs = spark.read.parquet(d + "/docs").select(
+        "segment_id", "doc_id", "repo", "path"
+    )
+    keys = [
+        (r.repo, r.path)
+        for r in docs.orderBy("segment_id", "doc_id").limit(3).collect()
+    ]
+
+    update_binary_docvalue(
+        spark, d, "thumb",
+        spark.createDataFrame(
+            [(r, p, bytearray(b"v1")) for r, p in keys],
+            "repo string, path string, value binary",
+        ),
+        key_cols=["repo", "path"],
+    )
+    build_index(
+        spark, spark.createDataFrame(corpus.iloc[50:]), d,
+        num_segments=2, analyzer="code", segment_base=next_segment_id(spark, d),
+    )
+    update_binary_docvalue(
+        spark, d, "thumb",
+        spark.createDataFrame(
+            [(keys[0][0], keys[0][1], bytearray(b"v2"))],
+            "repo string, path string, value binary",
+        ),
+        key_cols=["repo", "path"],
+    )
+
+    got = {
+        (r.repo, r.path): bytes(r.value)
+        for r in binary_docvalues(spark, d, "thumb")
+        .join(docs, ["segment_id", "doc_id"]).collect()
+        if r.value is not None
+    }
+    assert got == {keys[0]: b"v2", keys[1]: b"v1", keys[2]: b"v1"}
+
+    # time-travel: c1 predates both generations
+    at_c1 = binary_docvalues(spark, d, "thumb", commit=c1)
+    assert all(r.value is None for r in at_c1.collect())
+
+    # base-column binding: unpatched docs resolve to the docs column (path
+    # cast to binary), patched docs override it
+    with_base = binary_docvalues(spark, d, "thumb", base_col="path")
+    joined = {
+        (r.repo, r.path): bytes(r.value)
+        for r in with_base.join(docs, ["segment_id", "doc_id"]).collect()
+    }
+    n_override = sum(1 for (rp, p), v in joined.items() if v != p.encode())
+    assert n_override == 3
+
+
+def test_sortedset_docvalue_updates(spark, tmp_path_factory):
+    """Sorted-set sidecar updates (engine extension — the reference updates
+    only numeric/binary DVs, IndexWriter.updateDocValues javadoc): values
+    are stored sorted+deduped (SortedSetDocValues ordinal-order role);
+    duplicate keys in one batch resolve to the UNION of their sets."""
+    from lucene_solr_spark.corpus import synth_corpus_local
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.index.docvalues import (
+        sortedset_docvalues,
+        update_sortedset_docvalue,
+    )
+    from lucene_solr_spark.index.manifest import list_commits
+
+    corpus = synth_corpus_local(60)
+    d = str(tmp_path_factory.mktemp("dvss") / "idx")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=2,
+                analyzer="code")
+    c1 = max(list_commits(spark, d))
+    docs = spark.read.parquet(d + "/docs").select(
+        "segment_id", "doc_id", "repo", "path"
+    )
+    k0, k1 = [
+        (r.repo, r.path)
+        for r in docs.orderBy("segment_id", "doc_id").limit(2).collect()
+    ]
+
+    # duplicate key in one batch -> union; values come back sorted+deduped
+    update_sortedset_docvalue(
+        spark, d, "labels",
+        spark.createDataFrame(
+            [
+                (k0[0], k0[1], ["zeta", "alpha", "alpha"]),
+                (k0[0], k0[1], ["mid"]),
+                (k1[0], k1[1], ["only"]),
+            ],
+            "repo string, path string, value array<string>",
+        ),
+        key_cols=["repo", "path"],
+    )
+    got = {
+        (r.repo, r.path): r.value
+        for r in sortedset_docvalues(spark, d, "labels")
+        .join(docs, ["segment_id", "doc_id"]).collect()
+        if r.value is not None
+    }
+    assert got == {k0: ["alpha", "mid", "zeta"], k1: ["only"]}
+
+    # newest generation REPLACES the set (not merges) — gen semantics match
+    # numeric/binary
+    update_sortedset_docvalue(
+        spark, d, "labels",
+        spark.createDataFrame(
+            [(k0[0], k0[1], ["replaced"])],
+            "repo string, path string, value array<string>",
+        ),
+        key_cols=["repo", "path"],
+    )
+    got2 = {
+        (r.repo, r.path): r.value
+        for r in sortedset_docvalues(spark, d, "labels")
+        .join(docs, ["segment_id", "doc_id"]).collect()
+        if r.value is not None
+    }
+    assert got2 == {k0: ["replaced"], k1: ["only"]}
+
+    # time-travel to before any update
+    at_c1 = sortedset_docvalues(spark, d, "labels", commit=c1)
+    assert all(r.value is None for r in at_c1.collect())
+
+
+def test_docvalue_type_marker_rejects_mixed_types(spark, tmp_path_factory):
+    """One DV type per field (Lucene: updating a field with the wrong DV
+    type throws IllegalArgumentException) — the sidecar root records the
+    type at first publish and later publishes of another type raise."""
+    import pytest
+
+    from lucene_solr_spark.corpus import synth_corpus_local
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.index.docvalues import (
+        update_binary_docvalue,
+        update_numeric_docvalue,
+    )
+
+    corpus = synth_corpus_local(30)
+    d = str(tmp_path_factory.mktemp("dvmix") / "idx")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=1,
+                analyzer="code")
+    r0 = spark.read.parquet(d + "/docs").select("repo", "path").first()
+    update_numeric_docvalue(
+        spark, d, "f",
+        spark.createDataFrame([(r0.repo, r0.path, 1)],
+                              "repo string, path string, value long"),
+        key_cols=["repo", "path"],
+    )
+    with pytest.raises(ValueError, match="[Dd][Vv] type"):
+        update_binary_docvalue(
+            spark, d, "f",
+            spark.createDataFrame([(r0.repo, r0.path, bytearray(b"x"))],
+                                  "repo string, path string, value binary"),
+            key_cols=["repo", "path"],
+        )
