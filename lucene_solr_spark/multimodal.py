@@ -58,7 +58,11 @@ def with_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # --------------------------------------------------------------- Catalyst --
 
 # byte values via lossless latin-1 round-trip: decode(payload,'ISO-8859-1')
-# maps byte b -> codepoint b, so ascii(char) == byte value for ALL bytes
+# maps byte b -> codepoint b, so ascii(char) == byte value for ALL bytes.
+# SCALE CAUTION: this materializes ONE single-char string per byte — JVM-side
+# but O(bytes) array allocation per row. Fine for the gate's document-sized
+# payloads (≤ ~64 KiB); for real media blobs (MBs) pass arrow_threshold to
+# extract_features so large rows take the Arrow kernel instead.
 _BYTE_SUM = (
     "aggregate(transform(filter(split(decode(payload, 'ISO-8859-1'), ''),"
     " c -> c <> ''), c -> cast(ascii(c) AS BIGINT)),"
@@ -66,17 +70,41 @@ _BYTE_SUM = (
 )
 
 
-def extract_features(payloads: DataFrame) -> DataFrame:
-    """Byte-level feature extraction as pure Catalyst expressions — the plan
-    is one whole-stage-codegen'd projection, no Python anywhere."""
+def extract_features(
+    payloads: DataFrame, arrow_threshold: int | None = None
+) -> DataFrame:
+    """Byte-level feature extraction.
+
+    Default (``arrow_threshold=None``, the driver-gated path): pure Catalyst
+    expressions — the plan is one whole-stage-codegen'd projection, no Python
+    anywhere. The byte-sum expression allocates one single-char string per
+    byte (see ``_BYTE_SUM``), which is fine at document sizes but bloats on
+    real media blobs.
+
+    With ``arrow_threshold=N`` (recommended N=65536 for media tables): rows
+    with ``octet_length(payload) > N`` route through the Arrow kernel
+    (:func:`extract_features_arrow` — one numpy pass per payload, no per-byte
+    object allocation) while small rows keep the codegen'd projection; the
+    two branches union. pytest asserts both paths produce identical rows at
+    sizes straddling the threshold.
+    """
     n_bytes = F.octet_length("payload")
-    return payloads.select(
+    catalyst_src = (
+        payloads
+        if arrow_threshold is None
+        else payloads.filter(n_bytes <= int(arrow_threshold))
+    )
+    catalyst = catalyst_src.select(
         "doc_id",
         n_bytes.cast("long").alias("n_bytes"),
         F.ceil(n_bytes / F.lit(float(FRAME_BYTES))).cast("long").alias("n_frames"),
         F.expr(_BYTE_SUM).alias("byte_sum"),
         F.md5("payload").alias("payload_md5"),
     )
+    if arrow_threshold is None:
+        return catalyst
+    big = payloads.filter(n_bytes > int(arrow_threshold))
+    return catalyst.unionByName(extract_features_arrow(big))
 
 
 def sample_frames(payloads: DataFrame, every: int = 4) -> DataFrame:

@@ -4207,14 +4207,12 @@ def cluster_results_docs(spark, sf_dir):
         r["doc_id"]
         for r in x.select("doc_id").distinct().orderBy("doc_id").limit(_CLUSTER_K).collect()
     ]
-    # centroids as driver model state: K × features floats (ann.py pattern)
-    cent = {
-        k: {
-            r["term"]: r["xv"]
-            for r in x.filter(F.col("doc_id") == seed_ids[k]).collect()
-        }
-        for k in range(_CLUSTER_K)
-    }
+    # centroids as driver model state: K × features floats (ann.py pattern);
+    # ONE isin-filtered collect gathers every seed vector in a single job
+    seed_pos = {d: k for k, d in enumerate(seed_ids)}
+    cent: dict[int, dict[str, float]] = {k: {} for k in range(_CLUSTER_K)}
+    for r in x.filter(F.col("doc_id").isin(seed_ids)).collect():
+        cent[seed_pos[r["doc_id"]]][r["term"]] = r["xv"]
     assign = None
     for _ in range(_CLUSTER_ITERS):
         # an emptied cluster disappears (its centroid has no rows) — the

@@ -64,3 +64,23 @@ def test_empty_payload_semantics(spark):
 def test_decode_image_is_an_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_arrow_threshold_routes_large_payloads(spark):
+    """With arrow_threshold set, rows straddling the threshold split between
+    the Catalyst projection and the Arrow kernel — results identical to the
+    pure-Catalyst path at every size, and the big rows really do leave the
+    codegen'd branch (MapInPandas appears in the plan ONLY when asked for)."""
+    sizes = [0, 1, 100, 4096, 4097, 65536]  # straddle threshold=4096
+    docs = spark.createDataFrame(
+        [(i, "x" * n) for i, n in enumerate(sizes)], "doc_id bigint, text string"
+    )
+    p = with_payload(docs)
+    pure = _rows(extract_features(p))
+    hybrid = _rows(extract_features(p, arrow_threshold=4096))
+    assert hybrid == pure
+
+    plan = extract_features(p, arrow_threshold=4096)._jdf.queryExecution()
+    assert "MapInPandas" in plan.executedPlan().toString()
+    gate_plan = extract_features(p)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in gate_plan
