@@ -4,6 +4,7 @@ from .query import (  # noqa: F401
     MatchNoneQuery,
     PayloadScoreQuery,
     PhraseQuery,
+    PointRangeQuery,
     Query,
     SpanFirstQuery,
     SpanNearQuery,

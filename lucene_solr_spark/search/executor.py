@@ -59,6 +59,7 @@ from .query import (
     MatchNoneQuery,
     MultiTermQuery,
     PhraseQuery,
+    PointRangeQuery,
     PrefixQuery,
     Query,
     RegexpQuery,
@@ -70,6 +71,22 @@ from .query import (
     parse_query,
     rewrite,
 )
+
+
+def _contains_point_range(q: Query) -> bool:
+    if isinstance(q, PointRangeQuery):
+        return True
+    inner = getattr(q, "inner", None)
+    if inner is not None:
+        return _contains_point_range(inner)
+    if isinstance(q, BooleanQuery):
+        return any(
+            _contains_point_range(c)
+            for c in (*q.must, *q.should, *q.filter, *q.must_not)
+        )
+    if isinstance(q, DisjunctionMaxQuery):
+        return any(_contains_point_range(d) for d in q.disjuncts)
+    return False
 
 
 def _payload_terms(q: Query) -> set[str]:
@@ -659,6 +676,30 @@ class IndexSearcher:
                 else:
                     q = parse_query(q, self.analyzer)
             parsed[qid] = rewrite(self.expand(rewrite(q)))
+        # point-range queries route around the postings kernels: their doc
+        # set comes from a pushed-down docs-table scan, joined against the
+        # exhaustively-scored text side (IndexOrDocValuesQuery verify shape)
+        pr_qids = {
+            qid: q for qid, q in parsed.items() if _contains_point_range(q)
+        }
+        if pr_qids:
+            if after is not None or first_k:
+                raise ValueError(
+                    "PointRangeQuery does not support searchAfter/first_k"
+                )
+            parts = [
+                self._search_point_range(qid, q, k, scoring=scoring)
+                for qid, q in pr_qids.items()
+            ]
+            rest = {qid: q for qid, q in parsed.items() if qid not in pr_qids}
+            if rest:
+                parts.append(
+                    self.search_many(rest, k=k, scoring=scoring)
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
         all_terms: set[str] = set()
         for q in parsed.values():
             all_terms |= q.terms()
@@ -908,6 +949,146 @@ class IndexSearcher:
             F.col("score").desc(), F.col("segment_id").asc(), F.col("doc_id").asc()
         )
         return top.withColumn("rank", F.row_number().over(w))
+
+    def _point_range_matches(self, ranges) -> DataFrame:
+        """(segment_id, doc_id) set matching EVERY range in ``ranges`` — one
+        pushed-down docs-parquet scan (row-group min/max pruning plays the
+        BKD skip-subtree role), liveDocs intersected like every reader."""
+        from ..index.read import deleted_docs_table
+
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        out = docs.filter(F.col("segment_id").isin(list(self.live)))
+        for r in ranges:
+            if r.field not in docs.columns:
+                raise ValueError(
+                    f"PointRangeQuery field {r.field!r} is not a stored docs "
+                    "column (pass it via build_index(stored_cols=...))"
+                )
+            c = F.col(r.field)
+            if r.lower is not None:
+                out = out.filter(c >= r.lower if r.include_lower else c > r.lower)
+            if r.upper is not None:
+                out = out.filter(c <= r.upper if r.include_upper else c < r.upper)
+        out = out.select("segment_id", "doc_id")
+        tombs = deleted_docs_table(self.spark, self.index_dir, commit=self.commit)
+        return out.join(tombs, ["segment_id", "doc_id"], "left_anti")
+
+    def _search_point_range(
+        self, qid: int, q: Query, k: int | None, scoring: bool = True
+    ) -> DataFrame:
+        """Execute one query containing PointRangeQuery clauses.
+
+        Score semantics follow the reference's ``ConstantScoreWeight``:
+        a standalone range (or one wrapped in Boost/ConstantScore) scores its
+        boost; inside a BooleanQuery, MUST ranges each add their boost,
+        FILTER ranges add 0, MUST_NOT ranges exclude. Nesting anywhere else
+        (SHOULD, dismax, inner boolean) raises — the reference surface
+        (XML CoreParser / classic parser ranges) never produces those shapes.
+
+        Shape at scale: the text side runs the normal batched kernel path
+        exhaustively (pruned top-k could drop docs the range admits), the
+        range side is one pushed-down scan, and they meet in one equi-join
+        on the document coordinate before the global top-k."""
+        boost = 1.0
+        while isinstance(q, (BoostQuery, ConstantScoreQuery)):
+            boost *= q.boost
+            q = q.inner
+        must_ranges: list[tuple[PointRangeQuery, float]] = []
+        filter_ranges: list[PointRangeQuery] = []
+        not_ranges: list[PointRangeQuery] = []
+
+        def _unwrap(c):
+            b = 1.0
+            while isinstance(c, (BoostQuery, ConstantScoreQuery)):
+                b *= c.boost
+                c = c.inner
+            return c, b
+
+        core: Query | None = None
+        if isinstance(q, PointRangeQuery):
+            must_ranges.append((q, boost))
+            boost = 1.0
+        elif isinstance(q, BooleanQuery):
+            keep_must, keep_filter, keep_not = [], [], []
+            for c in q.must:
+                u, b = _unwrap(c)
+                (must_ranges.append((u, b)) if isinstance(u, PointRangeQuery)
+                 else keep_must.append(c))
+            for c in q.filter:
+                u, _ = _unwrap(c)
+                (filter_ranges.append(u) if isinstance(u, PointRangeQuery)
+                 else keep_filter.append(c))
+            for c in q.must_not:
+                u, _ = _unwrap(c)
+                (not_ranges.append(u) if isinstance(u, PointRangeQuery)
+                 else keep_not.append(c))
+            for c in q.should:
+                if _contains_point_range(c):
+                    raise ValueError(
+                        "PointRangeQuery in a SHOULD clause is not supported"
+                    )
+            for c in (*keep_must, *keep_filter, *keep_not):
+                if _contains_point_range(c):
+                    raise ValueError(
+                        "PointRangeQuery must be standalone or a top-level "
+                        "must/filter/must_not clause"
+                    )
+            rest = BooleanQuery(
+                tuple(keep_must), q.should, tuple(keep_not),
+                tuple(keep_filter), q.min_should_match,
+            )
+            if rest.must or rest.should or rest.filter or rest.must_not:
+                core = rest
+        else:
+            raise ValueError(
+                "PointRangeQuery must be standalone or a top-level "
+                "BooleanQuery clause"
+            )
+
+        pos_ranges = [r for r, _ in must_ranges] + filter_ranges
+        matches = (
+            self._point_range_matches(pos_ranges) if pos_ranges else None
+        )
+        const_score = sum(b for _, b in must_ranges) * boost if scoring else 0.0
+        if core is None:
+            if matches is None:
+                # pure must_not ranges over nothing to score — no matches
+                hits = None
+            else:
+                hits = matches.withColumn(
+                    "qid", F.lit(int(qid)).cast("int")
+                ).withColumn("score", F.lit(float(const_score)))
+        else:
+            # exhaustive text-side collection, then one coordinate equi-join
+            scored = self.search_many({qid: core}, k=None, scoring=scoring)
+            if matches is not None:
+                scored = scored.join(matches, ["segment_id", "doc_id"], "semi")
+            hits = scored.withColumn(
+                "score", (F.col("score") + F.lit(float(const_score)))
+            )
+        if hits is None:
+            schema = RESULT_SCHEMA if k is None else RESULT_SCHEMA + ", rank int"
+            return self.spark.createDataFrame([], schema)
+        if not_ranges:
+            hits = hits.join(
+                self._point_range_matches(not_ranges),
+                ["segment_id", "doc_id"],
+                "left_anti",
+            )
+        hits = hits.select(
+            F.col("qid").cast("int"),
+            F.col("segment_id").cast("int"),
+            F.col("doc_id").cast("bigint"),
+            F.col("score").cast("double"),
+        )
+        if k is None:
+            return hits
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("segment_id").asc(), F.col("doc_id").asc()
+        )
+        return hits.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
 
     def search_sorted_range(self, lo, hi) -> DataFrame:
         """Range filter on the INDEX SORT field

@@ -418,6 +418,28 @@ class TermInSetQuery(Query):
 
 
 @dataclass(frozen=True)
+class PointRangeQuery(Query):
+    """Numeric point-field range (``search/PointRangeQuery.java:56`` — the
+    BKD-tree range visit; XML surface ``queryparser/xml/builders/
+    PointRangeQueryBuilder.java:40``). Matches docs whose stored numeric
+    column falls inside the (inclusive by default) bounds; constant score =
+    boost (``ConstantScoreWeight`` role, like the reference).
+
+    Columnar analogue of the BKD visit: the executor evaluates it as a
+    pushed-down predicate on the docs parquet (row-group min/max stats prune
+    non-matching blocks — the same skip-subtree effect the reference gets
+    from the KD tree), then joins the surviving (segment_id, doc_id) set
+    against the scoring side. Supported standalone or as a top-level
+    BooleanQuery must/filter/must_not clause."""
+
+    field: str = ""
+    lower: float | None = None
+    upper: float | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
 class MatchAllQuery(Query):
     pass
 

@@ -26,11 +26,14 @@ Element set (CoreParser.java:94-138, default registry):
   (``Include``/``Exclude`` children) / ``SpanFirst`` (``end`` default 1)
 
 - ``SpanPositionRange`` (``start``/``end`` attributes)
+- ``PointRangeQuery`` (``builders/PointRangeQueryBuilder.java:40``) —
+  ``fieldName`` names a stored NUMERIC docs column (not the text field, so
+  it bypasses the text-field check), ``lowerTerm``/``upperTerm`` inclusive
+  bounds (missing = open end), ``type`` ∈ int/long/float/double (default
+  int, like the reference). Compiles to ``query.PointRangeQuery``; the
+  executor runs it as a pushed-down docs-parquet scan (BKD role).
 
-Not carried over (documented): ``PointRangeQuery`` (numeric point fields
-live on the relational side of this engine — ``relational.point_range``;
-the text index has no point columns); it raises with a pointer. Raw term
-text is lowercased to meet the engine's lowercased term dictionary.
+Raw term text is lowercased to meet the engine's lowercased term dictionary.
 
 Every parse error raises ``ValueError`` (the ParserException role).
 """
@@ -46,6 +49,7 @@ from .query import (
     DisjunctionMaxQuery,
     MatchAllQuery,
     PayloadScoreQuery,
+    PointRangeQuery,
     Query,
     SpanFirstQuery,
     SpanPositionRangeQuery,
@@ -88,15 +92,14 @@ class CoreParser:
     # ------------------------------------------------------- dispatchers --
     def _query(self, e: ET.Element, inherited_field: str | None) -> Query:
         tag = e.tag
+        if tag == "PointRangeQuery":
+            # fieldName names a NUMERIC docs column, not the text field —
+            # skip the text-field check (PointRangeQueryBuilder reads its
+            # own fieldName, no inheritance)
+            return _boost(self._q_PointRangeQuery(e), e)
         field = self._field(e, inherited_field, required=False)
         build = getattr(self, f"_q_{tag}", None)
         if build is None:
-            if tag == "PointRangeQuery":
-                raise ValueError(
-                    "xml query: PointRangeQuery is not carried over — numeric "
-                    "point ranges live on the relational side "
-                    "(relational.point_range)"
-                )
             raise ValueError(f"xml query: unknown element <{tag}>")
         q = build(e, field)
         return _boost(q, e)
@@ -173,6 +176,29 @@ class CoreParser:
             include_lower=_bool(e, "includeLower", True),
             include_upper=_bool(e, "includeUpper", True),
         )
+
+    def _q_PointRangeQuery(self, e):
+        fname = e.get("fieldName")
+        if not fname:
+            raise ValueError("xml query: <PointRangeQuery> needs fieldName")
+        typ = e.get("type", "int")
+        if typ in ("int", "long"):
+            conv = int
+        elif typ in ("float", "double"):
+            conv = float
+        else:
+            raise ValueError(
+                f"xml query: PointRangeQuery type {typ!r} not in int/long/float/double"
+            )
+        lower, upper = e.get("lowerTerm"), e.get("upperTerm")
+        try:
+            return PointRangeQuery(
+                field=fname,
+                lower=conv(lower) if lower not in (None, "") else None,
+                upper=conv(upper) if upper not in (None, "") else None,
+            )
+        except ValueError as exc:
+            raise ValueError(f"xml query: bad PointRangeQuery bound: {exc}") from exc
 
     def _q_DisjunctionMaxQuery(self, e, field):
         tie = float(e.get("tieBreaker", 0.0))

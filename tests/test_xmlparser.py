@@ -3,6 +3,7 @@
 composition, error contract, engine equivalence."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from lucene_solr_spark.search.query import (
     BooleanQuery,
@@ -143,7 +144,7 @@ def test_fieldname_inheritance_and_errors():
     with pytest.raises(ValueError):
         P("not xml at all <<<")
     with pytest.raises(ValueError):
-        P('<PointRangeQuery lowerTerm="1" upperTerm="2"/>')  # documented out
+        P('<PointRangeQuery lowerTerm="1" upperTerm="2"/>')  # missing fieldName
 
 
 def test_engine_equivalence(spark, tiny_index):
@@ -211,3 +212,127 @@ def test_nested_span_boost_and_boosting_term_are_span_safe(spark, tiny_index):
     d, _ = tiny_index
     s = IndexSearcher(spark, d, analyzer="code")
     assert s.search_many({0: q1, 1: q2}, k=None).count() > 0
+
+
+def test_point_range_query_element_parses():
+    """PointRangeQueryBuilder.java:40 — fieldName + lowerTerm/upperTerm
+    (inclusive, missing = open end) + type (default int)."""
+    from lucene_solr_spark.search.query import PointRangeQuery
+
+    assert P(
+        '<PointRangeQuery fieldName="size" lowerTerm="10" upperTerm="100"/>'
+    ) == PointRangeQuery(field="size", lower=10, upper=100)
+    assert P(
+        '<PointRangeQuery fieldName="w" type="double" lowerTerm="0.5"/>'
+    ) == PointRangeQuery(field="w", lower=0.5, upper=None)
+    assert P(
+        '<PointRangeQuery fieldName="size" lowerTerm="1" boost="3.0"/>'
+    ) == BoostQuery(PointRangeQuery(field="size", lower=1), 3.0)
+    with pytest.raises(ValueError):
+        P('<PointRangeQuery fieldName="x" type="text" lowerTerm="1"/>')
+    with pytest.raises(ValueError):
+        P('<PointRangeQuery fieldName="x" lowerTerm="notanumber"/>')
+
+
+def test_point_range_query_executes(spark, tiny_corpus, tmp_path_factory):
+    """Engine semantics: standalone = constant score 1.0 over the pushed-down
+    docs scan; as a BooleanQuery FILTER it restricts the hit set without
+    touching BM25 scores; as MUST it adds its constant boost; MUST_NOT
+    excludes. Oracled against pandas over the same corpus."""
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.search import IndexSearcher, PointRangeQuery
+
+    pdf = tiny_corpus.copy()
+    pdf["size"] = pdf["content"].str.len().astype("int64")
+    d = str(tmp_path_factory.mktemp("prq") / "idx")
+    build_index(
+        spark, spark.createDataFrame(pdf), d, num_segments=4,
+        analyzer="code", stored_cols=("size",),
+    )
+    s = IndexSearcher(spark, d, analyzer="code")
+    docs = spark.read.parquet(d + "/docs").select("segment_id", "doc_id", "size")
+    lo, hi = int(pdf["size"].quantile(0.25)), int(pdf["size"].quantile(0.75))
+    in_range = {
+        (r.segment_id, r.doc_id)
+        for r in docs.filter((F.col("size") >= lo) & (F.col("size") <= hi)).collect()
+    }
+
+    # standalone: matches == range set, constant score 1.0
+    pr = PointRangeQuery(field="size", lower=lo, upper=hi)
+    hits = s.search_many({0: pr}, k=None).collect()
+    assert {(r.segment_id, r.doc_id) for r in hits} == in_range
+    assert all(r.score == 1.0 for r in hits)
+    # exclusive bounds via the query node
+    strict = s.search_many(
+        {0: PointRangeQuery(field="size", lower=lo, upper=hi,
+                            include_lower=False, include_upper=False)},
+        k=None,
+    ).count()
+    edge_n = docs.filter(F.col("size").isin([lo, hi])).count()
+    assert strict == len(in_range) - edge_n
+
+    term_hits = {
+        (r.segment_id, r.doc_id): r.score
+        for r in s.search_many({0: "parse"}, k=None).collect()
+    }
+    # FILTER: intersection, BM25 scores untouched
+    xml_filter = parse_xml_query(
+        f"""<BooleanQuery>
+              <Clause occurs="must"><TermQuery>parse</TermQuery></Clause>
+              <Clause occurs="filter">
+                <PointRangeQuery fieldName="size" lowerTerm="{lo}" upperTerm="{hi}"/>
+              </Clause>
+            </BooleanQuery>""",
+        analyzer="code",
+    )
+    got = {
+        (r.segment_id, r.doc_id): r.score
+        for r in s.search_many({0: xml_filter}, k=None).collect()
+    }
+    assert set(got) == set(term_hits) & in_range
+    assert all(got[k] == pytest.approx(term_hits[k]) for k in got)
+
+    # MUST: same hit set, +1.0 constant score; top-k path ranks consistently
+    xml_must = parse_xml_query(
+        f"""<BooleanQuery>
+              <Clause occurs="must"><TermQuery>parse</TermQuery></Clause>
+              <Clause occurs="must">
+                <PointRangeQuery fieldName="size" lowerTerm="{lo}" upperTerm="{hi}"/>
+              </Clause>
+            </BooleanQuery>""",
+        analyzer="code",
+    )
+    got_must = {
+        (r.segment_id, r.doc_id): r.score
+        for r in s.search_many({0: xml_must}, k=None).collect()
+    }
+    assert set(got_must) == set(got)
+    assert all(got_must[k] == pytest.approx(got[k] + 1.0) for k in got_must)
+    topk = s.search(xml_must, k=5).collect()
+    assert [(r.segment_id, r.doc_id) for r in topk] == [
+        k for k, _ in sorted(got_must.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:5]
+
+    # MUST_NOT: complement within the term hits
+    xml_not = parse_xml_query(
+        f"""<BooleanQuery>
+              <Clause occurs="must"><TermQuery>parse</TermQuery></Clause>
+              <Clause occurs="mustNot">
+                <PointRangeQuery fieldName="size" lowerTerm="{lo}" upperTerm="{hi}"/>
+              </Clause>
+            </BooleanQuery>""",
+        analyzer="code",
+    )
+    got_not = {
+        (r.segment_id, r.doc_id)
+        for r in s.search_many({0: xml_not}, k=None).collect()
+    }
+    assert got_not == set(term_hits) - in_range
+
+    # unsupported shapes refuse loudly
+    with pytest.raises(ValueError, match="SHOULD"):
+        s.search_many(
+            {0: BooleanQuery(should=(TermQuery("parse"), pr))}, k=None
+        )
+    with pytest.raises(ValueError, match="stored docs column"):
+        s.search_many({0: PointRangeQuery(field="nosuch", lower=1)}, k=None)
