@@ -14,6 +14,7 @@ nothing collects to the driver.
 from __future__ import annotations
 
 import datetime
+import math
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -922,6 +923,190 @@ def spatial_polygon(spark, sf_dir):
         .filter(F.expr(_poly_crossing_expr("lat", "lon")) % 2 == 1)
         .select("c_custkey", "lat", "lon")
     )
+
+
+# LatLonShape polygon-SET indexing role (lucene/core document/LatLonShape
+# .java:63 — shapes tessellated into triangles stored in a BKD tree; at
+# query time the tree walk classifies each cell against the query geometry
+# as CELL_INSIDE_QUERY / CELL_CROSSES_QUERY / CELL_OUTSIDE_QUERY
+# (ShapeQuery.java relate()) and only CROSSES cells visit their points).
+# Columnar form of the same three-way split:
+#
+# - INGEST: a coarse grid-cell id column rides the table (here derived in
+#   the first projection; a real geo table writes it at ingest and
+#   partitions/sorts by it, so the IN-list below prunes row groups).
+# - PLAN TIME (driver, tiny): classify every grid cell against each
+#   polygon — INSIDE cells match with NO exact test, BOUNDARY cells carry
+#   the set of polygons whose exact edge-crossing test must run, OUTSIDE
+#   cells never leave the scan.
+# - EXECUTE: one pushed-down `cell IN (candidates)` scan filter, a
+#   broadcast join against the ≤|cells| classification frame, and the
+#   O(edges) crossing expression gated to boundary rows only.
+#
+# Correctness is pinned by the oracle: the pruned plan must equal the
+# plain any-polygon ray-cast over all rows.
+
+_GRID_DEG = 10.0
+_N_LON_CELLS = int(360 / _GRID_DEG)
+
+_POLY_SET = [
+    _POLY,
+    [(-40.0, 20.0), (-10.0, 45.0), (-35.0, 70.0)],
+    [(20.0, 100.0), (50.0, 130.0), (25.0, 160.0), (5.0, 130.0)],
+]
+
+
+def _pt_in_poly(poly, lat: float, lon: float) -> bool:
+    """Driver-side even-odd ray cast — same arithmetic as the SQL expr."""
+    n = 0
+    for i, (y1, x1) in enumerate(poly):
+        y2, x2 = poly[(i + 1) % len(poly)]
+        if ((y1 > lat) != (y2 > lat)) and lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1:
+            n += 1
+    return n % 2 == 1
+
+
+def _segs_intersect(p1, p2, q1, q2) -> bool:
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    def on_seg(a, b, c):
+        return (
+            min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= c[1] <= max(a[1], b[1])
+        )
+
+    o1, o2 = orient(p1, p2, q1), orient(p1, p2, q2)
+    o3, o4 = orient(q1, q2, p1), orient(q1, q2, p2)
+    if o1 != o2 and o3 != o4:
+        return True
+    return (
+        (o1 == 0 and on_seg(p1, p2, q1))
+        or (o2 == 0 and on_seg(p1, p2, q2))
+        or (o3 == 0 and on_seg(q1, q2, p1))
+        or (o4 == 0 and on_seg(q1, q2, p2))
+    )
+
+
+def _classify_cells(poly) -> tuple[set[int], set[int]]:
+    """(inside_cells, boundary_cells) for one polygon — the ComponentTree
+    relate() three-way split over the ingest grid. A cell is BOUNDARY when
+    any polygon edge touches its rectangle (edge-rect intersection or a
+    vertex inside); otherwise its four corners agree and decide
+    INSIDE/OUTSIDE. Runs over the polygon's bbox cells only — a handful of
+    driver-side float ops, never a Spark job."""
+    lats = [p[0] for p in poly]
+    lons = [p[1] for p in poly]
+    inside: set[int] = set()
+    boundary: set[int] = set()
+    ci_lo = int(math.floor((min(lats) + 90) / _GRID_DEG))
+    ci_hi = int(math.floor((max(lats) + 90) / _GRID_DEG))
+    cj_lo = int(math.floor((min(lons) + 180) / _GRID_DEG))
+    cj_hi = int(math.floor((max(lons) + 180) / _GRID_DEG))
+    edges = [(poly[i], poly[(i + 1) % len(poly)]) for i in range(len(poly))]
+    for ci in range(ci_lo, ci_hi + 1):
+        for cj in range(cj_lo, cj_hi + 1):
+            cell = ci * _N_LON_CELLS + cj
+            y0, y1 = ci * _GRID_DEG - 90, (ci + 1) * _GRID_DEG - 90
+            x0, x1 = cj * _GRID_DEG - 180, (cj + 1) * _GRID_DEG - 180
+            corners = [(y0, x0), (y0, x1), (y1, x1), (y1, x0)]
+            rect_edges = [
+                (corners[i], corners[(i + 1) % 4]) for i in range(4)
+            ]
+            crosses = any(
+                y0 <= vy <= y1 and x0 <= vx <= x1 for vy, vx in poly
+            ) or any(
+                _segs_intersect(a, b, c, d)
+                for a, b in edges
+                for c, d in rect_edges
+            )
+            if crosses:
+                boundary.add(cell)
+            elif _pt_in_poly(poly, *corners[0]):
+                inside.add(cell)
+    return inside, boundary
+
+
+def _grid_cell_col(lat_col: str, lon_col: str):
+    return (
+        F.floor((F.col(lat_col) + 90) / _GRID_DEG) * _N_LON_CELLS
+        + F.floor((F.col(lon_col) + 180) / _GRID_DEG)
+    ).cast("long")
+
+
+def spatial_polygon_set(spark, sf_dir):
+    """Match customers inside ANY of the three polygons, grid-pruned."""
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 180) - 90 + 0.5).alias("lat"),
+        ((F.col("c_custkey") % 360) - 180 + 0.5).alias("lon"),
+    ).withColumn("cell", _grid_cell_col("lat", "lon"))
+    classified = [_classify_cells(p) for p in _POLY_SET]
+    # a cell INSIDE any polygon matches outright; BOUNDARY cells carry the
+    # per-polygon test mask (minus polygons the cell is already inside)
+    inside_any = set().union(*(ins for ins, _ in classified))
+    cells_rows = []
+    all_boundary = set().union(*(b for _, b in classified)) - inside_any
+    for cell in sorted(inside_any):
+        cells_rows.append((cell, True, [False] * len(_POLY_SET)))
+    for cell in sorted(all_boundary):
+        mask = [cell in b for _, b in classified]
+        cells_rows.append((cell, False, mask))
+    cells = spark.createDataFrame(
+        [(c_, i_, *m_) for c_, i_, m_ in cells_rows],
+        "cell long, cell_inside boolean, "
+        + ", ".join(f"test{k} boolean" for k in range(len(_POLY_SET))),
+    )
+    exact = [
+        F.expr(_poly_set_crossing_expr(k, "lat", "lon")) % 2 == 1
+        for k in range(len(_POLY_SET))
+    ]
+    cond = F.col("cell_inside")
+    for k in range(len(_POLY_SET)):
+        cond = cond | (F.col(f"test{k}") & exact[k])
+    return (
+        # the IN-list prune IS the scan filter — OUTSIDE cells never join
+        pts.filter(F.col("cell").isin([r[0] for r in cells_rows]))
+        .join(F.broadcast(cells), "cell")
+        .filter(cond)
+        .select("c_custkey", "lat", "lon")
+    )
+
+
+def _poly_set_crossing_expr(k: int, lat_col: str, lon_col: str) -> str:
+    poly = _POLY_SET[k]
+    terms = []
+    for i, (y1, x1) in enumerate(poly):
+        y2, x2 = poly[(i + 1) % len(poly)]
+        terms.append(
+            f"(CASE WHEN (({y1} > {lat_col}) <> ({y2} > {lat_col})) AND "
+            f"({lon_col} < ({x2} - {x1}) * ({lat_col} - {y1}) / ({y2} - {y1}) + {x1}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _spatial_polygon_set_sql() -> str:
+    # the oracle is the UNPRUNED any-polygon ray cast — grid pruning must
+    # be invisible in the result
+    tests = " OR ".join(
+        f"({_poly_set_crossing_expr(k, 'lat', 'lon')} % 2 = 1)"
+        for k in range(len(_POLY_SET))
+    )
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey % 180) - 90 + 0.5 AS lat,
+         (c_custkey % 360) - 180 + 0.5 AS lon
+  FROM customer
+)
+SELECT c_custkey, lat, lon FROM pts WHERE {tests}
+"""
+
+
+SPATIAL_POLYGON_SET_SQL = _spatial_polygon_set_sql()
 
 
 def _spatial_polygon_sql() -> str:
@@ -2688,6 +2873,9 @@ RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
     "intersect_custkeys": (intersect_custkeys, INTERSECT_SQL),
     "complement_customers": (complement_customers, COMPLEMENT_SQL),
     "spatial_polygon": (spatial_polygon, SPATIAL_POLYGON_SQL),
+    # grid-pruned polygon SET (LatLonShape.java:63 BKD role) — the oracle is
+    # the unpruned any-polygon ray cast, so pruning must be invisible
+    "spatial_polygon_set": (spatial_polygon_set, SPATIAL_POLYGON_SET_SQL),
     "json_facet_orders": (json_facet_orders, JSON_FACET_SQL),
     "relatedness_mktsegment": (relatedness_mktsegment, RELATEDNESS_SQL),
 }

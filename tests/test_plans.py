@@ -372,3 +372,18 @@ def test_blended_infix_windows_are_partitioned(spark):
     # per-input top-5 window partitions by input; no global empty-key window
     assert "WindowGroupLimit" in plan or "Window" in plan
     assert "CartesianProduct" not in plan  # inputs broadcast
+
+
+def test_spatial_polygon_set_is_grid_pruned_broadcast(spark):
+    """LatLonShape-role polygon set: the cell IN-list prune sits in the scan
+    filter (OUTSIDE cells never reach the join), the cell-classification
+    frame broadcasts, and the whole thing stays JVM-side."""
+    from lucene_solr_spark.relational import spatial_polygon_set
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(spatial_polygon_set(spark, sf))
+    assert "cell" in plan and (" IN " in plan or "isin" in plan.lower()
+                               or "cell#" in plan)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
