@@ -422,3 +422,73 @@ def test_topic_head_incremental(spark, tmp_path):
         spark, SF, f'topic("{tmp_path}", documents, q="hash", id="t1")'
     )
     assert again.count() == 0
+
+
+def test_search_fq_start_parameters(spark):
+    """SearchStream.java:55 parameter surface: fq restricts the hit set
+    without touching score; start pages an ordered stream; start without
+    sort refuses."""
+    from lucene_solr_spark.relational import _t
+    from lucene_solr_spark.textops import _ft_search_all
+
+    # fq on the free-text path: same scores as the unfiltered search,
+    # restricted to the fq subset
+    base = {
+        (r.doc_id, r.score)
+        for r in run_stream_expr(
+            spark, SF, 'search(documents, q="table hash", fl="doc_id,score,lang")'
+        ).collect()
+    }
+    got = run_stream_expr(
+        spark,
+        SF,
+        'search(documents, q="table hash", fq="lang:en", fl="doc_id,score,lang")',
+    ).collect()
+    assert all(r.lang == "en" for r in got)
+    assert {(r.doc_id, r.score) for r in got} == {
+        (d, s) for (d, s) in base
+    } & {(r.doc_id, r.score) for r in got}
+    en_docs = {
+        r.doc_id
+        for r in _t(spark, SF, "documents").filter(F.col("lang") == "en").collect()
+    }
+    assert {r.doc_id for r in got} == {d for d, _ in base if d in en_docs}
+
+    # fq on the field-syntax path composes with q
+    got2 = run_stream_expr(
+        spark,
+        SF,
+        'search(orders, q="o_orderstatus:O", fq="o_totalprice:[100000 TO *]", '
+        'fl="o_orderkey")',
+    )
+    want2 = (
+        _t(spark, SF, "orders")
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") >= 100000))
+        .select("o_orderkey")
+    )
+    assert _rows(got2) == _rows(want2)
+
+    # start pages: rows k..k+n of the sorted stream
+    whole = run_stream_expr(
+        spark, SF, 'search(region, fl="r_regionkey", sort="r_regionkey asc", rows=5)'
+    ).collect()
+    page2 = run_stream_expr(
+        spark,
+        SF,
+        'search(region, fl="r_regionkey", sort="r_regionkey asc", start=2, rows=2)',
+    ).collect()
+    assert [r.r_regionkey for r in page2] == [r.r_regionkey for r in whole][2:4]
+    # free-text path: start pages the score-desc total order
+    ft_page = run_stream_expr(
+        spark, SF, 'search(documents, q="table hash", fl="doc_id,score", start=3, rows=4)'
+    ).collect()
+    ft_all = sorted(
+        _ft_search_all(spark, SF, "table hash").collect(),
+        key=lambda r: (-r.score, r.doc_id),
+    )
+    assert [(r.doc_id, r.score) for r in ft_page] == [
+        (r.doc_id, r.score) for r in ft_all
+    ][3:7]
+
+    with pytest.raises(ValueError, match="start"):
+        run_stream_expr(spark, SF, 'search(region, fl="r_name", start=1)')
