@@ -37,9 +37,10 @@ the artifact itself.
 Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_DOCS
 (default 48000), SPARK_GRAFT_SCALE_LOW (default 1), SPARK_GRAFT_SCALING=0
 to skip the scaling passes, SPARK_GRAFT_LOAD_MAX (default 2.0),
-SPARK_GRAFT_QUIET_WAIT seconds (default 600), SPARK_GRAFT_MAX_ATTEMPTS
-(default 3), SPARK_GRAFT_MIN_GBPH (default 45), SPARK_GRAFT_MIN_QPS
-(default 400).
+SPARK_GRAFT_LOAD_MAX_15 (default 2.0 — the 15-min criterion that actually
+predicts a clean pass), SPARK_GRAFT_QUIET_WAIT seconds (default 1800),
+SPARK_GRAFT_MAX_ATTEMPTS (default 3), SPARK_GRAFT_MIN_GBPH (default 45),
+SPARK_GRAFT_MIN_QPS (default 400).
 """
 
 from __future__ import annotations
@@ -59,7 +60,10 @@ SCALE_HIGH = 4 * SCALE_LOW
 N_DOCS = int(os.environ.get("SPARK_GRAFT_DOCS", "48000"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 LOAD_MAX = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "2.0"))
-QUIET_WAIT_S = int(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "600"))
+# 15-min criterion (round 4): a sub-2 1-min load between tenant bursts is
+# NOT quiet — require the 15-min average under this too before timed work.
+LOAD_MAX_15 = float(os.environ.get("SPARK_GRAFT_LOAD_MAX_15", "2.0"))
+QUIET_WAIT_S = int(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "1800"))
 MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_MAX_ATTEMPTS", "3"))
 # Quiet-host envelope floors (half of the measured 90-170 GB/h build and
 # 800-900 q/s bulk envelopes, BASELINE.md): a main pass below EITHER floor is
@@ -79,15 +83,36 @@ def _loadavg() -> list[float]:
 
 
 def _wait_for_quiet(max_wait_s: int = QUIET_WAIT_S, poll_s: int = 20) -> list[float]:
-    """Block (bounded) until the 1-min load drops under LOAD_MAX.
+    """Block (bounded) until the host is quiet: 1-min load under LOAD_MAX
+    AND 15-min load under LOAD_MAX_15.
 
     The 1-min loadavg decays ~e^(-t/60), so a just-finished 32-thread Spark
     pass of our own needs ~2-3 min to drain out of the signal; external
-    tenant load that does NOT drain is exactly what we're guarding against.
-    Returns the loadavg we proceeded at (quiet or timed out)."""
+    tenant load that does NOT drain is exactly what we're guarding against —
+    and round 3's degraded committed capture started at 1-min load < 2 while
+    the 15-MIN load was 5.3 (the tenant was between bursts), so the 15-min
+    average is the criterion that actually predicts a clean pass. Returns
+    the loadavg we proceeded at (quiet or timed out)."""
     deadline = time.time() + max_wait_s
     la = _loadavg()
-    while la[0] > LOAD_MAX and time.time() < deadline:
+    while (la[0] > LOAD_MAX or la[2] > LOAD_MAX_15) and time.time() < deadline:
+        time.sleep(poll_s)
+        la = _loadavg()
+    return la
+
+
+def _wait_for_quiet_5min(max_wait_s: int = QUIET_WAIT_S, poll_s: int = 20) -> list[float]:
+    """Inter-pair gate for the scaling trials: ALSO require the 5-min load
+    under LOAD_MAX_5 (default 2.5). The round-4 clean capture showed pairs
+    that passed the 1-min+15-min gate still starting inside the 5-min drain
+    of the previous 32-thread pass (5-min loads 2.2-3.4) and measuring
+    efficiencies of 0.5 while a fully-drained pair measured 1.0."""
+    lm5 = float(os.environ.get("SPARK_GRAFT_LOAD_MAX_5", "2.5"))
+    deadline = time.time() + max_wait_s
+    la = _loadavg()
+    while (
+        la[0] > LOAD_MAX or la[1] > lm5 or la[2] > LOAD_MAX_15
+    ) and time.time() < deadline:
         time.sleep(poll_s)
         la = _loadavg()
     return la
@@ -337,7 +362,7 @@ def main() -> None:
         pairs = []
         pair_loads = []
         for _ in range(n_trials):
-            la = _wait_for_quiet()
+            la = _wait_for_quiet_5min()
             spark = _fresh_spark(SCALE_LOW)
             low = _build_and_query(spark, SCALE_LOW)
             spark = _fresh_spark(SCALE_HIGH)

@@ -8,9 +8,12 @@ Catalyst ``Column`` expression (JVM-side, whole-stage-codegen — never a
 Python UDF), and ``parse_func`` is a recursive-descent parser for the Solr
 function-query syntax: nested calls, numeric literals, field references.
 
-``FUNCTIONS[name]`` = callable(*Column) -> Column. Relevance functions
-(termfreq/docfreq/norm) live in ``textops`` — they are literal columns of
-the engine's postings/stats tables (SURVEY §2.10).
+``FUNCTIONS[name]`` = callable(*Column) -> Column (68 names).
+``AGG_FUNCTIONS[name]`` = the ``agg_*`` GROUP-aggregate names (11).
+Relevance functions (termfreq/docfreq/norm/payload) live in ``textops`` —
+they are literal columns of the engine's postings/stats tables (SURVEY
+§2.10). The handful of names a pure-DataFrame registry cannot carry are
+documented out below the registry with rationale.
 """
 
 from __future__ import annotations
@@ -121,6 +124,128 @@ FUNCTIONS: dict = {
     # ord is index-global too); use on bounded frames only.
     "ord": lambda c: _ord(c, False),
     "rord": lambda c: _ord(c, True),
+    # remaining deterministic scalar names (round 4): rad/deg/hypot/atan2
+    # (DoubleParser/Double2Parser registrations), literal
+    # (LiteralValueSource), vector (VectorValueSource), true/false
+    # (BoolConstValueSource)
+    "rad": F.radians,
+    "deg": F.degrees,
+    "hypot": F.hypot,
+    "atan2": F.atan2,
+    "literal": lambda s: F.lit(s),
+    "vector": lambda *c: F.array(*[x.cast("double") for x in c]),
+    "true": lambda: F.lit(True),
+    "false": lambda: F.lit(False),
+    # geohash(lat,lon) / ghhsin(radius,gh1,gh2) — see _geohash/_ghhsin
+    "geohash": lambda lat, lon: _geohash(lat, lon),
+    "ghhsin": lambda r, g1, g2: _ghhsin(r, g1, g2),
+}
+
+# Documented out (the names a pure-DataFrame registry cannot or should not
+# carry): testfunc (test hook), threadid/sleep (side effects), currency
+# (needs currency-field config), joindf (cross-core join — the engine's
+# join surface is relational.join_query), query/cscore (need a searcher
+# score context — that surface is textops.function_score_rank and the
+# collapse ops), childfield (block-join context — relational block-join
+# ops), agg_multistat (internal multiplexer). The agg_* aggregation names
+# live in AGG_FUNCTIONS below: they are GROUP aggregates, not per-doc
+# value sources, so they compose with groupBy/agg, not parse_func.
+
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_CHARS = 12  # spatial4j GeohashUtils.MAX_PRECISION — what encodeLatLon emits
+_GH_BITS = _GH_CHARS * 5 // 2  # 30 bits per axis
+
+
+def _geohash(lat: Column, lon: Column) -> Column:
+    """``geohash(lat,lon)`` (GeohashFunction.java:35 → spatial4j
+    GeohashUtils.encodeLatLon, 12 chars): the standard base-32 geohash as a
+    pure Catalyst expression. Both axes quantize to 30 bits, the classic
+    bisection being exactly binary expansion; the 60 interleaved bits
+    (even=lon, odd=lat, MSB first) group into twelve 5-bit base-32 chars.
+    ~120 unrolled bit ops — all inside whole-stage codegen, no Python."""
+    scale = float(1 << _GH_BITS)
+    latq = F.least(
+        F.floor((lat + 90.0) / 180.0 * scale).cast("long"),
+        F.lit((1 << _GH_BITS) - 1),
+    )
+    lonq = F.least(
+        F.floor((lon + 180.0) / 360.0 * scale).cast("long"),
+        F.lit((1 << _GH_BITS) - 1),
+    )
+    chars = []
+    for ci in range(_GH_CHARS):
+        acc = None
+        for bi in range(5):
+            gpos = ci * 5 + bi  # global interleaved bit index, MSB first
+            src = lonq if gpos % 2 == 0 else latq
+            bit = F.shiftright(src, _GH_BITS - 1 - gpos // 2).bitwiseAND(F.lit(1))
+            term = bit * (1 << (4 - bi))
+            acc = term if acc is None else acc + term
+        chars.append(F.lit(_B32).substr((acc + 1).cast("int"), F.lit(1)))
+    return F.concat(*chars)
+
+
+def _gh_decode(gh: Column) -> tuple[Column, Column]:
+    """(lat, lon) cell center of a 12-char geohash — the exact inverse of
+    :func:`_geohash` (spatial4j GeohashUtils.decode returns the center)."""
+    char_vals = F.create_map(
+        *[x for i, c in enumerate(_B32) for x in (F.lit(c), F.lit(i))]
+    )
+    latq = None
+    lonq = None
+    for ci in range(_GH_CHARS):
+        v = char_vals[F.substring(gh, ci + 1, 1)]
+        for bi in range(5):
+            gpos = ci * 5 + bi
+            bit = F.shiftright(v, 4 - bi).bitwiseAND(F.lit(1)).cast("long")
+            shifted = bit * (1 << (_GH_BITS - 1 - gpos // 2))
+            if gpos % 2 == 0:
+                lonq = shifted if lonq is None else lonq + shifted
+            else:
+                latq = shifted if latq is None else latq + shifted
+    scale = float(1 << _GH_BITS)
+    lat = (latq.cast("double") + 0.5) / scale * 180.0 - 90.0
+    lon = (lonq.cast("double") + 0.5) / scale * 360.0 - 180.0
+    return lat, lon
+
+
+def _ghhsin(radius: Column, gh1: Column, gh2: Column) -> Column:
+    """``ghhsin(radius, gh1, gh2)`` (GeohashHaversineFunction.java:43):
+    haversine between two geohash-encoded points on a sphere of the given
+    radius, each decoded to its cell center."""
+    lat1, lon1 = _gh_decode(gh1)
+    lat2, lon2 = _gh_decode(gh2)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = F.sin(dlat / 2) ** 2 + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * (
+        F.sin(dlon / 2) ** 2
+    )
+    return 2 * radius * F.asin(F.sqrt(a))
+
+
+# The JSON-facet / stats aggregation names (ValueSourceParser.java agg
+# registrations → solr/core/src/java/org/apache/solr/search/facet/*Agg):
+# GROUP aggregates over a value source. variance/stddev are POPULATION
+# moments (VarianceAgg.java:61 sumSq/count - (sum/count)^2,
+# StddevAgg.java:62 its sqrt); percentile here is the exact interpolated
+# quantile (the reference's t-digest is approximate — documented
+# difference); unique is exact count-distinct; hll maps to Spark's native
+# HLL sketch (the bit-identical cross-engine HLL this engine gates lives in
+# relational.stats_cardinality). All are map-side-combinable Catalyst
+# aggregates except percentile/unique, whose exactness costs a full
+# shuffle of the grouped values — the documented Solr trade-off inverted.
+AGG_FUNCTIONS: dict = {
+    "agg_count": lambda c=None: F.count("*") if c is None else F.count(c),
+    "agg_sum": F.sum,
+    "agg_avg": F.avg,
+    "agg_min": F.min,
+    "agg_max": F.max,
+    "agg_sumsq": lambda c: F.sum(c * c),
+    "agg_variance": F.var_pop,
+    "agg_stddev": F.stddev_pop,
+    "agg_percentile": lambda c, p: F.percentile(c, F.lit(p)),
+    "agg_unique": F.count_distinct,
+    "agg_hll": F.approx_count_distinct,
 }
 
 

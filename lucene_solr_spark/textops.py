@@ -2338,6 +2338,25 @@ def relevance_registry(stats: dict) -> dict:
 
     reg["sumtotaltermfreq"] = _sttf
     reg["sttf"] = _sttf
+
+    def _payload(f, t, d=None):
+        # payload(field,term[,default]) (ValueSourceParser 'payload' →
+        # FloatPayloadValueSource): the per-doc aggregate of the term's
+        # float payloads. The frame prepares ``payload_<term>`` from
+        # index.read.payloads_postings (min/max/average/first per doc,
+        # caller's choice) exactly like ``tf_<term>`` rides a term-pushed
+        # postings scan; docs without the term take the default (0 when
+        # omitted, like the reference's defaultValue).
+        from pyspark.sql import Column as _C
+
+        dcol = (
+            F.lit(0.0)
+            if d is None
+            else (d if isinstance(d, _C) else F.lit(float(d)))
+        )
+        return F.coalesce(F.col(f"payload_{t}"), dcol)
+
+    reg["payload"] = _payload
     return reg
 
 

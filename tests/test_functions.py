@@ -189,3 +189,186 @@ def test_dist_concat_ord_rord(spark):
     got = {r.s: (r.o, r.r, r.c) for r in rows}
     assert got == {"a": (1, 3, "aa"), "b": (2, 2, "bb"), "c": (3, 1, "cc")}
     assert df.select(parse_func("pi()").alias("p")).collect()[0].p == pytest.approx(math.pi)
+
+
+def _py_geohash(lat: float, lon: float, precision: int = 12) -> str:
+    """Independent driver-side encoder (public geohash algorithm) — the
+    oracle for the Catalyst expression."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+    bits, out, even = 0, [], True
+    ch = 0
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lon_lo = mid
+            else:
+                ch <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lat_lo = mid
+            else:
+                ch <<= 1
+                lat_hi = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(b32[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_matches_reference_vectors(spark):
+    """geohash(lat,lon) (GeohashFunction.java:35 via spatial4j
+    GeohashUtils.encodeLatLon, 12-char precision) — pinned to the public
+    test vector and an independent python encoder over a lattice."""
+    import pyspark.sql.functions as F
+
+    pts = [
+        (57.64911, 10.40744),  # wikipedia vector -> u4pruydqqvj8
+        (0.0, 0.0),
+        (-89.9, -179.9),
+        (89.9, 179.9),
+        (40.7, -74.0),
+        (-33.86, 151.21),
+    ]
+    df = spark.createDataFrame(pts, "lat double, lon double").select(
+        "lat", "lon", parse_func("geohash(lat,lon)").alias("gh")
+    )
+    got = {(r.lat, r.lon): r.gh for r in df.collect()}
+    assert got[(57.64911, 10.40744)] == "u4pruydqqvj8"
+    for lat, lon in pts:
+        assert got[(lat, lon)] == _py_geohash(lat, lon), (lat, lon)
+
+
+def test_ghhsin_decodes_and_measures(spark):
+    """ghhsin(radius, gh1, gh2) (GeohashHaversineFunction.java:43): decode
+    both geohashes to their cell centers, haversine on the given sphere.
+    Cross-checked against the python decode + the registry's own hsin."""
+    import pyspark.sql.functions as F
+
+    a = _py_geohash(57.64911, 10.40744)
+    b = _py_geohash(40.7, -74.0)
+    df = spark.createDataFrame([(a, b)], "g1 string, g2 string").select(
+        parse_func("ghhsin(6371.0087714, g1, g2)").alias("d")
+    )
+    got = df.collect()[0].d
+
+    def decode(gh):
+        b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+        even = True
+        for c in gh:
+            v = b32.index(c)
+            for k in range(4, -1, -1):
+                bit = (v >> k) & 1
+                if even:
+                    mid = (lon_lo + lon_hi) / 2
+                    if bit:
+                        lon_lo = mid
+                    else:
+                        lon_hi = mid
+                else:
+                    mid = (lat_lo + lat_hi) / 2
+                    if bit:
+                        lat_lo = mid
+                    else:
+                        lat_hi = mid
+                even = not even
+        return (lat_lo + lat_hi) / 2, (lon_lo + lon_hi) / 2
+
+    lat1, lon1 = decode(a)
+    lat2, lon2 = decode(b)
+    r = 6371.0087714
+    dlat = math.radians(lat2 - lat1)
+    dlon = math.radians(lon2 - lon1)
+    h = (
+        math.sin(dlat / 2) ** 2
+        + math.cos(math.radians(lat1))
+        * math.cos(math.radians(lat2))
+        * math.sin(dlon / 2) ** 2
+    )
+    want = 2 * r * math.asin(math.sqrt(h))
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_round4_scalar_names(spark):
+    """rad/deg/hypot/atan2/literal/vector/true/false — the remaining
+    deterministic ValueSourceParser scalar names."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(3.0, 4.0)], "a double, b double")
+    row = df.select(
+        parse_func("rad(180)").alias("rad"),
+        parse_func("deg(pi())").alias("deg"),
+        parse_func("hypot(a,b)").alias("hyp"),
+        parse_func("atan2(a,b)").alias("at2"),
+        parse_func("literal('abc')").alias("lit"),
+        parse_func("vector(a,b,1)").alias("vec"),
+        parse_func("true()").alias("t"),
+        parse_func("false()").alias("f"),
+    ).collect()[0]
+    assert row.rad == pytest.approx(math.pi)
+    assert row.deg == pytest.approx(180.0)
+    assert row.hyp == pytest.approx(5.0)
+    assert row.at2 == pytest.approx(math.atan2(3.0, 4.0))
+    assert row.lit == "abc"
+    assert row.vec == [3.0, 4.0, 1.0]
+    assert row.t is True and row.f is False
+
+
+def test_agg_function_registry_matches_duckdb(spark, lineitem):
+    """The agg_* pseudo-functions (ValueSourceParser.java agg registrations →
+    facet module aggregates): population variance/stddev per VarianceAgg
+    .java:61 / StddevAgg.java:62, exact percentile, countDistinct unique."""
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.functions import AGG_FUNCTIONS
+
+    got = (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            AGG_FUNCTIONS["agg_count"]().alias("cnt"),
+            AGG_FUNCTIONS["agg_sum"](F.col("l_quantity")).alias("s"),
+            AGG_FUNCTIONS["agg_avg"](F.col("l_quantity")).alias("a"),
+            AGG_FUNCTIONS["agg_min"](F.col("l_quantity")).alias("mn"),
+            AGG_FUNCTIONS["agg_max"](F.col("l_quantity")).alias("mx"),
+            AGG_FUNCTIONS["agg_sumsq"](F.col("l_quantity")).alias("ss"),
+            AGG_FUNCTIONS["agg_variance"](F.col("l_quantity")).alias("v"),
+            AGG_FUNCTIONS["agg_stddev"](F.col("l_quantity")).alias("sd"),
+            AGG_FUNCTIONS["agg_percentile"](F.col("l_quantity"), 0.5).alias("p50"),
+            AGG_FUNCTIONS["agg_unique"](F.col("l_linenumber")).alias("u"),
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    want = con.execute(
+        """
+        SELECT l_returnflag, count(*), sum(l_quantity), avg(l_quantity),
+               min(l_quantity), max(l_quantity), sum(l_quantity*l_quantity),
+               var_pop(l_quantity), stddev_pop(l_quantity),
+               quantile_cont(l_quantity, 0.5), count(DISTINCT l_linenumber)
+        FROM lineitem GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    for g, w in zip(got, want):
+        assert g.l_returnflag == w[0]
+        assert g.cnt == w[1]
+        assert float(g.s) == pytest.approx(float(w[2]))
+        assert g.a == pytest.approx(w[3])
+        assert float(g.mn) == pytest.approx(float(w[4]))
+        assert float(g.mx) == pytest.approx(float(w[5]))
+        assert float(g.ss) == pytest.approx(float(w[6]))
+        assert g.v == pytest.approx(w[7])
+        assert g.sd == pytest.approx(w[8])
+        assert float(g.p50) == pytest.approx(float(w[9]))
+        assert g.u == w[10]

@@ -329,3 +329,49 @@ def test_span_payload_check_query(spark, pay_corpus, pay_index):
         {0: SpanPayloadCheckQuery(term, (123.456,))}, k=None
     ).count()
     assert none == 0
+
+
+def test_payload_function_query(spark, pay_corpus, pay_index):
+    """The 'payload' ValueSourceParser name (FloatPayloadValueSource role):
+    payload(field,term,default) resolves the prepared per-doc payload
+    aggregate; docs without the term take the default. Oracled against a
+    pandas recompute from the decoded payload stream."""
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.functions import parse_func
+    from lucene_solr_spark.index.read import payloads_postings
+    from lucene_solr_spark.textops import relevance_registry
+
+    term = "parse"
+    per_doc = (
+        payloads_postings(spark, pay_index, [term])
+        .groupBy("segment_id", "doc_id")
+        .agg(F.avg("payload").alias(f"payload_{term}"))
+    )
+    docs = spark.read.parquet(pay_index + "/docs").select(
+        "segment_id", "doc_id", "repo", "path"
+    )
+    frame = docs.join(per_doc, ["segment_id", "doc_id"], "left")
+    stats = {"df": {}, "ttf": {}, "numdocs": 1, "maxdoc": 1, "sumttf": 0}
+    col = parse_func(
+        f"payload(content,'{term}',-1)", registry=relevance_registry(stats)
+    )
+    got = {
+        (r.repo, r.path): r.p for r in frame.select("repo", "path", col.alias("p")).collect()
+    }
+
+    # independent oracle from the raw stream
+    want_rows = payloads_postings(spark, pay_index, [term]).join(
+        docs, ["segment_id", "doc_id"]
+    ).collect()
+    agg: dict = {}
+    for r in want_rows:
+        agg.setdefault((r.repo, r.path), []).append(r.payload)
+    n_with = 0
+    for k, v in got.items():
+        if k in agg:
+            assert v == pytest.approx(sum(agg[k]) / len(agg[k]), rel=1e-6)
+            n_with += 1
+        else:
+            assert v == -1.0
+    assert n_with == len(agg) > 0
