@@ -131,12 +131,15 @@ def local_query(
     frame: DataFrame | None = None,
     searcher=None,
     params: dict | None = None,
+    from_searcher=None,
 ) -> DataFrame | Column:
     """Dispatch one local-params query string.
 
     ``lucene``/``boost`` need ``searcher`` (an :class:`IndexSearcher`);
     ``func``/``frange`` need ``frame`` (the relation whose columns the
     function reads) and return a scored frame / a filtered frame.
+    ``from_searcher`` is ``{!join}``'s ``fromIndex`` role: the index the
+    body query runs against when it differs from the to-side ``searcher``.
     """
     from ..functions import parse_func
 
@@ -288,6 +291,206 @@ def local_query(
                 filter=q.filter,
             )
         return searcher.search_many({0: q}, k=None).drop("qid")
+    if typ == "join":
+        # JoinQParserPlugin (solr/core/.../search/JoinQParserPlugin.java:63)
+        # + ScoreJoinQParserPlugin (ScoreJoinQParserPlugin.java:57): run the
+        # body query against the FROM side, collect matching docs' `from`
+        # field values, keep every to-side doc whose `to` field equals one.
+        # score= aggregates the from-doc BM25 scores per join value
+        # (ScoreMode None/Avg/Max/Total/Min); default none = constant 1.0.
+        # Spark shape: to-side docs equi-join the (value, agg-score)
+        # relation — its size is bounded by the from-query's distinct join
+        # values, so AQE broadcasts it when small and shuffles when not;
+        # never an all-pairs comparison. The stored to-field being
+        # single-valued makes per-value aggregation exact (each to-doc
+        # matches exactly one join value).
+        if searcher is None:
+            raise ValueError("{!join} needs a searcher")
+        f_from, f_to = lp.get("from"), lp.get("to")
+        if not f_from or not f_to:
+            raise ValueError("{!join} needs from= and to=")
+        mode = lp.get("score", "none")
+        if mode not in ("none", "avg", "max", "total", "min"):
+            raise ValueError(
+                f"{{!join}} score={mode!r}: one of none|avg|max|total|min"
+            )
+        src = from_searcher if from_searcher is not None else searcher
+        from_docs = src.spark.read.parquet(src.index_dir + "/docs")
+        if f_from not in from_docs.columns:
+            raise ValueError(
+                f"{{!join}} from={f_from!r}: not a stored field "
+                f"(have: {', '.join(from_docs.columns)})"
+            )
+        to_docs = searcher.spark.read.parquet(searcher.index_dir + "/docs")
+        if f_to not in to_docs.columns:
+            raise ValueError(
+                f"{{!join}} to={f_to!r}: not a stored field "
+                f"(have: {', '.join(to_docs.columns)})"
+            )
+        vals = (
+            src.search(body, k=None)
+            .join(from_docs, ["segment_id", "doc_id"])
+            .select(
+                F.col(f_from).alias("_jv"),
+                F.col("score").cast("double").alias("_js"),
+            )
+        )
+        to_side = to_docs.select(
+            "segment_id", "doc_id", F.col(f_to).alias("_jv")
+        )
+        if mode == "none":
+            keep = vals.select("_jv").distinct()
+            return to_side.join(keep, "_jv", "left_semi").select(
+                "segment_id", "doc_id", F.lit(1.0).alias("score")
+            )
+        agg = {"avg": F.avg, "max": F.max, "min": F.min, "total": F.sum}[mode]
+        per_val = vals.groupBy("_jv").agg(agg("_js").alias("_s"))
+        return to_side.join(per_val, "_jv").select(
+            "segment_id", "doc_id", F.col("_s").alias("score")
+        )
+    if typ == "terms":
+        # TermsQParserPlugin (solr/core/.../search/TermsQParserPlugin.java:71):
+        # raw term values, NO analysis (the plugin builds TermInSetQuery over
+        # the verbatim bytes); separator defaults to ','.
+        sep = lp.get("separator", ",")
+        vals = [v for v in body.split(sep) if v != ""]
+        f = lp.get("f")
+        if frame is not None:
+            if not f:
+                raise ValueError("{!terms} needs f=")
+            if f not in frame.columns:
+                raise ValueError(
+                    f"{{!terms}} f={f!r}: not a column "
+                    f"(have: {', '.join(frame.columns)})"
+                )
+            return frame.filter(F.col(f).isin(vals))
+        if searcher is None:
+            raise ValueError("{!terms} needs a frame or a searcher")
+        _check_field("terms", lp)
+        from .query import TermInSetQuery
+
+        return searcher.search_many(
+            {0: TermInSetQuery(set_terms=tuple(vals))}, k=None
+        ).drop("qid")
+    if typ == "switch":
+        # SwitchQParserPlugin (solr/core/.../search/SwitchQParserPlugin.java:
+        # 144): the body selects among case.<val> params (whitespace-only
+        # body → the bare `case` param), falling back to default=; the
+        # selected value is itself a query string, dispatched recursively.
+        val = body.strip()
+        sel = lp.get("case") if not val else lp.get("case." + val)
+        if sel is None:
+            sel = lp.get("default")
+        if sel is None:
+            raise ValueError(
+                f"{{!switch}}: no case matching {val!r} and no default="
+            )
+        return local_query(
+            sel,
+            frame=frame,
+            searcher=searcher,
+            params=params,
+            from_searcher=from_searcher,
+        )
+    if typ in ("parent", "child"):
+        # BlockJoinParentQParserPlugin.java:30 / BlockJoinChildQParserPlugin
+        # .java:27 over Solr's nested-document model: every row carries its
+        # block root in `_root_` (update/AddUpdateCommand.java:160 assigns it
+        # at flatten time), so a "block" is a _root_ group rather than an
+        # index-adjacency run — the columnar form of ToParent/ToChildBlock-
+        # JoinQuery. which=/of= is the allParents filter; the body matches
+        # children ({!parent}) or parents ({!child}). Bodies may themselves
+        # be local-params queries — a scored child sub-query ({!func}) feeds
+        # {!parent}'s score= aggregation (ScoreMode, default none = 1.0).
+        # Spark shape: one partitioned agg over _root_ + one equi-join; the
+        # matched-root relation is query-selective so AQE broadcasts it.
+        if frame is None:
+            raise ValueError(f"{{!{typ}}} needs a frame")
+        if "_root_" not in frame.columns:
+            raise ValueError(
+                f"{{!{typ}}} needs a _root_ column "
+                "(Solr nested-doc block key)"
+            )
+        key = "which" if typ == "parent" else "of"
+        pred = lp.get(key)
+        if not pred:
+            raise ValueError(f"{{!{typ}}} needs {key}=")
+        parents_mask = F.expr(pred)
+
+        def _sub(rows, expr_text):
+            if expr_text.lstrip().startswith("{!"):
+                out = local_query(
+                    expr_text, frame=rows, searcher=searcher, params=params
+                )
+            else:
+                out = rows.filter(F.expr(expr_text))
+            if "score" not in out.columns:
+                out = out.withColumn("score", F.lit(1.0))
+            return out
+
+        if typ == "parent":
+            mode = lp.get("score", "none")
+            if mode not in ("none", "avg", "max", "total", "min"):
+                raise ValueError(
+                    f"{{!parent}} score={mode!r}: one of "
+                    "none|avg|max|total|min"
+                )
+            matched = _sub(frame.filter(~parents_mask), body)
+            parents = frame.filter(parents_mask)
+            if "score" in parents.columns:
+                parents = parents.drop("score")
+            if mode == "none":
+                roots = matched.select("_root_").distinct()
+                return parents.join(roots, "_root_", "left_semi").withColumn(
+                    "score", F.lit(1.0)
+                )
+            agg = {
+                "avg": F.avg("score"),
+                "max": F.max("score"),
+                "min": F.min("score"),
+                "total": F.sum("score"),
+            }[mode]
+            roots = matched.groupBy("_root_").agg(
+                agg.cast("double").alias("_bjs")
+            )
+            return parents.join(roots, "_root_").withColumnRenamed(
+                "_bjs", "score"
+            )
+        matched = _sub(frame.filter(parents_mask), body)
+        roots = matched.select("_root_").distinct()
+        return frame.filter(~parents_mask).join(roots, "_root_", "left_semi")
+    if typ == "surround":
+        # SurroundQParserPlugin (solr/core/.../search/SurroundQParserPlugin
+        # .java:33) → the surround W/N span parser
+        if searcher is None:
+            raise ValueError("{!surround} needs a searcher")
+        from .surround import parse_surround
+
+        return searcher.search_many(
+            {0: parse_surround(body, searcher=searcher)}, k=None
+        ).drop("qid")
+    if typ == "complexphrase":
+        # ComplexPhraseQParserPlugin (solr/core/.../search/ComplexPhrase-
+        # QParserPlugin.java:36), inOrder local param
+        if searcher is None:
+            raise ValueError("{!complexphrase} needs a searcher")
+        from .queryparser import parse_complex_phrase
+
+        in_order = lp.get("inOrder", "true") != "false"
+        return searcher.search_many(
+            {0: parse_complex_phrase(searcher, body, in_order=in_order)},
+            k=None,
+        ).drop("qid")
+    if typ == "xmlparser":
+        # XmlQParserPlugin (solr/core/.../search/XmlQParserPlugin.java:40)
+        # → the CoreParser element tree
+        if searcher is None:
+            raise ValueError("{!xmlparser} needs a searcher")
+        from .xmlparser import parse_xml_query
+
+        return searcher.search_many(
+            {0: parse_xml_query(body, analyzer=searcher.analyzer)}, k=None
+        ).drop("qid")
     if typ == "rerank":
         # ReRankQParserPlugin ({!rerank reRankQuery=.. reRankDocs=N
         # reRankWeight=W}main) → QueryRescorer two-phase combine
@@ -301,7 +504,7 @@ def local_query(
         first = searcher.search(body, k=n)
         return searcher.rescore(first, rq, weight=w, k=n)
     raise ValueError(
-        f"unknown local-params type {typ!r} — block join/graph/collapse have "
-        "dedicated operators (relational.block_join_*, graph.*, "
-        "relational.collapse_expand_*)"
+        f"unknown local-params type {typ!r} — graph/collapse have "
+        "dedicated operators (graph.*, relational.collapse_expand_*); "
+        "block join over two tables: relational.block_join_*"
     )

@@ -1003,6 +1003,41 @@ def payload_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+def join_qparser_docs(spark, sf_dir):
+    """Solr ``{!join from= to= score=}`` (JoinQParserPlugin.java:63 /
+    ScoreJoinQParserPlugin.java:57) over the documents index: docs matching
+    ``spark`` contribute their ``source`` values; every doc whose source is
+    in that set scores the MAX of the contributors' BM25 scores (max is
+    order-independent, so the f64 engine and the oracle agree exactly)."""
+    from .search.localparams import local_query
+
+    s = _searcher(spark, sf_dir)
+    hits = local_query(
+        "{!join from=source to=source score=max}spark", searcher=s
+    )
+    docs = spark.read.parquet(os.path.join(s.index_dir, "docs")).select(
+        "segment_id", "doc_id", "ext_id"
+    )
+    return hits.join(docs, ["segment_id", "doc_id"]).select(
+        F.col("ext_id").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+JOIN_QPARSER_SQL = (
+    _BM25_CTE
+    + _SCORES_CTE.format(terms=_terms_list(["spark"]))
+    + """
+, jv AS (
+  SELECT d.source, max(s.s) AS ms
+  FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+  GROUP BY d.source
+)
+SELECT d.doc_id, round(jv.ms, 4) AS score
+FROM documents d JOIN jv ON d.source = jv.source
+"""
+)
+
+
 def payload_score_docs(spark, sf_dir):
     from .search.query import PayloadScoreQuery
 
@@ -2473,6 +2508,7 @@ FT_OPS: dict[str, tuple] = {
 # pytest-gated only (tests/test_entry.py runs main + extra registries against
 # DuckDB): the per-variant ops folded into the compound driver entries above.
 FT_EXTRA_OPS: dict[str, tuple] = {
+    "join_qparser_docs": (join_qparser_docs, JOIN_QPARSER_SQL),
     "ft_bool_and": (ft_bool_and, ft_and_sql(["vector", "hash"])),
     "ft_bool_or": (ft_bool_or, ft_or_sql(["vector", "stream", "spark"])),
     "ft_bool_not": (ft_bool_not, ft_not_sql("vector", "hash")),

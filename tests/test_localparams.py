@@ -71,6 +71,10 @@ def test_dispatch_lucene_and_boost(spark, tiny_index):
 
 def test_dispatch_unknown_type_names_operators():
     with pytest.raises(ValueError, match="dedicated operators"):
+        local_query("{!graph from=a to=b}x", frame=None)
+    # {!parent} is dispatched now (test_localparams_join.py) — it demands
+    # the nested-docs frame rather than falling through to unknown-type
+    with pytest.raises(ValueError, match="needs a frame"):
         local_query("{!parent which=kind:p}x", frame=None)
 
 
