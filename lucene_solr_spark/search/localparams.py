@@ -491,6 +491,71 @@ def local_query(
         return searcher.search_many(
             {0: parse_xml_query(body, analyzer=searcher.analyzer)}, k=None
         ).drop("qid")
+    if typ in ("edismax", "dismax"):
+        # DisMaxQParserPlugin (solr/core/.../search/DisMaxQParserPlugin
+        # .java:40) / ExtendedDismaxQParser (ExtendedDismaxQParser.java:129):
+        # local params carry qf/mm/tie/pf/ps (+pf2/ps2/pf3/ps3/bq/bf/boost
+        # for edismax). Per-field indexes are fixed at EDisMaxSearcher
+        # construction — qf re-weights and RESTRICTS that set; a field with
+        # no configured index is a loud error (same contract as {!lucene}'s
+        # df= refusal). qf/tie overrides apply to a shallow COPY so the
+        # shared searcher is never mutated.
+        from .edismax import EDisMaxSearcher
+
+        if not isinstance(searcher, EDisMaxSearcher):
+            raise ValueError(
+                f"{{!{typ}}} needs an EDisMaxSearcher (per-field qf indexes); "
+                f"got {type(searcher).__name__ if searcher is not None else None}"
+            )
+        allowed = {"qf", "mm", "tie", "pf", "ps", "bq", "bf"}
+        if typ == "edismax":
+            allowed |= {"pf2", "ps2", "pf3", "ps3", "boost"}
+        unknown = sorted(set(lp) - allowed)
+        if unknown:
+            raise ValueError(
+                f"unsupported {{!{typ}}} local params: " + ", ".join(unknown)
+            )
+        eds = searcher
+
+        def _field_boosts(spec: str) -> dict[str, float]:
+            # Solr qf/pf syntax: whitespace-separated field^boost tokens
+            out: dict[str, float] = {}
+            for tok in spec.split():
+                fld, _, bst = tok.partition("^")
+                if fld not in eds.searchers:
+                    raise ValueError(
+                        f"{{!{typ}}} field {fld!r}: no configured index "
+                        f"(have: {', '.join(sorted(eds.searchers))})"
+                    )
+                out[fld] = float(bst) if bst else 1.0
+            return out
+
+        if "qf" in lp or "tie" in lp:
+            import copy as _copy
+
+            override = _copy.copy(eds)
+            if "tie" in lp:
+                override.tie = float(lp["tie"])
+            if "qf" in lp:
+                qf = _field_boosts(lp["qf"])
+                if not qf:
+                    raise ValueError(f"{{!{typ}}} qf= names no fields")
+                override.boosts = qf
+                override.searchers = {f: eds.searchers[f] for f in qf}
+            eds = override
+        kwargs: dict = {"k": None}
+        if "mm" in lp:
+            kwargs["mm"] = lp["mm"]
+        for key in ("pf", "pf2", "pf3"):
+            if key in lp:
+                kwargs[key] = _field_boosts(lp[key])
+        for key in ("ps", "ps2", "ps3"):
+            if key in lp:
+                kwargs[key] = int(lp[key])
+        for key in ("bq", "bf", "boost"):
+            if key in lp:
+                kwargs[key] = [lp[key]]
+        return eds.search(body, **kwargs)
     if typ == "rerank":
         # ReRankQParserPlugin ({!rerank reRankQuery=.. reRankDocs=N
         # reRankWeight=W}main) → QueryRescorer two-phase combine
