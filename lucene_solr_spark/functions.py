@@ -144,12 +144,14 @@ FUNCTIONS: dict = {
 # Documented out (the names a pure-DataFrame registry cannot or should not
 # carry): testfunc (test hook), threadid/sleep (side effects), currency
 # (needs currency-field config), joindf (cross-core join — the engine's
-# join surface is relational.join_query), query/cscore (need a searcher
-# score context — that surface is textops.function_score_rank and the
-# collapse ops), childfield (block-join context — relational block-join
-# ops), agg_multistat (internal multiplexer). The agg_* aggregation names
-# live in AGG_FUNCTIONS below: they are GROUP aggregates, not per-doc
-# value sources, so they compose with groupBy/agg, not parse_func.
+# join surface is relational.join_query), cscore (collapse score context —
+# relational.collapse_expand_*), childfield (block-join context —
+# relational block-join ops), agg_multistat (internal multiplexer).
+# query()/boost() ARE carried — they need a searcher, so they live behind
+# parse_func_with_searcher below, not in this frame-only table. The agg_*
+# aggregation names live in AGG_FUNCTIONS below: they are GROUP aggregates,
+# not per-doc value sources, so they compose with groupBy/agg, not
+# parse_func.
 
 _B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 _GH_CHARS = 12  # spatial4j GeohashUtils.MAX_PRECISION — what encodeLatLon emits
@@ -246,7 +248,88 @@ AGG_FUNCTIONS: dict = {
     "agg_percentile": lambda c, p: F.percentile(c, F.lit(p)),
     "agg_unique": F.count_distinct,
     "agg_hll": F.approx_count_distinct,
+    # agg_uniqueBlock (ValueSourceParser.java:969 → UniqueBlockFieldAgg):
+    # distinct BLOCKS among the bucket's rows — pass the block-root column
+    # (Solr's _root_, solr/core/.../search/facet/UniqueBlockFieldAgg.java).
+    # Columnar blocks are _root_ groups here (same model as {!parent}), so
+    # the block count IS a count_distinct over that column.
+    "agg_uniqueBlock": F.count_distinct,
 }
+
+
+def parse_func_with_searcher(
+    expr: str,
+    searcher,
+    frame=None,
+    params: dict | None = None,
+    registry: dict | None = None,
+):
+    """``parse_func`` plus the searcher-bound ``query()``/``boost()`` value
+    sources — returns ``(frame, score_col)``.
+
+    Reference: ``solr/core/src/java/org/apache/solr/search/
+    ValueSourceParser.java:315`` (``query(sub[,def])`` → ``QueryValueSource``:
+    per-doc score of the nested query, ``def`` — default 0 — for docs it
+    does not match) and ``:327`` (``boost(sub, f)`` →
+    ``FunctionScoreQuery.boostByValue``: matching docs score ``sub × f``,
+    others take QueryValueSource's 0 default).
+
+    Spark shape: parsing RECORDS each nested query; afterwards every one is
+    planned as a single exhaustive sub-search left-joined onto ``frame`` on
+    the (segment_id, doc_id) key — one join per distinct nested query, no
+    per-row re-scoring. The returned column reads the joined score columns,
+    so it is only valid over the returned frame. Unquoted ``$ref`` args
+    resolve from ``params`` (FunctionQParser's nested-query param deref);
+    ``frame=None`` defaults to the searcher's docs table.
+    """
+    pending: list[str] = []
+
+    def _resolve(q) -> str:
+        if not isinstance(q, str):
+            raise ValueError(
+                "query()/boost() need a quoted sub-query string, e.g. "
+                "query('parse buffer', 0.5)"
+            )
+        if q.startswith("$"):
+            ref = q[1:]
+            if params is None or ref not in params:
+                raise ValueError(f"unresolved param ref ${ref} in {expr!r}")
+            q = str(params[ref])
+        return q
+
+    def _score_col(q: str) -> Column:
+        i = len(pending)
+        pending.append(q)
+        return F.col(f"_qscore_{i}").cast("double")
+
+    def _query(q, d=None) -> Column:
+        dcol = F.lit(0.0) if d is None else (
+            d.cast("double") if isinstance(d, Column) else F.lit(float(d))
+        )
+        return F.coalesce(_score_col(_resolve(q)), dcol)
+
+    def _boost(q, vs) -> Column:
+        if not isinstance(vs, Column):
+            vs = F.lit(float(vs))
+        return F.coalesce(
+            _score_col(_resolve(q)) * vs.cast("double"), F.lit(0.0)
+        )
+
+    reg = dict(FUNCTIONS if registry is None else registry)
+    reg["query"] = _query
+    reg["boost"] = _boost
+    col = parse_func(expr, registry=reg)
+    base = frame
+    if base is None:
+        base = searcher.spark.read.parquet(searcher.index_dir + "/docs")
+    for i, q in enumerate(pending):
+        scores = searcher.search(q, k=None).select(
+            "segment_id",
+            "doc_id",
+            F.col("score").cast("double").alias(f"_qscore_{i}"),
+        )
+        base = base.join(scores, ["segment_id", "doc_id"], "left")
+    return base, col
 
 
 def _ord(c, reverse: bool):

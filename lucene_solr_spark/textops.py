@@ -2355,6 +2355,12 @@ def relevance_registry(stats: dict) -> dict:
 
     reg = dict(FUNCTIONS)
     reg["termfreq"] = lambda f, t: F.col(f"tf_{t}")
+    # tf(f,t) (TFValueSource, lucene/queries/.../valuesource/TFValueSource
+    # .java:34): TFIDFSimilarity.tf(freq) — ClassicSimilarity's sqrt(freq).
+    # The reference throws unless the field's similarity IS a
+    # TFIDFSimilarity, so the classic formula is the only one this name
+    # ever computes.
+    reg["tf"] = lambda f, t: F.sqrt(F.col(f"tf_{t}").cast("double"))
     reg["docfreq"] = lambda f, t: F.lit(stats["df"][t])
     reg["idf"] = lambda f, t: F.lit(
         math.log(stats["numdocs"] / (stats["df"][t] + 1)) + 1.0

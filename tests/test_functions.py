@@ -372,3 +372,129 @@ def test_agg_function_registry_matches_duckdb(spark, lineitem):
         assert g.sd == pytest.approx(w[8])
         assert float(g.p50) == pytest.approx(float(w[9]))
         assert g.u == w[10]
+
+
+class TestSearcherBoundValueSources:
+    """query()/boost() (ValueSourceParser.java:315,327 — QueryValueSource /
+    FunctionScoreQuery.boostByValue) behind parse_func_with_searcher: per-doc
+    nested-query scores join the frame once per distinct nested query."""
+
+    @pytest.fixture(scope="class")
+    def searcher(self, spark, tiny_index):
+        from lucene_solr_spark.search import IndexSearcher
+
+        d, _ = tiny_index
+        return IndexSearcher(spark, d, analyzer="code", precision="f64")
+
+    def _scores(self, searcher, q):
+        return {
+            (r.segment_id, r.doc_id): float(r.score)
+            for r in searcher.search(q, k=None).collect()
+        }
+
+    def test_query_scores_and_default(self, spark, searcher, tiny_index):
+        from lucene_solr_spark.functions import parse_func_with_searcher
+
+        frame, col = parse_func_with_searcher(
+            "sum(query('parse', 0.5), 1)", searcher
+        )
+        got = {
+            (r.segment_id, r.doc_id): float(r.v)
+            for r in frame.select("segment_id", "doc_id", col.alias("v")).collect()
+        }
+        want = self._scores(searcher, "parse")
+        n_docs = spark.read.parquet(tiny_index[0] + "/docs").count()
+        assert len(got) == n_docs and want
+        for key, v in got.items():
+            expect = want[key] + 1.0 if key in want else 1.5
+            assert v == pytest.approx(expect, rel=1e-9)
+
+    def test_boost_multiplies_matching_docs_only(self, searcher):
+        from lucene_solr_spark.functions import parse_func_with_searcher
+
+        frame, col = parse_func_with_searcher("boost('buffer', 2.0)", searcher)
+        got = {
+            (r.segment_id, r.doc_id): float(r.v)
+            for r in frame.select("segment_id", "doc_id", col.alias("v")).collect()
+        }
+        want = self._scores(searcher, "buffer")
+        assert want
+        for key, v in got.items():
+            expect = 2.0 * want[key] if key in want else 0.0
+            assert v == pytest.approx(expect, rel=1e-9)
+
+    def test_param_deref_and_two_nested_queries(self, searcher):
+        from lucene_solr_spark.functions import parse_func_with_searcher
+
+        frame, col = parse_func_with_searcher(
+            "sub(query('$qq'), query('$q2'))",
+            searcher,
+            params={"qq": "parse", "q2": "buffer"},
+        )
+        got = {
+            (r.segment_id, r.doc_id): float(r.v)
+            for r in frame.select("segment_id", "doc_id", col.alias("v")).collect()
+        }
+        a, b = self._scores(searcher, "parse"), self._scores(searcher, "buffer")
+        for key, v in got.items():
+            assert v == pytest.approx(a.get(key, 0.0) - b.get(key, 0.0), rel=1e-9)
+
+    def test_unresolved_ref_and_unquoted_arg_raise(self, searcher):
+        from lucene_solr_spark.functions import parse_func_with_searcher
+
+        with pytest.raises(ValueError, match=r"\$qq"):
+            parse_func_with_searcher("query('$qq')", searcher)
+        with pytest.raises(ValueError, match="quoted"):
+            parse_func_with_searcher("query(5)", searcher)
+
+
+def test_agg_unique_block_counts_blocks(spark):
+    """agg_uniqueBlock(_root_) (UniqueBlockFieldAgg): distinct block roots
+    per bucket, verified against DuckDB count(DISTINCT)."""
+    from lucene_solr_spark.functions import AGG_FUNCTIONS
+    import pyspark.sql.functions as F
+
+    rows = [("a", f"r{i % 3}") for i in range(9)] + [("b", f"r{i % 2}") for i in range(4)]
+    df = spark.createDataFrame(rows, ["bucket", "_root_"])
+    got = {
+        r.bucket: r.n
+        for r in df.groupBy("bucket")
+        .agg(AGG_FUNCTIONS["agg_uniqueBlock"](F.col("_root_")).alias("n"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (bucket VARCHAR, root VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(
+            "SELECT bucket, count(DISTINCT root) FROM t GROUP BY bucket"
+        ).fetchall()
+    )
+    assert got == want == {"a": 3, "b": 2}
+
+
+def test_tf_value_source_is_classic_sqrt(spark, tiny_index):
+    """tf(f,t) (TFValueSource.java:34): TFIDFSimilarity.tf(freq) =
+    ClassicSimilarity's sqrt(freq) — checked against termfreq's raw count."""
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.functions import parse_func
+    from lucene_solr_spark.index.read import term_postings
+    from lucene_solr_spark.textops import relevance_registry
+
+    d, _ = tiny_index
+    term = "parse"
+    frame = term_postings(spark, d, [term]).select(
+        "segment_id", "doc_id", F.col("freq").cast("long").alias(f"tf_{term}")
+    )
+    stats = {"df": {term: 1}, "ttf": {term: 1}, "numdocs": 1, "maxdoc": 1,
+             "sumttf": 0}
+    reg = relevance_registry(stats)
+    out = frame.select(
+        parse_func(f"termfreq(content,'{term}')", registry=reg).alias("raw"),
+        parse_func(f"tf(content,'{term}')", registry=reg).alias("tf"),
+    ).collect()
+    assert out
+    for r in out:
+        assert float(r.tf) == pytest.approx(math.sqrt(float(r.raw)), rel=1e-12)
+        assert r.raw >= 1
