@@ -11,14 +11,17 @@ manipulated with the higher-order builtins (``transform``/``aggregate``/
 ``zip_with``/``slice``/``filter``) — whole-stage codegen applies, no Python
 in the row path.
 
-Scope (documented): per-tuple evaluators only — 170 names. Round 4 adds the
+Scope (documented): per-tuple evaluators only — 180 names. Round 4 adds the
 deterministic model-state tranche (distributions as value-typed structs +
 cumulativeProbability/probability/density, regress/predict/residuals,
 polyfit via Cramer-solved normal equations, knn rows, fft/convolve/
-oscillate/primes, bias-corrected skewness/kurtosis). Still out: names that
-need an RNG (``sample``/``monteCarlo``/``random*``) or runtime-sized model
-state a Column cannot hold (``kmeans``/``loess``/``spline`` — the engine's
-k-means is ``textops.cluster_results_docs``). ``corr``/``regress``/
+oscillate/primes, bias-corrected skewness/kurtosis) and the hypothesis-
+testing tranche (ttest/pairedTtest/anova/mannWhitney/ks/kolmogorovSmirnov/
+chiSquareDataSet/gtestDataSet/corrPValues/outliers — p-values via a
+fixed-step Lentz incomplete-beta continued fraction, one F.aggregate).
+Still out: names that need an RNG (``sample``/``monteCarlo``/``random*``)
+or runtime-sized model state a Column cannot hold (``kmeans``/``loess``/
+``spline`` — the engine's k-means is ``textops.cluster_results_docs``). ``corr``/``regress``/
 ``movingAvg`` over whole relations live in ``relational.py``
 (streaming-expression ops); here ``movingAvg``/``diff`` are the per-tuple
 ARRAY forms (``MovingAverageEvaluator.java``,
@@ -1021,5 +1024,331 @@ EVALUATORS.update(
         "primes": _primes,
         "cosine": lambda a, b: _dot(a, b) / (_l2(a) * _l2(b)),
         "haversineMeters": _haversine_m,
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# round 4b: the hypothesis-testing tranche — ttest/pairedTtest/anova/
+# mannWhitney/ks/chiSquareDataSet/gtestDataSet/corrPValues/outliers
+# (reference solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+# TTestEvaluator.java, PairedTTestEvaluator.java, AnovaEvaluator.java,
+# MannWhitneyUEvaluator.java, KolmogorovSmirnovEvaluator.java,
+# ChiSquareDataSetEvaluator.java, GTestDataSetEvaluator.java,
+# CorrelationSignificanceEvaluator.java, OutliersEvaluator.java — all
+# delegating to commons-math). p-values ride a regularized incomplete beta
+# computed as a FIXED-120-double-step Lentz continued fraction inside one
+# F.aggregate — like _gammainc_p, pure Catalyst, no Python in the row path.
+# Result tuples keep the reference's exact keys ("t-statistic", "p-value",
+# "f-ratio", "u-statistic", "d-statistic"...) as struct field names.
+
+
+def _guard(v: Column) -> Column:
+    # Lentz FPMIN guard (Numerical-Recipes betacf)
+    return F.when(F.abs(v) < 1e-30, F.lit(1e-30)).otherwise(v)
+
+
+def _betacf(a: Column, b: Column, x: Column) -> Column:
+    """Continued fraction for the incomplete beta (NR 6.4 'betacf', modified
+    Lentz) with a FIXED 120 double-steps — commons-math iterates to 1e-14
+    convergence; 120 steps are past that for every df the tests reach."""
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    d0 = F.lit(1.0) / _guard(F.lit(1.0) - qab * x / qap)
+    init = F.struct(
+        F.lit(1.0).alias("c"), d0.alias("d"), d0.alias("h")
+    )
+
+    def step(acc, m):
+        m = m.cast("double")
+        m2 = 2.0 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d1 = F.lit(1.0) / _guard(F.lit(1.0) + aa * acc["d"])
+        c1 = _guard(F.lit(1.0) + aa / acc["c"])
+        h1 = acc["h"] * d1 * c1
+        aa2 = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d2 = F.lit(1.0) / _guard(F.lit(1.0) + aa2 * d1)
+        c2 = _guard(F.lit(1.0) + aa2 / c1)
+        return F.struct(c2.alias("c"), d2.alias("d"), (h1 * d2 * c2).alias("h"))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(120)), init, step, lambda acc: acc["h"]
+    )
+
+
+def _betainc(a: Column, b: Column, x: Column) -> Column:
+    """Regularized incomplete beta I_x(a,b) (NR 'betai'): the continued
+    fraction converges fast for x < (a+1)/(a+b+2), else via the symmetry
+    I_x(a,b) = 1 − I_{1−x}(b,a)."""
+    xc = F.least(F.greatest(x, F.lit(1e-300)), F.lit(1.0) - 1e-16)
+    bt = F.exp(
+        _lgamma(a + b) - _lgamma(a) - _lgamma(b)
+        + a * F.log(xc) + b * F.log(F.lit(1.0) - xc)
+    )
+    direct = bt * _betacf(a, b, xc) / a
+    flipped = F.lit(1.0) - bt * _betacf(b, a, F.lit(1.0) - xc) / b
+    out = F.when(xc < (a + 1.0) / (a + b + 2.0), direct).otherwise(flipped)
+    out = F.when(x <= 0, F.lit(0.0)).when(x >= 1, F.lit(1.0)).otherwise(out)
+    return F.least(F.greatest(out, F.lit(0.0)), F.lit(1.0))
+
+
+def _t_p2(t: Column, df: Column) -> Column:
+    """Two-sided Student-t p-value: I_{df/(df+t²)}(df/2, 1/2)."""
+    return _betainc(df / 2.0, F.lit(0.5), df / (df + t * t))
+
+
+def _f_sf(f: Column, d1: Column, d2: Column) -> Column:
+    """P(F > f) for F(d1, d2): I_{d2/(d2+d1·f)}(d2/2, d1/2)."""
+    return _betainc(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * f))
+
+
+def _ttest(a: Column, b: Column) -> Column:
+    """ttest(a,b) (TTestEvaluator two-array branch → commons-math
+    TTest.tTest(double[],double[])): Welch's unequal-variance two-sample
+    t-test, df by Welch–Satterthwaite, two-sided p. (The reference's
+    one-sample number+array branch is not expressible here — a Column's
+    scalar-vs-array shape is schema-fixed; use the two-array form.)"""
+    n1, n2 = F.size(a).cast("double"), F.size(b).cast("double")
+    v1n, v2n = _var(a) / n1, _var(b) / n2
+    t = (_mean(a) - _mean(b)) / F.sqrt(v1n + v2n)
+    df = (v1n + v2n) * (v1n + v2n) / (
+        v1n * v1n / (n1 - 1.0) + v2n * v2n / (n2 - 1.0)
+    )
+    return F.struct(t.alias("t-statistic"), _t_p2(t, df).alias("p-value"))
+
+
+def _paired_ttest(a: Column, b: Column) -> Column:
+    """pairedTtest (PairedTTestEvaluator → TTest.pairedTTest): one-sample
+    t on the element-wise differences, df = n−1."""
+    d = F.zip_with(a, b, lambda x, y: x - y)
+    n = F.size(d).cast("double")
+    t = _mean(d) / F.sqrt(_var(d) / n)
+    return F.struct(
+        t.alias("t-statistic"), _t_p2(t, n - 1.0).alias("p-value")
+    )
+
+
+def _anova(*groups: Column) -> Column:
+    """anova(a,b,...) (AnovaEvaluator → commons-math OneWayAnova): one-way
+    F = (SSB/(k−1)) / (SSW/(N−k)), p = P(F > f)."""
+    k = float(len(groups))
+    ns = [F.size(g).cast("double") for g in groups]
+    n_tot = ns[0]
+    for n in ns[1:]:
+        n_tot = n_tot + n
+    tot = _agg_sum(groups[0])
+    for g in groups[1:]:
+        tot = tot + _agg_sum(g)
+    grand = tot / n_tot
+    def _sq_dev_sum(g, m):
+        return F.aggregate(g, F.lit(0.0), lambda s, v: s + (v - m) * (v - m))
+
+    ssb = F.lit(0.0)
+    ssw = F.lit(0.0)
+    for g, n in zip(groups, ns):
+        m = _mean(g)
+        ssb = ssb + n * (m - grand) * (m - grand)
+        ssw = ssw + _sq_dev_sum(g, m)
+    d1, d2 = F.lit(k - 1.0), n_tot - k
+    f = (ssb / d1) / (ssw / d2)
+    return F.struct(_f_sf(f, d1, d2).alias("p-value"), f.alias("f-ratio"))
+
+
+def _rank_sum(a: Column, combined: Column) -> Column:
+    """Σ mid-ranks of a's elements within combined (ties → average rank):
+    rank(v) = (#{< v} + #{≤ v} + 1) / 2."""
+    return F.aggregate(
+        a,
+        F.lit(0.0),
+        lambda s, v: s
+        + (
+            F.size(F.filter(combined, lambda w: w < v))
+            + F.size(F.filter(combined, lambda w: w <= v))
+            + 1
+        ).cast("double")
+        / 2.0,
+    )
+
+
+def _mann_whitney(a: Column, b: Column) -> Column:
+    """mannWhitney (MannWhitneyUEvaluator → commons-math MannWhitneyUTest):
+    u = max(U1, U2); p = asymptotic normal 2·Φ((Umin − μ)/σ) with
+    μ = n1n2/2, σ = √(n1n2(n1+n2+1)/12) — the reference's commons-math
+    path applies no tie or continuity correction; neither does this."""
+    n1, n2 = F.size(a).cast("double"), F.size(b).cast("double")
+    combined = F.concat(a, b)
+    u1 = _rank_sum(a, combined) - n1 * (n1 + 1.0) / 2.0
+    u2 = n1 * n2 - u1
+    umin, umax = F.least(u1, u2), F.greatest(u1, u2)
+    mu = n1 * n2 / 2.0
+    sd = F.sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0)
+    p = 2.0 * _norm_cdf((umin - mu) / sd, F.lit(0.0), F.lit(1.0))
+    return F.struct(
+        umax.alias("u-statistic"), F.least(p, F.lit(1.0)).alias("p-value")
+    )
+
+
+def _ks_sum(t: Column) -> Column:
+    """Kolmogorov asymptotic Q(t) = 2 Σ_{k≥1} (−1)^{k−1} e^{−2k²t²}
+    (commons-math KolmogorovSmirnovTest.ksSum role, fixed 100 terms)."""
+    q = F.aggregate(
+        F.sequence(F.lit(1), F.lit(100)),
+        F.lit(0.0),
+        lambda s, k: s
+        + F.when(k % 2 == 1, F.lit(2.0)).otherwise(F.lit(-2.0))
+        * F.exp(-2.0 * (k * k).cast("double") * t * t),
+    )
+    return F.least(F.greatest(q, F.lit(0.0)), F.lit(1.0))
+
+
+def _ks_one_sample(dist: Column, data: Column) -> Column:
+    """kolmogorovSmirnov(dist, data) (KolmogorovSmirnovEvaluator's
+    RealDistribution branch): D = max over sorted x_i of
+    max(i/n − F(x_i), F(x_i) − (i−1)/n); p by the asymptotic Kolmogorov
+    sum at √n·D (the reference switches to an exact small-n evaluation
+    under n ≤ 100 — documented asymptotic-only delta)."""
+    s = F.array_sort(data)
+    n = F.size(s).cast("double")
+    d = F.aggregate(
+        F.sequence(F.lit(1), F.size(s)),
+        F.lit(0.0),
+        lambda acc, i: F.greatest(
+            acc,
+            i.cast("double") / n - _cdf(dist, F.element_at(s, i)),
+            _cdf(dist, F.element_at(s, i)) - (i.cast("double") - 1.0) / n,
+        ),
+    )
+    return F.struct(
+        _ks_sum(F.sqrt(n) * d).alias("p-value"), d.alias("d-statistic")
+    )
+
+
+def _ks_two_sample(a: Column, b: Column) -> Column:
+    """ks(a, b) (KolmogorovSmirnovEvaluator's two-array branch): NOTE the
+    reference stores the two-sample P-VALUE under the "d-statistic" key
+    (KolmogorovSmirnovEvaluator.java:66) — mirrored verbatim. D = sup
+    |ecdf_a − ecdf_b| over the pooled points; p asymptotic at
+    D·√(nm/(n+m))."""
+    n1, n2 = F.size(a).cast("double"), F.size(b).cast("double")
+    pooled = F.concat(a, b)
+    d = F.aggregate(
+        pooled,
+        F.lit(0.0),
+        lambda acc, v: F.greatest(
+            acc,
+            F.abs(
+                F.size(F.filter(a, lambda w: w <= v)).cast("double") / n1
+                - F.size(F.filter(b, lambda w: w <= v)).cast("double") / n2
+            ),
+        ),
+    )
+    p = _ks_sum(d * F.sqrt(n1 * n2 / (n1 + n2)))
+    return F.struct(p.alias("d-statistic"))
+
+
+def _chisq_dataset(a: Column, b: Column) -> Column:
+    """chiSquareDataSet (ChiSquareDataSetEvaluator → commons-math
+    ChiSquareTest.chiSquareDataSetsComparison): two observed count sets,
+    stat = Σ (√(n2/n1)·a_i − √(n1/n2)·b_i)² / (a_i + b_i), df = bins − 1,
+    p = Q(df/2, stat/2)."""
+    n1, n2 = _agg_sum(a), _agg_sum(b)
+    r1, r2 = F.sqrt(n2 / n1), F.sqrt(n1 / n2)
+    stat = F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (r1 * x - r2 * y) * (r1 * x - r2 * y) / (x + y)
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    df = (F.size(a) - 1).cast("double")
+    p = F.lit(1.0) - _gammainc_p(df / 2.0, stat / 2.0)
+    return F.struct(stat.alias("chisquare-statistic"), p.alias("p-value"))
+
+
+def _gtest_dataset(a: Column, b: Column) -> Column:
+    """gtestDataSet (GTestDataSetEvaluator → commons-math
+    GTest.gTestDataSetsComparison): G = 2 Σ [a_i ln(a_i/e1_i) +
+    b_i ln(b_i/e2_i)] with e_{1,2} the pooled expectations, df = bins − 1
+    (0·ln 0 = 0)."""
+    n1, n2 = _agg_sum(a), _agg_sum(b)
+
+    def _term(o, e):
+        return F.when(o > 0, o * F.log(o / e)).otherwise(F.lit(0.0))
+
+    g = F.lit(2.0) * F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: _term(x, (x + y) * n1 / (n1 + n2))
+            + _term(y, (x + y) * n2 / (n1 + n2)),
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    df = (F.size(a) - 1).cast("double")
+    p = F.lit(1.0) - _gammainc_p(df / 2.0, g / 2.0)
+    return F.struct(g.alias("G-statistic"), p.alias("p-value"))
+
+
+def _corr_pvalues(m: Column) -> Column:
+    """corrPValues (CorrelationSignificanceEvaluator): symmetric matrix of
+    two-sided correlation p-values, p_ij from t = r·√((n−2)/(1−r²)) with
+    df = n − 2. DELTA from the reference: commons-math reads the sample
+    size off the PearsonsCorrelation object stashed on the matrix — a
+    value-typed Column carries no attributes, so this takes the
+    OBSERVATION matrix (rows = observations, columns = variables)
+    directly and derives both r and n from it."""
+
+    def _mcol(j):
+        return F.transform(m, lambda row: F.element_at(row, j.cast("int")))
+
+    n = F.size(m).cast("double")
+    k = F.size(F.element_at(m, 1))
+
+    def _p(i, j):
+        r = _corr_arrays(_mcol(i), _mcol(j))
+        t = F.abs(r) * F.sqrt((n - 2.0) / (F.lit(1.0) - r * r))
+        return F.when(i == j, F.lit(0.0)).otherwise(_t_p2(t, n - 2.0))
+
+    return F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.transform(F.sequence(F.lit(1), k), lambda j: _p(i, j)),
+    )
+
+
+def _outliers(dist: Column, vec: Column, low: Column, hi: Column) -> Column:
+    """outliers(d, vec, low, hi) (OutliersEvaluator): keep values whose
+    CDF under d is ≤ low (low outliers) or ≥ hi (high outliers). The
+    reference emits per-row Tuples keyed lowOutlierValue_d /
+    highOutlierValue_d; the Column form is an array of structs
+    (value, cumulativeProbability, low) — same selection, one shape."""
+    return F.filter(
+        F.transform(
+            vec,
+            lambda v: F.struct(
+                v.alias("value"),
+                _cdf(dist, v).alias("cumulativeProbability"),
+                (_cdf(dist, v) <= low).alias("low"),
+            ),
+        ),
+        lambda s: (s["cumulativeProbability"] <= low)
+        | (s["cumulativeProbability"] >= hi),
+    )
+
+
+EVALUATORS.update(
+    {
+        "ttest": _ttest,
+        "pairedTtest": _paired_ttest,
+        "anova": _anova,
+        "mannWhitney": _mann_whitney,
+        # reference registers both names on one evaluator whose branch is
+        # the runtime ARG TYPE; Column shapes are schema-fixed, so the two
+        # branches get one name each (documented):
+        "kolmogorovSmirnov": _ks_one_sample,  # (distribution, data)
+        "ks": _ks_two_sample,  # (data, data)
+        "chiSquareDataSet": _chisq_dataset,
+        "gtestDataSet": _gtest_dataset,
+        "corrPValues": _corr_pvalues,
+        "outliers": _outliers,
     }
 )

@@ -659,3 +659,217 @@ def test_distribution_names_via_parse_eval_and_duckdb(spark):
       f AS (SELECT regr_slope(y, x) AS s, regr_intercept(y, x) AS i FROM p)
       SELECT s*4 + i FROM f""").fetchone()[0]
     assert got == pytest.approx(want, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# round 4b: hypothesis-testing tranche. The p-value oracle is a genuinely
+# independent algorithm: Simpson integration of the beta density with the
+# t = u^2 substitution killing the a<1 endpoint singularity (the engine
+# side is a Lentz continued fraction — different math, same function).
+
+
+def _betainc_oracle(a, b, x, n=200_000):
+    if x <= 0:
+        return 0.0
+    if x >= 1:
+        return 1.0
+    if x > 0.5:
+        return 1.0 - _betainc_oracle(b, a, 1.0 - x, n)
+    lnB = math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+    hi = math.sqrt(x)
+
+    def f(u):
+        if u == 0.0:
+            # u^(2a-1) at 0: only a = 0.5 leaves a finite nonzero endpoint
+            return 2.0 * math.exp(-lnB) if a == 0.5 else 0.0
+        return 2.0 * math.exp(
+            (2 * a - 1) * math.log(u) + (b - 1) * math.log1p(-u * u) - lnB
+        )
+
+    h = hi / n
+    s = f(0.0) + f(hi)
+    s += 4 * sum(f((2 * i - 1) * h) for i in range(1, n // 2 + 1))
+    s += 2 * sum(f(2 * i * h) for i in range(1, n // 2))
+    return s * h / 3.0
+
+
+def _t_p2_oracle(t, df):
+    return _betainc_oracle(df / 2.0, 0.5, df / (df + t * t))
+
+
+def _arr(vals):
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def test_betainc_against_simpson(spark):
+    from lucene_solr_spark.evaluators import _betainc
+
+    cases = [(0.5, 5.0, 0.2), (2.0, 3.0, 0.7), (5.0, 0.5, 0.9),
+             (10.0, 10.0, 0.5), (1.0, 1.0, 0.3), (7.5, 0.5, 0.985)]
+    for a, b, x in cases:
+        got = _one(spark, _betainc(F.lit(a), F.lit(b), F.lit(x)))
+        want = _betainc_oracle(a, b, x)
+        assert got == pytest.approx(want, rel=1e-8, abs=1e-12), (a, b, x)
+
+
+def test_ttest_welch(spark):
+    a = [19.8, 20.4, 19.6, 17.8, 18.5, 18.9, 18.3, 18.9, 19.5, 22.0]
+    b = [28.2, 26.6, 20.1, 23.3, 25.2, 22.1, 17.7, 27.6, 20.6, 13.7,
+         23.2, 17.5, 20.6, 18.0, 23.9, 21.6, 24.3, 20.4, 24.0, 13.2]
+    row = _one(spark, _ev("ttest", _arr(a), _arr(b)))
+    m1, m2 = np.mean(a), np.mean(b)
+    v1, v2 = np.var(a, ddof=1) / len(a), np.var(b, ddof=1) / len(b)
+    t = (m1 - m2) / math.sqrt(v1 + v2)
+    df = (v1 + v2) ** 2 / (v1 ** 2 / (len(a) - 1) + v2 ** 2 / (len(b) - 1))
+    assert row["t-statistic"] == pytest.approx(t, rel=1e-10)
+    assert row["p-value"] == pytest.approx(_t_p2_oracle(t, df), rel=1e-7)
+    # sanity: this is the classic Welch example, p ~ 0.036
+    assert 0.03 < row["p-value"] < 0.04
+
+
+def test_paired_ttest(spark):
+    a = [102.0, 98.5, 101.2, 99.9, 103.4, 97.6, 100.1, 98.8]
+    b = [100.1, 97.4, 100.0, 99.2, 101.1, 96.9, 99.5, 98.1]
+    row = _one(spark, _ev("pairedTtest", _arr(a), _arr(b)))
+    d = np.array(a) - np.array(b)
+    t = d.mean() / math.sqrt(d.var(ddof=1) / len(d))
+    assert row["t-statistic"] == pytest.approx(t, rel=1e-10)
+    assert row["p-value"] == pytest.approx(_t_p2_oracle(t, len(d) - 1), rel=1e-7)
+
+
+def test_anova(spark):
+    groups = [[6.0, 8, 4, 5, 3, 4], [8.0, 12, 9, 11, 6, 8], [13.0, 9, 11, 8, 7, 12]]
+    row = _one(spark, _ev("anova", *[_arr(g) for g in groups]))
+    allv = np.concatenate(groups)
+    grand = allv.mean()
+    ssb = sum(len(g) * (np.mean(g) - grand) ** 2 for g in groups)
+    ssw = sum(((np.array(g) - np.mean(g)) ** 2).sum() for g in groups)
+    d1, d2 = len(groups) - 1, len(allv) - len(groups)
+    f = (ssb / d1) / (ssw / d2)
+    p = _betainc_oracle(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * f))
+    assert row["f-ratio"] == pytest.approx(f, rel=1e-10)
+    assert row["p-value"] == pytest.approx(p, rel=1e-7)
+    assert row["p-value"] < 0.01  # textbook-significant example
+
+
+def test_mann_whitney(spark):
+    a = [19.0, 22, 16, 29, 24]
+    b = [20.0, 11, 17, 12]
+    row = _one(spark, _ev("mannWhitney", _arr(a), _arr(b)))
+    # brute ranks with tie-averaging
+    pooled = sorted(a + b)
+    def midrank(v):
+        lo = sum(1 for w in pooled if w < v)
+        hi = sum(1 for w in pooled if w <= v)
+        return (lo + hi + 1) / 2.0
+    r1 = sum(midrank(v) for v in a)
+    u1 = r1 - len(a) * (len(a) + 1) / 2.0
+    u2 = len(a) * len(b) - u1
+    umin, umax = min(u1, u2), max(u1, u2)
+    mu = len(a) * len(b) / 2.0
+    sd = math.sqrt(len(a) * len(b) * (len(a) + len(b) + 1) / 12.0)
+    p = 2.0 * 0.5 * (1.0 + math.erf((umin - mu) / (sd * math.sqrt(2))))
+    assert row["u-statistic"] == pytest.approx(umax, rel=1e-12)
+    # engine uses the A&S erf polynomial (|err| < 1.5e-7)
+    assert row["p-value"] == pytest.approx(min(p, 1.0), abs=3e-7)
+
+
+def test_ks_one_sample(spark):
+    data = [-1.2, 0.1, 0.4, -0.6, 1.8, 0.9, -0.3, 0.2, 1.1, -1.7]
+    dist = _ev("normalDistribution", F.lit(0.0), F.lit(1.0))
+    row = _one(spark, _ev("kolmogorovSmirnov", dist, _arr(data)))
+
+    def a_s_cdf(x):  # the engine's documented erf polynomial
+        z = abs(x / math.sqrt(2))
+        t = 1.0 / (1.0 + 0.3275911 * z)
+        poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                    + t * (-1.453152027 + t * 1.061405429))))
+        e = 1.0 - poly * math.exp(-z * z)
+        return 0.5 * (1.0 + (e if x >= 0 else -e))
+
+    s = sorted(data)
+    n = len(s)
+    d = max(max((i + 1) / n - a_s_cdf(x), a_s_cdf(x) - i / n)
+            for i, x in enumerate(s))
+    t = math.sqrt(n) * d
+    p = 2.0 * sum((-1) ** (k - 1) * math.exp(-2 * k * k * t * t)
+                  for k in range(1, 101))
+    assert row["d-statistic"] == pytest.approx(d, abs=2e-7)
+    assert row["p-value"] == pytest.approx(min(max(p, 0.0), 1.0), abs=1e-6)
+
+
+def test_ks_two_sample_quirk(spark):
+    a = [1.0, 2.5, 3.1, 4.0, 5.2, 6.3]
+    b = [2.0, 3.5, 4.1, 7.0, 8.2]
+    row = _one(spark, _ev("ks", _arr(a), _arr(b)))
+    assert list(row.asDict()) == ["d-statistic"]  # reference quirk: p under d
+    pooled = a + b
+    d = max(
+        abs(sum(1 for w in a if w <= v) / len(a)
+            - sum(1 for w in b if w <= v) / len(b))
+        for v in pooled
+    )
+    t = d * math.sqrt(len(a) * len(b) / (len(a) + len(b)))
+    p = 2.0 * sum((-1) ** (k - 1) * math.exp(-2 * k * k * t * t)
+                  for k in range(1, 101))
+    assert row["d-statistic"] == pytest.approx(min(max(p, 0.0), 1.0), rel=1e-9)
+
+
+def test_chisq_and_gtest_datasets(spark):
+    a = [30.0, 14, 25, 31]
+    b = [19.0, 17, 21, 20]
+    row = _one(spark, _ev("chiSquareDataSet", _arr(a), _arr(b)))
+    n1, n2 = sum(a), sum(b)
+    stat = sum((math.sqrt(n2 / n1) * x - math.sqrt(n1 / n2) * y) ** 2 / (x + y)
+               for x, y in zip(a, b))
+    assert row["chisquare-statistic"] == pytest.approx(stat, rel=1e-10)
+    # p via the engine-independent identity Q(k/2, x/2) = 1 - P: series
+    # oracle from numpy (regularized lower gamma by direct summation)
+    def gamma_p(s, x, terms=400):
+        tot, term = 0.0, 1.0 / s
+        for k in range(1, terms):
+            tot += term
+            term *= x / (s + k)
+        return tot * math.exp(s * math.log(x) - x - math.lgamma(s))
+    p = 1.0 - gamma_p(1.5, stat / 2.0)
+    assert row["p-value"] == pytest.approx(p, rel=1e-6)
+
+    rowg = _one(spark, _ev("gtestDataSet", _arr(a), _arr(b)))
+    g = 2.0 * sum(
+        x * math.log(x / ((x + y) * n1 / (n1 + n2)))
+        + y * math.log(y / ((x + y) * n2 / (n1 + n2)))
+        for x, y in zip(a, b)
+    )
+    assert rowg["G-statistic"] == pytest.approx(g, rel=1e-10)
+    assert rowg["p-value"] == pytest.approx(1.0 - gamma_p(1.5, g / 2.0), rel=1e-6)
+
+
+def test_corr_pvalues(spark):
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=12)
+    m = np.column_stack([x, x * 0.8 + rng.normal(size=12) * 0.5,
+                         rng.normal(size=12)])
+    mat = F.array(*[_arr(r) for r in m.tolist()])
+    got = _one(spark, _ev("corrPValues", mat))
+    cc = np.corrcoef(m, rowvar=False)
+    n = m.shape[0]
+    for i in range(3):
+        for j in range(3):
+            if i == j:
+                assert got[i][j] == 0.0
+                continue
+            r = cc[i, j]
+            t = abs(r) * math.sqrt((n - 2) / (1 - r * r))
+            assert got[i][j] == pytest.approx(_t_p2_oracle(t, n - 2), rel=1e-6)
+
+
+def test_outliers(spark):
+    dist = _ev("normalDistribution", F.lit(0.0), F.lit(1.0))
+    vec = [0.1, -3.5, 0.4, 2.9, -0.2, 4.1]
+    got = _one(spark, _ev("outliers", dist, _arr(vec),
+                          F.lit(0.01), F.lit(0.99)))
+    vals = [r["value"] for r in got]
+    assert vals == [-3.5, 2.9, 4.1]
+    assert [r["low"] for r in got] == [True, False, False]
+    for r in got:
+        assert r["cumulativeProbability"] <= 0.01 or r["cumulativeProbability"] >= 0.99
