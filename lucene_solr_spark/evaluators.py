@@ -11,17 +11,20 @@ manipulated with the higher-order builtins (``transform``/``aggregate``/
 ``zip_with``/``slice``/``filter``) — whole-stage codegen applies, no Python
 in the row path.
 
-Scope (documented): per-tuple evaluators only — 180 names. Round 4 adds the
+Scope (documented): per-tuple evaluators only — 194 names. Round 4 adds the
 deterministic model-state tranche (distributions as value-typed structs +
 cumulativeProbability/probability/density, regress/predict/residuals,
 polyfit via Cramer-solved normal equations, knn rows, fft/convolve/
-oscillate/primes, bias-corrected skewness/kurtosis) and the hypothesis-
+oscillate/primes, bias-corrected skewness/kurtosis), the hypothesis-
 testing tranche (ttest/pairedTtest/anova/mannWhitney/ks/kolmogorovSmirnov/
 chiSquareDataSet/gtestDataSet/corrPValues/outliers — p-values via a
-fixed-step Lentz incomplete-beta continued fraction, one F.aggregate).
-Still out: names that need an RNG (``sample``/``monteCarlo``/``random*``)
-or runtime-sized model state a Column cannot hold (``kmeans``/``loess``/
-``spline`` — the engine's k-means is ``textops.cluster_results_docs``). ``corr``/``regress``/
+fixed-step Lentz incomplete-beta continued fraction, one F.aggregate), and
+the interpolation tranche (lerp/akima/spline models on the VectorFunction
+protocol with predict/derivative/integrate — the spline tridiagonal solve
+is an array-accumulator ``F.aggregate`` Thomas sweep — plus finddelay/
+hist/earthMovers/ifft/conv/convert/val/getValue/betaDistribution).
+Still out: names that need an RNG (``sample``/``monteCarlo``/``random*``).
+``corr``/``regress``/
 ``movingAvg`` over whole relations live in ``relational.py``
 (streaming-expression ops); here ``movingAvg``/``diff`` are the per-tuple
 ARRAY forms (``MovingAverageEvaluator.java``,
@@ -39,7 +42,7 @@ import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .functions import FUNCTIONS, parse_func  # noqa: F401  (registry base)
+from .functions import FUNCTIONS, PlanValue, parse_func  # noqa: F401  (registry base)
 
 # --------------------------------------------------------------------------
 # helpers (array<double> Column combinators)
@@ -496,9 +499,13 @@ def _registry() -> dict:
     return _MERGED
 
 
-def parse_eval(text: str) -> Column:
-    """Parse one math expression in the evaluator namespace → Column."""
-    return parse_func(text, registry=_registry())
+def parse_eval(text: str, names: dict | None = None) -> Column:
+    """Parse one math expression in the evaluator namespace → Column.
+    A top-level :class:`~.functions.PlanValue` (an interpolation model used
+    as a value) decays to its serialized form — the fitted-values array,
+    like the reference VectorFunction."""
+    r = parse_func(text, registry=_registry(), names=names)
+    return r.value() if isinstance(r, PlanValue) else r
 
 
 _BIND_RE = re.compile(r"\s*([A-Za-z_]\w*)\s*=")
@@ -514,6 +521,7 @@ def parse_let(text: str) -> list[tuple[str, Column]]:
         raise ValueError(f"not a let() expression: {text!r}")
     body = s[4:-1]
     out: list[tuple[str, Column]] = []
+    names: dict[str, PlanValue] = {}
     pos = 0
     while pos < len(body):
         m = _BIND_RE.match(body, pos)
@@ -528,7 +536,14 @@ def parse_let(text: str) -> list[tuple[str, Column]]:
             elif body[i] == ")":
                 depth -= 1
             i += 1
-        out.append((name, parse_eval(body[m.end():i])))
+        r = parse_func(body[m.end():i], registry=_registry(), names=names)
+        if isinstance(r, PlanValue):
+            # bind the struct column; keep the plan-time tag so later
+            # bindings referencing this name stay model-aware
+            names[name] = r.rebind(F.col(name))
+            out.append((name, r.materialize()))
+        else:
+            out.append((name, r))
         pos = i + 1
     return out
 
@@ -711,6 +726,10 @@ def _cdf(dist: Column, x: Column) -> Column:
         )
         .when(d == "zipf", _dsum(x, lambda j: F.lit(1.0) / F.pow(j, b) / _zipf_h(a, b), lo=1))
         .when((d == "empirical") | (d == "enumerated"), emp)
+        .when(
+            d == "beta",
+            _betainc(a, b, F.least(F.greatest(x, F.lit(0.0)), F.lit(1.0))),
+        )
         .otherwise(F.lit(None).cast("double"))
     )
 
@@ -765,6 +784,15 @@ def _density(dist: Column, x: Column) -> Column:
     gamma_pdf = F.when(x <= 0, F.lit(0.0)).otherwise(
         F.exp((a - 1.0) * F.log(x) - x / b - _lgamma(a) - a * F.log(b))
     )
+    beta_pdf = F.when((x <= 0) | (x >= 1), F.lit(0.0)).otherwise(
+        F.exp(
+            (a - 1.0) * F.log(x)
+            + (b - 1.0) * F.log(F.lit(1.0) - x)
+            + _lgamma(a + b)
+            - _lgamma(a)
+            - _lgamma(b)
+        )
+    )
     return (
         F.when(d == "normal", norm_pdf)
         .when(d == "lognormal", F.when(x <= 0, F.lit(0.0)).otherwise(logn_pdf))
@@ -775,6 +803,7 @@ def _density(dist: Column, x: Column) -> Column:
         .when(d == "triangular", tri_pdf)
         .when(d == "weibull", weib_pdf)
         .when(d == "gamma", gamma_pdf)
+        .when(d == "beta", beta_pdf)
         .otherwise(F.lit(None).cast("double"))
     )
 
@@ -983,7 +1012,8 @@ EVALUATORS.update(
         "density": _density,
         # regression / curve fitting
         "regress": _regress,
-        "predict": lambda m, x: m["intercept"] + m["slope"] * x,
+        # "predict" is registered in the batch-2 block below — it dispatches
+        # on the plan-time model marker (interpolation) vs the regress struct
         "residuals": lambda m, x, y: F.zip_with(
             y, x, lambda yy, xx: yy - (m["intercept"] + m["slope"] * xx)
         ),
@@ -1350,5 +1380,451 @@ EVALUATORS.update(
         "gtestDataSet": _gtest_dataset,
         "corrPValues": _corr_pvalues,
         "outliers": _outliers,
+    }
+)
+# --------------------------------------------------------------------------
+# round 4 batch 2: interpolation models + the VectorFunction protocol
+# (``LerpEvaluator.java`` / ``AkimaEvaluator.java`` / ``SplineEvaluator.java``
+# → commons LinearInterpolator / AkimaSplineInterpolator / SplineInterpolator;
+# ``DerivativeEvaluator.java``, ``IntegrateEvaluator.java``,
+# ``PredictEvaluator.java``). The reference wraps a commons
+# ``PolynomialSplineFunction`` in a ``VectorFunction`` whose serialized value
+# is the fitted y list while the function itself feeds predict/derivative/
+# integrate. Here a model is a struct Column ``(xs, ys, m, vals)`` — knots,
+# original y's, per-kind coefficient array, and the sampled values — carried
+# inside a plan-time ``Model`` marker (:class:`~.functions.PlanValue`) whose
+# KIND + derivative ORDER pick the expression shape predict/derivative/
+# integrate emit. A model handed to a kind-unaware evaluator decays to its
+# ``vals`` array, mirroring the VectorFunction-as-list behavior.
+
+
+class Model(PlanValue):
+    """Interpolation model: ``kind`` ∈ lerp|akima|spline, ``order`` = how
+    many times it has been differentiated (0 = the interpolant).
+
+    ``bound`` = the struct's ``vals`` field matches this order (true for
+    constructors and for ``let()``-bound refs, false after an inline
+    ``derivative()``). Derivatives DON'T rebuild the struct — for an inline
+    model every field access copies the whole construction expression, and
+    nesting a re-sampled ``vals`` inside it makes the tree grow
+    multiplicatively per derivative level (Catalyst analysis OOMs long
+    before the optimizer's extract-value collapse runs). Instead the order
+    lives in the marker and ``vals`` is derived lazily only where a
+    derivative model is actually USED as a value."""
+
+    def __init__(self, col: Column, kind: str, order: int = 0, bound: bool = True):
+        super().__init__(col)
+        self.kind = kind
+        self.order = order
+        self.bound = bound
+
+    def rebind(self, col: Column) -> "Model":
+        # post-binding column ref: materialize() wrote vals at this order
+        return Model(col, self.kind, self.order, bound=True)
+
+    def materialize(self) -> Column:
+        """The struct to bind into a DataFrame — vals sampled at THIS
+        order (linear, one re-sample per binding)."""
+        if self.bound:
+            return self.col
+        c = self.col
+        return _model_struct(
+            c["xs"], c["ys"], c["m"],
+            F.transform(c["xs"], lambda xv: _model_eval(self, xv)),
+        )
+
+    def value(self) -> Column:
+        if self.bound:
+            return self.col["vals"]
+        return F.transform(self.col["xs"], lambda xv: _model_eval(self, xv))
+
+
+def _model_struct(xs: Column, ys: Column, m: Column, vals: Column) -> Column:
+    return F.struct(xs.alias("xs"), ys.alias("ys"), m.alias("m"), vals.alias("vals"))
+
+
+def _interp_xy(a: Column, b: tuple) -> tuple:
+    """The shared 1-arg (y only, x = 0..n−1) / 2-arg (x, y) constructor
+    convention (LerpEvaluator.java doWork)."""
+    if b:
+        return a, b[0]
+    xs = F.transform(F.sequence(F.lit(0), F.size(a) - 1), lambda i: i.cast("double"))
+    return xs, a
+
+
+def _at(arr: Column, j) -> Column:
+    # 0-based index j (Column or int) over a 1-based element_at
+    j = F.lit(j) if isinstance(j, int) else j
+    return F.element_at(arr, (j + 1).cast("int"))
+
+
+def _lerp(a: Column, *b: Column) -> Model:
+    xs, ys = _interp_xy(a, b)
+    slopes = F.zip_with(_diff(ys), _diff(xs), lambda dy, dx: dy / dx)
+    return Model(_model_struct(xs, ys, slopes, ys), "lerp")
+
+
+def _akima(a: Column, *b: Column) -> Model:
+    """Akima slopes per commons AkimaSplineInterpolator (≥ 5 points):
+    weighted secant slopes with three-point parabolic endpoints."""
+    xs, ys = _interp_xy(a, b)
+    n = F.size(xs)
+    d = F.zip_with(_diff(ys), _diff(xs), lambda dy, dx: dy / dx)
+
+    def three_point(i, i0, i1, i2):
+        # AkimaSplineInterpolator.differentiateThreePoint
+        y0, y1, y2 = _at(ys, i0), _at(ys, i1), _at(ys, i2)
+        t = _at(xs, i) - _at(xs, i0)
+        t1 = _at(xs, i1) - _at(xs, i0)
+        t2 = _at(xs, i2) - _at(xs, i0)
+        aa = (y2 - y0 - (t2 / t1 * (y1 - y0))) / (t2 * t2 - t1 * t2)
+        bb = (y1 - y0 - aa * t1 * t1) / t1
+        return F.lit(2.0) * aa * t + bb
+
+    def interior_slope(i):
+        w_p = F.abs(_at(d, i + 1) - _at(d, i))
+        w_m = F.abs(_at(d, i - 1) - _at(d, i - 2))
+        flat = (
+            (_at(xs, i + 1) - _at(xs, i)) * _at(d, i - 1)
+            + (_at(xs, i) - _at(xs, i - 1)) * _at(d, i)
+        ) / (_at(xs, i + 1) - _at(xs, i - 1))
+        return F.when((w_p == 0.0) & (w_m == 0.0), flat).otherwise(
+            (w_p * _at(d, i - 1) + w_m * _at(d, i)) / (w_p + w_m)
+        )
+
+    interior = F.transform(
+        F.filter(
+            F.sequence(F.lit(2), F.greatest(n - 3, F.lit(2))), lambda i: i <= n - 3
+        ),
+        interior_slope,
+    )
+    m = F.concat(
+        F.array(three_point(F.lit(0), F.lit(0), F.lit(1), F.lit(2)),
+                three_point(F.lit(1), F.lit(0), F.lit(1), F.lit(2))),
+        interior,
+        F.array(three_point(n - 2, n - 3, n - 2, n - 1),
+                three_point(n - 1, n - 3, n - 2, n - 1)),
+    )
+    return Model(_model_struct(xs, ys, m, ys), "akima")
+
+
+def _spline(a: Column, *b: Column) -> Model:
+    """Natural cubic spline per commons SplineInterpolator — the classic
+    tridiagonal system, solved with a forward/backward ``F.aggregate`` sweep
+    (array-accumulator Thomas algorithm, all JVM-side). ``m`` stores the
+    c coefficients; predict derives b, d per segment."""
+    xs, ys = _interp_xy(a, b)
+    n = F.size(xs)
+    h = _diff(xs)
+
+    def step(acc, i):
+        ell = (
+            F.lit(2.0) * (_at(xs, i + 1) - _at(xs, i - 1))
+            - _at(h, i - 1) * F.element_at(acc["mu"], -1)
+        )
+        alpha = F.lit(3.0) / _at(h, i) * (_at(ys, i + 1) - _at(ys, i)) - F.lit(
+            3.0
+        ) / _at(h, i - 1) * (_at(ys, i) - _at(ys, i - 1))
+        z = (alpha - _at(h, i - 1) * F.element_at(acc["z"], -1)) / ell
+        return F.struct(
+            F.concat(acc["mu"], F.array(_at(h, i) / ell)).alias("mu"),
+            F.concat(acc["z"], F.array(z)).alias("z"),
+        )
+
+    fwd = F.aggregate(
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))), lambda i: i <= n - 2
+        ),
+        F.struct(F.array(F.lit(0.0)).alias("mu"), F.array(F.lit(0.0)).alias("z")),
+        step,
+    )
+    c_rev = F.aggregate(
+        F.sequence(n - 2, F.lit(0), F.lit(-1)),
+        F.array(F.lit(0.0)),  # c[n-1] = 0 (natural boundary)
+        lambda acc, j: F.concat(
+            acc, F.array(_at(fwd["z"], j) - _at(fwd["mu"], j) * F.element_at(acc, -1))
+        ),
+    )
+    return Model(_model_struct(xs, ys, F.reverse(c_rev), ys), "spline")
+
+
+def _seg_index(xs: Column, v: Column) -> Column:
+    """PolynomialSplineFunction.value segment choice: greatest knot ≤ v,
+    clamped into [0, n−2] (the commons function THROWS outside [x0, xn−1];
+    the Column form clamps = extrapolates the end polynomials, documented)."""
+    cnt = F.aggregate(
+        xs, F.lit(0), lambda acc, xk: acc + F.when(xk <= v, 1).otherwise(0)
+    )
+    return F.greatest(F.least(cnt, F.size(xs) - 1), F.lit(1)) - 1
+
+
+def _seg_coeffs(mod: Model, j: Column) -> list:
+    """Cubic coefficients [a0..a3] of segment j (p(t) = Σ aᵢ tⁱ, t = v−x_j),
+    differentiated ``mod.order`` times at plan time."""
+    xs, ys, m = mod.col["xs"], mod.col["ys"], mod.col["m"]
+    if mod.kind == "lerp":
+        a = [_at(ys, j), _at(m, j), F.lit(0.0), F.lit(0.0)]
+    elif mod.kind == "akima":
+        h = _at(xs, j + 1) - _at(xs, j)
+        delta = (_at(ys, j + 1) - _at(ys, j)) / h
+        c2 = (F.lit(3.0) * delta - F.lit(2.0) * _at(m, j) - _at(m, j + 1)) / h
+        c3 = (_at(m, j) + _at(m, j + 1) - F.lit(2.0) * delta) / (h * h)
+        a = [_at(ys, j), _at(m, j), c2, c3]
+    elif mod.kind == "spline":
+        h = _at(xs, j + 1) - _at(xs, j)
+        bb = (_at(ys, j + 1) - _at(ys, j)) / h - h * (
+            _at(m, j + 1) + F.lit(2.0) * _at(m, j)
+        ) / F.lit(3.0)
+        dd = (_at(m, j + 1) - _at(m, j)) / (F.lit(3.0) * h)
+        a = [_at(ys, j), bb, _at(m, j), dd]
+    else:  # pragma: no cover
+        raise ValueError(f"unknown interpolation kind {mod.kind!r}")
+    for _ in range(mod.order):
+        a = [a[1], F.lit(2.0) * a[2], F.lit(3.0) * a[3], F.lit(0.0)]
+    return a
+
+
+def _model_eval(mod: Model, v: Column) -> Column:
+    xs = mod.col["xs"]
+    j = _seg_index(xs, v)
+    a = _seg_coeffs(mod, j)
+    t = v - _at(xs, j)
+    return a[0] + a[1] * t + a[2] * t * t + a[3] * t * t * t
+
+
+def _predict(mod, v: Column) -> Column:
+    """PredictEvaluator: interpolation models dispatch on the plan-time
+    marker; a plain struct is the ``regress`` result (slope/intercept)."""
+    if isinstance(mod, Model):
+        return _model_eval(mod, v)
+    return mod["intercept"] + mod["slope"] * v
+
+
+_predict._plan_aware = True
+
+
+def _derivative(mod) -> Model:
+    """DerivativeEvaluator: model → model one order up; ``vals`` become the
+    derivative sampled at the knots and ``ys`` stays the original y context
+    (VectorFunction semantics) — both realized lazily by the marker, see
+    :class:`Model`."""
+    if not isinstance(mod, Model):
+        raise ValueError("derivative() requires an interpolation model "
+                         "(lerp/akima/spline) — the reference rejects "
+                         "non-VectorFunction input the same way")
+    return Model(mod.col, mod.kind, mod.order + 1, bound=False)
+
+
+_derivative._plan_aware = True
+
+
+def _integrate(mod, lo: Column, hi: Column) -> Column:
+    """IntegrateEvaluator (3-arg form): ∫ over [lo, hi]. The reference runs
+    a Romberg integrator over the spline; the piecewise polynomial has an
+    exact antiderivative, so integrate segment-by-segment analytically
+    (bounds clamped to the knot span — outside it the commons function
+    throws)."""
+    if not isinstance(mod, Model):
+        raise ValueError("integrate() requires an interpolation model")
+    xs = mod.col["xs"]
+    n = F.size(xs)
+    lo_c = F.greatest(lo, _at(xs, F.lit(0)))
+    hi_c = F.least(hi, F.element_at(xs, -1))
+
+    def seg_contrib(j):
+        a = _seg_coeffs(mod, j)
+        s0 = F.greatest(lo_c, _at(xs, j)) - _at(xs, j)
+        s1 = F.least(hi_c, _at(xs, j + 1)) - _at(xs, j)
+
+        def anti(t):
+            return (
+                a[0] * t
+                + a[1] * t * t / F.lit(2.0)
+                + a[2] * t * t * t / F.lit(3.0)
+                + a[3] * t * t * t * t / F.lit(4.0)
+            )
+
+        return F.when(s1 > s0, anti(s1) - anti(s0)).otherwise(F.lit(0.0))
+
+    return F.aggregate(
+        F.sequence(F.lit(0), n - 2), F.lit(0.0), lambda acc, j: acc + seg_contrib(j)
+    )
+
+
+_integrate._plan_aware = True
+
+
+# -- batch-2 signal / scalar names -------------------------------------------
+
+
+def _finddelay(a: Column, b: Column) -> Column:
+    """FindDelayEvaluator: argmax |convolve(a, reverse(b))| (first maximum,
+    strict >), delay = (idx+1) − |b|."""
+    conv = _convolve(a, F.reverse(b))
+    best = F.aggregate(
+        F.sequence(F.lit(1), F.size(conv)),
+        F.struct(F.lit(-1.7976931348623157e308).alias("v"), F.lit(-1).alias("k")),
+        lambda acc, k: F.when(
+            F.abs(F.element_at(conv, k.cast("int"))) > acc["v"],
+            F.struct(
+                F.abs(F.element_at(conv, k.cast("int"))).alias("v"),
+                k.cast("int").alias("k"),
+            ),
+        ).otherwise(acc),
+    )
+    return (best["k"] - F.size(b)).cast("double")
+
+
+def _earth_movers(a: Column, b: Column) -> Column:
+    """commons EarthMoversDistance: Σ |cumulative flow|."""
+    acc = F.aggregate(
+        F.zip_with(a, b, lambda p, q: F.struct(p.alias("p"), q.alias("q"))),
+        F.struct(F.lit(0.0).alias("last"), F.lit(0.0).alias("tot")),
+        lambda s, e: F.struct(
+            (e["p"] + s["last"] - e["q"]).alias("last"),
+            (s["tot"] + F.abs(e["p"] + s["last"] - e["q"])).alias("tot"),
+        ),
+    )
+    return acc["tot"]
+
+
+def _ifft(mat: Column) -> Column:
+    """IFFTEvaluator: input [re[], im[]] matrix, STANDARD-normalized inverse
+    DFT, REAL parts only (the reference discards the imaginary result)."""
+    re_, im_ = F.element_at(mat, 1), F.element_at(mat, 2)
+    n = F.size(re_)
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def comp(j):
+        ang = lambda k: (
+            F.lit(2.0 * _math.pi) * j.cast("double") * k.cast("double") / n.cast("double")
+        )
+        return (
+            F.aggregate(
+                idx,
+                F.lit(0.0),
+                lambda s, k: s
+                + F.element_at(re_, (k + 1).cast("int")) * F.cos(ang(k))
+                - F.element_at(im_, (k + 1).cast("int")) * F.sin(ang(k)),
+            )
+            / n.cast("double")
+        )
+
+    return F.transform(idx, comp)
+
+
+def _hist(arr: Column, *binsarg: Column) -> Column:
+    """HistogramEvaluator → commons EmpiricalDistribution(bins): equal-width
+    bins over [min, max] (findBin = ceil((v−min)/Δ)−1 clamped), per-bin
+    SummaryStatistics plus the kernel-based cumProb/prob — Normal(mean, sd)
+    within-bin kernel when sd > 0 (so cumProb at the bin mean is the
+    half-bin point), constant kernel otherwise."""
+    bins = (binsarg[0] if binsarg else F.lit(10)).cast("int")
+    mn, mx = F.array_min(arr), F.array_max(arr)
+    delta = (mx - mn) / bins.cast("double")
+    ntot = F.size(arr).cast("double")
+
+    def bin_of(v):
+        return F.least(
+            F.greatest(F.ceil((v - mn) / delta).cast("int") - 1, F.lit(0)), bins - 1
+        )
+
+    def bin_stats(b):
+        vals = F.filter(arr, lambda v: bin_of(v) == b)
+        nb = F.size(vals).cast("double")
+        mean = _agg_sum(vals) / nb
+        var = F.when(
+            nb > 1,
+            F.aggregate(vals, F.lit(0.0), lambda s, v: s + (v - mean) * (v - mean))
+            / (nb - 1),
+        ).otherwise(F.lit(0.0))
+        sd = F.sqrt(var)
+        bmin, bmax = F.array_min(vals), F.array_max(vals)
+        before = F.aggregate(
+            arr, F.lit(0.0), lambda s, v: s + F.when(bin_of(v) < b, 1.0).otherwise(0.0)
+        )
+        cum = F.when(sd > 0, (before + F.lit(0.5) * nb) / ntot).otherwise(
+            (before + nb) / ntot
+        )
+        prob = F.when(
+            sd > 0, nb / ntot * (_norm_cdf(bmax, mean, sd) - _norm_cdf(bmin, mean, sd))
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            nb.alias("N"),
+            bmin.alias("min"),
+            bmax.alias("max"),
+            mean.alias("mean"),
+            sd.alias("stdev"),
+            _agg_sum(vals).alias("sum"),
+            var.alias("var"),
+            cum.alias("cumProb"),
+            prob.alias("prob"),
+        )
+
+    return F.transform(F.sequence(F.lit(0), bins - 1), bin_stats)
+
+
+_LENGTH_IN_METERS = {
+    # ConversionEvaluator LENGTH_CONSTANT units (exact factors: in→mm 25.4,
+    # mile 1609.344 m, yard 0.9144 m, foot 0.3048 m)
+    "miles": 1609.344,
+    "yards": 0.9144,
+    "feet": 0.3048,
+    "inches": 0.0254,
+    "millimeters": 0.001,
+    "centimeters": 0.01,
+    "meters": 1.0,
+    "kilometers": 1000.0,
+}
+
+_COLNAME_RE = re.compile(r"Column<'([^']*)'>")
+
+
+def _raw_token(v) -> str | None:
+    """The reference's convert()/getValue() take RAW (unquoted) tokens for
+    unit/key names; the parser turns those into bare column refs — recover
+    the token from the Column's name (plan-time only, classic mode)."""
+    if isinstance(v, str):
+        return v
+    m = _COLNAME_RE.fullmatch(str(v))
+    return m.group(1) if m else None
+
+
+def _convert(frm, to, v: Column) -> Column:
+    f, t = _raw_token(frm), _raw_token(to)
+    if f is None or t is None:
+        raise ValueError("convert() unit names must be raw or quoted strings")
+    f, t = f.lower(), t.lower()
+    if f not in _LENGTH_IN_METERS or t not in _LENGTH_IN_METERS:
+        raise ValueError(
+            f"convert(): {f!r} and {t!r} are not both valid conversion types"
+        )
+    return v * F.lit(_LENGTH_IN_METERS[f] / _LENGTH_IN_METERS[t])
+
+
+def _get_value(tup: Column, key) -> Column:
+    k = _raw_token(key)
+    if k is None:
+        raise ValueError("getValue() key must be a raw or quoted string")
+    return tup[k]
+
+
+EVALUATORS.update(
+    {
+        "lerp": _lerp,
+        "akima": _akima,
+        "spline": _spline,
+        "predict": _predict,
+        "derivative": _derivative,
+        "integrate": _integrate,
+        "conv": _convolve,  # Lang.java:122 — alias of convolve
+        "finddelay": _finddelay,
+        "earthMovers": _earth_movers,
+        "ifft": _ifft,
+        "hist": _hist,
+        "convert": _convert,
+        "val": lambda v: v if isinstance(v, Column) else F.lit(v),
+        "getValue": _get_value,
+        "betaDistribution": lambda a, b: _dist("beta", a, b),
     }
 )

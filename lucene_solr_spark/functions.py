@@ -373,7 +373,36 @@ def _dist(p, cols):
 _TOK_RE = re.compile(r"\s*('[^']*'|[A-Za-z_][\w.]*|-?\d+\.?\d*(?:[eE][+-]?\d+)?|[(),])")
 
 
-def parse_func(text: str, registry: dict | None = None) -> Column:
+class PlanValue:
+    """A plan-time-tagged value: a Column plus plan-time metadata (e.g. an
+    interpolation model's kind) that picks the expression shape a
+    model-aware evaluator emits. Tag-AWARE consumers are registered with
+    ``fn._plan_aware = True`` and receive the PlanValue itself; every other
+    consumer gets :meth:`value` (for an interpolation model: its
+    sampled-values array — mirroring the reference ``VectorFunction``'s
+    serialize-as-list behavior, ``solr/solrj/src/java/org/apache/solr/
+    client/solrj/io/eval/VectorFunction.java``). ``parse_func`` threads
+    bound names through its ``names`` dict so a ``let()``-bound model keeps
+    its tag across later bindings."""
+
+    def __init__(self, col: Column):
+        self.col = col
+
+    def rebind(self, col: Column) -> "PlanValue":
+        """The same tag over a fresh Column (a post-binding name ref)."""
+        return type(self)(col)
+
+    def materialize(self) -> Column:
+        """The Column a ``let()`` binding writes into the DataFrame."""
+        return self.col
+
+    def value(self) -> Column:
+        return self.col
+
+
+def parse_func(
+    text: str, registry: dict | None = None, names: dict | None = None
+) -> Column:
     """Parse Solr function-query syntax into one Catalyst Column:
     ``name(arg,...)`` calls, numeric literals, bare field references
     (``FunctionQParser.parseValueSource``). The result stays a JVM-side
@@ -382,7 +411,11 @@ def parse_func(text: str, registry: dict | None = None) -> Column:
     ``registry`` overrides the name→builder table (default: the
     function-query ``FUNCTIONS``); lookups try the exact (camelCase) name
     first, then the lowercased form — Solr math evaluators are
-    case-sensitive camelCase (``Lang.java``), function queries lowercase."""
+    case-sensitive camelCase (``Lang.java``), function queries lowercase.
+    ``names`` maps already-bound variable names to :class:`PlanValue`s
+    (see ``evaluators.parse_let``); a bare reference found there returns
+    the tagged value instead of a plain column ref. The return may itself
+    be a PlanValue — ``parse_eval`` unwraps at the top level."""
     fns = FUNCTIONS if registry is None else registry
     toks = _TOK_RE.findall(text)
     if not toks or "".join(_TOK_RE.sub("", text).split()):
@@ -421,7 +454,12 @@ def parse_func(text: str, registry: dict | None = None) -> Column:
                     args.append(parse_expr())
             if advance() != ")":
                 raise ValueError(f"unbalanced parens in {text!r}")
-            return fns[name](*args)
+            fn = fns[name]
+            if not getattr(fn, "_plan_aware", False):
+                args = [a.value() if isinstance(a, PlanValue) else a for a in args]
+            return fn(*args)
+        if names and t in names:
+            return names[t]
         return F.col(t)  # bare field reference
 
     out = parse_expr()
