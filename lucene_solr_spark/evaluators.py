@@ -11,7 +11,7 @@ manipulated with the higher-order builtins (``transform``/``aggregate``/
 ``zip_with``/``slice``/``filter``) — whole-stage codegen applies, no Python
 in the row path.
 
-Scope (documented): per-tuple evaluators only — 194 names. Round 4 adds the
+Scope (documented): per-tuple evaluators only — 202 names. Round 4 adds the
 deterministic model-state tranche (distributions as value-typed structs +
 cumulativeProbability/probability/density, regress/predict/residuals,
 polyfit via Cramer-solved normal equations, knn rows, fft/convolve/
@@ -22,7 +22,10 @@ fixed-step Lentz incomplete-beta continued fraction, one F.aggregate), and
 the interpolation tranche (lerp/akima/spline models on the VectorFunction
 protocol with predict/derivative/integrate — the spline tridiagonal solve
 is an array-accumulator ``F.aggregate`` Thomas sweep — plus finddelay/
-hist/earthMovers/ifft/conv/convert/val/getValue/betaDistribution).
+hist/earthMovers/ifft/conv/convert/val/getValue/betaDistribution), and
+the clustering/multivariate-regression tranche (kmeans/multiKmeans/
+fuzzyKmeans + getters, knnRegress, olsRegress — deterministic init where
+commons seeds an RNG, documented at the batch-3 block).
 Still out: names that need an RNG (``sample``/``monteCarlo``/``random*``).
 ``corr``/``regress``/
 ``movingAvg`` over whole relations live in ``relational.py``
@@ -1593,10 +1596,15 @@ def _model_eval(mod: Model, v: Column) -> Column:
 
 
 def _predict(mod, v: Column) -> Column:
-    """PredictEvaluator: interpolation models dispatch on the plan-time
-    marker; a plain struct is the ``regress`` result (slope/intercept)."""
+    """PredictEvaluator: models dispatch on the plan-time marker
+    (interpolation / knnRegress / olsRegress, defined below); a plain
+    struct is the ``regress`` result (slope/intercept)."""
     if isinstance(mod, Model):
         return _model_eval(mod, v)
+    if isinstance(mod, KnnModel):
+        return _knn_predict(mod, v)
+    if isinstance(mod, OlsModel):
+        return _ols_predict(mod, v)
     return mod["intercept"] + mod["slope"] * v
 
 
@@ -1826,5 +1834,463 @@ EVALUATORS.update(
         "val": lambda v: v if isinstance(v, Column) else F.lit(v),
         "getValue": _get_value,
         "betaDistribution": lambda a, b: _dist("beta", a, b),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# round 4 batch 3: clustering / multivariate-regression model state
+# (``KmeansEvaluator.java`` / ``FuzzyKmeansEvaluator.java`` /
+# ``MultiKmeansEvaluator.java`` + ``GetCentroidsEvaluator`` /
+# ``GetClusterEvaluator`` / ``GetMembershipMatrixEvaluator``,
+# ``KnnRegressionEvaluator.java``, ``OLSRegressionEvaluator.java``). The
+# reference's clusterers delegate to commons KMeansPlusPlus /
+# FuzzyKMeansClusterer, whose INITIALIZATION is RNG-seeded — here init is
+# deterministic (the first k rows; multiKmeans rotates the starting row per
+# restart), a documented deviation: the ENGINE math (Lloyd / fuzzy-c-means
+# updates, WCSS model selection) is the commons algorithm, reproducible on
+# every run. Iteration happens at RUNTIME inside one ``F.aggregate`` over
+# ``sequence(1, maxIterations)`` — the expression tree stays one-step-sized
+# (a fixpoint re-runs as a no-op, so extra iterations cost compute, never
+# correctness).
+
+
+def _dist2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, z: s + z
+    )
+
+
+def _nearest(cents: Column, row: Column) -> Column:
+    """0-based index of the nearest centroid (euclidean; ties → lowest
+    index, strict <)."""
+    best = F.aggregate(
+        F.sequence(F.lit(0), F.size(cents) - 1),
+        F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("j")),
+        lambda acc, j: F.when(
+            _dist2(row, F.element_at(cents, (j + 1).cast("int"))) < acc["d"],
+            F.struct(
+                _dist2(row, F.element_at(cents, (j + 1).cast("int"))).alias("d"),
+                j.cast("int").alias("j"),
+            ),
+        ).otherwise(acc),
+    )
+    return best["j"]
+
+
+def _vec_mean(vectors: Column, fallback: Column) -> Column:
+    """Component-wise mean of a list of vectors; ``fallback`` when empty
+    (Lloyd keeps the old centroid for an emptied cluster)."""
+    n = F.size(vectors)
+    sums = F.aggregate(
+        vectors,
+        F.transform(fallback, lambda _: F.lit(0.0)),
+        lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x),
+    )
+    return F.when(
+        n > 0, F.transform(sums, lambda s: s / n.cast("double"))
+    ).otherwise(fallback)
+
+
+class ClusterModel(PlanValue):
+    """kind ∈ kmeans|fuzzy — struct (data, centroids, assign[, memb])."""
+
+    def __init__(self, col: Column, kind: str):
+        super().__init__(col)
+        self.kind = kind
+
+    def rebind(self, col: Column) -> "ClusterModel":
+        return ClusterModel(col, self.kind)
+
+
+def _lloyd(mat: Column, k: Column, init: Column, iters: Column) -> Column:
+    return F.aggregate(
+        F.sequence(F.lit(1), iters),
+        init,
+        lambda cents, _i: F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda j: _vec_mean(
+                F.filter(mat, lambda row: _nearest(cents, row) == j),
+                F.element_at(cents, (j + 1).cast("int")),
+            ),
+        ),
+    )
+
+
+def _kmeans(mat: Column, k: Column, maxIterations: Column | None = None) -> ClusterModel:
+    k = k.cast("int")
+    iters = F.lit(20) if maxIterations is None else maxIterations.cast("int")
+    cents = _lloyd(mat, k, F.slice(mat, 1, k), iters)
+    assign = F.transform(mat, lambda row: _nearest(cents, row))
+    return ClusterModel(
+        F.struct(mat.alias("data"), cents.alias("centroids"), assign.alias("assign")),
+        "kmeans",
+    )
+
+
+def _wcss(mat: Column, cents: Column) -> Column:
+    return F.aggregate(
+        mat,
+        F.lit(0.0),
+        lambda s, row: s
+        + _dist2(row, F.element_at(cents, (_nearest(cents, row) + 1).cast("int"))),
+    )
+
+
+def _multi_kmeans(
+    mat: Column, k: Column, trials: Column, maxIterations: Column | None = None
+) -> ClusterModel:
+    """MultiKmeansEvaluator: best-WCSS of ``trials`` restarts. The
+    reference's restarts draw random inits; here restart t seeds from rows
+    t, t+1, … (mod n) — deterministic, documented."""
+    k = k.cast("int")
+    n = F.size(mat)
+    iters = F.lit(20) if maxIterations is None else maxIterations.cast("int")
+
+    def run(offset):
+        init = F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda j: F.element_at(mat, ((offset + j) % n + 1).cast("int")),
+        )
+        return _lloyd(mat, k, init, iters)
+
+    # evaluate every restart once, score each against its lambda VARIABLE
+    # (zero tree duplication), then min-fold over the evaluated array —
+    # folding over run() expressions directly nests the Lloyd lambdas deep
+    # enough to exhaust the analyzer's resolution-iteration budget
+    runs = F.transform(F.sequence(F.lit(0), trials.cast("int") - 1), run)
+    cands = F.transform(
+        runs, lambda c: F.struct(c.alias("c"), _wcss(mat, c).alias("w"))
+    )
+    best = F.aggregate(
+        F.slice(cands, 2, F.size(cands) - 1),
+        F.element_at(cands, 1),
+        lambda acc, s: F.when(s["w"] < acc["w"], s).otherwise(acc),
+    )
+    cents = best["c"]
+    assign = F.transform(mat, lambda row: _nearest(cents, row))
+    return ClusterModel(
+        F.struct(mat.alias("data"), cents.alias("centroids"), assign.alias("assign")),
+        "kmeans",
+    )
+
+
+def _fuzzy_memb_row(cents: Column, row: Column, p: Column) -> Column:
+    """Fuzzy-c-means membership of one row across centroids:
+    u_j = 1 / Σ_l (d_j/d_l)^(2/(m−1)); a zero distance → membership splits
+    over the coincident centroids."""
+    d = F.transform(cents, lambda c: F.sqrt(_dist2(row, c)))
+    onehot = F.transform(d, lambda dj: F.when(dj == 0.0, 1.0).otherwise(0.0))
+    nz = F.aggregate(onehot, F.lit(0.0), lambda s, x: s + x)
+    u = F.transform(
+        d,
+        lambda dj: F.lit(1.0)
+        / F.aggregate(d, F.lit(0.0), lambda s, dl: s + F.pow(dj / dl, p)),
+    )
+    return F.when(nz > 0, F.transform(onehot, lambda x: x / nz)).otherwise(u)
+
+
+def _fuzzy_kmeans(
+    mat: Column,
+    k: Column,
+    fuzziness: Column | None = None,
+    maxIterations: Column | None = None,
+) -> ClusterModel:
+    """FuzzyKmeansEvaluator → commons FuzzyKMeansClusterer (default
+    fuzziness 2.0): membership update + weighted centroid update; init =
+    first k rows (the reference's random init, documented deviation)."""
+    k = k.cast("int")
+    fz = F.lit(2.0) if fuzziness is None else fuzziness.cast("double")
+    p = F.lit(2.0) / (fz - 1.0)
+    iters = F.lit(20) if maxIterations is None else maxIterations.cast("int")
+    n = F.size(mat)
+    zero = F.transform(F.element_at(mat, 1), lambda _: F.lit(0.0))
+
+    def centroid(membs, j):
+        acc = F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.struct(zero.alias("s"), F.lit(0.0).alias("w")),
+            lambda a, r: F.struct(
+                F.zip_with(
+                    a["s"],
+                    F.element_at(mat, r.cast("int")),
+                    lambda s, x: s
+                    + F.pow(
+                        F.element_at(
+                            F.element_at(membs, r.cast("int")), (j + 1).cast("int")
+                        ),
+                        fz,
+                    )
+                    * x,
+                ).alias("s"),
+                (
+                    a["w"]
+                    + F.pow(
+                        F.element_at(
+                            F.element_at(membs, r.cast("int")), (j + 1).cast("int")
+                        ),
+                        fz,
+                    )
+                ).alias("w"),
+            ),
+        )
+        return F.transform(acc["s"], lambda s: s / acc["w"])
+
+    def step(cents, _i):
+        membs = F.transform(mat, lambda row: _fuzzy_memb_row(cents, row, p))
+        return F.transform(F.sequence(F.lit(0), k - 1), lambda j: centroid(membs, j))
+
+    cents = F.aggregate(F.sequence(F.lit(1), iters), F.slice(mat, 1, k), step)
+    memb = F.transform(mat, lambda row: _fuzzy_memb_row(cents, row, p))
+    assign = F.transform(mat, lambda row: _nearest(cents, row))
+    return ClusterModel(
+        F.struct(
+            mat.alias("data"),
+            cents.alias("centroids"),
+            assign.alias("assign"),
+            memb.alias("memb"),
+        ),
+        "fuzzy",
+    )
+
+
+def _get_centroids(mod) -> Column:
+    if not isinstance(mod, ClusterModel):
+        raise ValueError("getCentroids() requires a clustering result")
+    return mod.col["centroids"]
+
+
+def _get_cluster(mod, i: Column) -> Column:
+    """GetClusterEvaluator: the member rows of cluster i as a matrix."""
+    if not isinstance(mod, ClusterModel):
+        raise ValueError("getCluster() requires a clustering result")
+    data, assign = mod.col["data"], mod.col["assign"]
+    return F.transform(
+        F.filter(
+            F.sequence(F.lit(1), F.size(data)),
+            lambda r: F.element_at(assign, r.cast("int")) == i.cast("int"),
+        ),
+        lambda r: F.element_at(data, r.cast("int")),
+    )
+
+
+def _get_membership(mod) -> Column:
+    if not (isinstance(mod, ClusterModel) and mod.kind == "fuzzy"):
+        raise ValueError(
+            "getMembershipMatrix() requires a fuzzyKmeans result "
+            "(the reference's ClusterTuple only carries it there)"
+        )
+    return mod.col["memb"]
+
+
+_get_centroids._plan_aware = True
+_get_cluster._plan_aware = True
+_get_membership._plan_aware = True
+
+
+class KnnModel(PlanValue):
+    """knnRegress model: struct (obs matrix, out vector, k); robust/scale
+    are plan-time flags (``KnnRegressionEvaluator`` named operands)."""
+
+    def __init__(self, col: Column, robust: bool = False, scale: bool = False):
+        super().__init__(col)
+        self.robust = robust
+        self.scale = scale
+
+    def rebind(self, col: Column) -> "KnnModel":
+        return KnnModel(col, self.robust, self.scale)
+
+
+def _flag(v) -> bool:
+    if v is None:
+        return False
+    t = _raw_token(v)
+    if t is None or t.lower() not in ("true", "false"):
+        raise ValueError("expected true/false flag")
+    return t.lower() == "true"
+
+
+def _knn_regress(
+    obs: Column, outcomes: Column, k: Column, robust=None, scale=None
+) -> KnnModel:
+    """KnnRegressionEvaluator (matrix form; for the bivariate vector form
+    wrap with transpose(matrix(vec))). Model state only — the work happens
+    in predict."""
+    return KnnModel(
+        F.struct(
+            obs.alias("obs"), outcomes.alias("out"), k.cast("int").alias("k")
+        ),
+        robust=_flag(robust),
+        scale=_flag(scale),
+    )
+
+
+def _minmax01(vals: Column) -> Column:
+    mn, mx = F.array_min(vals), F.array_max(vals)
+    rng = F.when(mx != mn, mx - mn).otherwise(F.lit(1.0))
+    return F.transform(vals, lambda x: (x - mn) / rng)
+
+
+def _knn_predict(mod: KnnModel, vec: Column) -> Column:
+    """Mean (robust → commons Median) of the outcomes of the k nearest
+    observations; scale=true min-max scales each feature column JOINTLY
+    with the predictor value appended (KnnRegressionTuple.scale)."""
+    obs, out, k = mod.col["obs"], mod.col["out"], mod.col["k"]
+    n = F.size(obs)
+    if mod.scale:
+        nfeat = F.size(F.element_at(obs, 1))
+
+        def scaled_feature(i):
+            colvals = F.transform(
+                F.sequence(F.lit(1), n),
+                lambda r: F.element_at(F.element_at(obs, r.cast("int")), i.cast("int")),
+            )
+            return _minmax01(F.concat(colvals, F.array(F.element_at(vec, i.cast("int")))))
+
+        # per-feature scaled columns, predictor last — re-assembled to rows
+        scaled_cols = F.transform(
+            F.sequence(F.lit(1), nfeat), lambda i: scaled_feature(i)
+        )
+        obs_s = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda r: F.transform(
+                scaled_cols, lambda c: F.element_at(c, r.cast("int"))
+            ),
+        )
+        vec_s = F.transform(scaled_cols, lambda c: F.element_at(c, -1))
+        obs, vec = obs_s, vec_s
+    scored = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda r: F.struct(
+            F.sqrt(_dist2(vec, F.element_at(obs, r.cast("int")))).alias("d"),
+            r.cast("int").alias("r"),
+        ),
+    )
+    sel = F.slice(F.array_sort(scored), 1, k)
+    outs = F.transform(sel, lambda s: F.element_at(out, s["r"]))
+    if mod.robust:
+        return _percentile(outs, F.lit(50.0))
+    return _mean(outs)
+
+
+class OlsModel(PlanValue):
+    """olsRegress result: the reference's MultipleRegressionTuple fields as
+    a struct (regressionParameters includes the intercept first)."""
+
+    def rebind(self, col: Column) -> "OlsModel":
+        return OlsModel(col)
+
+
+def _ols_regress(X: Column, y: Column) -> OlsModel:
+    """OLSRegressionEvaluator → commons OLSMultipleLinearRegression (with
+    intercept). Parameters via the normal equations (X̃ᵀX̃)w = X̃ᵀy, X̃ =
+    [1|X], solved by a Gauss-Jordan ``F.aggregate`` sweep over the
+    augmented matrix — runtime-sized in the feature count, diagonal pivots
+    (X̃ᵀX̃ is SPD; the reference's QR agrees to fp tolerance). Standard
+    errors / parameter variance (reference best-effort fields) are not
+    carried — documented."""
+    n = F.size(y)
+    p1 = F.size(F.element_at(X, 1)) + 1  # features + intercept
+
+    def xval(r, i):
+        # design-matrix entry: column 0 is the intercept
+        return F.when(i == 0, F.lit(1.0)).otherwise(
+            F.element_at(F.element_at(X, r.cast("int")), i.cast("int"))
+        )
+
+    aug0 = F.transform(
+        F.sequence(F.lit(0), p1 - 1),
+        lambda i: F.concat(
+            F.transform(
+                F.sequence(F.lit(0), p1 - 1),
+                lambda j: F.aggregate(
+                    F.sequence(F.lit(1), n),
+                    F.lit(0.0),
+                    lambda s, r: s + xval(r, i) * xval(r, j),
+                ),
+            ),
+            F.array(
+                F.aggregate(
+                    F.sequence(F.lit(1), n),
+                    F.lit(0.0),
+                    lambda s, r: s + xval(r, i) * F.element_at(y, r.cast("int")),
+                )
+            ),
+        ),
+    )
+
+    def eliminate(aug, i):
+        pivot_row = F.element_at(aug, (i + 1).cast("int"))
+        pivot = F.element_at(pivot_row, (i + 1).cast("int"))
+        norm = F.transform(pivot_row, lambda v: v / pivot)
+        return F.transform(
+            F.sequence(F.lit(0), p1 - 1),
+            lambda l: F.when(l == i, norm).otherwise(
+                F.zip_with(
+                    F.element_at(aug, (l + 1).cast("int")),
+                    norm,
+                    lambda v, nv: v
+                    - F.element_at(
+                        F.element_at(aug, (l + 1).cast("int")), (i + 1).cast("int")
+                    )
+                    * nv,
+                )
+            ),
+        )
+
+    solved = F.aggregate(F.sequence(F.lit(0), p1 - 1), aug0, eliminate)
+    w = F.transform(solved, lambda row: F.element_at(row, -1))
+
+    def yhat(r):
+        return F.aggregate(
+            F.sequence(F.lit(0), p1 - 1),
+            F.lit(0.0),
+            lambda s, i: s + F.element_at(w, (i + 1).cast("int")) * xval(r, i),
+        )
+
+    ssr = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda s, r: s
+        + (F.element_at(y, r.cast("int")) - yhat(r))
+        * (F.element_at(y, r.cast("int")) - yhat(r)),
+    )
+    ybar = _mean(y)
+    sst = F.aggregate(y, F.lit(0.0), lambda s, v: s + (v - ybar) * (v - ybar))
+    r2 = F.lit(1.0) - ssr / sst
+    adj = F.lit(1.0) - (F.lit(1.0) - r2) * (n - 1).cast("double") / (
+        n - p1
+    ).cast("double")
+    return OlsModel(
+        F.struct(
+            w.alias("regressionParameters"),
+            _var(y).alias("regressandVariance"),
+            r2.alias("RSquared"),
+            adj.alias("adjustedRSquared"),
+            ssr.alias("residualSumSquares"),
+        )
+    )
+
+
+def _ols_predict(mod: OlsModel, vec: Column) -> Column:
+    w = mod.col["regressionParameters"]
+    return F.element_at(w, 1) + F.aggregate(
+        F.sequence(F.lit(1), F.size(vec)),
+        F.lit(0.0),
+        lambda s, i: s
+        + F.element_at(w, (i + 1).cast("int")) * F.element_at(vec, i.cast("int")),
+    )
+
+
+EVALUATORS.update(
+    {
+        "kmeans": _kmeans,
+        "multiKmeans": _multi_kmeans,
+        "fuzzyKmeans": _fuzzy_kmeans,
+        "getCentroids": _get_centroids,
+        "getCluster": _get_cluster,
+        "getMembershipMatrix": _get_membership,
+        "knnRegress": _knn_regress,
+        "olsRegress": _ols_regress,
     }
 )

@@ -370,7 +370,7 @@ def _dist(p, cols):
     return out ** (F.lit(1.0) / p)
 
 
-_TOK_RE = re.compile(r"\s*('[^']*'|[A-Za-z_][\w.]*|-?\d+\.?\d*(?:[eE][+-]?\d+)?|[(),])")
+_TOK_RE = re.compile(r"\s*('[^']*'|[A-Za-z_][\w.]*|-?\d+\.?\d*(?:[eE][+-]?\d+)?|[(),=])")
 
 
 class PlanValue:
@@ -446,18 +446,45 @@ def parse_func(
             if name not in fns:
                 raise ValueError(f"unknown function {name!r}")
             advance()  # '('
-            args = []
+            args, kwargs = [], {}
+
+            def one_arg():
+                # named operand `key=expr` (StreamExpressionNamedParameter,
+                # e.g. kmeans(m, 2, maxIterations=20)) → keyword argument
+                nonlocal pos
+                if (
+                    pos + 1 < len(toks)
+                    and toks[pos + 1] == "="
+                    and re.fullmatch(r"[A-Za-z_]\w*", toks[pos])
+                ):
+                    key = advance()
+                    advance()  # '='
+                    kwargs[key] = parse_expr()
+                else:
+                    args.append(parse_expr())
+
             if peek() != ")":
-                args.append(parse_expr())
+                one_arg()
                 while peek() == ",":
                     advance()
-                    args.append(parse_expr())
+                    one_arg()
             if advance() != ")":
                 raise ValueError(f"unbalanced parens in {text!r}")
             fn = fns[name]
             if not getattr(fn, "_plan_aware", False):
                 args = [a.value() if isinstance(a, PlanValue) else a for a in args]
-            return fn(*args)
+                kwargs = {
+                    k: (v.value() if isinstance(v, PlanValue) else v)
+                    for k, v in kwargs.items()
+                }
+            try:
+                return fn(*args, **kwargs)
+            except TypeError as e:
+                if kwargs and "keyword argument" in str(e):
+                    raise ValueError(
+                        f"unexpected named parameter for {name}: {sorted(kwargs)}"
+                    ) from e
+                raise
         if names and t in names:
             return names[t]
         return F.col(t)  # bare field reference
