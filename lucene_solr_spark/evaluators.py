@@ -11,7 +11,7 @@ manipulated with the higher-order builtins (``transform``/``aggregate``/
 ``zip_with``/``slice``/``filter``) — whole-stage codegen applies, no Python
 in the row path.
 
-Scope (documented): per-tuple evaluators only — 202 names. Round 4 adds the
+Scope (documented): per-tuple evaluators only — 221 names. Round 4 adds the
 deterministic model-state tranche (distributions as value-typed structs +
 cumulativeProbability/probability/density, regress/predict/residuals,
 polyfit via Cramer-solved normal equations, knn rows, fft/convolve/
@@ -25,7 +25,10 @@ is an array-accumulator ``F.aggregate`` Thomas sweep — plus finddelay/
 hist/earthMovers/ifft/conv/convert/val/getValue/betaDistribution), and
 the clustering/multivariate-regression tranche (kmeans/multiKmeans/
 fuzzyKmeans + getters, knnRegress, olsRegress — deterministic init where
-commons seeds an RNG, documented at the batch-3 block).
+commons seeds an RNG, documented at the batch-3 block), and the 2-D
+geometry/labels/cache tranche (convexHull + enclosingDisk families, rank,
+set/get row-column labels, setValue, putCache/getCache/listCache/
+removeCache — batch-4 block).
 Still out: names that need an RNG (``sample``/``monteCarlo``/``random*``).
 ``corr``/``regress``/
 ``movingAvg`` over whole relations live in ``relational.py``
@@ -398,7 +401,14 @@ EVALUATORS: dict = {
     "week": F.weekofyear,
     "quarter": F.quarter,
     # array creation (ArrayEvaluator, SequenceEvaluator, NaturalEvaluator, ..)
-    "array": lambda *c: F.array(*c).cast("array<double>"),
+    # ArrayEvaluator: numeric arrays cast to double; quoted string literals
+    # build a string array (the reference's array('a','b') form, used e.g.
+    # for setRowLabels)
+    "array": lambda *c: (
+        F.array(*[F.lit(x) for x in c])
+        if any(isinstance(x, str) for x in c)
+        else F.array(*c).cast("array<double>")
+    ),
     "sequence": lambda n, start, stride: F.transform(
         F.sequence(F.lit(0), n.cast("int") - 1),
         lambda i: (start + i * stride).cast("double"),
@@ -2292,5 +2302,419 @@ EVALUATORS.update(
         "getMembershipMatrix": _get_membership,
         "knnRegress": _knn_regress,
         "olsRegress": _ols_regress,
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# round 4 batch 4: 2-D computational geometry + matrix labels + caches
+# (``ConvexHullEvaluator.java`` → commons MonotoneChain/ConvexHull2D with
+# ``Get{Vertices,BaryCenter,Area,BoundarySize}Evaluator``,
+# ``EnclosingDiskEvaluator.java`` → commons WelzlEncloser with
+# ``Get{Center,Radius,SupportPoints}Evaluator``, ``RankEvaluator.java`` →
+# commons NaturalRanking (ascending, ties averaged),
+# ``Set/Get{Row,Column}LabelsEvaluator``, ``SetValueEvaluator``,
+# ``{Put,Get,List,Remove}CacheEvaluator``.)
+#
+# The monotone-chain pop loop IS expressible as one Catalyst aggregate: a
+# push's sequential drop-while tests touch ABSOLUTE stack positions
+# (dropping only removes the top), so the number of pops equals the count
+# of leading non-left-turn tests — a short inner aggregate with a done
+# flag. Welzl's enclosing disk is RNG-ordered in commons; here the minimal
+# disk is found deterministically by scoring every pair-diameter and
+# triple-circumcircle candidate (the minimal enclosing disk is always
+# determined by ≤ 3 points; the disk is unique even though the support set
+# can tie in degenerate configurations — documented).
+
+
+def _rank_avg(arr: Column) -> Column:
+    """NaturalRanking default: ascending, 1-based, ties → average rank."""
+    return F.transform(
+        arr,
+        lambda v: (
+            F.size(F.filter(arr, lambda w: w < v))
+            + (F.size(F.filter(arr, lambda w: w == v)) + 1).cast("double") / 2.0
+        ),
+    )
+
+
+class HullModel(PlanValue):
+    """ConvexHull2D: struct (v = CCW vertex matrix)."""
+
+    def rebind(self, col: Column) -> "HullModel":
+        return HullModel(col)
+
+
+def _cross(o: Column, a: Column, b: Column) -> Column:
+    ox, oy = F.element_at(o, 1), F.element_at(o, 2)
+    return (F.element_at(a, 1) - ox) * (F.element_at(b, 2) - oy) - (
+        F.element_at(a, 2) - oy
+    ) * (F.element_at(b, 1) - ox)
+
+
+def _half_hull(pts: Column) -> Column:
+    """One monotone-chain half over lexicographically ordered points:
+    push each point after popping trailing non-left turns."""
+
+    def push(h, p):
+        m = F.size(h)
+        drops = F.aggregate(
+            F.filter(F.sequence(F.lit(0), F.greatest(m - 2, F.lit(0))), lambda s: s <= m - 2),
+            F.struct(F.lit(0).alias("t"), F.lit(False).alias("done")),
+            lambda acc, s: F.when(
+                ~acc["done"]
+                & (
+                    _cross(
+                        F.element_at(h, (m - 1 - s).cast("int")),
+                        F.element_at(h, (m - s).cast("int")),
+                        p,
+                    )
+                    <= 0
+                ),
+                F.struct((acc["t"] + 1).alias("t"), F.lit(False).alias("done")),
+            ).otherwise(F.struct(acc["t"].alias("t"), F.lit(True).alias("done"))),
+        )["t"]
+        return F.concat(F.slice(h, 1, m - drops), F.array(p))
+
+    return F.aggregate(
+        F.slice(pts, 2, F.size(pts) - 1), F.array(F.element_at(pts, 1)), push
+    )
+
+
+def _convex_hull(mat: Column) -> HullModel:
+    """Andrew's monotone chain (the commons MonotoneChain algorithm,
+    includesCollinear=false): CCW vertices starting at the lexicographic
+    minimum."""
+    srt = F.array_sort(mat)
+    lower = _half_hull(srt)
+    upper = _half_hull(F.reverse(srt))
+    ring = F.concat(
+        F.slice(lower, 1, F.size(lower) - 1), F.slice(upper, 1, F.size(upper) - 1)
+    )
+    # degenerate single-point / collinear inputs: keep whatever survived
+    verts = F.when(F.size(ring) > 0, ring).otherwise(F.slice(srt, 1, 1))
+    return HullModel(F.struct(verts.alias("v")))
+
+
+def _hull_verts(mod) -> Column:
+    if not isinstance(mod, HullModel):
+        raise ValueError("expected a convexHull() result")
+    return mod.col["v"]
+
+
+def _shoelace2(v: Column) -> Column:
+    """Σ (x_i·y_{i+1} − x_{i+1}·y_i) over the closed ring = 2·signed area
+    (positive for the CCW hull)."""
+    n = F.size(v)
+
+    def at(i):  # 1-based, wrapping
+        return F.element_at(v, ((i - 1) % n + 1).cast("int"))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda s, i: s
+        + F.element_at(at(i), 1) * F.element_at(at(i + 1), 2)
+        - F.element_at(at(i + 1), 1) * F.element_at(at(i), 2),
+    )
+
+
+def _hull_area(mod) -> Column:
+    return _shoelace2(_hull_verts(mod)) / 2.0
+
+
+def _hull_boundary(mod) -> Column:
+    v = _hull_verts(mod)
+    n = F.size(v)
+
+    def at(i):
+        return F.element_at(v, ((i - 1) % n + 1).cast("int"))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda s, i: s + F.sqrt(_dist2(at(i), at(i + 1))),
+    )
+
+
+def _hull_barycenter(mod) -> Column:
+    """Area centroid of the hull polygon (commons Region.getBarycenter):
+    C = (1/6A) Σ (p_i + p_{i+1})·cross_i."""
+    v = _hull_verts(mod)
+    n = F.size(v)
+
+    def at(i):
+        return F.element_at(v, ((i - 1) % n + 1).cast("int"))
+
+    a2 = _shoelace2(v)
+
+    def comp(axis):
+        return (
+            F.aggregate(
+                F.sequence(F.lit(1), n),
+                F.lit(0.0),
+                lambda s, i: s
+                + (F.element_at(at(i), axis) + F.element_at(at(i + 1), axis))
+                * (
+                    F.element_at(at(i), 1) * F.element_at(at(i + 1), 2)
+                    - F.element_at(at(i + 1), 1) * F.element_at(at(i), 2)
+                ),
+            )
+            / (F.lit(3.0) * a2)
+        )
+
+    return F.array(comp(1), comp(2))
+
+
+_convex_hull._plan_aware = False  # consumes a plain matrix
+_hull_verts._plan_aware = True
+_hull_area._plan_aware = True
+_hull_boundary._plan_aware = True
+_hull_barycenter._plan_aware = True
+
+
+class DiskModel(PlanValue):
+    """Enclosing disk: struct (c = [x,y], r, support = matrix)."""
+
+    def rebind(self, col: Column) -> "DiskModel":
+        return DiskModel(col)
+
+
+def _enclosing_disk(mat: Column) -> DiskModel:
+    """Minimal enclosing disk of 2-D points. commons WelzlEncloser is
+    recursion over an RNG-shuffled order; deterministically, the minimal
+    disk is defined by 2 or 3 of the points — score every pair (diameter
+    disk) and triple (circumcircle), keep the smallest that contains all
+    points (1e-10 containment slack). O(n⁴) inside one row — the per-tuple
+    regime these evaluators run in."""
+    n = F.size(mat)
+
+    def P(i):
+        return F.element_at(mat, i.cast("int"))
+
+    def disk(cx, cy, r, ids):
+        return F.struct(
+            cx.alias("cx"), cy.alias("cy"), r.alias("r"), ids.alias("ids")
+        )
+
+    pair_ids = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.transform(
+                F.filter(F.sequence(F.lit(1), n), lambda j: j > i),
+                lambda j: F.array(i, j, F.lit(0)),
+            ),
+        )
+    )
+    triple_ids = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.flatten(
+                F.transform(
+                    F.filter(F.sequence(F.lit(1), n), lambda j: j > i),
+                    lambda j: F.transform(
+                        F.filter(F.sequence(F.lit(1), n), lambda kk: kk > j),
+                        lambda kk: F.array(i, j, kk),
+                    ),
+                )
+            ),
+        )
+    )
+
+    def pair_disk(ids):
+        a, b = P(F.element_at(ids, 1)), P(F.element_at(ids, 2))
+        cx = (F.element_at(a, 1) + F.element_at(b, 1)) / 2.0
+        cy = (F.element_at(a, 2) + F.element_at(b, 2)) / 2.0
+        return disk(cx, cy, F.sqrt(_dist2(a, b)) / 2.0, ids)
+
+    def triple_disk(ids):
+        a = P(F.element_at(ids, 1))
+        b = P(F.element_at(ids, 2))
+        c = P(F.element_at(ids, 3))
+        ax, ay = F.element_at(a, 1), F.element_at(a, 2)
+        bx, by = F.element_at(b, 1), F.element_at(b, 2)
+        cx_, cy_ = F.element_at(c, 1), F.element_at(c, 2)
+        d = F.lit(2.0) * (ax * (by - cy_) + bx * (cy_ - ay) + cx_ * (ay - by))
+        ux = (
+            (ax * ax + ay * ay) * (by - cy_)
+            + (bx * bx + by * by) * (cy_ - ay)
+            + (cx_ * cx_ + cy_ * cy_) * (ay - by)
+        ) / d
+        uy = (
+            (ax * ax + ay * ay) * (cx_ - bx)
+            + (bx * bx + by * by) * (ax - cx_)
+            + (cx_ * cx_ + cy_ * cy_) * (bx - ax)
+        ) / d
+        r = F.sqrt((ux - ax) * (ux - ax) + (uy - ay) * (uy - ay))
+        # collinear -> d == 0 -> inf/NaN radius, never selected
+        return disk(ux, uy, F.when(d != 0, r).otherwise(F.lit(float("inf"))), ids)
+
+    cands = F.concat(
+        F.transform(pair_ids, pair_disk), F.transform(triple_ids, triple_disk)
+    )
+
+    def contains_all(dk):
+        return F.forall(
+            mat,
+            lambda p: F.sqrt(
+                (F.element_at(p, 1) - dk["cx"]) * (F.element_at(p, 1) - dk["cx"])
+                + (F.element_at(p, 2) - dk["cy"]) * (F.element_at(p, 2) - dk["cy"])
+            )
+            <= dk["r"] + 1e-10,
+        )
+
+    ok = F.filter(cands, contains_all)
+    best = F.aggregate(
+        F.slice(ok, 2, F.size(ok) - 1),
+        F.element_at(ok, 1),
+        lambda acc, dk: F.when(dk["r"] < acc["r"], dk).otherwise(acc),
+    )
+    support = F.transform(
+        F.filter(best["ids"], lambda i: i > 0), lambda i: P(i)
+    )
+    return DiskModel(
+        F.struct(
+            F.array(best["cx"], best["cy"]).alias("c"),
+            best["r"].alias("r"),
+            support.alias("support"),
+        )
+    )
+
+
+def _disk_field(field):
+    def get(mod):
+        if not isinstance(mod, DiskModel):
+            raise ValueError("expected an enclosingDisk() result")
+        return mod.col[field]
+
+    get._plan_aware = True
+    return get
+
+
+class LabeledMatrix(PlanValue):
+    """Matrix + row/column labels (``Matrix.setRowLabels`` role): struct
+    (m, rl, cl); label-unaware consumers see the plain matrix."""
+
+    def value(self) -> Column:
+        return self.col["m"]
+
+    def rebind(self, col: Column) -> "LabeledMatrix":
+        return LabeledMatrix(col)
+
+
+def _labeled(m, rl=None, cl=None) -> LabeledMatrix:
+    if isinstance(m, LabeledMatrix):
+        prev_rl, prev_cl, mm = m.col["rl"], m.col["cl"], m.col["m"]
+    else:
+        prev_rl = prev_cl = F.lit(None).cast("array<string>")
+        mm = m
+    return LabeledMatrix(
+        F.struct(
+            mm.alias("m"),
+            (prev_rl if rl is None else rl.cast("array<string>")).alias("rl"),
+            (prev_cl if cl is None else cl.cast("array<string>")).alias("cl"),
+        )
+    )
+
+
+def _set_row_labels(m, labels) -> LabeledMatrix:
+    return _labeled(m, rl=labels)
+
+
+def _set_col_labels(m, labels) -> LabeledMatrix:
+    return _labeled(m, cl=labels)
+
+
+def _get_row_labels(m) -> Column:
+    if not isinstance(m, LabeledMatrix):
+        raise ValueError("getRowLabels(): no labels set on this matrix")
+    return m.col["rl"]
+
+
+def _get_col_labels(m) -> Column:
+    if not isinstance(m, LabeledMatrix):
+        raise ValueError("getColumnLabels(): no labels set on this matrix")
+    return m.col["cl"]
+
+
+_set_row_labels._plan_aware = True
+_set_col_labels._plan_aware = True
+_get_row_labels._plan_aware = True
+_get_col_labels._plan_aware = True
+
+
+def _set_value(tup: Column, key, v) -> Column:
+    """SetValueEvaluator: tuple + (key, value) → tuple with the field
+    replaced/added (Column.withField)."""
+    k = _raw_token(key)
+    if k is None:
+        raise ValueError("setValue() key must be a raw or quoted string")
+    return tup.withField(k, v if isinstance(v, Column) else F.lit(v))
+
+
+# let()-scoped caches (reference {Put,Get,List,Remove}CacheEvaluator over
+# the in-memory ConcurrentHashMap "object caches"): here a PLAN-TIME store
+# of Column expressions, process-scoped like the reference's JVM-scoped
+# maps — a getCache splices the stored expression into the consuming plan.
+_OBJECT_CACHES: dict = {}
+
+
+def _put_cache(space, key, v):
+    s, k = _raw_token(space), _raw_token(key)
+    if s is None or k is None:
+        raise ValueError("putCache(space, key, value): space/key must be strings")
+    _OBJECT_CACHES.setdefault(s, {})[k] = v
+    return v if isinstance(v, Column) else F.lit(v)
+
+
+def _get_cache(space, key):
+    s, k = _raw_token(space), _raw_token(key)
+    try:
+        return _OBJECT_CACHES[s][k]
+    except KeyError:
+        raise ValueError(f"getCache: nothing cached under {s!r}/{k!r}")
+
+
+def _list_cache(space=None):
+    if space is None:
+        return F.array(*[F.lit(s) for s in sorted(_OBJECT_CACHES)])
+    s = _raw_token(space)
+    return F.array(*[F.lit(k) for k in sorted(_OBJECT_CACHES.get(s, {}))])
+
+
+def _remove_cache(space, key):
+    s, k = _raw_token(space), _raw_token(key)
+    v = _OBJECT_CACHES.get(s, {}).pop(k, None)
+    if v is None:
+        raise ValueError(f"removeCache: nothing cached under {s!r}/{k!r}")
+    return v if isinstance(v, Column) else F.lit(v)
+
+
+_put_cache._plan_aware = True
+_get_cache._plan_aware = True
+_remove_cache._plan_aware = True
+
+
+EVALUATORS.update(
+    {
+        "rank": _rank_avg,
+        "convexHull": _convex_hull,
+        "getVertices": _hull_verts,
+        "getArea": _hull_area,
+        "getBoundarySize": _hull_boundary,
+        "getBaryCenter": _hull_barycenter,
+        "enclosingDisk": _enclosing_disk,
+        "getCenter": _disk_field("c"),
+        "getRadius": _disk_field("r"),
+        "getSupportPoints": _disk_field("support"),
+        "setRowLabels": _set_row_labels,
+        "getRowLabels": _get_row_labels,
+        "setColumnLabels": _set_col_labels,
+        "getColumnLabels": _get_col_labels,
+        "setValue": _set_value,
+        "putCache": _put_cache,
+        "getCache": _get_cache,
+        "listCache": _list_cache,
+        "removeCache": _remove_cache,
     }
 )
