@@ -11,7 +11,7 @@ manipulated with the higher-order builtins (``transform``/``aggregate``/
 ``zip_with``/``slice``/``filter``) — whole-stage codegen applies, no Python
 in the row path.
 
-Scope (documented): per-tuple evaluators only — 221 names. Round 4 adds the
+Scope (documented): per-tuple evaluators only — 222 names. Round 4 adds the
 deterministic model-state tranche (distributions as value-typed structs +
 cumulativeProbability/probability/density, regress/predict/residuals,
 polyfit via Cramer-solved normal equations, knn rows, fft/convolve/
@@ -1527,6 +1527,11 @@ def _spline(a: Column, *b: Column) -> Model:
     (array-accumulator Thomas algorithm, all JVM-side). ``m`` stores the
     c coefficients; predict derives b, d per segment."""
     xs, ys = _interp_xy(a, b)
+    return Model(_model_struct(xs, ys, _natural_c(xs, ys), ys), "spline")
+
+
+def _natural_c(xs: Column, ys: Column) -> Column:
+    """The natural-spline c coefficient array for knots (xs, ys)."""
     n = F.size(xs)
     h = _diff(xs)
 
@@ -1558,7 +1563,7 @@ def _spline(a: Column, *b: Column) -> Model:
             acc, F.array(_at(fwd["z"], j) - _at(fwd["mu"], j) * F.element_at(acc, -1))
         ),
     )
-    return Model(_model_struct(xs, ys, F.reverse(c_rev), ys), "spline")
+    return F.reverse(c_rev)
 
 
 def _seg_index(xs: Column, v: Column) -> Column:
@@ -2718,3 +2723,167 @@ EVALUATORS.update(
         "removeCache": _remove_cache,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# round 4 batch 5: loess (``LoessEvaluator.java`` → commons
+# LoessInterpolator, default bandwidth 0.25 / robustIterations 2 /
+# accuracy 1e-12). The commons smoother is: per point, a tricube-weighted
+# linear regression over a sliding bandwidth window (⌊bandwidth·n⌋ points;
+# the window advances AT MOST ONE step per point), then ``robustIterations``
+# bisquare reweightings against the median |residual| (taken at
+# sortedResiduals[n/2], not an interpolated percentile). The reference
+# returns a VectorFunction whose list is the smoothed values and whose
+# function is the natural spline OVER the smoothed values — so the result
+# here is simply a spline :class:`Model` with ys = smoothed, and
+# predict/derivative/integrate compose for free.
+
+
+def _let1(value: Column, fn) -> Column:
+    """Expression-level let: bind ``value`` once as a higher-order-function
+    lambda variable (a single-element transform) so ``fn`` can reference it
+    many times WITHOUT duplicating its tree — Column expressions are trees,
+    so a big subexpression referenced k times is otherwise copied k times
+    and nested reuse grows multiplicatively (the loess model references its
+    smoothing pass ~10×; inlined, that OOMs the analyzer)."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
+def _loess_windows(xs: Column, bw: Column) -> Column:
+    """0-based left edges L_i of each point's bandwidth window
+    (LoessInterpolator.updateBandwidthInterval: advance one step when the
+    next right point is closer than the current left)."""
+    n = F.size(xs)
+
+    def advance(acc, i):
+        L = F.element_at(acc, -1)
+        adv = F.when(
+            (L + bw < n)
+            & ((_at(xs, L + bw) - _at(xs, i)) < (_at(xs, i) - _at(xs, L))),
+            1,
+        ).otherwise(0)
+        return F.concat(acc, F.array(L + adv))
+
+    return F.aggregate(F.sequence(F.lit(1), n - 1), F.array(F.lit(0)), advance)
+
+
+def _loess_fit(xs: Column, ys: Column, Ls: Column, bw: Column, rw: Column) -> Column:
+    """One smoothing pass with robustness weights ``rw``: the commons
+    tricube-weighted local linear regression at every point."""
+    n = F.size(xs)
+
+    def fit_point(i):
+        x = _at(xs, i)
+        L = F.element_at(Ls, (i + 1).cast("int"))
+        R = L + bw - 1
+        edge = F.when((x - _at(xs, L)) > (_at(xs, R) - x), L).otherwise(R)
+        denom = F.abs(F.lit(1.0) / (_at(xs, edge) - x))
+        zero5 = F.struct(
+            F.lit(0.0).alias("w"),
+            F.lit(0.0).alias("sx"),
+            F.lit(0.0).alias("sxx"),
+            F.lit(0.0).alias("sy"),
+            F.lit(0.0).alias("sxy"),
+        )
+
+        def add(s, k):
+            xk, yk = _at(xs, k), _at(ys, k)
+            t = F.abs(x - xk) * denom
+            tri = F.when(t >= 1, F.lit(0.0)).otherwise(
+                F.pow(F.lit(1.0) - t * t * t, F.lit(3.0))
+            )
+            w = tri * F.element_at(rw, (k + 1).cast("int"))
+            return F.struct(
+                (s["w"] + w).alias("w"),
+                (s["sx"] + xk * w).alias("sx"),
+                (s["sxx"] + xk * xk * w).alias("sxx"),
+                (s["sy"] + yk * w).alias("sy"),
+                (s["sxy"] + yk * xk * w).alias("sxy"),
+            )
+
+        s = F.aggregate(F.sequence(L, R), zero5, add)
+        mx, my = s["sx"] / s["w"], s["sy"] / s["w"]
+        mxx, mxy = s["sxx"] / s["w"], s["sxy"] / s["w"]
+        beta = F.when(
+            F.sqrt(F.abs(mxx - mx * mx)) < 1e-12, F.lit(0.0)
+        ).otherwise((mxy - mx * my) / (mxx - mx * mx))
+        return beta * x + (my - beta * mx)
+
+    return F.transform(F.sequence(F.lit(0), n - 1), fit_point)
+
+
+def _loess(
+    a: Column,
+    *b: Column,
+    bandwidth: Column | None = None,
+    robustIterations: Column | None = None,
+) -> Model:
+    xs, ys = _interp_xy(a, b)
+    n = F.size(xs)
+    bwf = F.lit(0.25) if bandwidth is None else bandwidth.cast("double")
+    bw = F.floor(bwf * n.cast("double")).cast("int")
+    # robustIterations is PLAN-TIME: the reweighting loop must unroll flat
+    # (each pass bound with _let1, fits as SIBLINGS) — the runtime-aggregate
+    # pattern used by kmeans would nest one fit's lambda tree inside
+    # another's step, and analyzer cost explodes with HOF nesting depth
+    if robustIterations is None:
+        iters = 2
+    else:
+        t = _raw_token(robustIterations) or str(robustIterations)
+        try:
+            iters = int(t)
+        except ValueError:
+            raise ValueError("loess robustIterations must be a literal integer")
+    # bind the window-edge array once — embedded inline it re-enters every
+    # fit pass and triples the analyzer's work
+    return Model(
+        _let1(
+            _loess_windows(xs, bw),
+            lambda Ls: _loess_body(xs, ys, Ls, bw, iters, n),
+        ),
+        "spline",
+    )
+
+
+def _loess_body(
+    xs: Column, ys: Column, Ls: Column, bw: Column, iters: int, n: Column
+) -> Column:
+    def reweight(rw):
+        fit = _loess_fit(xs, ys, Ls, bw, rw)
+        resid = F.zip_with(ys, fit, lambda y, f: F.abs(y - f))
+
+        def with_med(rs, med, rw):
+            new_rw = F.transform(
+                rs,
+                lambda r: F.when(r / (6 * med) >= 1, F.lit(0.0)).otherwise(
+                    F.pow(F.lit(1.0) - (r / (6 * med)) * (r / (6 * med)), F.lit(2.0))
+                ),
+            )
+            # commons breaks out when the median residual is 0 — keeping rw
+            # makes the remaining passes no-ops, same result
+            return F.when(med == 0, rw).otherwise(new_rw)
+
+        return _let1(
+            resid,
+            lambda rs: _let1(
+                F.element_at(
+                    F.array_sort(rs), (F.floor(n.cast("double") / 2) + 1).cast("int")
+                ),
+                lambda med: with_med(rs, med, rw),
+            ),
+        )
+
+    def chain(rw, remaining):
+        if remaining == 0:
+            sm_n = F.when(n <= 2, ys).otherwise(_loess_fit(xs, ys, Ls, bw, rw))
+            # the spline-model construction references the smoothed series
+            # ~10× (ys, vals, and the Thomas sweep) — bind it once
+            return _let1(
+                sm_n, lambda sm: _model_struct(xs, sm, _natural_c(xs, sm), sm)
+            )
+        return _let1(reweight(rw), lambda r2: chain(r2, remaining - 1))
+
+    return chain(F.transform(xs, lambda _: F.lit(1.0)), iters)
+
+
+EVALUATORS.update({"loess": _loess})
