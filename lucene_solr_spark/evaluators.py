@@ -549,16 +549,22 @@ def parse_let(text: str) -> list[tuple[str, Column]]:
             elif body[i] == ")":
                 depth -= 1
             i += 1
-        r = parse_func(body[m.end():i], registry=_registry(), names=names)
-        if isinstance(r, PlanValue):
-            # bind the struct column; keep the plan-time tag so later
-            # bindings referencing this name stay model-aware
-            names[name] = r.rebind(F.col(name))
-            out.append((name, r.materialize()))
-        else:
-            out.append((name, r))
+        out.append((name, parse_binding(body[m.end():i], name, names)))
         pos = i + 1
     return out
+
+
+def parse_binding(text: str, name: str, names: dict) -> Column:
+    """Parse ONE let-binding expression, threading the model-tag scope: a
+    PlanValue result binds its struct column while ``names`` keeps the
+    plan-time tag so later bindings referencing ``name`` stay model-aware.
+    Shared by :func:`parse_let` and the streaming-expression ``let()``
+    head (``streaming_expr._let_stream``)."""
+    r = parse_func(text, registry=_registry(), names=names)
+    if isinstance(r, PlanValue):
+        names[name] = r.rebind(F.col(name))
+        return r.materialize()
+    return r
 
 
 def apply_let(df: DataFrame, text: str) -> DataFrame:

@@ -1079,11 +1079,12 @@ def _let_stream(spark, sf_dir, node, outer_scope):
     reference's variable map — its lets materialize streams in memory too,
     so the bounded-env contract is inherited). echo="a,b" emits env
     variables directly when no output stream is given."""
-    from .evaluators import parse_eval
+    from .evaluators import parse_binding
 
     scope = dict(outer_scope)
     env = spark.range(1).select()
     echo = None
+    model_tags: dict = {}  # plan-time PlanValue tags across bindings
     for key, v in node.named.items():
         if key == "echo":
             echo = v
@@ -1100,7 +1101,7 @@ def _let_stream(spark, sf_dir, node, outer_scope):
             scope[key] = _compile(spark, sf_dir, v, scope)
         else:
             expr_text = _unparse(v) if isinstance(v, Expr) else v
-            env = env.withColumn(key, parse_eval(expr_text))
+            env = env.withColumn(key, parse_binding(expr_text, key, model_tags))
     scope["__env__"] = (env, [])
     out = next((p for p in node.pos if isinstance(p, Expr)), None)
     if out is not None:

@@ -492,3 +492,19 @@ def test_search_fq_start_parameters(spark):
 
     with pytest.raises(ValueError, match="start"):
         run_stream_expr(spark, SF, 'search(region, fl="r_name", start=1)')
+
+
+def test_let_interpolation_model_over_stream(spark):
+    """A model bound in the stream-language let() keeps its plan-time kind
+    across bindings — predict()/derivative() dispatch on it (parse_binding
+    threads the PlanValue tag scope through the env)."""
+    out = run_stream_expr(
+        spark,
+        SF,
+        'let(a=search(region, fl="r_regionkey", sort="r_regionkey asc"), '
+        "b=col(a, r_regionkey), "
+        "m=lerp(b, array(1, 3, 2, 5, 4)), "
+        'p=predict(m, 1.5), d=predict(derivative(m), 1.5), echo="p,d")',
+    ).collect()[0]
+    assert out.p == 2.5
+    assert out.d == -1.0
