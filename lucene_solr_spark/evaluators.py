@@ -11,7 +11,8 @@ manipulated with the higher-order builtins (``transform``/``aggregate``/
 ``zip_with``/``slice``/``filter``) — whole-stage codegen applies, no Python
 in the row path.
 
-Scope (documented): per-tuple evaluators only — 222 names. Round 4 adds the
+Scope (documented): per-tuple evaluators only — 223 names (+ the
+``termVectors`` stream-context bridge in ``streaming_expr``). Round 4 adds the
 deterministic model-state tranche (distributions as value-typed structs +
 cumulativeProbability/probability/density, regress/predict/residuals,
 polyfit via Cramer-solved normal equations, knn rows, fft/convolve/
@@ -2893,3 +2894,32 @@ def _loess_body(
 
 
 EVALUATORS.update({"loess": _loess})
+
+
+def _top_features(m, k: Column) -> Column:
+    """TopFeaturesEvaluator: per row, the column labels of the k largest
+    values, largest first (value ties broken toward the lower column index;
+    the reference's TreeSet collapses exactly-equal values — a documented
+    difference on degenerate ties)."""
+    if not isinstance(m, LabeledMatrix):
+        raise ValueError(
+            "topFeatures() needs a matrix with column labels "
+            "(termVectors or setColumnLabels)"
+        )
+    mat, cl = m.col["m"], m.col["cl"]
+
+    def row_top(row):
+        scored = F.zip_with(
+            row,
+            F.sequence(F.lit(1), F.size(row)),
+            lambda v, i: F.struct((-v).alias("nv"), i.alias("i")),
+        )
+        sel = F.slice(F.array_sort(scored), 1, k.cast("int"))
+        return F.transform(sel, lambda s: F.element_at(cl, s["i"]))
+
+    return F.transform(mat, row_top)
+
+
+_top_features._plan_aware = True
+
+EVALUATORS.update({"topFeatures": _top_features})

@@ -106,6 +106,7 @@ guessing.
 
 from __future__ import annotations
 
+import math as _math
 import os
 import re
 
@@ -454,6 +455,7 @@ def _compile(spark, sf_dir, node: Expr, scope: dict | None = None):
     if h == "select":
         df, sort = _compile(spark, sf_dir, node.pos[0], scope)
         cols = []
+        renames: dict = {}
         for p in node.pos[1:]:
             spec = p if isinstance(p, str) else _unparse(p)
             m = re.match(r"(.+?)\s+as\s+(\w+)$", spec)
@@ -463,13 +465,26 @@ def _compile(spark, sf_dir, node: Expr, scope: dict | None = None):
                 # "sum(f)" — only non-columns go through the evaluator zoo
                 if src in df.columns or "(" not in src:
                     cols.append(F.col(f"`{src}`").alias(alias))
+                    renames[src] = alias
                 else:
                     from .evaluators import parse_eval
 
                     cols.append(parse_eval(src).alias(alias))
             else:
                 cols.append(F.col(f"`{spec.strip()}`"))
-        return df.select(*cols), []
+        out = df.select(*cols)
+        # SelectStream is an order-preserving decorator — keep the upstream
+        # sort spec when its fields survive the projection (renames mapped)
+        kept = []
+        for f, asc in sort or []:
+            if f in out.columns:
+                kept.append((f, asc))
+            elif f in renames:
+                kept.append((renames[f], asc))
+            else:
+                kept = []
+                break
+        return out, kept
 
     if h == "unique":
         # UniqueStream: first tuple per key in the STREAM's sort order —
@@ -1071,6 +1086,66 @@ def _col_cell(df: DataFrame, sort, field: str):
     return df.agg(F.transform(items, lambda s: s[field]).alias("__cell"))
 
 
+def _term_vectors_cell(df: DataFrame, sort, named: dict):
+    """termVectors(stream, ...) → one-row frame with a labeled TF-IDF
+    matrix struct (m, rl, cl) (``TermVectorsEvaluator.java``): docs need
+    ``id`` and ``terms`` fields; features are the lexicographically-sorted
+    terms with length ≥ minTermLength (default 3), no excluded substring,
+    and doc freq within [⌊N·minDocFreq⌋, ⌊N·maxDocFreq⌋] (defaults .05/.5);
+    cell value = √tf · (ln((N+1)/(df+1)) + 1). The feature dictionary is
+    gathered to the driver — bounded by the maxDocFreq band, and the
+    reference materializes the whole stream in memory here anyway (the
+    let() bounded-env contract)."""
+    if not sort:
+        raise ValueError("termVectors() needs a sorted bound stream (search sort=…)")
+    if "terms" not in df.columns or "id" not in df.columns:
+        raise ValueError("The document tuples must contain terms and id fields")
+    mtl = int(named.get("minTermLength", 3))
+    mindf = float(named.get("minDocFreq", 0.05))
+    maxdf = float(named.get("maxDocFreq", 0.5))
+    excludes = [e for e in str(named.get("exclude", "")).split(",") if e]
+    n_docs = df.count()
+    lo, hi = int(n_docs * mindf), int(n_docs * maxdf)
+    cand = df.select(F.explode(F.array_distinct("terms")).alias("term")).where(
+        F.length("term") >= mtl
+    )
+    for e in excludes:
+        cand = cand.where(~F.col("term").contains(e))
+    rows = (
+        cand.groupBy("term")
+        .count()
+        .where((F.col("count") >= lo) & (F.col("count") <= hi))
+        .orderBy("term")
+        .collect()
+    )
+    features = [r["term"] for r in rows]
+    idf = {
+        r["term"]: _math.log((n_docs + 1) / (r["count"] + 1.0)) + 1.0 for r in rows
+    }
+    def tf_of(term):
+        # closure factory — a 2-arg lambda would be read as (element, index)
+        return F.size(F.filter(F.col("terms"), lambda x: x == F.lit(term)))
+
+    if features:
+        vec = F.array(
+            *[F.sqrt(tf_of(t).cast("double")) * F.lit(idf[t]) for t in features]
+        )
+        cl = F.array(*[F.lit(t) for t in features])
+    else:
+        vec = F.array().cast("array<double>")
+        cl = F.array().cast("array<string>")
+    items = F.array_sort(
+        F.collect_list(F.struct(*df.columns, vec.alias("__v"))), _struct_cmp(sort)
+    )
+    return df.agg(
+        F.struct(
+            F.transform(items, lambda s: s["__v"]).alias("m"),
+            F.transform(items, lambda s: s["id"].cast("string")).alias("rl"),
+            cl.alias("cl"),
+        ).alias("__tv")
+    )
+
+
 def _let_stream(spark, sf_dir, node, outer_scope):
     """LetStream (LetStream.java:60): evaluate name=value bindings in order
     (later ones see earlier ones), then run the positional output stream.
@@ -1097,6 +1172,17 @@ def _let_stream(spark, sf_dir, node, outer_scope):
             env = env.crossJoin(
                 F.broadcast(_col_cell(bdf, bsort, field))
             ).withColumnRenamed("__cell", key)
+        elif isinstance(v, Expr) and v.name == "termVectors":
+            var = v.pos[0]
+            if var not in scope:
+                raise ValueError(f"termVectors({var!r}): no such let() binding")
+            bdf, bsort = scope[var]
+            env = env.crossJoin(
+                F.broadcast(_term_vectors_cell(bdf, bsort, v.named))
+            ).withColumnRenamed("__tv", key)
+            from .evaluators import LabeledMatrix
+
+            model_tags[key] = LabeledMatrix(F.col(key))
         elif isinstance(v, Expr) and v.name in _STREAM_HEADS:
             scope[key] = _compile(spark, sf_dir, v, scope)
         else:
