@@ -30,7 +30,17 @@ commons seeds an RNG, documented at the batch-3 block), and the 2-D
 geometry/labels/cache tranche (convexHull + enclosingDisk families, rank,
 set/get row-column labels, setValue, putCache/getCache/listCache/
 removeCache — batch-4 block).
-Still out: names that need an RNG (``sample``/``monteCarlo``/``random*``).
+Round-4 batches 6-7 close the registry: deterministic sampling
+(``sample``/``monteCarlo``/``markovChain``/
+``multiVariateNormalDistribution`` — a Park–Miller LCG + inverse-CDF per
+family, documented deviation from commons' Well19937c; ``uuid`` stays
+random like the reference) and the curve-fit tranche (``harmonicFit``/
+``harmfit``/``gaussfit`` = the commons ParameterGuesser + 5 fixed
+Gauss-Newton steps, ``bicubicSpline``, ``projectToBorder``,
+``featureSelect``, ``getAttribute(s)``). With the stream-context bridges
+in ``streaming_expr`` (memset/pivot/latlonVectors/plot/zplot/
+parseCSV/parseTSV/recNum), EVERY name registered in ``Lang.java:116-330``
+now compiles and runs.
 ``corr``/``regress``/
 ``movingAvg`` over whole relations live in ``relational.py``
 (streaming-expression ops); here ``movingAvg``/``diff`` are the per-tuple
@@ -46,6 +56,7 @@ ordered (name, Column) bindings where later bindings reference earlier ones;
 from __future__ import annotations
 
 import re
+import zlib
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -518,6 +529,10 @@ def parse_eval(text: str, names: dict | None = None) -> Column:
     A top-level :class:`~.functions.PlanValue` (an interpolation model used
     as a value) decays to its serialized form — the fitted-values array,
     like the reference VectorFunction."""
+    _sample_entry(0)
+    s = text.strip()
+    if s.startswith("monteCarlo(") and s.endswith(")"):
+        return parse_monte_carlo(s, names)
     r = parse_func(text, registry=_registry(), names=names)
     return r.value() if isinstance(r, PlanValue) else r
 
@@ -561,6 +576,10 @@ def parse_binding(text: str, name: str, names: dict) -> Column:
     plan-time tag so later bindings referencing ``name`` stay model-aware.
     Shared by :func:`parse_let` and the streaming-expression ``let()``
     head (``streaming_expr._let_stream``)."""
+    _sample_entry(zlib.crc32(name.encode()) & 0xFFFF)
+    s = text.strip()
+    if s.startswith("monteCarlo(") and s.endswith(")"):
+        return parse_monte_carlo(s, names or {})
     r = parse_func(text, registry=_registry(), names=names)
     if isinstance(r, PlanValue):
         names[name] = r.rebind(F.col(name))
@@ -1617,10 +1636,19 @@ def _model_eval(mod: Model, v: Column) -> Column:
     return a[0] + a[1] * t + a[2] * t * t + a[3] * t * t * t
 
 
-def _predict(mod, v: Column) -> Column:
+def _predict(mod, v: Column = None, *more: Column) -> Column:
     """PredictEvaluator: models dispatch on the plan-time marker
-    (interpolation / knnRegress / olsRegress, defined below); a plain
-    struct is the ``regress`` result (slope/intercept)."""
+    (interpolation / knnRegress / olsRegress / curve fits / bicubic,
+    defined below); a plain struct is the ``regress`` result
+    (slope/intercept). The bicubic form takes TWO coordinates."""
+    if type(mod).__name__ == "BicubicModel":
+        if v is None or not more:
+            raise ValueError("predict(bicubicSpline, x, y) takes two coordinates")
+        return _bicubic_eval(mod, v, more[0])
+    if more:
+        raise ValueError("predict() takes one value (two only for bicubicSpline)")
+    if type(mod).__name__ == "FitModel":
+        return _fit_f(mod.kind, mod.col["p"], v)
     if isinstance(mod, Model):
         return _model_eval(mod, v)
     if isinstance(mod, KnnModel):
@@ -2605,13 +2633,19 @@ def _disk_field(field):
 
 class LabeledMatrix(PlanValue):
     """Matrix + row/column labels (``Matrix.setRowLabels`` role): struct
+    (``has_attrs`` marks a stream-bridge struct that additionally carries
+    an ``attrs`` map — ``termVectors`` docFreqs — for ``getAttribute``);
     (m, rl, cl); label-unaware consumers see the plain matrix."""
+
+    def __init__(self, col: Column, has_attrs: bool = False):
+        super().__init__(col)
+        self.has_attrs = has_attrs
 
     def value(self) -> Column:
         return self.col["m"]
 
     def rebind(self, col: Column) -> "LabeledMatrix":
-        return LabeledMatrix(col)
+        return LabeledMatrix(col, self.has_attrs)
 
 
 def _labeled(m, rl=None, cl=None) -> LabeledMatrix:
@@ -2923,3 +2957,900 @@ def _top_features(m, k: Column) -> Column:
 _top_features._plan_aware = True
 
 EVALUATORS.update({"topFeatures": _top_features})
+# --------------------------------------------------------------------------
+# round 4 batch 6: the sampling tranche — ``sample`` / ``monteCarlo`` /
+# ``markovChain`` / ``multiVariateNormalDistribution`` / ``uuid``
+# (``SampleEvaluator.java``, ``MonteCarloEvaluator.java``,
+# ``MarkovChainEvaluator.java``,
+# ``MultiVariateNormalDistributionEvaluator.java``, ``UuidEvaluator.java``).
+#
+# The reference samples from commons-math's Well19937c RNG. This engine's
+# draws are DETERMINISTIC by design (documented deviation): a Park–Miller
+# minimal-standard LCG seeded per (call-site salt, monteCarlo iteration i,
+# draw index j, sub-trial t) feeds inverse-CDF transforms per distribution
+# family — pure integer + closed-form double arithmetic, so a SQL oracle
+# (or the pure-Python mirror in tests/test_sampling_evaluators.py) can
+# replay every draw bit-for-bit, and the whole expression stays one
+# Catalyst Column. Salts: the call-site counter resets at each top-level
+# parse entry and each let() binding mixes its NAME into the base, so
+# re-parsing the same expression reproduces the same draws while distinct
+# bindings and distinct call sites draw independently.
+
+_PM_M = 2147483647  # 2^31 − 1, Park–Miller modulus
+_PM_A = 16807
+
+_SAMPLE_STATE: dict = {"base": 0, "ctr": 0, "idx": None}
+
+
+def _sample_entry(base: int) -> None:
+    """Reset the call-site salt counter at a top-level parse entry —
+    ``base`` mixes the binding name (crc32 & 0xffff) so each let() binding
+    draws an independent stream."""
+    _SAMPLE_STATE["base"] = base
+    _SAMPLE_STATE["ctr"] = 0
+
+
+def _next_salt() -> int:
+    s = _SAMPLE_STATE["base"] * 131 + _SAMPLE_STATE["ctr"]
+    _SAMPLE_STATE["ctr"] += 1
+    return s
+
+
+def _u_draw(salt: int, j, t=None) -> Column:
+    """One uniform in (0,1): seed = (salt, monteCarlo-iteration, j, t)
+    mixed with fixed odd multipliers, 3 LCG warmup steps. All terms stay
+    far below 2^63 (salt < 2^24 → salt·1000003 < 2^44)."""
+    j = F.lit(j) if isinstance(j, int) else j
+    acc = F.lit(salt * 1000003 + 12345).cast("bigint")
+    idx = _SAMPLE_STATE["idx"]
+    if idx is not None:
+        acc = acc + idx.cast("bigint") * 7919
+    acc = acc + j.cast("bigint") * 104729
+    if t is not None:
+        t = F.lit(t) if isinstance(t, int) else t
+        acc = acc + t.cast("bigint") * 65537
+    s = acc % (_PM_M - 1) + 1
+    for _ in range(3):
+        s = (s * _PM_A) % _PM_M
+    return s.cast("double") / F.lit(float(_PM_M))
+
+
+# Acklam's inverse normal CDF (|rel err| < 1.15e-9) — the deterministic
+# quantile the engine pairs with the LCG uniforms; the Python mirror in the
+# tests carries the same coefficients.
+_INA = [-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+        1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00]
+_INB = [-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+        6.680131188771972e+01, -1.328068155288572e+01]
+_INC = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+        -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00]
+_IND = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+        3.754408661907416e+00]
+
+
+def _horner(cs, q):
+    out = F.lit(cs[0])
+    for c in cs[1:]:
+        out = out * q + c
+    return out
+
+
+def _inv_norm_col(p: Column) -> Column:
+    plow = 0.02425
+
+    def tail_ratio(q):
+        return _horner(_INC, q) / (_horner(_IND, q) * q + 1)
+
+    ql = F.sqrt(F.lit(-2.0) * F.log(p))
+    qh = F.sqrt(F.lit(-2.0) * F.log(1 - p))
+    q = p - 0.5
+    r = q * q
+    central = _horner(_INA, r) * q / (_horner(_INB, r) * r + 1)
+    return (
+        F.when(p < plow, tail_ratio(ql))
+        .when(p > 1 - plow, -tail_ratio(qh))
+        .otherwise(central)
+    )
+
+
+def _wh_gamma(shape: Column, z: Column) -> Column:
+    """Wilson–Hilferty gamma quantile approximation (documented: the
+    reference's commons sampler is RNG-exact; this closed form keeps the
+    draw a pure expression)."""
+    t = F.lit(1.0) - 1 / (9 * shape) + z * F.sqrt(1 / (9 * shape))
+    return F.greatest(shape * t * t * t, F.lit(0.0))
+
+
+def _categorical(row: Column, u0: Column, d: Column) -> Column:
+    """Smallest 0-based index whose cumulative probability ≥ u0 (inverse
+    CDF over one weight row); falls back to the last index."""
+    res = F.aggregate(
+        F.sequence(F.lit(1), d),
+        F.struct(F.lit(0.0).alias("c"), F.lit(-1).alias("pick")),
+        lambda acc, t: F.when(acc["pick"] >= 0, acc).otherwise(
+            F.when(
+                acc["c"] + F.element_at(row, t.cast("int")) >= u0,
+                F.struct(
+                    (acc["c"] + F.element_at(row, t.cast("int"))).alias("c"),
+                    (t - 1).cast("int").alias("pick"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (acc["c"] + F.element_at(row, t.cast("int"))).alias("c"),
+                    F.lit(-1).alias("pick"),
+                )
+            )
+        ),
+    )
+    return F.when(res["pick"] >= 0, res["pick"]).otherwise((d - 1).cast("int"))
+
+
+def _draw_scalar(dist: Column, salt: int, j) -> Column:
+    """One draw from a value-typed distribution struct (d = tag, p =
+    params) — a When-chain over every family's inverse CDF."""
+    d, p = dist["d"], dist["p"]
+    u0 = _u_draw(salt, j)
+    z = _inv_norm_col(u0)
+
+    def P(k):
+        return F.element_at(p, k)
+
+    tri_f = (P(2) - P(1)) / (P(3) - P(1))
+    triangular = F.when(
+        u0 < tri_f, P(1) + F.sqrt(u0 * (P(3) - P(1)) * (P(2) - P(1)))
+    ).otherwise(P(3) - F.sqrt((1 - u0) * (P(3) - P(1)) * (P(3) - P(2))))
+
+    binom = F.aggregate(
+        F.sequence(F.lit(1), P(1).cast("int")),
+        F.lit(0.0),
+        lambda acc, t: acc + F.when(_u_draw(salt, j, t=t) < P(2), 1.0).otherwise(0.0),
+    )
+
+    lam = P(1)
+    kmax = F.ceil(lam + F.lit(12.0) * F.sqrt(lam) + 30).cast("int")
+    p0 = F.exp(-lam)
+    pois_res = F.aggregate(
+        F.sequence(F.lit(1), kmax),
+        F.struct(
+            p0.alias("cum"),
+            p0.alias("term"),
+            F.when(p0 >= u0, 0).otherwise(-1).alias("pick"),
+        ),
+        lambda acc, r: F.when(acc["pick"] >= 0, acc).otherwise(
+            F.struct(
+                (acc["cum"] + acc["term"] * lam / r).alias("cum"),
+                (acc["term"] * lam / r).alias("term"),
+                F.when(
+                    acc["cum"] + acc["term"] * lam / r >= u0, r.cast("int")
+                ).otherwise(-1).alias("pick"),
+            )
+        ),
+    )
+    poisson = (
+        F.when(pois_res["pick"] >= 0, pois_res["pick"]).otherwise(kmax).cast("double")
+    )
+
+    nz = P(1).cast("int")
+    zH = F.aggregate(
+        F.sequence(F.lit(1), nz),
+        F.lit(0.0),
+        lambda acc, r: acc + F.pow(r.cast("double"), -P(2)),
+    )
+    zres = F.aggregate(
+        F.sequence(F.lit(1), nz),
+        F.struct(F.lit(0.0).alias("c"), F.lit(-1).alias("pick")),
+        lambda acc, r: F.when(acc["pick"] >= 0, acc).otherwise(
+            F.when(
+                acc["c"] + F.pow(r.cast("double"), -P(2)) / zH >= u0,
+                F.struct(
+                    (acc["c"] + F.pow(r.cast("double"), -P(2)) / zH).alias("c"),
+                    r.cast("int").alias("pick"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (acc["c"] + F.pow(r.cast("double"), -P(2)) / zH).alias("c"),
+                    F.lit(-1).alias("pick"),
+                )
+            )
+        ),
+    )
+    zipf = F.when(zres["pick"] >= 0, zres["pick"]).otherwise(nz).cast("double")
+
+    beta = _wh_gamma(P(1), _inv_norm_col(_u_draw(salt, j, t=1)))
+    betb = _wh_gamma(P(2), _inv_norm_col(_u_draw(salt, j, t=2)))
+
+    return (
+        F.when(d == "normal", P(1) + P(2) * z)
+        .when(d == "lognormal", F.exp(P(1) + P(2) * z))
+        .when(d == "uniform", P(1) + u0 * (P(2) - P(1)))
+        .when(d == "uniformint", P(1) + F.floor(u0 * (P(2) - P(1) + 1)))
+        .when(d == "triangular", triangular)
+        .when(d == "weibull", P(2) * F.pow(-F.log(1 - u0), 1 / P(1)))
+        .when(d == "constant", P(1))
+        .when(d == "binomial", binom)
+        .when(d == "poisson", poisson)
+        .when(d == "geometric", F.floor(F.log(1 - u0) / F.log(1 - P(1))))
+        .when(d == "zipf", zipf)
+        .when(d == "gamma", _wh_gamma(P(1), z) * P(2))
+        .when(d == "beta", beta / (beta + betb))
+        .when(
+            d == "empirical",
+            F.element_at(
+                F.array_sort(p), (F.floor(u0 * F.size(p)) + 1).cast("int")
+            ),
+        )
+        .when(
+            d == "enumerated",
+            F.element_at(p, (F.floor(u0 * F.size(p)) + 1).cast("int")),
+        )
+        .otherwise(F.lit(float("nan")))
+    ).cast("double")
+
+
+class MarkovModel(PlanValue):
+    """markovChain(): struct (m = transition rows, s0 = start state). The
+    reference seeds a RANDOM start when none is given; here it defaults to
+    state 0 (deterministic, documented)."""
+
+    def rebind(self, col: Column) -> "MarkovModel":
+        return MarkovModel(col)
+
+
+def _markov_chain(mat: Column, *start: Column) -> MarkovModel:
+    s0 = start[0].cast("int") if start else F.lit(0)
+    return MarkovModel(F.struct(mat.alias("m"), s0.alias("s0")))
+
+
+def _markov_sample(mm: MarkovModel, salt: int, n: Column) -> Column:
+    mat, s0 = mm.col["m"], mm.col["s0"]
+    d = F.size(mat)
+    square = F.assert_true(
+        d == F.size(F.element_at(mat, 1)),
+        F.lit("markovChain must be initialized with a square matrix."),
+    )
+    res = F.aggregate(
+        F.sequence(F.lit(0), n.cast("int") - 1),
+        F.struct(
+            s0.alias("s"), F.expr("cast(array() as array<int>)").alias("out")
+        ),
+        lambda acc, k: F.element_at(
+            F.transform(
+                F.array(
+                    _categorical(
+                        F.element_at(mat, (acc["s"] + 1).cast("int")),
+                        _u_draw(salt, k),
+                        d,
+                    )
+                ),
+                lambda pick: F.struct(
+                    pick.alias("s"), F.concat(acc["out"], F.array(pick)).alias("out")
+                ),
+            ),
+            1,
+        ),
+    )
+    return F.when(square.isNull(), res["out"])
+
+
+class MvnModel(PlanValue):
+    """multiVariateNormalDistribution(): struct (mu, L = Cholesky lower
+    rows, row r holding r+1 entries)."""
+
+    def rebind(self, col: Column) -> "MvnModel":
+        return MvnModel(col)
+
+
+def _cholesky(A: Column) -> Column:
+    """Lower-triangular Cholesky of a small SPD matrix — rows built
+    sequentially by a pair of array-accumulator sweeps (the dimension here
+    is the distribution's, single digits)."""
+    d = F.size(A)
+
+    def build(Ls, jj):
+        def cell(row, kk):
+            k1 = (kk + 1).cast("int")
+            a_jk = F.element_at(F.element_at(A, (jj + 1).cast("int")), k1)
+            off = F.aggregate(
+                F.zip_with(
+                    F.slice(row, 1, kk.cast("int")),
+                    F.slice(F.element_at(Ls, k1), 1, kk.cast("int")),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+            diag = F.aggregate(row, F.lit(0.0), lambda s, v: s + v * v)
+            v = F.when(kk < jj, (a_jk - off) / F.element_at(F.element_at(Ls, k1), k1)).otherwise(
+                F.sqrt(a_jk - diag)
+            )
+            return F.concat(row, F.array(v))
+
+        row = F.aggregate(
+            F.sequence(F.lit(0), jj),
+            F.expr("cast(array() as array<double>)"),
+            cell,
+        )
+        return F.concat(Ls, F.array(row))
+
+    return F.aggregate(
+        F.sequence(F.lit(0), d - 1),
+        F.expr("cast(array() as array<array<double>>)"),
+        build,
+    )
+
+
+def _mvnormal(mu: Column, cov: Column) -> MvnModel:
+    return MvnModel(
+        F.struct(mu.cast("array<double>").alias("mu"), _cholesky(cov).alias("L"))
+    )
+
+
+def _mvn_draw(mm: MvnModel, salt: int, j) -> Column:
+    mu, L = mm.col["mu"], mm.col["L"]
+    d = F.size(mu)
+    z = F.transform(
+        F.sequence(F.lit(1), d), lambda m: _inv_norm_col(_u_draw(salt, j, t=m))
+    )
+    return F.transform(
+        F.sequence(F.lit(1), d),
+        lambda r: F.element_at(mu, r.cast("int"))
+        + F.aggregate(
+            F.zip_with(
+                F.element_at(L, r.cast("int")),
+                F.slice(z, 1, r.cast("int")),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        ),
+    )
+
+
+def _sample(dist, *n):
+    """SampleEvaluator: draw(s) from a distribution value, Markov chain, or
+    multivariate normal. 1-arg → one draw; 2-arg → n draws (array; a Matrix
+    for the multivariate case)."""
+    salt = _next_salt()
+    if isinstance(dist, MarkovModel):
+        if not n:
+            # the reference's no-size form ADVANCES stateful iterator state;
+            # a Column is stateless — single draw = first step (documented)
+            return F.element_at(_markov_sample(dist, salt, F.lit(1)), 1)
+        return _markov_sample(dist, salt, n[0])
+    if isinstance(dist, MvnModel):
+        if not n:
+            return _mvn_draw(dist, salt, F.lit(0))
+        return F.transform(
+            F.sequence(F.lit(0), n[0].cast("int") - 1),
+            lambda j: _mvn_draw(dist, salt, j),
+        )
+    dist = dist.value() if isinstance(dist, PlanValue) else dist
+    if not n:
+        return _draw_scalar(dist, salt, F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(0), n[0].cast("int") - 1),
+        lambda j: _draw_scalar(dist, salt, j),
+    )
+
+
+_sample._plan_aware = True
+
+
+_MC_BIND_RE = re.compile(r"\s*([A-Za-z_]\w*)\s*=(.*)$", re.S)
+
+
+def _split_top(body: str) -> list[str]:
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(body[start:i])
+            start = i + 1
+    out.append(body[start:])
+    return out
+
+
+def parse_monte_carlo(text: str, names: dict | None) -> Column:
+    """MonteCarloEvaluator: named params re-bind per iteration, then the
+    function evaluates — iterations → one ``transform`` over the iteration
+    sequence, with the iteration index threaded into every ``sample()``
+    seed (the bindings and function are re-parsed INSIDE the transform
+    lambda, which Catalyst invokes once with a symbolic index — one tree,
+    n runtime evaluations). Supported at the top level of a binding /
+    expression (the reference's usage shape)."""
+    s = text.strip()
+    body = s[len("monteCarlo("):-1]
+    bindings: list[tuple[str, str]] = []
+    rest: list[str] = []
+    for part in _split_top(body):
+        m = _MC_BIND_RE.match(part)
+        if m and "(" not in part[: m.start(2)]:
+            bindings.append((m.group(1), m.group(2)))
+        else:
+            rest.append(part)
+    if len(rest) != 2:
+        raise ValueError(
+            "monteCarlo() takes named bindings, one function and an "
+            f"iteration count — got {len(rest)} positional parameters"
+        )
+    func_text, it_text = rest[0].strip(), rest[1].strip()
+    iters = int(it_text)
+    base_ctr = _SAMPLE_STATE["ctr"]
+
+    def body_fn(i):
+        saved = dict(_SAMPLE_STATE)
+        _SAMPLE_STATE["idx"] = i
+        _SAMPLE_STATE["ctr"] = base_ctr
+        try:
+            local = dict(names or {})
+            for nm, ex in bindings:
+                local[nm] = parse_func(ex.strip(), registry=_registry(), names=local)
+            r = parse_func(func_text, registry=_registry(), names=local)
+            return r.value() if isinstance(r, PlanValue) else r
+        finally:
+            _SAMPLE_STATE.clear()
+            _SAMPLE_STATE.update(saved)
+
+    return F.transform(F.sequence(F.lit(0), F.lit(iters - 1)), body_fn)
+
+
+EVALUATORS.update(
+    {
+        "sample": _sample,
+        "markovChain": _markov_chain,
+        "multiVariateNormalDistribution": _mvnormal,
+        # UuidEvaluator: random per tuple, faithful to the reference (the
+        # one non-deterministic name — excluded from value-pinned oracles)
+        "uuid": lambda: F.expr("uuid()"),
+    }
+)
+# --------------------------------------------------------------------------
+# round 4 batch 7: the curve-fit tranche — ``harmonicFit``/``harmfit`` (+
+# ``getAmplitude``/``getAngularFrequency``/``getPhase``), ``gaussfit``,
+# ``bicubicSpline``, ``projectToBorder``, ``featureSelect``,
+# ``getAttribute``/``getAttributes`` (``HarmonicFitEvaluator.java``,
+# ``GaussFitEvaluator.java``, ``BicubicSplineEvaluator.java``,
+# ``ProjectToBorderEvaluator.java``, ``FeatureSelectEvaluator.java``,
+# ``GetAttributeEvaluator.java``). The commons fitters run
+# Levenberg-Marquardt to convergence from a closed-form ParameterGuesser;
+# the engine runs the SAME guesser then a fixed 5-step Gauss-Newton
+# refinement — deterministic, one Catalyst expression, pinned against a
+# pure-Python mirror in tests/test_fit_evaluators.py.
+
+
+class FitModel(PlanValue):
+    """Parametric fit: struct (p = the 3 parameters, xs, vals). kind
+    ``harmonic`` → a·cos(ωx+φ) (commons HarmonicOscillator), ``gaussian``
+    → n·exp(−(x−m)²/2s²) (commons Gaussian)."""
+
+    def __init__(self, col: Column, kind: str):
+        super().__init__(col)
+        self.kind = kind
+
+    def rebind(self, col: Column) -> "FitModel":
+        return FitModel(col, self.kind)
+
+    def value(self) -> Column:
+        return self.col["vals"]
+
+
+def _fit_f(kind: str, p: Column, x: Column) -> Column:
+    a, b, c = F.element_at(p, 1), F.element_at(p, 2), F.element_at(p, 3)
+    if kind == "harmonic":
+        return a * F.cos(b * x + c)
+    return a * F.exp(-((x - b) * (x - b)) / (2 * c * c))
+
+
+def _solve3(N: list, b: list) -> list:
+    """Cramer solve of symmetric 3×3 normal equations; a near-singular
+    system returns zero deltas (the GN step degrades to a no-op, mirroring
+    the test oracle's guard)."""
+    det = _det(N)
+    ok = F.abs(det) > 1e-250
+    out = []
+    for j in range(3):
+        Aj = [[(b[i] if k == j else N[i][k]) for k in range(3)] for i in range(3)]
+        out.append(F.when(ok, _det(Aj) / det).otherwise(F.lit(0.0)))
+    return out
+
+
+def _gn_step(kind: str, xs: Column, ys: Column, g: Column) -> Column:
+    """One Gauss-Newton step over the points: accumulate JᵀJ (6 sums) and
+    Jᵀr, Cramer-solve, add the delta."""
+    n = F.size(xs)
+    a, b, c = F.element_at(g, 1), F.element_at(g, 2), F.element_at(g, 3)
+    zero = F.struct(
+        *[F.lit(0.0).alias(k) for k in
+          ("n11", "n12", "n13", "n22", "n23", "n33", "b1", "b2", "b3")]
+    )
+
+    def step(acc, i):
+        x, y = _at(xs, i), _at(ys, i)
+        if kind == "harmonic":
+            cv = F.cos(b * x + c)
+            sv = F.sin(b * x + c)
+            f = a * cv
+            g1, g2, g3 = cv, -a * x * sv, -a * sv
+        else:
+            f = a * F.exp(-((x - b) * (x - b)) / (2 * c * c))
+            g1 = f / a
+            g2 = f * (x - b) / (c * c)
+            g3 = f * (x - b) * (x - b) / (c * c * c)
+        r = y - f
+        return F.struct(
+            (acc["n11"] + g1 * g1).alias("n11"),
+            (acc["n12"] + g1 * g2).alias("n12"),
+            (acc["n13"] + g1 * g3).alias("n13"),
+            (acc["n22"] + g2 * g2).alias("n22"),
+            (acc["n23"] + g2 * g3).alias("n23"),
+            (acc["n33"] + g3 * g3).alias("n33"),
+            (acc["b1"] + g1 * r).alias("b1"),
+            (acc["b2"] + g2 * r).alias("b2"),
+            (acc["b3"] + g3 * r).alias("b3"),
+        )
+
+    S = F.aggregate(F.sequence(F.lit(0), n - 1), zero, step)
+    return _let1(
+        S,
+        lambda s: _let1(
+            F.array(
+                *_solve3(
+                    [
+                        [s["n11"], s["n12"], s["n13"]],
+                        [s["n12"], s["n22"], s["n23"]],
+                        [s["n13"], s["n23"], s["n33"]],
+                    ],
+                    [s["b1"], s["b2"], s["b3"]],
+                )
+            ),
+            lambda d: F.array(
+                a + F.element_at(d, 1), b + F.element_at(d, 2), c + F.element_at(d, 3)
+            ),
+        ),
+    )
+
+
+def _gn_chain(kind: str, xs: Column, ys: Column, g0: Column, k: int) -> Column:
+    if k == 0:
+        return g0
+    return _let1(_gn_step(kind, xs, ys, g0), lambda g: _gn_chain(kind, xs, ys, g, k - 1))
+
+
+def _harm_guess(xs: Column, ys: Column) -> Column:
+    """commons HarmonicCurveFitter.ParameterGuesser — the integral-equation
+    regression for (a, ω), then the derivative regression for φ; the
+    range-based fallback when the integral system is indefinite."""
+    n = F.size(xs)
+    zero = F.struct(
+        *[F.lit(0.0).alias(k) for k in ("sx2", "sy2", "sxy", "sxz", "syz", "f2", "fp2")]
+    )
+
+    def acc_step(acc, i):
+        px, py = _at(xs, i - 1), _at(ys, i - 1)
+        cx, cy = _at(xs, i), _at(ys, i)
+        dx, dy = cx - px, cy - py
+        f2 = acc["f2"] + dx * (py * py + py * cy + cy * cy) / 3
+        fp2 = acc["fp2"] + dy * dy / dx
+        z = cx - _at(xs, F.lit(0))
+        return F.struct(
+            (acc["sx2"] + z * z).alias("sx2"),
+            (acc["sy2"] + f2 * f2).alias("sy2"),
+            (acc["sxy"] + z * f2).alias("sxy"),
+            (acc["sxz"] + z * fp2).alias("sxz"),
+            (acc["syz"] + f2 * fp2).alias("syz"),
+            f2.alias("f2"),
+            fp2.alias("fp2"),
+        )
+
+    def aw_of(s):
+        c1 = s["sy2"] * s["sxz"] - s["sxy"] * s["syz"]
+        c2 = s["sxy"] * s["sxz"] - s["sx2"] * s["syz"]
+        c3 = s["sx2"] * s["sy2"] - s["sxy"] * s["sxy"]
+        r12 = F.when(c2 != 0, c1 / c2)
+        r23 = F.when(c3 != 0, c2 / c3)
+        ok = r12.isNotNull() & r23.isNotNull() & (r12 >= 0) & (r23 >= 0)
+        a0 = F.when(ok, F.sqrt(r12)).otherwise(
+            0.5 * (F.array_max(ys) - F.array_min(ys))
+        )
+        w0 = F.when(ok, F.sqrt(r23)).otherwise(
+            F.lit(2.0 * _math.pi) / (F.element_at(xs, -1) - F.element_at(xs, 1))
+        )
+        return F.array(a0, w0)
+
+    def phi_of(aw):
+        w = F.element_at(aw, 2)
+        fcfs = F.aggregate(
+            F.sequence(F.lit(1), n - 1),
+            F.struct(F.lit(0.0).alias("fc"), F.lit(0.0).alias("fs")),
+            lambda acc, i: F.element_at(
+                F.transform(
+                    F.array(
+                        F.struct(
+                            _at(xs, i).alias("cx"),
+                            _at(ys, i).alias("cy"),
+                            (
+                                (_at(ys, i) - _at(ys, i - 1))
+                                / (_at(xs, i) - _at(xs, i - 1))
+                            ).alias("yp"),
+                        )
+                    ),
+                    lambda t: F.struct(
+                        (
+                            acc["fc"]
+                            + w * t["cy"] * F.cos(w * t["cx"])
+                            - t["yp"] * F.sin(w * t["cx"])
+                        ).alias("fc"),
+                        (
+                            acc["fs"]
+                            + w * t["cy"] * F.sin(w * t["cx"])
+                            + t["yp"] * F.cos(w * t["cx"])
+                        ).alias("fs"),
+                    ),
+                ),
+                1,
+            ),
+        )
+        return F.array(
+            F.element_at(aw, 1), w, F.atan2(-fcfs["fs"], fcfs["fc"])
+        )
+
+    sums = F.aggregate(F.sequence(F.lit(1), n - 1), zero, acc_step)
+    return _let1(sums, lambda s: _let1(aw_of(s), phi_of))
+
+
+def _fit_struct(kind: str, xs: Column, ys: Column, g0: Column) -> Column:
+    # bind the guess before the GN chain — each step references its input
+    # params ~a dozen times, and the guess carries two aggregates
+    params = _let1(g0, lambda g: _gn_chain(kind, xs, ys, g, 5))
+    return _let1(
+        params,
+        lambda p: F.struct(
+            p.alias("p"),
+            xs.alias("xs"),
+            F.transform(xs, lambda x: _fit_f(kind, p, x)).alias("vals"),
+        ),
+    )
+
+
+def _harmonic_fit(a: Column, *b: Column) -> FitModel:
+    xs, ys = _interp_xy(a, b)
+    return FitModel(
+        _fit_struct("harmonic", xs, ys, _harm_guess(xs, ys)), "harmonic"
+    )
+
+
+def _gauss_guess(xs: Column, ys: Column) -> Column:
+    """commons GaussianCurveFitter.ParameterGuesser — including the 3.6.1
+    ``halfY = n + ((m − n) / 2)`` quirk (the MEAN mixed into the half-max
+    level; GaussianCurveFitter.java basicGuess, shipped behavior)."""
+    n = F.size(xs)
+    imax = F.array_position(ys, F.array_max(ys)).cast("int")  # first max, 1-based
+    n0 = F.array_max(ys)
+    m0 = F.element_at(xs, imax)
+    half = n0 + (m0 - n0) / 2
+
+    def between(j):
+        y1, y2 = F.element_at(ys, j), F.element_at(ys, j + 1)
+        return (F.least(y1, y2) <= half) & (half <= F.greatest(y1, y2))
+
+    def interp(j, p1, p2):
+        x1, y1 = F.element_at(xs, p1), F.element_at(ys, p1)
+        x2, y2 = F.element_at(xs, p2), F.element_at(ys, p2)
+        return F.when(y2 == y1, x1).otherwise(x1 + (half - y1) * (x2 - x1) / (y2 - y1))
+
+    lcand = F.filter(F.sequence(F.lit(1), F.greatest(imax - 1, F.lit(1))),
+                     lambda j: (j <= imax - 1) & between(j))
+    rcand = F.filter(F.sequence(imax, n - 1), lambda j: between(j))
+    lj = F.when(F.size(lcand) > 0, F.element_at(lcand, -1))
+    rj = F.when(F.size(rcand) > 0, F.element_at(rcand, 1))
+    x1 = interp(lj, lj + 1, lj)
+    x2 = interp(rj, rj, rj + 1)
+    fwhm = F.when(
+        lj.isNotNull() & rj.isNotNull(), x2 - x1
+    ).otherwise(F.element_at(xs, -1) - F.element_at(xs, 1))
+    s0 = fwhm / F.lit(2.0 * _math.sqrt(2.0 * _math.log(2.0)))
+    return F.array(n0, m0, s0)
+
+
+def _gauss_fit(a: Column, *b: Column) -> FitModel:
+    # the guesser needs x-ascending points (commons sorts its observations)
+    xs0, ys0 = _interp_xy(a, b)
+    srt = F.array_sort(
+        F.zip_with(xs0, ys0, lambda x, y: F.struct(x.alias("x"), y.alias("y")))
+    )
+
+    def of_sorted(s):
+        xs = F.transform(s, lambda t: t["x"])
+        ys = F.transform(s, lambda t: t["y"])
+        return _fit_struct("gaussian", xs, ys, _gauss_guess(xs, ys))
+
+    return FitModel(_let1(srt, of_sorted), "gaussian")
+
+
+def _fit_param(idx: int, name: str):
+    def get(mod):
+        if not isinstance(mod, FitModel) or mod.kind != "harmonic":
+            raise ValueError(f"{name}() expects a harmonicFit() result")
+        return F.element_at(mod.col["p"], idx)
+
+    get._plan_aware = True
+    return get
+
+
+class BicubicModel(PlanValue):
+    """bicubicSpline(): struct (xs, ys, g) — commons
+    PiecewiseBicubicSplineInterpolatingFunction role; predict(b, x, y)
+    interpolates a natural spline across the 5-knot window in each axis
+    (the commons evaluation scheme)."""
+
+    def rebind(self, col: Column) -> "BicubicModel":
+        return BicubicModel(col)
+
+
+def _bicubic_spline(xs: Column, ys: Column, grid: Column) -> BicubicModel:
+    return BicubicModel(
+        F.struct(
+            xs.cast("array<double>").alias("xs"),
+            ys.cast("array<double>").alias("ys"),
+            grid.alias("g"),
+        )
+    )
+
+
+def _spline_at(x5: Column, y5: Column, v: Column) -> Column:
+    # bind the spline struct once — _model_eval references xs/ys/m several
+    # times and the _natural_c sweep would copy multiplicatively otherwise
+    return _let1(
+        _model_struct(x5, y5, _natural_c(x5, y5), y5),
+        lambda s: _model_eval(Model(s, "spline"), v),
+    )
+
+
+def _win0(arr: Column, v: Column) -> Column:
+    """0-based left edge of the 5-knot window around v (commons
+    searchIndex with offset 2, clamped so the window fits)."""
+    last_le = F.greatest(
+        F.size(F.filter(arr, lambda e: e <= v)) - 1, F.lit(0)
+    )
+    return F.greatest(F.least(last_le - 2, F.size(arr) - 5), F.lit(0))
+
+
+def _bicubic_eval(mod: BicubicModel, xv: Column, yv: Column) -> Column:
+    xs, ys, g = mod.col["xs"], mod.col["ys"], mod.col["g"]
+
+    def with_win(w):
+        i0, j0 = w["i"], w["j"]
+        zz = F.transform(
+            F.sequence(F.lit(0), F.lit(4)),
+            lambda ii: _spline_at(
+                F.slice(ys, j0 + 1, 5),
+                F.slice(F.element_at(g, (i0 + ii + 1).cast("int")), j0 + 1, 5),
+                yv,
+            ),
+        )
+        return _let1(zz, lambda z: _spline_at(F.slice(xs, i0 + 1, 5), z, xv))
+
+    return _let1(
+        F.struct(_win0(xs, xv).alias("i"), _win0(ys, yv).alias("j")), with_win
+    )
+
+
+def _project_to_border(hull, mat: Column) -> Column:
+    """ProjectToBorderEvaluator: each row of the matrix projected to the
+    nearest point on the hull boundary (closest point over every edge
+    segment — the commons BoundaryProjection result for a convex region)."""
+    if not isinstance(hull, HullModel):
+        raise ValueError("projectToBorder() expects a convexHull() result")
+    v = hull.col["v"]
+    nv = F.size(v)
+
+    def project_row(row):
+        px, py = F.element_at(row, 1), F.element_at(row, 2)
+
+        def edge_point(k):  # edge from vertex k to k % nv + 1 (closed ring)
+            a = F.element_at(v, k.cast("int"))
+            b2 = F.element_at(v, (k % nv + 1).cast("int"))
+            ax, ay = F.element_at(a, 1), F.element_at(a, 2)
+            bx, by = F.element_at(b2, 1), F.element_at(b2, 2)
+            dx, dy = bx - ax, by - ay
+            den = dx * dx + dy * dy
+            t = F.when(
+                den > 0, ((px - ax) * dx + (py - ay) * dy) / den
+            ).otherwise(F.lit(0.0))
+            tc = F.greatest(F.least(t, F.lit(1.0)), F.lit(0.0))
+            qx, qy = ax + tc * dx, ay + tc * dy
+            d2 = (px - qx) * (px - qx) + (py - qy) * (py - qy)
+            return F.struct(d2.alias("d"), qx.alias("x"), qy.alias("y"))
+
+        best = F.aggregate(
+            F.filter(
+                F.sequence(F.lit(2), F.greatest(nv, F.lit(2))), lambda k: k <= nv
+            ),
+            edge_point(F.lit(1)),
+            lambda acc, k: F.element_at(
+                F.transform(
+                    F.array(edge_point(k)),
+                    lambda cand: F.when(cand["d"] < acc["d"], cand).otherwise(acc),
+                ),
+                1,
+            ),
+        )
+        return F.array(best["x"], best["y"])
+
+    return F.transform(mat, project_row)
+
+
+_project_to_border._plan_aware = True
+
+
+def _feature_select(m, feats: Column) -> LabeledMatrix:
+    """FeatureSelectEvaluator: keep the matrix columns whose labels are in
+    the feature list — original column order preserved."""
+    if not isinstance(m, LabeledMatrix):
+        raise ValueError(
+            "featureSelect() needs a matrix with column labels "
+            "(termVectors or setColumnLabels)"
+        )
+    mat, rl, cl = m.col["m"], m.col["rl"], m.col["cl"]
+    keep = F.filter(
+        F.sequence(F.lit(1), F.size(cl)),
+        lambda i: F.array_contains(feats, F.element_at(cl, i.cast("int"))),
+    )
+    return LabeledMatrix(
+        F.struct(
+            F.transform(
+                mat,
+                lambda row: F.transform(
+                    keep, lambda i: F.element_at(row, i.cast("int"))
+                ),
+            ).alias("m"),
+            rl.alias("rl"),
+            F.transform(keep, lambda i: F.element_at(cl, i.cast("int"))).alias("cl"),
+        )
+    )
+
+
+_feature_select._plan_aware = True
+
+
+def _get_attribute(m, key) -> Column:
+    """GetAttributeEvaluator: read one attribute a stream-bridge attached
+    to a matrix (``termVectors`` attaches ``docFreqs``)."""
+    if not isinstance(m, LabeledMatrix) or not m.has_attrs:
+        raise ValueError("getAttribute() expects a matrix carrying attributes "
+                         "(a termVectors() result)")
+    k = _raw_token(key) or str(key)
+    return F.element_at(m.col["attrs"], k.strip('"'))
+
+
+_get_attribute._plan_aware = True
+
+
+def _get_attributes(m) -> Column:
+    if not isinstance(m, LabeledMatrix) or not m.has_attrs:
+        raise ValueError("getAttributes() expects a matrix carrying attributes "
+                         "(a termVectors() result)")
+    return m.col["attrs"]
+
+
+_get_attributes._plan_aware = True
+
+
+EVALUATORS.update(
+    {
+        "harmonicFit": _harmonic_fit,
+        "harmfit": _harmonic_fit,
+        "gaussfit": _gauss_fit,
+        "getAmplitude": _fit_param(1, "getAmplitude"),
+        "getAngularFrequency": _fit_param(2, "getAngularFrequency"),
+        "getPhase": _fit_param(3, "getPhase"),
+        "bicubicSpline": _bicubic_spline,
+        "projectToBorder": _project_to_border,
+        "featureSelect": _feature_select,
+        "getAttribute": _get_attribute,
+        "getAttributes": _get_attributes,
+    }
+)

@@ -345,7 +345,7 @@ _STREAM_HEADS = frozenset(
     nodes gatherNodes update commit parallel plist significantTerms knn
     random let get tuple cell list echo eval calc features train model
     classify shortestPath scoreNodes daemon topic executor null priority
-    sql jdbc noop""".split()
+    sql jdbc noop plot zplot parseCSV parseTSV stream knnSearch""".split()
 )
 
 
@@ -463,7 +463,24 @@ def _compile(spark, sf_dir, node: Expr, scope: dict | None = None):
                 src, alias = m.group(1).strip(), m.group(2)
                 # tuple fields first: rollup metrics are literally named
                 # "sum(f)" — only non-columns go through the evaluator zoo
-                if src in df.columns or "(" not in src:
+                if src.replace(" ", "") == "recNum()":
+                    # RecNumEvaluator: the tuple's 0-based position in the
+                    # stream — inherently a global sequence over the sort
+                    # (the reference is a mutable counter on a single
+                    # stream), so this is a documented display-time global
+                    # window like cursorMark paging
+                    if not sort:
+                        raise ValueError("recNum() needs a sorted upstream stream")
+                    from pyspark.sql import Window
+
+                    w = Window.orderBy(
+                        *[
+                            F.col(f).asc() if asc else F.col(f).desc()
+                            for f, asc in sort
+                        ]
+                    )
+                    cols.append((F.row_number().over(w) - 1).alias(alias))
+                elif src in df.columns or "(" not in src:
                     cols.append(F.col(f"`{src}`").alias(alias))
                     renames[src] = alias
                 else:
@@ -547,7 +564,8 @@ def _compile(spark, sf_dir, node: Expr, scope: dict | None = None):
     if h == "significantTerms":
         return _significant_terms(spark, sf_dir, node)
 
-    if h == "knn":
+    if h in ("knn", "knnSearch"):
+        # both names register KnnStream (Lang.java:45-46)
         return _knn_mlt(spark, sf_dir, node)
 
     if h == "random":
@@ -784,11 +802,21 @@ def _compile(spark, sf_dir, node: Expr, scope: dict | None = None):
     if h == "tuple":
         return _tuple_stream(spark, sf_dir, node, scope), []
 
+    if h == "plot":
+        return _plot_stream(spark, sf_dir, node, scope)
+
+    if h == "zplot":
+        return _zplot_stream(spark, sf_dir, node, scope)
+
+    if h in ("parseCSV", "parseTSV"):
+        return _parse_csv_stream(spark, sf_dir, node, scope, tsv=(h == "parseTSV"))
+
     if h == "let":
         return _let_stream(spark, sf_dir, node, scope)
 
-    if h == "get":
-        # GetStream (GetStream.java:36): retrieve a let()-bound stream
+    if h in ("get", "stream"):
+        # GetStream (GetStream.java:36): retrieve a let()-bound stream —
+        # registered under both names (Lang.java:260)
         name = node.pos[0]
         if name not in scope:
             raise ValueError(f"get({name!r}): no such let() binding")
@@ -1086,6 +1114,65 @@ def _col_cell(df: DataFrame, sort, field: str):
     return df.agg(F.transform(items, lambda s: s[field]).alias("__cell"))
 
 
+def _pivot_cell(df: DataFrame, x: str, y: str, v: str):
+    """pivot(tuples, x, y, v) → one-row frame with a labeled matrix struct
+    (``PivotEvaluator.java``): row labels = sorted distinct x, column
+    labels = sorted distinct y (the reference's TreeSets), cell = the LAST
+    tuple's value for that (x, y) (the reference's array overwrite), 0.0
+    where no tuple landed (Java array default)."""
+    sx = F.col(x).cast("string")
+    sy = F.col(y).cast("string")
+    items = F.collect_list(
+        F.struct(sx.alias("x"), sy.alias("y"), F.col(v).cast("double").alias("v"))
+    )
+    xl = F.array_sort(F.collect_set(sx))
+    yl = F.array_sort(F.collect_set(sy))
+
+    def cell(xv, yv):
+        hits = F.filter(items, lambda t: (t["x"] == xv) & (t["y"] == yv))
+        return F.when(F.size(hits) > 0, F.element_at(hits, -1)["v"]).otherwise(
+            F.lit(0.0)
+        )
+
+    return df.agg(
+        F.struct(
+            F.transform(xl, lambda xv: F.transform(yl, lambda yv: cell(xv, yv))).alias(
+                "m"
+            ),
+            xl.alias("rl"),
+            yl.alias("cl"),
+        ).alias("__pv")
+    )
+
+
+def _latlon_cell(df: DataFrame, sort, field: str):
+    """latlonVectors(tuples, field=…) → one-row frame with a labeled
+    [lat, lon] matrix (``LatLonVectorsEvaluator.java``): the point field
+    splits on "," when present else on space; row labels = the tuples'
+    ``id`` values, column labels = [lat, lon]."""
+    if not sort:
+        raise ValueError("latlonVectors() needs a sorted bound stream (search sort=…)")
+    if "id" not in df.columns:
+        raise ValueError("The document tuples must contain an id field")
+    parts = F.when(
+        F.col(field).contains(","), F.split(F.col(field), ",")
+    ).otherwise(F.split(F.col(field), " "))
+    vec = F.array(
+        F.trim(F.element_at(parts, 1)).cast("double"),
+        F.trim(F.element_at(parts, 2)).cast("double"),
+    )
+    items = F.array_sort(
+        F.collect_list(F.struct(*df.columns, vec.alias("__v"))), _struct_cmp(sort)
+    )
+    return df.agg(
+        F.struct(
+            F.transform(items, lambda s: s["__v"]).alias("m"),
+            F.transform(items, lambda s: s["id"].cast("string")).alias("rl"),
+            F.array(F.lit("lat"), F.lit("lon")).alias("cl"),
+        ).alias("__ll")
+    )
+
+
 def _term_vectors_cell(df: DataFrame, sort, named: dict):
     """termVectors(stream, ...) → one-row frame with a labeled TF-IDF
     matrix struct (m, rl, cl) (``TermVectorsEvaluator.java``): docs need
@@ -1131,9 +1218,13 @@ def _term_vectors_cell(df: DataFrame, sort, named: dict):
             *[F.sqrt(tf_of(t).cast("double")) * F.lit(idf[t]) for t in features]
         )
         cl = F.array(*[F.lit(t) for t in features])
+        dfs = F.map_from_arrays(
+            cl, F.array(*[F.lit(float(r["count"])) for r in rows])
+        )
     else:
         vec = F.array().cast("array<double>")
         cl = F.array().cast("array<string>")
+        dfs = F.map_from_arrays(cl, F.array().cast("array<double>"))
     items = F.array_sort(
         F.collect_list(F.struct(*df.columns, vec.alias("__v"))), _struct_cmp(sort)
     )
@@ -1142,6 +1233,9 @@ def _term_vectors_cell(df: DataFrame, sort, named: dict):
             F.transform(items, lambda s: s["__v"]).alias("m"),
             F.transform(items, lambda s: s["id"].cast("string")).alias("rl"),
             cl.alias("cl"),
+            # the reference matrix carries a docFreqs attribute
+            # (TermVectorsEvaluator.java setAttribute) — getAttribute reads it
+            F.create_map(F.lit("docFreqs"), dfs).alias("attrs"),
         ).alias("__tv")
     )
 
@@ -1182,6 +1276,54 @@ def _let_stream(spark, sf_dir, node, outer_scope):
             ).withColumnRenamed("__tv", key)
             from .evaluators import LabeledMatrix
 
+            model_tags[key] = LabeledMatrix(F.col(key), has_attrs=True)
+        elif isinstance(v, Expr) and v.name == "memset":
+            # MemsetEvaluator (MemsetEvaluator.java:44): load stream columns
+            # into let()-visible vectors; the binding name itself holds the
+            # var list marker (the reference binds a Map the lets expose)
+            sub_df, sub_sort = _compile(spark, sf_dir, v.pos[0], scope)
+            cols_p = [c.strip() for c in v.named["cols"].split(",")]
+            vars_p = [c.strip() for c in v.named["vars"].split(",")]
+            if len(cols_p) != len(vars_p):
+                raise ValueError("The cols and vars lists must be the same size")
+            size = int(v.named["size"]) if "size" in v.named else None
+            for cname, var in zip(cols_p, vars_p):
+                env = env.crossJoin(
+                    F.broadcast(_col_cell(sub_df, sub_sort, cname))
+                ).withColumnRenamed("__cell", var)
+                if size is not None:
+                    env = env.withColumn(var, F.slice(F.col(var), 1, size))
+            env = env.withColumn(key, F.lit(",".join(vars_p)))
+        elif isinstance(v, Expr) and v.name == "pivot":
+            var = v.pos[0]
+            if var not in scope:
+                raise ValueError(f"pivot({var!r}): no such let() binding")
+            bdf, _bsort = scope[var]
+            args = [p if isinstance(p, str) else _unparse(p) for p in v.pos[1:4]]
+            if len(args) != 3:
+                raise ValueError("The pivot function requires four parameters.")
+            env = env.crossJoin(
+                F.broadcast(_pivot_cell(bdf, *args))
+            ).withColumnRenamed("__pv", key)
+            from .evaluators import LabeledMatrix
+
+            model_tags[key] = LabeledMatrix(F.col(key))
+        elif isinstance(v, Expr) and v.name == "latlonVectors":
+            var = v.pos[0]
+            if var not in scope:
+                raise ValueError(f"latlonVectors({var!r}): no such let() binding")
+            bdf, bsort = scope[var]
+            fld = v.named.get("field")
+            if not fld:
+                raise ValueError(
+                    'The named parameter "field" must be set for the '
+                    "latlonVectors function."
+                )
+            env = env.crossJoin(
+                F.broadcast(_latlon_cell(bdf, bsort, fld))
+            ).withColumnRenamed("__ll", key)
+            from .evaluators import LabeledMatrix
+
             model_tags[key] = LabeledMatrix(F.col(key))
         elif isinstance(v, Expr) and v.name in _STREAM_HEADS:
             scope[key] = _compile(spark, sf_dir, v, scope)
@@ -1189,6 +1331,7 @@ def _let_stream(spark, sf_dir, node, outer_scope):
             expr_text = _unparse(v) if isinstance(v, Expr) else v
             env = env.withColumn(key, parse_binding(expr_text, key, model_tags))
     scope["__env__"] = (env, [])
+    scope["__tags__"] = model_tags
     out = next((p for p in node.pos if isinstance(p, Expr)), None)
     if out is not None:
         return _compile(spark, sf_dir, out, scope)
@@ -1198,6 +1341,173 @@ def _let_stream(spark, sf_dir, node, outer_scope):
         ]
         return env.select(*names), []
     raise ValueError("let() needs an output stream or echo=")
+
+
+def _plot_stream(spark, sf_dir, node, scope):
+    """PlotStream (PlotStream.java:151): one tuple (plot = the type string,
+    data = the zipped [x, y] pairs); x defaults to 1..n when only y is
+    given. Vector params are evaluator expressions or let()-bound names
+    over the enclosing let() env."""
+    from .evaluators import parse_eval
+
+    env = scope.get("__env__", (spark.range(1).select(), []))[0]
+    typ = node.named.get("type", "line")
+    typ = _unparse(typ) if isinstance(typ, Expr) else typ
+    vals = {}
+    for k, v in node.named.items():
+        if k == "type":
+            continue
+        vals[k] = parse_eval(_unparse(v) if isinstance(v, Expr) else v)
+    if "y" not in vals:
+        raise ValueError("plot() needs a y= vector")
+    y = vals["y"]
+    x = vals.get("x")
+    if x is None:
+        x = F.transform(F.sequence(F.lit(1), F.size(y)), lambda i: i.cast("double"))
+    data = F.zip_with(x, y, lambda a, b: F.array(a.cast("double"), b.cast("double")))
+    return env.select(F.lit(typ).alias("plot"), data.alias("data")), []
+
+
+def _zplot_stream(spark, sf_dir, node, scope):
+    """ZplotStream (ZplotStream.java open()): explode let()-bound vectors
+    into per-index tuples (columns in parameter order; x generated 0..n−1
+    when y is given without x), or clusters= over a kmeans result (x, y,
+    cluster name — the reference's first-two-dims projection). The dist=
+    form needs the reference's 500k-draw empirical binning — out of the
+    deterministic contract, rejected with a clear message."""
+    from .evaluators import ClusterModel
+
+    env = scope.get("__env__", (spark.range(1).select(), []))[0]
+    tags = scope.get("__tags__", {})
+    if "dist" in node.named:
+        raise ValueError(
+            "zplot(dist=…) samples 500k draws in the reference — use "
+            "hist()/density() bindings with zplot vectors instead"
+        )
+    if "clusters" in node.named:
+        var = node.named["clusters"]
+        var = _unparse(var) if isinstance(var, Expr) else var
+        tag = tags.get(var)
+        if not isinstance(tag, ClusterModel):
+            raise ValueError("zplot(clusters=…) needs a kmeans()-family binding")
+        col = F.col(var)
+        rows = F.zip_with(
+            col["data"],
+            col["assign"],
+            lambda row, a: F.struct(
+                F.element_at(row, 1).alias("x"),
+                F.element_at(row, 2).alias("y"),
+                F.concat(F.lit("cluster"), (a + 1).cast("string")).alias("cluster"),
+            ),
+        )
+        return (
+            env.select(F.explode(rows).alias("__t")).select(
+                "__t.x", "__t.y", "__t.cluster"
+            ),
+            [],
+        )
+    from .evaluators import parse_eval
+
+    arrs = []
+    for k, v in node.named.items():
+        arrs.append((k, parse_eval(_unparse(v) if isinstance(v, Expr) else v)))
+    if not arrs:
+        raise ValueError("zplot() needs vector parameters")
+    n = F.size(arrs[0][1])
+    keys = [k for k, _ in arrs]
+    auto_x = "y" in keys and "x" not in keys
+    rows = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            *[F.element_at(c, i.cast("int")).alias(k) for k, c in arrs],
+            *([(i - 1).cast("int").alias("x")] if auto_x else []),
+        ),
+    )
+    out_cols = keys + (["x"] if auto_x else [])
+    return (
+        env.select(F.explode(rows).alias("__t")).select(
+            *[f"__t.{k}" for k in out_cols]
+        ),
+        [],
+    )
+
+
+_CSV_SPLIT = r',(?=(?:[^"]*"[^"]*")*[^"]*$)'
+
+
+def _csv_fields(line: str, tsv: bool) -> list[str]:
+    """Driver-side header split — the same rules the row path applies
+    (CsvStream.java split(): quote-aware comma regex, surrounding quotes
+    stripped)."""
+    parts = re.split("\t" if tsv else _CSV_SPLIT, line, flags=0)
+    out = []
+    for p in parts:
+        if p.startswith('"') and p.endswith('"') and len(p) >= 2:
+            p = p[1:-1]
+        out.append(p)
+    return out
+
+
+def _parse_csv_stream(spark, sf_dir, node, scope, tsv: bool):
+    """CsvStream/TsvStream (CsvStream.java:120): tuples carry ``file`` and
+    ``line``; the first line of each file is its header, data rows emit
+    id = file_lineNumber (absolute, header = line 1) plus one column per
+    header field (empty fields → null). Headers are a plan-time schema
+    discovery — one bounded driver read of line 1 per file, exactly like
+    spark.read.csv's header inference; the row path stays Catalyst."""
+    from pyspark.sql import Window
+
+    sub, sort = _compile(spark, sf_dir, node.pos[0], scope)
+    if "file" not in sub.columns or "line" not in sub.columns:
+        raise ValueError("parseCSV() needs a stream with file and line fields")
+    if not sort:
+        raise ValueError("parseCSV() needs a sorted stream (line order)")
+    order = [F.col(f).asc() if asc else F.col(f).desc() for f, asc in sort]
+    df = sub.withColumn("__ln", F.row_number().over(Window.partitionBy("file").orderBy(*order)))
+    headers = {
+        r["file"]: _csv_fields(r["line"], tsv)
+        for r in df.filter("__ln = 1").select("file", "line").collect()
+    }
+    all_cols: list[str] = []
+    for f in sorted(headers):
+        for c in headers[f]:
+            if c not in all_cols:
+                all_cols.append(c)
+    split_pat = "\t" if tsv else _CSV_SPLIT
+    frames = []
+    for f in sorted(headers):
+        cols = headers[f]
+        part = df.filter((F.col("file") == f) & (F.col("__ln") > 1))
+        fields = F.split(F.col("line"), split_pat, -1)
+        ok = F.assert_true(
+            F.size(fields) == len(cols),
+            F.concat(
+                F.lit("Headers and lines must have the same number of fields "),
+                F.lit(f"[file:{f} line number:"),
+                F.col("__ln").cast("string"),
+                F.lit("]"),
+            ),
+        )
+
+        def unquote(c):
+            return F.regexp_replace(c, r'^"(.*)"$', r"$1")
+
+        sel = [
+            F.when(ok.isNull(), F.concat(F.col("file"), F.lit("_"), F.col("__ln"))).alias("id")
+        ]
+        for c in all_cols:
+            if c in cols:
+                val = unquote(F.element_at(fields, cols.index(c) + 1))
+                sel.append(F.when(val != "", val).alias(c))
+            else:
+                sel.append(F.lit(None).cast("string").alias(c))
+        frames.append(part.orderBy("__ln").select(*sel))
+    if not frames:
+        raise ValueError("parseCSV(): empty stream")
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out, []
 
 
 def _tuple_stream(spark, sf_dir, node, scope):
