@@ -441,6 +441,19 @@ def build_index(
     keep = [c for c in keep if not (c in seen or seen.add(c))]
     os.makedirs(docs_path, exist_ok=True)
 
+    # Pin the stored-file Arrow schema from the Spark schema — from_pandas
+    # INFERS types per segment otherwise, and a segment whose array column
+    # holds only empty lists writes list<null>, corrupting the
+    # merged-schema read of the whole docs table (found by atomic-update
+    # churn leaving an all-empty tags column in a 1-doc segment).
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    tag_fields = {f.name: f for f in tagged.schema.fields}
+    tag_fields["doc_id"] = StructField("doc_id", LongType())
+    tag_fields["content_sha256"] = StructField("content_sha256", StringType())
+    docs_arrow_schema = to_arrow_schema(StructType([tag_fields[c] for c in keep]))
+
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
         """One segment = one task: invert the postings AND write the segment's
         stored-fields parquet as a side-channel file (the Iceberg-writer
@@ -468,7 +481,12 @@ def build_index(
         import pyarrow.parquet as pq
 
         tmp = os.path.join(docs_path, f"_tmp-{uuid.uuid4().hex}.parquet")
-        pq.write_table(pa.Table.from_pandas(stored, preserve_index=False), tmp)
+        pq.write_table(
+            pa.Table.from_pandas(
+                stored, schema=docs_arrow_schema, preserve_index=False
+            ),
+            tmp,
+        )
         os.replace(tmp, os.path.join(docs_path, f"part-seg{seg}.parquet"))
 
         doc_ids = np.arange(n, dtype=np.int64)
