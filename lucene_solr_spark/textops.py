@@ -4361,7 +4361,174 @@ FROM assign{_CLUSTER_ITERS - 1} a JOIN lab ON a.cluster = lab.cluster
 # pytest-gated only: the single-metric ops folded into text_metrics /
 # doc_signatures above; emb_knn_threshold is the brute-force ANN baseline
 # whose scale path is the gated emb_ivf_probe.
+# ---------------------------------------------------------------------------
+# SignatureUpdateProcessor — dedup-on-ingest (reference
+# ``solr/core/src/java/org/apache/solr/update/processor/
+# SignatureUpdateProcessorFactory.java`` with its three Signature impls).
+# The factory computes a signature over configured fields and, with
+# overwriteDupes, indexes by the signature so later duplicates overwrite —
+# the batch analogue keeps ONE row per signature. Three signature kinds:
+#
+# - md5 (``MD5Signature.java``): md5 over the concatenated field values.
+# - text_profile (``TextProfileSignature.java``): the Nutch fuzzy profile —
+#   lowercase alnum token runs, length > minTokenLen, frequencies rounded
+#   down to QUANT = max(round(maxFreq·quantRate), 2 if maxFreq>1 else 1),
+#   sub-QUANT tokens dropped, "tok cnt" lines sorted by cnt desc, md5 of
+#   the profile text. Two documented deviations: the token alphabet is
+#   [a-z0-9] (Java's isLetterOrDigit is Unicode-wide; this engine's ASCII
+#   stance, same both engines), and count ties sort tok-asc (the reference
+#   inherits JVM HashMap iteration order — not a spec).
+# - lookup3 (``Lookup3Signature.java``): a 64-bit content hash; stand-in =
+#   the first 8 md5 bytes (the lookup3ycs64 bit mix is JVM-specific; the
+#   ROLE — a short cheap signature — is preserved and cross-engine exact).
+#
+# Shape at 100 TB: text_profile is explode → (doc, token) groupBy → one
+# per-doc agg — two map-side-combinable shuffles, no per-row Python;
+# dedup is one partitioned window over the signature.
+
+
+def text_profile_signatures(
+    df,
+    content_col: str = "text",
+    key_col: str = "doc_id",
+    quant_rate: float = 0.01,
+    min_token_len: int = 2,
+):
+    """(key, signature) per row — TextProfileSignature.add() exactly."""
+    toks = df.select(
+        key_col,
+        F.explode(F.split(F.lower(F.col(content_col)), "[^a-z0-9]+")).alias("tok"),
+    ).filter(F.length("tok") > min_token_len)
+    counts = toks.groupBy(key_col, "tok").agg(F.count("*").alias("cnt"))
+    q = counts.groupBy(key_col).agg(F.max("cnt").alias("maxf"))
+    rq = F.round(F.col("maxf") * quant_rate)
+    q = q.withColumn(
+        "quant",
+        F.when(
+            rq < 2, F.when(F.col("maxf") > 1, F.lit(2)).otherwise(F.lit(1))
+        )
+        .otherwise(rq)
+        .cast("bigint"),
+    )
+    prof = (
+        counts.join(q, key_col)
+        .withColumn("cnt2", F.floor(F.col("cnt") / F.col("quant")) * F.col("quant"))
+        .filter(F.col("cnt2") >= F.col("quant"))
+    )
+    txt = prof.groupBy(key_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cnt2")).alias("nc"),
+                            F.col("tok").alias("tok"),
+                            F.col("cnt2").alias("cnt"),
+                        )
+                    )
+                ),
+                lambda s: F.concat(s["tok"], F.lit(" "), s["cnt"].cast("string")),
+            ),
+        ).alias("profile")
+    )
+    return (
+        df.select(key_col)
+        .join(txt, key_col, "left")
+        .select(
+            key_col, F.md5(F.coalesce(F.col("profile"), F.lit(""))).alias("signature")
+        )
+    )
+
+
+def md5_signatures(df, fields, key_col: str = "doc_id"):
+    """MD5Signature over the configured fields, concatenated in order (the
+    factory add()s each value into one digest; null fields skipped)."""
+    parts = [F.coalesce(F.col(f).cast("string"), F.lit("")) for f in fields]
+    return df.select(key_col, F.md5(F.concat(*parts)).alias("signature"))
+
+
+def signature_dedup_frame(
+    df,
+    fields,
+    key_col: str = "doc_id",
+    signature: str = "text_profile",
+    overwrite_dupes: bool = True,
+    **kw,
+):
+    """The update-chain shape: df + a ``signature`` column; with
+    overwrite_dupes one row per signature survives (smallest key —
+    deterministic where Solr's is arrival order)."""
+    if signature == "text_profile":
+        sigs = text_profile_signatures(df, fields[0], key_col, **kw)
+    elif signature == "md5":
+        sigs = md5_signatures(df, fields, key_col)
+    elif signature == "lookup3":
+        sigs = md5_signatures(df, fields, key_col).withColumn(
+            "signature", F.substring("signature", 1, 16)
+        )
+    else:
+        raise ValueError(f"unknown signature kind {signature!r}")
+    out = df.join(sigs, key_col)
+    if overwrite_dupes:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("signature").orderBy(key_col)
+        out = (
+            out.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+    return out
+
+
+def signature_dedup(spark, sf_dir):
+    """Gated op: TextProfileSignature groups over the documents table —
+    (signature, kept = smallest doc_id, dups)."""
+    sigs = text_profile_signatures(_docs(spark, sf_dir))
+    return sigs.groupBy("signature").agg(
+        F.min("doc_id").cast("bigint").alias("kept"),
+        (F.count("*") - 1).cast("bigint").alias("dups"),
+    )
+
+
+SIGNATURE_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents)
+  WHERE length(tok) > 2
+), counts AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2
+), q AS (
+  -- CAST to BIGINT: DuckDB's // does NOT floor when either side is
+  -- DECIMAL (7 // 2.0 = 3.5) — integer quant keeps the floor division
+  SELECT doc_id,
+         CAST(CASE WHEN round(maxf * 0.01) < 2
+              THEN CASE WHEN maxf > 1 THEN 2 ELSE 1 END
+              ELSE round(maxf * 0.01) END AS BIGINT) AS quant
+  FROM (SELECT doc_id, max(cnt) AS maxf FROM counts GROUP BY 1)
+), prof AS (
+  SELECT c.doc_id, c.tok, (c.cnt // q.quant) * q.quant AS cnt2, q.quant
+  FROM counts c JOIN q USING (doc_id)
+  WHERE (c.cnt // q.quant) * q.quant >= q.quant
+), txt AS (
+  SELECT doc_id,
+         string_agg(tok || ' ' || CAST(CAST(cnt2 AS BIGINT) AS VARCHAR), chr(10)
+                    ORDER BY cnt2 DESC, tok ASC) AS profile
+  FROM prof GROUP BY 1
+), sigs AS (
+  SELECT d.doc_id, md5(coalesce(t.profile, '')) AS signature
+  FROM documents d LEFT JOIN txt t USING (doc_id)
+)
+SELECT signature, CAST(min(doc_id) AS BIGINT) AS kept,
+       CAST(count(*) - 1 AS BIGINT) AS dups
+FROM sigs GROUP BY 1
+"""
+
+
 TRAINING_EXTRA_OPS: dict[str, tuple] = {
+    "signature_dedup": (signature_dedup, SIGNATURE_DEDUP_SQL),
     "features_igain_docs": (features_igain_docs, FEATURES_IGAIN_SQL),
     "train_logit_docs": (train_logit_docs, TRAIN_LOGIT_SQL),
     "cluster_results_docs": (cluster_results_docs, CLUSTER_RESULTS_SQL),
