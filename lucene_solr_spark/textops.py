@@ -957,6 +957,218 @@ SELECT input, suggestion, df, dist FROM (
 )
 
 
+# WordBreakSpellChecker (reference lucene/suggest/src/java/org/apache/
+# lucene/search/spell/WordBreakSpellChecker.java): run-on words break into
+# dictionary words (suggestWordBreaks:90 — every split point whose left AND
+# right parts both clear minSuggestionFrequency, ranked
+# NUM_CHANGES_THEN_MAX_FREQUENCY; maxChanges defaults to 1 = single break),
+# and adjacent query terms combine into one dictionary word
+# (suggestWordCombinations:159, SUGGEST_WHEN_NOT_IN_INDEX: only when at
+# least one part is absent from the index, combined freq ≥ min). The split
+# points are plan-time literals (the inputs are the op's query), so both
+# ops are one broadcast join of the tiny candidate set against the term
+# dictionary — the same no-postings shape as spellcheck_suggest.
+_WORDBREAK_INPUTS = ["sorttable", "bigbatch", "querykey", "streamjoin", "zzzyx"]
+
+
+def wordbreak_suggest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    s = _searcher(spark, sf_dir)
+    rows = [
+        (w, w[:i], w[i:])
+        for w in _WORDBREAK_INPUTS
+        for i in range(1, len(w))
+    ]
+    splits = spark.createDataFrame(rows, "input string, left string, right string")
+    d = s._term_stats_df.select("term", "df")
+    lf = d.select(F.col("term").alias("left"), F.col("df").alias("left_df"))
+    rf = d.select(F.col("term").alias("right"), F.col("df").alias("right_df"))
+    cand = F.broadcast(splits).join(lf, "left").join(rf, "right")
+    w = Window.partitionBy("input").orderBy(
+        F.greatest("left_df", "right_df").desc(), F.col("left").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "input", "left", "right",
+            F.col("left_df").cast("bigint").alias("left_df"),
+            F.col("right_df").cast("bigint").alias("right_df"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+_WB_IN_LIST = ", ".join(f"'{w}'" for w in _WORDBREAK_INPUTS)
+WORDBREAK_SQL = (
+    _BM25_CTE
+    + f""",
+inputs AS (SELECT unnest([{_WB_IN_LIST}]) AS input),
+splits AS (
+  SELECT input, substr(input, 1, CAST(i AS INT)) AS l,
+         substr(input, CAST(i AS INT) + 1) AS r
+  FROM inputs CROSS JOIN range(1, 64) t(i)
+  WHERE i <= length(input) - 1
+),
+cand AS (
+  SELECT s.input, s.l AS "left", s.r AS "right", dl.df AS left_df, dr.df AS right_df
+  FROM splits s
+  JOIN dft dl ON dl.term = s.l
+  JOIN dft dr ON dr.term = s.r
+)
+SELECT input, "left", "right", CAST(left_df AS BIGINT) AS left_df,
+       CAST(right_df AS BIGINT) AS right_df, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY input
+            ORDER BY greatest(left_df, right_df) DESC, "left" ASC) AS rk
+  FROM cand
+) WHERE rk <= 3
+"""
+)
+
+
+_COMBINE_QUERY = ["val", "ue", "table", "str", "eam"]
+
+
+def wordcombine_suggest(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    pairs = [
+        (i, _COMBINE_QUERY[i], _COMBINE_QUERY[i + 1],
+         _COMBINE_QUERY[i] + _COMBINE_QUERY[i + 1])
+        for i in range(len(_COMBINE_QUERY) - 1)
+    ]
+    pf = spark.createDataFrame(
+        pairs, "pos int, left string, right string, combined string"
+    )
+    d = s._term_stats_df.select("term", "df")
+    j = (
+        F.broadcast(pf)
+        .join(d.select(F.col("term").alias("left"), F.col("df").alias("ldf")), "left", "left")
+        .join(d.select(F.col("term").alias("right"), F.col("df").alias("rdf")), "right", "left")
+        .join(d.select(F.col("term").alias("combined"), F.col("df").alias("df")), "combined")
+    )
+    # SUGGEST_WHEN_NOT_IN_INDEX: at least one original term absent
+    return (
+        j.filter(F.least(F.coalesce("ldf", F.lit(0)), F.coalesce("rdf", F.lit(0))) == 0)
+        .select(
+            F.col("pos").cast("bigint").alias("pos"),
+            "left", "right", "combined",
+            F.col("df").cast("bigint").alias("df"),
+        )
+    )
+
+
+_CQ_IN_LIST = ", ".join(f"'{w}'" for w in _COMBINE_QUERY)
+WORDCOMBINE_SQL = (
+    _BM25_CTE
+    + f""",
+q AS (SELECT CAST(i AS INT) AS pos, w FROM (
+        SELECT unnest([{_CQ_IN_LIST}]) AS w,
+               unnest(range(0, {len(_COMBINE_QUERY)})) AS i)),
+pairs AS (
+  SELECT a.pos, a.w AS "left", b.w AS "right", a.w || b.w AS combined
+  FROM q a JOIN q b ON b.pos = a.pos + 1
+)
+SELECT CAST(p.pos AS BIGINT) AS pos, p."left", p."right", p.combined,
+       CAST(dc.df AS BIGINT) AS df
+FROM pairs p
+LEFT JOIN dft dl ON dl.term = p."left"
+LEFT JOIN dft dr ON dr.term = p."right"
+JOIN dft dc ON dc.term = p.combined
+WHERE least(coalesce(dl.df, 0), coalesce(dr.df, 0)) = 0
+"""
+)
+
+
+# SpellCheckCollator (reference solr/core/src/java/org/apache/solr/
+# spelling/SpellCheckCollator.java:55 collate()): substitute top
+# suggestions for the misspelled query terms, re-run each candidate
+# collation, keep the ones with hits. The verification is ONE distributed
+# pass: explode each collation into its terms, join the (doc, term)
+# incidence, a doc counts when it matched every term — no per-collation
+# query loop (the reference issues maxCollationTries sub-queries).
+_COLLATE_INPUTS = ["tabel", "strem"]
+
+
+def spellcheck_collate(spark, sf_dir):
+    from pyspark.sql import Window
+
+    s = _searcher(spark, sf_dir)
+    inputs = spark.createDataFrame([(w,) for w in _COLLATE_INPUTS], "input string")
+    cand = (
+        s._term_stats_df.select("term", "df")
+        .crossJoin(F.broadcast(inputs))
+        .withColumn("dist", F.levenshtein("term", "input").cast("long"))
+        .filter((F.col("dist") <= 2) & (F.col("term") != F.col("input")))
+    )
+    w = Window.partitionBy("input").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+    )
+    top = cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
+    coll = None
+    for idx, word in enumerate(_COLLATE_INPUTS):
+        si = top.filter(F.col("input") == word).select(
+            F.col("term").alias(f"s{idx}")
+        )
+        coll = si if coll is None else coll.crossJoin(F.broadcast(si))
+    names = [f"s{i}" for i in range(len(_COLLATE_INPUTS))]
+    coll = coll.withColumn("collation", F.concat_ws(" ", *names))
+    terms = coll.select("collation", F.explode(F.array(*names)).alias("term"))
+    inc = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_TOK_EXPR))).alias("term")
+    )
+    per_doc = (
+        terms.join(inc, "term")
+        .groupBy("collation", "doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .filter(F.col("nt") == len(_COLLATE_INPUTS))
+    )
+    return (
+        per_doc.groupBy("collation")
+        .agg(F.count("*").cast("bigint").alias("hits"))
+        .filter(F.col("hits") > 0)
+    )
+
+
+_COLL_IN_LIST = ", ".join(f"'{w}'" for w in _COLLATE_INPUTS)
+SPELLCOLLATE_SQL = (
+    _BM25_CTE
+    + f""",
+inputs AS (SELECT unnest([{_COLL_IN_LIST}]) AS input),
+cand AS (
+  SELECT i.input, d.term, d.df,
+         CAST(levenshtein(d.term, i.input) AS BIGINT) AS dist
+  FROM dft d CROSS JOIN inputs i
+  WHERE levenshtein(d.term, i.input) <= 2 AND d.term != i.input
+),
+top2 AS (
+  SELECT input, term FROM (
+    SELECT *, row_number() OVER (PARTITION BY input
+              ORDER BY dist ASC, df DESC, term ASC) AS rk FROM cand)
+  WHERE rk <= 2
+),
+coll AS (
+  SELECT a.term || ' ' || b.term AS "collation", a.term AS t0, b.term AS t1
+  FROM (SELECT term FROM top2 WHERE input = '{_COLLATE_INPUTS[0]}') a
+  CROSS JOIN (SELECT term FROM top2 WHERE input = '{_COLLATE_INPUTS[1]}') b
+),
+cterms AS (
+  SELECT "collation", t0 AS term FROM coll
+  UNION ALL SELECT "collation", t1 FROM coll
+),
+inc AS (SELECT DISTINCT doc_id, term FROM tf),
+per_doc AS (
+  SELECT c."collation", i.doc_id, count(DISTINCT c.term) AS nt
+  FROM cterms c JOIN inc i USING (term)
+  GROUP BY 1, 2
+)
+SELECT "collation", CAST(count(*) AS BIGINT) AS hits
+FROM per_doc WHERE nt = 2 GROUP BY 1 HAVING count(*) > 0
+"""
+)
+
+
 # PayloadScoreQuery gate (queries/payloads/PayloadScoreQuery.java +
 # DelimitedPayloadTokenFilter.java): documents re-serialized with a
 # deterministic per-occurrence payload (token i carries (i % 7) + 0.5),
@@ -2540,6 +2752,9 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "ltr_trees_rescore": (ltr_trees_rescore, LTR_TREES_SQL),
     "terms_component": (terms_component, TERMS_COMPONENT_SQL),
     "spellcheck_suggest": (spellcheck_suggest, SPELLCHECK_SQL),
+    "wordbreak_suggest": (wordbreak_suggest, WORDBREAK_SQL),
+    "wordcombine_suggest": (wordcombine_suggest, WORDCOMBINE_SQL),
+    "spellcheck_collate": (spellcheck_collate, SPELLCOLLATE_SQL),
     "freetext_suggest": (freetext_suggest, FREETEXT_SUGGEST_SQL),
     "analyzing_suggest": (analyzing_suggest, _asug_sql()),
     "fuzzy_suggest": (fuzzy_suggest, _fsug_sql()),
