@@ -1081,6 +1081,217 @@ WHERE least(coalesce(dl.df, 0), coalesce(dr.df, 0)) = 0
 )
 
 
+# PhrasesIdentificationComponent (reference solr/core/src/java/org/apache/
+# solr/handler/component/PhrasesIdentificationComponent.java:115): score the
+# sub-phrases of a query string as "real phrases" from indexed shingle
+# statistics — the bayesian categorization model of computeFieldScore
+# (:~830-950): for each largest-indexed sub-phrase ("words", a bigram at
+# maxIndexedPositionLength=2) of a candidate phrase P,
+#   P(words|phrase)      = shingle_ttf / min(word ttf)
+#   P(phrase)            = conj(P) / conj(words)   (minus the max wrapper
+#                          probability — zero here: no indexed phrase is
+#                          longer than the shingle size)
+#   P(words|not phrase)  = shingle_ttf / max(word ttf)
+#   words_score = P(w|p)·P(p) − P(w|¬p)·(1 − P(p))
+# summed over the bigrams, scaled by 1/(1+maxQuery−maxIndexed) and by
+# conj(P)/max_sub_conj. A phrase with a missing term or an empty
+# conjunction scores −1; single words score 0 (the component's sentinel
+# contract). This op fixes maxIndexedPositionLength=2 /
+# maxQueryPositionLength=3, one field at weight 1 — the default shipped
+# shingle config. Everything derives from two scans: token incidence
+# (conjunction counts) and the slice+zip adjacent-pair shingle counts —
+# no shingle field needs to exist ahead of time, the stats ARE the role.
+_PHRASE_QUERY = ["hash", "table", "scan", "fast"]
+
+
+def _phrase_cands():
+    q = _PHRASE_QUERY
+    out = []
+    for n in (1, 2, 3):
+        for i in range(len(q) - n + 1):
+            out.append((" ".join(q[i : i + n]), q[i : i + n], n))
+    return out
+
+
+def phrases_identify(spark, sf_dir):
+    cands = _phrase_cands()
+    cf = spark.createDataFrame(
+        cands, "phrase string, words array<string>, nw int"
+    )
+    d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
+    qset = list(dict.fromkeys(_PHRASE_QUERY))
+
+    # per-term total term frequency over the corpus
+    tstats = (
+        d.select(F.explode("arr").alias("term"))
+        .filter(F.col("term").isin(qset))
+        .groupBy("term")
+        .agg(F.count("*").alias("ttf"))
+    )
+    # conjunction doc counts for every candidate (bigrams included)
+    inc = d.select("doc_id", F.explode(F.array_distinct("arr")).alias("term")).filter(
+        F.col("term").isin(qset)
+    )
+    cw = cf.select("phrase", "nw", F.explode("words").alias("term")).distinct()
+    conj = (
+        cw.join(inc, "term")
+        .groupBy("phrase", "nw", "doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .join(
+            cf.select("phrase", F.size(F.array_distinct("words")).alias("du")),
+            "phrase",
+        )
+        .filter(F.col("nt") == F.col("du"))
+        .groupBy("phrase")
+        .agg(F.count("*").alias("conj"))
+    )
+    # bigram shingle ttf: adjacent pairs via scan-local slice+zip
+    pairs = F.expr(
+        "transform(slice(arr, 1, greatest(size(arr)-1, 0)), "
+        "(x, i) -> concat(x, ' ', arr[i+1]))"
+    )
+    bigrams = [p for p, w, n in cands if n == 2]
+    bttf = (
+        d.select(F.explode(pairs).alias("big"))
+        .filter(F.col("big").isin(bigrams))
+        .groupBy("big")
+        .agg(F.count("*").alias("bttf"))
+    )
+
+    # per-candidate decomposition into its adjacent bigrams
+    rows = []
+    for p, w, n in cands:
+        if n == 1:
+            continue
+        for i in range(n - 1):
+            rows.append((p, n, " ".join(w[i : i + 2]), w[i], w[i + 1]))
+    sub = spark.createDataFrame(
+        rows, "phrase string, nw int, big string, w1 string, w2 string"
+    )
+    j = (
+        F.broadcast(sub)
+        .join(conj.select(F.col("phrase").alias("big"), F.col("conj").alias("conj_b")), "big")
+        .join(F.broadcast(bttf), "big", "left")
+        .join(tstats.select(F.col("term").alias("w1"), F.col("ttf").alias("ttf1")), "w1")
+        .join(tstats.select(F.col("term").alias("w2"), F.col("ttf").alias("ttf2")), "w2")
+        .join(conj, "phrase")
+    )
+    pp = F.col("conj") / F.col("conj_b")
+    bt = F.coalesce(F.col("bttf"), F.lit(0)).cast("double")
+    wpp = bt / F.least("ttf1", "ttf2")
+    wnpp = bt / F.greatest("ttf1", "ttf2")
+    scored = j.withColumn("ws", wpp * pp - wnpp * (1 - pp))
+    agg = scored.groupBy("phrase", "nw", "conj").agg(
+        F.sum("ws").alias("fs"), F.max("conj_b").alias("max_sub")
+    )
+    multi = agg.select(
+        "phrase",
+        F.col("nw").cast("bigint").alias("nw"),
+        F.round(
+            F.col("fs")
+            * (1.0 / 2.0)  # 1 / (1 + maxQuery(3) − maxIndexed(2))
+            * (F.col("conj") / F.greatest("max_sub", "conj")),
+            6,
+        ).alias("score"),
+    )
+    # candidates that dropped out of the stats joins (missing term / empty
+    # conjunction) score the −1 sentinel; single present words score 0
+    allc = cf.select("phrase", F.col("nw").cast("bigint").alias("nw"))
+    singles = (
+        cf.filter("nw = 1")
+        .join(conj, "phrase", "left")
+        .select(
+            "phrase",
+            F.col("nw").cast("bigint").alias("nw"),
+            F.when(F.col("conj") > 0, 0.0).otherwise(-1.0).alias("score"),
+        )
+    )
+    got = multi.unionByName(singles)
+    return (
+        allc.join(got, ["phrase", "nw"], "left")
+        .select("phrase", "nw", F.coalesce("score", F.lit(-1.0)).alias("score"))
+    )
+
+
+def _phrase_sql_lists():
+    cands = _phrase_cands()
+    c_rows = ", ".join(f"('{p}', {n})" for p, w, n in cands)
+    cw_rows = ", ".join(
+        f"('{p}', '{t}')" for p, w, n in cands for t in dict.fromkeys(w)
+    )
+    sub_rows = ", ".join(
+        f"('{p}', {n}, '{' '.join(w[i:i+2])}', '{w[i]}', '{w[i+1]}')"
+        for p, w, n in cands
+        if n > 1
+        for i in range(n - 1)
+    )
+    q_list = ", ".join(f"'{t}'" for t in dict.fromkeys(_PHRASE_QUERY))
+    big_list = ", ".join(f"'{p}'" for p, w, n in cands if n == 2)
+    return c_rows, cw_rows, sub_rows, q_list, big_list
+
+
+_PH_C, _PH_CW, _PH_SUB, _PH_Q, _PH_BIG = _phrase_sql_lists()
+PHRASES_SQL = (
+    _BM25_CTE
+    + f""",
+cands(phrase, nw) AS (VALUES {_PH_C}),
+candw(phrase, term) AS (VALUES {_PH_CW}),
+subs(phrase, nw, big, w1, w2) AS (VALUES {_PH_SUB}),
+tstats AS (
+  SELECT term, count(*) AS ttf FROM tok
+  WHERE term IN ({_PH_Q}) GROUP BY term
+),
+inc AS (SELECT DISTINCT doc_id, term FROM tok WHERE term IN ({_PH_Q})),
+du AS (SELECT phrase, count(*) AS du FROM candw GROUP BY 1),
+conj AS (
+  SELECT phrase, count(*) AS conj FROM (
+    SELECT c.phrase, i.doc_id, count(DISTINCT c.term) AS nt
+    FROM candw c JOIN inc i USING (term) GROUP BY 1, 2
+  ) pd JOIN du USING (phrase) WHERE pd.nt = du.du GROUP BY 1
+),
+bttf AS (
+  SELECT big, count(*) AS bttf FROM (
+    SELECT unnest(list_transform(arr[1:len(arr)-1],
+                  (x, i) -> x || ' ' || arr[i+1])) AS big
+    FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+          FROM documents)
+  ) WHERE big IN ({_PH_BIG}) GROUP BY 1
+),
+j AS (
+  SELECT s.phrase, s.nw, cp.conj, cb.conj AS conj_b,
+         coalesce(bt.bttf, 0) AS bttf, t1.ttf AS ttf1, t2.ttf AS ttf2
+  FROM subs s
+  JOIN conj cb ON cb.phrase = s.big
+  LEFT JOIN bttf bt ON bt.big = s.big
+  JOIN tstats t1 ON t1.term = s.w1
+  JOIN tstats t2 ON t2.term = s.w2
+  JOIN conj cp ON cp.phrase = s.phrase
+),
+agg AS (
+  SELECT phrase, nw, conj,
+         sum((bttf / least(ttf1, ttf2)) * (conj * 1.0 / conj_b)
+             - (bttf / greatest(ttf1, ttf2)) * (1 - conj * 1.0 / conj_b)) AS fs,
+         max(conj_b) AS max_sub
+  FROM j GROUP BY 1, 2, 3
+),
+multi AS (
+  SELECT phrase, CAST(nw AS BIGINT) AS nw,
+         round(fs * 0.5 * (conj * 1.0 / greatest(max_sub, conj)), 6) AS score
+  FROM agg
+),
+singles AS (
+  SELECT c.phrase, CAST(c.nw AS BIGINT) AS nw,
+         CASE WHEN j.conj > 0 THEN 0.0 ELSE -1.0 END AS score
+  FROM cands c LEFT JOIN conj j USING (phrase) WHERE c.nw = 1
+),
+got AS (SELECT * FROM multi UNION ALL SELECT * FROM singles)
+SELECT c.phrase, CAST(c.nw AS BIGINT) AS nw,
+       coalesce(g.score, -1.0) AS score
+FROM cands c LEFT JOIN got g ON g.phrase = c.phrase AND g.nw = c.nw
+"""
+)
+
+
 # SpellCheckCollator (reference solr/core/src/java/org/apache/solr/
 # spelling/SpellCheckCollator.java:55 collate()): substitute top
 # suggestions for the misspelled query terms, re-run each candidate
@@ -2755,6 +2966,7 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "wordbreak_suggest": (wordbreak_suggest, WORDBREAK_SQL),
     "wordcombine_suggest": (wordcombine_suggest, WORDCOMBINE_SQL),
     "spellcheck_collate": (spellcheck_collate, SPELLCOLLATE_SQL),
+    "phrases_identify": (phrases_identify, PHRASES_SQL),
     "freetext_suggest": (freetext_suggest, FREETEXT_SUGGEST_SQL),
     "analyzing_suggest": (analyzing_suggest, _asug_sql()),
     "fuzzy_suggest": (fuzzy_suggest, _fsug_sql()),
