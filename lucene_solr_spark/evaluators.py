@@ -11,7 +11,7 @@ manipulated with the higher-order builtins (``transform``/``aggregate``/
 ``zip_with``/``slice``/``filter``) — whole-stage codegen applies, no Python
 in the row path.
 
-Scope (documented): per-tuple evaluators only — 223 names (+ the
+Scope (documented): per-tuple evaluators only — 238 names (+ the
 ``termVectors`` stream-context bridge in ``streaming_expr``). Round 4 adds the
 deterministic model-state tranche (distributions as value-typed structs +
 cumulativeProbability/probability/density, regress/predict/residuals,

@@ -126,6 +126,40 @@ SELECT '__missing__', bucket_count FROM counts WHERE prio IS NULL
 """
 
 
+# SimpleFacets term-filter knobs (solr/core/.../request/SimpleFacets.java
+# getTermCounts: facet.prefix narrows the term range BEFORE counting —
+# the reference seeks the term dict to the prefix — facet.contains (+
+# facet.contains.ignoreCase) substring-filters, facet.excludeTerms drops
+# exact terms). Bucket-row filters over the partial+final count agg: the
+# prefix is sargable (starts_with on the dictionary), never a doc rescan.
+def facet_prefix_part(spark, sf_dir):
+    counts = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("bucket_count"))
+    )
+    out = (
+        counts.filter(F.col("p_brand").startswith("Brand#1"))
+        .filter(F.lower("p_brand").contains("2"))  # contains, ignoreCase
+        .filter(~F.col("p_brand").isin("Brand#12"))  # facet.excludeTerms
+        .orderBy(F.col("bucket_count").desc(), F.col("p_brand").asc())
+        .limit(10)
+        .select(F.col("p_brand").alias("bucket"), "bucket_count")
+    )
+    return out
+
+
+FACET_PREFIX_SQL = """
+SELECT p_brand AS bucket, count(*) AS bucket_count
+FROM part
+WHERE p_brand LIKE 'Brand#1%'
+  AND contains(lower(p_brand), '2')
+  AND p_brand != 'Brand#12'
+GROUP BY p_brand
+ORDER BY bucket_count DESC, p_brand ASC LIMIT 10
+"""
+
+
 # Date-range faceting (solr/core/.../request/SimpleFacets + facet.range on
 # a date field with a DateMath gap — RangeEndpointCalculator's DATE case):
 # bucket edges are start, start+gap, start+2·gap, … computed through the
@@ -2819,6 +2853,7 @@ LIMIT 15 OFFSET 10
 
 
 RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
+    "facet_prefix_part": (facet_prefix_part, FACET_PREFIX_SQL),
     "sql_handler_orders": (sql_handler_orders, SQL_HANDLER_STMT),
     "stream_expr_rollup": (stream_expr_rollup, STREAM_EXPR_SQL),
     "stream_expr_setops": (stream_expr_setops, STREAM_EXPR_SETOPS_SQL),
