@@ -529,7 +529,12 @@ def parse_eval(text: str, names: dict | None = None) -> Column:
     A top-level :class:`~.functions.PlanValue` (an interpolation model used
     as a value) decays to its serialized form — the fitted-values array,
     like the reference VectorFunction."""
-    _sample_entry(0)
+    # each parse_eval entry gets its own salt base (a running counter):
+    # sibling expressions in one head — zplot(x=sample(…), y=sample(…)) —
+    # parse separately and must draw INDEPENDENT streams; the counter is
+    # deterministic for a given program's parse order
+    _SAMPLE_STATE["entry"] = (_SAMPLE_STATE.get("entry", 0) + 1) & 0xFFFF
+    _sample_entry(_SAMPLE_STATE["entry"])
     s = text.strip()
     if s.startswith("monteCarlo(") and s.endswith(")"):
         return parse_monte_carlo(s, names)
@@ -603,10 +608,9 @@ def apply_let(df: DataFrame, text: str) -> DataFrame:
 # registered in ``Lang.java:116-330``). A distribution VALUE is a struct
 # Column ``(d = tag, p = params-or-data)`` consumed by cumulativeProbability
 # / probability / density — no driver state, so the same expression runs on
-# every engine deterministically. Sampling names (``sample``, ``monteCarlo``,
-# ``random*``) stay out: they need an RNG (documented). ``kmeans``'s array
-# form needs runtime-sized model state a Column expression cannot hold —
-# the engine's k-means is ``textops.cluster_results_docs`` (documented).
+# every engine deterministically. (Sampling over these structs landed in
+# batch 6 below — the deterministic LCG draws; kmeans' array form in the
+# batch-3 clustering tranche.)
 
 import math as _math
 
@@ -2996,6 +3000,23 @@ def _next_salt() -> int:
     return s
 
 
+def _seq0(n: Column) -> Column:
+    """0..n−1, EMPTY for n ≤ 0 — ``sequence()`` DESCENDS when start > stop
+    ([0, −1] for n = 0), so every draw-count range needs this guard."""
+    nc = n.cast("int")
+    return F.filter(
+        F.sequence(F.lit(0), F.greatest(nc - 1, F.lit(0))), lambda j: j <= nc - 1
+    )
+
+
+def _seq1(n: Column) -> Column:
+    """1..n, empty for n ≤ 0 (same descending-sequence guard)."""
+    nc = n.cast("int")
+    return F.filter(
+        F.sequence(F.lit(1), F.greatest(nc, F.lit(1))), lambda j: j <= nc
+    )
+
+
 def _u_draw(salt: int, j, t=None) -> Column:
     """One uniform in (0,1): seed = (salt, monteCarlo-iteration, j, t)
     mixed with fixed odd multipliers, 3 LCG warmup steps. All terms stay
@@ -3101,7 +3122,7 @@ def _draw_scalar(dist: Column, salt: int, j) -> Column:
     ).otherwise(P(3) - F.sqrt((1 - u0) * (P(3) - P(1)) * (P(3) - P(2))))
 
     binom = F.aggregate(
-        F.sequence(F.lit(1), P(1).cast("int")),
+        _seq1(P(1)),
         F.lit(0.0),
         lambda acc, t: acc + F.when(_u_draw(salt, j, t=t) < P(2), 1.0).otherwise(0.0),
     )
@@ -3132,12 +3153,12 @@ def _draw_scalar(dist: Column, salt: int, j) -> Column:
 
     nz = P(1).cast("int")
     zH = F.aggregate(
-        F.sequence(F.lit(1), nz),
+        _seq1(nz),
         F.lit(0.0),
         lambda acc, r: acc + F.pow(r.cast("double"), -P(2)),
     )
     zres = F.aggregate(
-        F.sequence(F.lit(1), nz),
+        _seq1(nz),
         F.struct(F.lit(0.0).alias("c"), F.lit(-1).alias("pick")),
         lambda acc, r: F.when(acc["pick"] >= 0, acc).otherwise(
             F.when(
@@ -3209,7 +3230,7 @@ def _markov_sample(mm: MarkovModel, salt: int, n: Column) -> Column:
         F.lit("markovChain must be initialized with a square matrix."),
     )
     res = F.aggregate(
-        F.sequence(F.lit(0), n.cast("int") - 1),
+        _seq0(n),
         F.struct(
             s0.alias("s"), F.expr("cast(array() as array<int>)").alias("out")
         ),
@@ -3320,17 +3341,11 @@ def _sample(dist, *n):
     if isinstance(dist, MvnModel):
         if not n:
             return _mvn_draw(dist, salt, F.lit(0))
-        return F.transform(
-            F.sequence(F.lit(0), n[0].cast("int") - 1),
-            lambda j: _mvn_draw(dist, salt, j),
-        )
+        return F.transform(_seq0(n[0]), lambda j: _mvn_draw(dist, salt, j))
     dist = dist.value() if isinstance(dist, PlanValue) else dist
     if not n:
         return _draw_scalar(dist, salt, F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(0), n[0].cast("int") - 1),
-        lambda j: _draw_scalar(dist, salt, j),
-    )
+    return F.transform(_seq0(n[0]), lambda j: _draw_scalar(dist, salt, j))
 
 
 _sample._plan_aware = True
@@ -3378,6 +3393,8 @@ def parse_monte_carlo(text: str, names: dict | None) -> Column:
         )
     func_text, it_text = rest[0].strip(), rest[1].strip()
     iters = int(it_text)
+    if iters <= 0:
+        return F.expr("cast(array() as array<double>)")
     base_ctr = _SAMPLE_STATE["ctr"]
 
     def body_fn(i):
@@ -3643,7 +3660,12 @@ def _gauss_guess(xs: Column, ys: Column) -> Column:
 
     lcand = F.filter(F.sequence(F.lit(1), F.greatest(imax - 1, F.lit(1))),
                      lambda j: (j <= imax - 1) & between(j))
-    rcand = F.filter(F.sequence(imax, n - 1), lambda j: between(j))
+    # guard like lcand: sequence() DESCENDS when start > stop, so a peak at
+    # the last point would otherwise scan [n, n-1] and fake a right crossing
+    rcand = F.filter(
+        F.sequence(imax, F.greatest(n - 1, imax)),
+        lambda j: (j <= n - 1) & between(j),
+    )
     lj = F.when(F.size(lcand) > 0, F.element_at(lcand, -1))
     rj = F.when(F.size(rcand) > 0, F.element_at(rcand, 1))
     x1 = interp(lj, lj + 1, lj)

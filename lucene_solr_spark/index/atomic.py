@@ -164,15 +164,31 @@ def atomic_update(
         merged(cname) for cname in doc_cols if cname not in key_cols
     ]
     # localCheckpoint BOTH frames before mutating the index: their lineage
-    # reads the live-docs view, and the tombstone append below would
-    # otherwise change what a recomputation resolves (build_index's jobs
-    # re-evaluate the plan). Checkpoint = materialize once, cut the lineage.
+    # reads the live-docs view, and the writes below would otherwise change
+    # what a recomputation resolves (build_index's jobs re-evaluate the
+    # plan). Checkpoint = materialize once, cut the lineage.
     new_docs = joined.select(*out_cols).localCheckpoint()
     created = new_docs.count()
+    n_keys = updates.select(*key_cols).distinct().count()
+    if created != n_keys:
+        # a right join against the per-key RealTimeGet view indexes one new
+        # doc PER update row — duplicate keys in one batch would leave two
+        # live docs with the same unique key (Solr applies them in arrival
+        # order; a DataFrame has no row order to apply)
+        raise ValueError(
+            f"atomic_update: updates must carry ONE row per key per batch "
+            f"({created} rows over {n_keys} distinct keys) — split into "
+            f"sequential batches to apply multiple ops to the same document"
+        )
 
     victims = cur.select("segment_id", "doc_id").localCheckpoint()
-    n_deleted = delete_docs(spark, index_dir, victims)
 
+    # Commit ORDER: the replacement segment's manifest append lands FIRST,
+    # the tombstones for the superseded rows land after. A crash between
+    # the two leaves BOTH versions visible (RealTimeGet still resolves the
+    # newer segment; a replayed update converges) — the safe failure mode.
+    # Tombstoning first would make a crash lose the document entirely
+    # (tombstones apply to every commit; the replacement never lands).
     base_id = next_segment_id(spark, index_dir)
     metrics = build_index(
         spark,
@@ -189,6 +205,7 @@ def atomic_update(
         store_payloads=bool(lin.get("store_payloads")),
         extra_lineage={"atomic_update": True},
     )
+    n_deleted = delete_docs(spark, index_dir, victims)
     return {
         "updated": int(n_deleted),
         "created": int(created - n_deleted),

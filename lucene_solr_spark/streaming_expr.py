@@ -1114,23 +1114,37 @@ def _col_cell(df: DataFrame, sort, field: str):
     return df.agg(F.transform(items, lambda s: s[field]).alias("__cell"))
 
 
-def _pivot_cell(df: DataFrame, x: str, y: str, v: str):
+def _pivot_cell(df: DataFrame, sort, x: str, y: str, v: str):
     """pivot(tuples, x, y, v) → one-row frame with a labeled matrix struct
     (``PivotEvaluator.java``): row labels = sorted distinct x, column
-    labels = sorted distinct y (the reference's TreeSets), cell = the LAST
-    tuple's value for that (x, y) (the reference's array overwrite), 0.0
-    where no tuple landed (Java array default)."""
+    labels = sorted distinct y (the reference's ``TreeSet<String>``s — the
+    keys go through ``getString``, so the order is lexicographic even for
+    numeric fields, and so is ours), cell = the LAST tuple's value in
+    STREAM order for that (x, y) (the reference's array overwrite — the
+    collected list is re-sorted by the bound stream's sort, like the other
+    cell builders, because collect_list order is partition-dependent),
+    0.0 where no tuple landed (Java array default)."""
+    if not sort:
+        raise ValueError("pivot() needs a sorted bound stream (search sort=…)")
     sx = F.col(x).cast("string")
     sy = F.col(y).cast("string")
-    items = F.collect_list(
-        F.struct(sx.alias("x"), sy.alias("y"), F.col(v).cast("double").alias("v"))
+    items = F.array_sort(
+        F.collect_list(
+            F.struct(
+                *df.columns,
+                sx.alias("__x"),
+                sy.alias("__y"),
+                F.col(v).cast("double").alias("__v"),
+            )
+        ),
+        _struct_cmp(sort),
     )
     xl = F.array_sort(F.collect_set(sx))
     yl = F.array_sort(F.collect_set(sy))
 
     def cell(xv, yv):
-        hits = F.filter(items, lambda t: (t["x"] == xv) & (t["y"] == yv))
-        return F.when(F.size(hits) > 0, F.element_at(hits, -1)["v"]).otherwise(
+        hits = F.filter(items, lambda t: (t["__x"] == xv) & (t["__y"] == yv))
+        return F.when(F.size(hits) > 0, F.element_at(hits, -1)["__v"]).otherwise(
             F.lit(0.0)
         )
 
@@ -1287,23 +1301,36 @@ def _let_stream(spark, sf_dir, node, outer_scope):
             if len(cols_p) != len(vars_p):
                 raise ValueError("The cols and vars lists must be the same size")
             size = int(v.named["size"]) if "size" in v.named else None
-            for cname, var in zip(cols_p, vars_p):
-                env = env.crossJoin(
-                    F.broadcast(_col_cell(sub_df, sub_sort, cname))
-                ).withColumnRenamed("__cell", var)
-                if size is not None:
+            # ONE agg job builds every vector (the per-column _col_cell
+            # shape would re-aggregate the same stream len(cols) times)
+            if not sub_sort:
+                raise ValueError("memset() needs a sorted stream (search sort=…)")
+            items = F.array_sort(
+                F.collect_list(F.struct(*sub_df.columns)), _struct_cmp(sub_sort)
+            )
+            def _pick(cname):
+                # closure factory — a 2-arg transform lambda would be read
+                # as (element, index)
+                return F.transform(items, lambda s: s[cname])
+
+            cells = sub_df.agg(
+                *[_pick(cname).alias(var) for cname, var in zip(cols_p, vars_p)]
+            )
+            env = env.crossJoin(F.broadcast(cells))
+            if size is not None:
+                for var in vars_p:
                     env = env.withColumn(var, F.slice(F.col(var), 1, size))
             env = env.withColumn(key, F.lit(",".join(vars_p)))
         elif isinstance(v, Expr) and v.name == "pivot":
             var = v.pos[0]
             if var not in scope:
                 raise ValueError(f"pivot({var!r}): no such let() binding")
-            bdf, _bsort = scope[var]
+            bdf, bsort = scope[var]
             args = [p if isinstance(p, str) else _unparse(p) for p in v.pos[1:4]]
             if len(args) != 3:
                 raise ValueError("The pivot function requires four parameters.")
             env = env.crossJoin(
-                F.broadcast(_pivot_cell(bdf, *args))
+                F.broadcast(_pivot_cell(bdf, bsort, *args))
             ).withColumnRenamed("__pv", key)
             from .evaluators import LabeledMatrix
 
@@ -1363,7 +1390,14 @@ def _plot_stream(spark, sf_dir, node, scope):
     y = vals["y"]
     x = vals.get("x")
     if x is None:
-        x = F.transform(F.sequence(F.lit(1), F.size(y)), lambda i: i.cast("double"))
+        # filter-guarded: sequence() descends for an empty y ([1, 0])
+        x = F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.greatest(F.size(y), F.lit(1))),
+                lambda i: i <= F.size(y),
+            ),
+            lambda i: i.cast("double"),
+        )
     data = F.zip_with(x, y, lambda a, b: F.array(a.cast("double"), b.cast("double")))
     return env.select(F.lit(typ).alias("plot"), data.alias("data")), []
 
@@ -1417,7 +1451,8 @@ def _zplot_stream(spark, sf_dir, node, scope):
     keys = [k for k, _ in arrs]
     auto_x = "y" in keys and "x" not in keys
     rows = F.transform(
-        F.sequence(F.lit(1), n),
+        # filter-guarded: sequence() descends for an empty vector
+        F.filter(F.sequence(F.lit(1), F.greatest(n, F.lit(1))), lambda i: i <= n),
         lambda i: F.struct(
             *[F.element_at(c, i.cast("int")).alias(k) for k, c in arrs],
             *([(i - 1).cast("int").alias("x")] if auto_x else []),
@@ -1492,9 +1527,11 @@ def _parse_csv_stream(spark, sf_dir, node, scope, tsv: bool):
         def unquote(c):
             return F.regexp_replace(c, r'^"(.*)"$', r"$1")
 
-        sel = [
-            F.when(ok.isNull(), F.concat(F.col("file"), F.lit("_"), F.col("__ln"))).alias("id")
-        ]
+        # the field-count assert rides a FILTER (true when the assert
+        # passes) — attached to a projected column it could be pruned away
+        # with that column and let malformed rows through silently
+        part = part.where(ok.isNull())
+        sel = [F.concat(F.col("file"), F.lit("_"), F.col("__ln")).alias("id")]
         for c in all_cols:
             if c in cols:
                 val = unquote(F.element_at(fields, cols.index(c) + 1))

@@ -134,3 +134,12 @@ def test_guards(spark, idx):
     scalar = updates.withColumn("views", F.lit(1))
     with pytest.raises(ValueError, match="array field"):
         atomic_update(spark, idx, scalar, ops={"views": "add"})
+
+
+def test_duplicate_keys_in_one_batch_rejected(spark, idx):
+    updates = spark.createDataFrame(
+        [("r1", "a.py", "c1", 1), ("r1", "a.py", "c1", 2)],
+        "repo string, path string, commit string, views int",
+    )
+    with pytest.raises(ValueError, match="ONE row per key"):
+        atomic_update(spark, idx, updates, ops={"views": "inc"})

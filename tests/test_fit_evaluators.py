@@ -318,3 +318,18 @@ def test_feature_select(spark):
     )
     assert list(row["cl"]) == ["a", "c"]  # original column order preserved
     assert [list(r) for r in row["s"]["m"]] == [[1.0, 3.0], [4.0, 6.0]]
+
+
+def test_gaussfit_peak_at_edge_uses_range_fallback(spark):
+    # monotone data: the peak is the LAST point, no right half-max crossing
+    # exists — the guess must take the full-range FWHM fallback, not a
+    # degenerate zero sigma (the descending-sequence trap)
+    xs = [0.0, 1.0, 2.0, 3.0, 4.0]
+    ys = [0.1, 0.2, 0.4, 0.7, 1.0]
+    row = _row(spark, f"let(f=gaussfit({_arr(xs)}, {_arr(ys)}))")
+    vals = list(row["f"]["vals"])
+    assert all(v == v for v in vals)  # no NaNs
+    n, m, s = gauss_fit(xs, ys)
+    assert vals == pytest.approx(
+        [n * math.exp(-((x - m) ** 2) / (2 * s * s)) for x in xs], rel=1e-9
+    )

@@ -267,3 +267,21 @@ def test_uuid_format_and_uniqueness(spark):
 
     for v in vals:
         assert re.fullmatch(r"[0-9a-f-]{36}", v)
+
+
+def test_empty_draw_counts_are_empty(spark):
+    # sequence() descends for empty ranges — the guards keep them empty
+    assert _one(spark, "let(s=sample(normalDistribution(0, 1), 0))") == []
+    assert _one(spark, "let(s=sample(binomialDistribution(0, 0.5), 3))") == [0, 0, 0]
+    assert (
+        _one(spark, "let(s=sample(markovChain(matrix(array(1.0)), 0), 0))") == []
+    )
+    assert _one(spark, "let(s=monteCarlo(d=normalDistribution(0, 1), b=sample(d), mult(b, 2), 0))") == []
+
+
+def test_sibling_parse_eval_calls_draw_independently(spark):
+    from lucene_solr_spark.evaluators import parse_eval
+
+    a = spark.range(1).select(parse_eval("sample(normalDistribution(0, 1), 5)").alias("a")).collect()[0]["a"]
+    b = spark.range(1).select(parse_eval("sample(normalDistribution(0, 1), 5)").alias("b")).collect()[0]["b"]
+    assert a != b  # per-entry salt base: sibling expressions differ
