@@ -4954,8 +4954,182 @@ FROM sigs GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Carrot2 STC — Suffix Tree Clustering (reference solr/contrib/clustering's
+# ClusteringComponent dispatches to the Carrot2 STCClusteringAlgorithm; the
+# algorithm itself is Zamir & Etzioni's published STC: frequent phrases →
+# base clusters (phrase, covered-doc set) scored |B|·f(|P|) with single
+# words penalized, then base clusters MERGE when their doc overlap exceeds
+# 50% in BOTH directions, connected components of that merge graph are the
+# final clusters, labeled by their best phrase). The engine's earlier
+# stand-in was lockstep k-means (`cluster_results_docs`, kept); this is the
+# real STC shape, re-expressed Spark-first:
+#   - "suffix tree" frequent phrases = 1..3-gram mining over the token
+#     arrays (one scan, scan-local slice+zip — the tree is an in-memory
+#     device for finding frequent complete phrases; distributed n-gram
+#     counting finds the same sets up to the length cap)
+#   - base-cluster ranking = one window over phrase rows (top_k bounded)
+#   - the >50%-both-ways merge graph = one self-join of the top-k incidence
+#     (≤ top_k² candidate edges), components via the same distributed
+#     min-label propagation as dedup_clusters — phrase ids are assigned in
+#     score order so the component min IS the best-scoring label
+# Nothing is collected to the driver; the oracle replays the merge with a
+# recursive CTE. Deterministic deviation: Carrot2 caps phrases at the
+# suffix-tree depth and trims stop-labels; here the cap is max_phrase_len=3
+# and labels keep their raw text.
+_STC_F = "CASE WHEN nw = 1 THEN 0.5 ELSE least(nw, 6) END"
+
+
+def stc_clusters(spark, sf_dir, min_df: int = 3, top_k: int = 15, thr: float = 0.5):
+    d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
+    grams = []
+    for n in (1, 2, 3):
+        grams.append(
+            d.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(slice(arr, 1, greatest(size(arr)-{n}+1, 0)), "
+                        f"(x, i) -> concat_ws(' ', slice(arr, i+1, {n})))"
+                    )
+                ).alias("phrase"),
+            ).withColumn("nw", F.lit(n))
+        )
+    pdocs = grams[0].unionByName(grams[1]).unionByName(grams[2]).distinct()
+    base = (
+        pdocs.groupBy("phrase", "nw")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .withColumn(
+            "score",
+            F.col("df")
+            * F.when(F.col("nw") == 1, 0.5).otherwise(F.least("nw", F.lit(6))),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("phrase").asc())
+    top = (
+        base.withColumn("pid", F.row_number().over(w) - 1)
+        .filter(F.col("pid") < top_k)
+        .select("pid", "phrase", "df", "score")
+    )
+    inc = pdocs.join(F.broadcast(top.select("pid", "phrase")), "phrase").select(
+        "pid", "doc_id"
+    )
+    common = (
+        inc.alias("a")
+        .join(inc.alias("b"), "doc_id")
+        .filter(F.col("a.pid") < F.col("b.pid"))
+        .groupBy(F.col("a.pid").alias("pa"), F.col("b.pid").alias("pb"))
+        .agg(F.count("*").alias("common"))
+    )
+    sizes = top.select("pid", F.col("df").alias("sz"))
+    edges = (
+        common.join(sizes.select(F.col("pid").alias("pa"), F.col("sz").alias("sa")), "pa")
+        .join(sizes.select(F.col("pid").alias("pb"), F.col("sz").alias("sb")), "pb")
+        .filter(
+            (F.col("common") / F.col("sa") > thr) & (F.col("common") / F.col("sb") > thr)
+        )
+        .select(F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b"))
+    )
+    # self-edges keep singleton base clusters as their own component
+    selfp = top.select(F.col("pid").alias("doc_a"), F.col("pid").alias("doc_b"))
+    comp = connected_components(edges.unionByName(selfp))
+    labeled = comp.join(
+        top.select(F.col("pid").alias("cluster_id"), F.col("phrase").alias("label")),
+        "cluster_id",
+    )
+    members = (
+        labeled.select(F.col("doc_id").alias("pid"), "cluster_id")
+        .join(inc, "pid")
+        .select("cluster_id", F.col("doc_id"))
+        .distinct()
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        labeled.groupBy("cluster_id", "label")
+        .agg(F.count("*").alias("n_phrases"))
+        .join(members, "cluster_id")
+        .select(
+            "label",
+            F.col("n_phrases").cast("bigint").alias("n_phrases"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+STC_SQL = f"""
+WITH RECURSIVE arrs AS (SELECT doc_id, {_TOK_EXPR} AS arr FROM documents),
+pdocs AS (
+  SELECT DISTINCT doc_id, phrase, nw FROM (
+    SELECT doc_id, unnest([array_to_string(arr[i:i+0], ' ')
+                           for i in generate_series(1, len(arr))]) AS phrase,
+           1 AS nw FROM arrs
+    UNION ALL
+    SELECT doc_id, unnest([array_to_string(arr[i:i+1], ' ')
+                           for i in generate_series(1, len(arr)-1)]),
+           2 FROM arrs
+    UNION ALL
+    SELECT doc_id, unnest([array_to_string(arr[i:i+2], ' ')
+                           for i in generate_series(1, len(arr)-2)]),
+           3 FROM arrs
+  )
+),
+base AS (
+  SELECT phrase, nw, count(*) AS df,
+         count(*) * ({_STC_F}) AS score
+  FROM pdocs GROUP BY phrase, nw HAVING count(*) >= 3
+),
+top AS (
+  SELECT * FROM (
+    SELECT phrase, df, score,
+           row_number() OVER (ORDER BY score DESC, phrase ASC) - 1 AS pid
+    FROM base
+  ) WHERE pid < 15
+),
+inc AS (SELECT t.pid, p.doc_id FROM pdocs p JOIN top t USING (phrase)),
+common AS (
+  SELECT a.pid AS pa, b.pid AS pb, count(*) AS common
+  FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.pid < b.pid
+  GROUP BY 1, 2
+),
+edges0 AS (
+  SELECT c.pa, c.pb
+  FROM common c
+  JOIN top ta ON ta.pid = c.pa
+  JOIN top tb ON tb.pid = c.pb
+  WHERE c.common * 1.0 / ta.df > 0.5 AND c.common * 1.0 / tb.df > 0.5
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM edges0
+  UNION ALL SELECT pb, pa FROM edges0
+  UNION ALL SELECT pid, pid FROM top
+),
+reach(node, root) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS pid, min(root) AS cluster_id FROM reach GROUP BY node),
+members AS (
+  SELECT c.cluster_id, count(DISTINCT i.doc_id) AS n_docs
+  FROM comp c JOIN inc i USING (pid) GROUP BY 1
+)
+SELECT t.phrase AS label,
+       CAST(count(*) AS BIGINT) AS n_phrases,
+       CAST(m.n_docs AS BIGINT) AS n_docs
+FROM comp c
+JOIN top t ON t.pid = c.cluster_id
+JOIN members m ON m.cluster_id = c.cluster_id
+GROUP BY t.phrase, m.n_docs
+"""
+
+
 TRAINING_EXTRA_OPS: dict[str, tuple] = {
     "signature_dedup": (signature_dedup, SIGNATURE_DEDUP_SQL),
+    "stc_clusters": (stc_clusters, STC_SQL),
     "features_igain_docs": (features_igain_docs, FEATURES_IGAIN_SQL),
     "train_logit_docs": (train_logit_docs, TRAIN_LOGIT_SQL),
     "cluster_results_docs": (cluster_results_docs, CLUSTER_RESULTS_SQL),
