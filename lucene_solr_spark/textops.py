@@ -5127,9 +5127,157 @@ GROUP BY t.phrase, m.n_docs
 """
 
 
+# KNearestFuzzyClassifier (reference lucene/classification/src/java/org/
+# apache/lucene/classification/KNearestFuzzyClassifier.java + utils/
+# NearestFuzzyQuery.java): kNN classification where the neighbor query is a
+# FUZZY disjunction — each target-doc term expands to its edit-distance≤2
+# dictionary variants, variant weight = (1 − dist/min(len)) (the
+# FuzzyTermsEnum boost) · idf, neighbors are the top-k docs by summed
+# variant weight, and the class score is buildListFromTopDocs':
+# Σ(score/maxScore) per class over the k hits, normalized by max(k, hits).
+# Shape: the fuzzy expansion is ONE broadcast levenshtein join of the
+# (bounded) target-term set against the term dictionary — the spellcheck
+# pattern — capped at MAX_VARIANTS_PER_TERM=50; everything after is
+# equi-joins and partitioned windows, never all-pairs.
+def knn_fuzzy_classify(spark, sf_dir, k: int = 10):
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(F.expr(_TOK_EXPR)).alias("term")).distinct()
+    dft = tok.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    qids = docs.filter(F.col("doc_id") % 131 == 0).select(F.col("doc_id").alias("qid"))
+    qterms = (
+        tok.join(F.broadcast(qids), tok.doc_id == F.col("qid"))
+        .select("qid", F.col("term").alias("qterm"))
+        .distinct()
+    )
+    # fuzzy variants: dictionary × (bounded) target terms, boost = the
+    # FuzzyTermsEnum similarity; the ORIGINAL term's df prices every
+    # variant (NearestFuzzyQuery stores it "so all variants use same idf")
+    qt = qterms.select("qterm").distinct()
+    variants = (
+        dft.crossJoin(F.broadcast(qt))
+        .withColumn("dist", F.levenshtein("term", "qterm"))
+        .filter(F.col("dist") <= 2)
+        .withColumn(
+            "boost",
+            1.0 - F.col("dist") / F.least(F.length("term"), F.length("qterm")),
+        )
+        .filter(F.col("boost") > 0)
+    )
+    w_var = Window.partitionBy("qterm").orderBy(
+        F.col("boost").desc(), F.col("term").asc()
+    )
+    variants = variants.withColumn("vrk", F.row_number().over(w_var)).filter(
+        F.col("vrk") <= 50
+    )
+    odf = dft.select(F.col("term").alias("qterm"), F.col("df").alias("odf"))
+    variants = variants.join(F.broadcast(odf), "qterm", "left").withColumn(
+        "idf",
+        F.log((F.lit(float(n_docs)) + 1.0) / (F.coalesce("odf", F.col("df")) + 1.0))
+        + 1.0,
+    )
+    scores = (
+        tok.join(F.broadcast(variants.join(qterms, "qterm")), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        # 6-dp lockstep rounding (the engine's cross-engine convention):
+        # summation ORDER differs between engines, and with heavy score
+        # ties a 1-ulp difference would reorder the top-k cut
+        .agg(F.round(F.sum(F.col("boost") * F.col("idf")), 6).alias("score"))
+    )
+    w_n = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    neigh = scores.withColumn("rk", F.row_number().over(w_n)).filter(F.col("rk") <= k)
+    w_m = Window.partitionBy("qid")
+    neigh = neigh.withColumn("maxs", F.max("score").over(w_m)).withColumn(
+        "hits", F.count("*").over(w_m)
+    )
+    votes = (
+        neigh.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("qid", "lang", "hits")
+        .agg(F.sum(F.col("score") / F.col("maxs")).alias("cboost"))
+        .withColumn(
+            "cscore",
+            F.round(F.col("cboost") / F.greatest(F.lit(k), F.col("hits")), 6),
+        )
+    )
+    w_v = Window.partitionBy("qid").orderBy(F.col("cscore").desc(), F.col("lang").asc())
+    return (
+        votes.withColumn("vrk", F.row_number().over(w_v))
+        .filter(F.col("vrk") == 1)
+        .select(F.col("qid").alias("doc_id"), F.col("lang").alias("predicted"), "cscore")
+    )
+
+
+KNN_FUZZY_SQL = f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOK_EXPR}) AS term FROM documents),
+dft AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+n AS (SELECT count(*) AS nd FROM documents),
+qterms AS (
+  SELECT DISTINCT doc_id AS qid, term AS qterm FROM tok WHERE doc_id % 131 = 0
+),
+qt AS (SELECT DISTINCT qterm FROM qterms),
+var0 AS (
+  SELECT d.term, d.df, q.qterm,
+         1.0 - levenshtein(d.term, q.qterm) * 1.0
+               / least(length(d.term), length(q.qterm)) AS boost
+  FROM dft d CROSS JOIN qt q
+  WHERE levenshtein(d.term, q.qterm) <= 2
+),
+var1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY qterm
+              ORDER BY boost DESC, term ASC) AS vrk
+    FROM var0 WHERE boost > 0
+  ) WHERE vrk <= 50
+),
+variants AS (
+  SELECT v.term, v.qterm, v.boost,
+         ln((n.nd + 1.0) / (coalesce(o.df, v.df) + 1.0)) + 1.0 AS idf
+  FROM var1 v
+  LEFT JOIN dft o ON o.term = v.qterm
+  CROSS JOIN n
+),
+scores AS (
+  SELECT q.qid, t.doc_id, round(sum(v.boost * v.idf), 6) AS score
+  FROM variants v
+  JOIN qterms q ON q.qterm = v.qterm
+  JOIN tok t ON t.term = v.term
+  WHERE t.doc_id != q.qid
+  GROUP BY q.qid, t.doc_id
+),
+neigh AS (
+  SELECT * FROM (
+    SELECT qid, doc_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rk
+    FROM scores
+  ) WHERE rk <= 10
+),
+nn AS (
+  SELECT qid, doc_id, score,
+         max(score) OVER (PARTITION BY qid) AS maxs,
+         count(*) OVER (PARTITION BY qid) AS hits
+  FROM neigh
+),
+votes AS (
+  SELECT nn.qid, d.lang, nn.hits,
+         round(sum(nn.score / nn.maxs) / greatest(10, nn.hits), 6) AS cscore
+  FROM nn JOIN documents d ON d.doc_id = nn.doc_id
+  GROUP BY nn.qid, d.lang, nn.hits
+)
+SELECT qid AS doc_id, lang AS predicted, cscore FROM (
+  SELECT qid, lang, cscore,
+         row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, lang ASC) AS vrk
+  FROM votes
+) WHERE vrk = 1
+"""
+
+
 TRAINING_EXTRA_OPS: dict[str, tuple] = {
     "signature_dedup": (signature_dedup, SIGNATURE_DEDUP_SQL),
     "stc_clusters": (stc_clusters, STC_SQL),
+    "knn_fuzzy_classify": (knn_fuzzy_classify, KNN_FUZZY_SQL),
     "features_igain_docs": (features_igain_docs, FEATURES_IGAIN_SQL),
     "train_logit_docs": (train_logit_docs, TRAIN_LOGIT_SQL),
     "cluster_results_docs": (cluster_results_docs, CLUSTER_RESULTS_SQL),
