@@ -5008,11 +5008,16 @@ def stc_clusters(spark, sf_dir, min_df: int = 3, top_k: int = 15, thr: float = 0
     )
     from pyspark.sql import Window
 
+    # distributed top-k FIRST (orderBy+limit = TakeOrderedAndProject — a
+    # per-partition heap + tiny driver merge, never a single-partition
+    # sort of the full phrase table), THEN rank the ≤ top_k survivors
+    # (a global window over top_k rows is free)
+    survivors = base.orderBy(F.col("score").desc(), F.col("phrase").asc()).limit(
+        top_k
+    )
     w = Window.orderBy(F.col("score").desc(), F.col("phrase").asc())
-    top = (
-        base.withColumn("pid", F.row_number().over(w) - 1)
-        .filter(F.col("pid") < top_k)
-        .select("pid", "phrase", "df", "score")
+    top = survivors.withColumn("pid", F.row_number().over(w) - 1).select(
+        "pid", "phrase", "df", "score"
     )
     inc = pdocs.join(F.broadcast(top.select("pid", "phrase")), "phrase").select(
         "pid", "doc_id"
