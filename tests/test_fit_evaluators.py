@@ -333,3 +333,43 @@ def test_gaussfit_peak_at_edge_uses_range_fallback(spark):
     assert vals == pytest.approx(
         [n * math.exp(-((x - m) ** 2) / (2 * s * s)) for x in xs], rel=1e-9
     )
+
+
+def test_harmonic_fit_fallback_on_flat_data(spark):
+    # constant data: the integral system is indefinite → the guesser takes
+    # the range fallback (a = (max−min)/2 = 0, w = 2π/range), and the GN
+    # normal matrix is singular → the Cramer guard keeps deltas at zero.
+    # (On sloped aperiodic data GN diverges chaotically and last-ulp
+    # engine differences amplify — that regime is unpinnable by design.)
+    xs = [float(i) for i in range(12)]
+    ys = [2.5] * 12
+    row = _row(spark, f"let(f=harmonicFit({_arr(xs)}, {_arr(ys)}), a=getAmplitude(f), w=getAngularFrequency(f))")
+    a, w, p = harmonic_fit(xs, ys)
+    assert a == 0.0 and row["a"] == 0.0
+    assert row["w"] == pytest.approx(w, rel=1e-12)
+    assert w == pytest.approx(2 * math.pi / 11, rel=1e-12)
+
+
+def test_fit_mirror_sweep(spark):
+    # deterministic pseudo-random datasets (fixed LCG) — every path must
+    # match the pure-Python mirror bit-for-bit-ish
+    def lcg(seed, n):
+        out, s = [], seed
+        for _ in range(n):
+            s = (s * 16807) % 2147483647
+            out.append(s / 2147483647)
+        return out
+
+    for seed in (7, 99):
+        noise = lcg(seed, 25)
+        xs = [i * 0.4 for i in range(25)]
+        hy = [2.2 * math.cos(1.1 * x + 0.9) + 0.05 * (u - 0.5) for x, u in zip(xs, noise)]
+        row = _row(spark, f"let(f=harmonicFit({_arr(xs)}, {_arr(hy)}), a=getAmplitude(f), w=getAngularFrequency(f), p=getPhase(f))")
+        a, w, p = harmonic_fit([round(v, 10) for v in xs], [round(v, 10) for v in hy])
+        assert row["a"] == pytest.approx(a, rel=1e-6)
+        assert row["w"] == pytest.approx(w, rel=1e-6)
+        gy = [3.0 * math.exp(-((x - 5.0) ** 2) / 4.0) + 0.1 * (u - 0.5) for x, u in zip(xs, noise)]
+        row = _row(spark, f"let(f=gaussfit({_arr(xs)}, {_arr(gy)}))")
+        n, m, s = gauss_fit([round(v, 10) for v in xs], [round(v, 10) for v in gy])
+        want = [n * math.exp(-((x - m) ** 2) / (2 * s * s)) for x in [round(v, 10) for v in xs]]
+        assert list(row["f"]["vals"]) == pytest.approx(want, rel=1e-6)
