@@ -2976,9 +2976,14 @@ EVALUATORS.update({"topFeatures": _top_features})
 # (or the pure-Python mirror in tests/test_sampling_evaluators.py) can
 # replay every draw bit-for-bit, and the whole expression stays one
 # Catalyst Column. Salts: the call-site counter resets at each top-level
-# parse entry and each let() binding mixes its NAME into the base, so
-# re-parsing the same expression reproduces the same draws while distinct
-# bindings and distinct call sites draw independently.
+# parse entry and each let() binding mixes its NAME into the base.
+# Reparse-stability holds for let() BINDINGS only (the name's crc32 salts
+# the stream): re-parsing `let(a=sample(…), …)` reproduces a's draws.
+# Top-level parse_eval entries deliberately increment a session counter —
+# sibling expressions in one head (zplot(x=sample(…), y=sample(…))) must
+# draw INDEPENDENT streams — so two parse_eval calls on the identical
+# top-level text draw different streams; determinism there is per
+# program-parse-order, not per expression text.
 
 _PM_M = 2147483647  # 2^31 − 1, Park–Miller modulus
 _PM_A = 16807

@@ -181,14 +181,36 @@ def atomic_update(
             f"sequential batches to apply multiple ops to the same document"
         )
 
-    victims = cur.select("segment_id", "doc_id").localCheckpoint()
+    # Victims are ALL live rows matching the batch's keys (pre-dedup), not
+    # realtime_get's newest-wins view: after a crash between the replacement
+    # commit and the tombstone append BOTH versions are live, and a replayed
+    # update must sweep the stale original too — the deduped view would
+    # tombstone only the crashed replacement, leaving a search-visible
+    # duplicate forever (/get would still resolve, but searches would not).
+    victims = (
+        realtime_get(
+            spark,
+            index_dir,
+            updates.select(*key_cols).distinct(),
+            key_cols,
+            all_versions=True,
+        )
+        .select("segment_id", "doc_id")
+        .localCheckpoint()
+    )
+    # keys with a live prior version — counted BEFORE the mutation below
+    # (n_deleted can exceed this after a crash replay sweeps two versions
+    # of the same key, and "created" must not go negative there)
+    n_existing = cur.count()
 
     # Commit ORDER: the replacement segment's manifest append lands FIRST,
     # the tombstones for the superseded rows land after. A crash between
     # the two leaves BOTH versions visible (RealTimeGet still resolves the
-    # newer segment; a replayed update converges) — the safe failure mode.
-    # Tombstoning first would make a crash lose the document entirely
-    # (tombstones apply to every commit; the replacement never lands).
+    # newer segment; a replayed update converges — for search visibility
+    # too, because victims above cover every live version of the keys) —
+    # the safe failure mode. Tombstoning first would make a crash lose the
+    # document entirely (tombstones apply to every commit; the replacement
+    # never lands).
     base_id = next_segment_id(spark, index_dir)
     metrics = build_index(
         spark,
@@ -208,6 +230,6 @@ def atomic_update(
     n_deleted = delete_docs(spark, index_dir, victims)
     return {
         "updated": int(n_deleted),
-        "created": int(created - n_deleted),
+        "created": int(created - n_existing),
         "build": metrics,
     }

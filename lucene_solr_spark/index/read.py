@@ -273,6 +273,7 @@ def realtime_get(
     index_dir: str,
     keys,
     key_cols: tuple[str, ...] = ("ext_id",),
+    all_versions: bool = False,
 ) -> DataFrame:
     """Solr ``/get`` (RealTimeGetComponent role, ``solr/core/src/java/org/
     apache/solr/handler/component/RealTimeGetComponent.java``): fetch the
@@ -285,6 +286,11 @@ def realtime_get(
     ``keys``: list of key values (single key column) or a DataFrame with
     ``key_cols``. Returns full stored rows; if a key somehow has multiple
     live rows the newest segment wins (one row per key, like /get).
+    ``all_versions=True`` skips that newest-wins window and returns EVERY
+    live row matching the keys — the delete-by-key candidate set (atomic
+    updates tombstone all versions so a replay after a crash between the
+    replacement commit and the tombstone append sweeps the stale original
+    too, not just the newest row).
 
     Shape at scale: the key set broadcasts into the docs join (point
     lookups prune on parquet stats); the tombstone anti-join touches only
@@ -310,6 +316,8 @@ def realtime_get(
         cand = docs.filter(pred)
     tombs = deleted_docs_table(spark, index_dir)
     out = cand.join(tombs, ["segment_id", "doc_id"], "left_anti")
+    if all_versions:
+        return out
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(*key_cols).orderBy(

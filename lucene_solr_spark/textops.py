@@ -5038,9 +5038,17 @@ def stc_clusters(spark, sf_dir, min_df: int = 3, top_k: int = 15, thr: float = 0
         )
         .select(F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b"))
     )
-    # self-edges keep singleton base clusters as their own component
-    selfp = top.select(F.col("pid").alias("doc_a"), F.col("pid").alias("doc_b"))
-    comp = connected_components(edges.unionByName(selfp))
+    # connected_components drops self-pairs (u == v carries no
+    # connectivity), so a base cluster with no >50%-both-ways merge partner
+    # would vanish from the output. Re-add isolated pids as their own
+    # singleton component via a left join — matches the oracle's recursive
+    # CTE, whose reach seeds with `SELECT pid, pid FROM top`.
+    cc = connected_components(edges)
+    comp = (
+        top.select(F.col("pid").alias("doc_id"))
+        .join(cc, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
     labeled = comp.join(
         top.select(F.col("pid").alias("cluster_id"), F.col("phrase").alias("label")),
         "cluster_id",

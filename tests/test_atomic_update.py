@@ -143,3 +143,52 @@ def test_duplicate_keys_in_one_batch_rejected(spark, idx):
     )
     with pytest.raises(ValueError, match="ONE row per key"):
         atomic_update(spark, idx, updates, ops={"views": "inc"})
+
+
+def test_crash_replay_converges_for_search(spark, tmp_path, monkeypatch):
+    """A crash between the replacement commit and the tombstone append
+    leaves BOTH versions live; a replayed update must tombstone the stale
+    original too (victims = ALL live rows for the keys, not the deduped
+    RealTimeGet view), so search converges to one row per key."""
+    from lucene_solr_spark.index import merge as merge_mod
+
+    d = str(tmp_path / "idx")
+    build_index(
+        spark, _docs(spark), d, num_segments=2, stored_cols=("views", "tags")
+    )
+    updates = spark.createDataFrame(
+        [("r1", "a.py", "c1", "parse the buffer slowly", 4)],
+        "repo string, path string, commit string, content string, views int",
+    )
+    real_delete = merge_mod.delete_docs
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash before tombstone append")
+
+    monkeypatch.setattr(merge_mod, "delete_docs", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        atomic_update(spark, d, updates, ops={"views": "inc"})
+    monkeypatch.setattr(merge_mod, "delete_docs", real_delete)
+
+    # crash window: both versions are live (the failure mode under test)
+    keys = updates.select("repo", "path", "commit")
+    live = realtime_get(
+        spark, d, keys, key_cols=("repo", "path", "commit"), all_versions=True
+    )
+    assert live.count() == 2
+
+    # replay the SAME update — must sweep the stale original as well
+    res = atomic_update(spark, d, updates, ops={"views": "inc"})
+    assert res["updated"] == 2  # crashed replacement + stale original
+    assert res["created"] == 0  # the key existed; nothing new created
+    live2 = realtime_get(
+        spark, d, keys, key_cols=("repo", "path", "commit"), all_versions=True
+    )
+    assert live2.count() == 1
+    row = _get(spark, d, "r1", "a.py")
+    # replayed inc applies over the crashed replacement (newest wins): 3+4+4
+    assert row["views"] == 11
+    # search sees exactly one live document for the key's content
+    s = IndexSearcher(spark, d)
+    hits = s.fetch(s.search("parse AND buffer", k=10), cols=["repo", "path"])
+    assert [(r["repo"], r["path"]) for r in hits.collect()] == [("r1", "a.py")]

@@ -44,3 +44,21 @@ def test_overlap_below_threshold_does_not_merge(spark, tmp_path):
     sf = _write_docs(spark, tmp_path, rows)
     out = stc_clusters(spark, sf, min_df=3, top_k=10).collect()
     assert len(out) >= 2  # disjoint doc sets stay separate clusters
+
+
+def test_non_merging_singleton_cluster_survives(spark, tmp_path):
+    # "zeta" docs contain one word, so the only base cluster they produce is
+    # the single phrase "zeta" — it has no >50%-both-ways merge partner.
+    # connected_components drops self-pairs, so without the isolated-pid
+    # re-add the singleton vanished while the oracle's recursive CTE kept it
+    # (ADVICE r4 high).
+    rows = []
+    for i in range(6):
+        rows.append((i, "alpha beta alpha beta alpha beta"))
+    for i in range(3):
+        rows.append((i + 100, "zeta"))
+    sf = _write_docs(spark, tmp_path, rows)
+    out = stc_clusters(spark, sf, min_df=3, top_k=10).collect()
+    labels = {r["label"]: r for r in out}
+    assert "zeta" in labels
+    assert labels["zeta"]["n_docs"] == 3
