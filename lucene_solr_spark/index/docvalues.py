@@ -45,11 +45,17 @@ broadcasts under AQE; the per-doc "newest gen wins" window is partitioned
 by (segment_id, doc_id), never global. Base column values never move:
 segments stay immutable, only the sidecar grows.
 
-Documented limitation: a compacting merge rebases doc ids but does NOT
-remap dv_update rows (Lucene folds DV updates into the merged segment's
-new DV generation) — updates addressed at merged-away segments stop
-applying. Re-publish updates (one ``update_*_docvalue`` call with the
-same external keys) after merging, or fold before merging.
+Merges FOLD pending updates (``ReadersAndUpdates.writeFieldUpdates``,
+``lucene/core/src/java/org/apache/lucene/index/ReadersAndUpdates.java:510``
+— merge interplay documented at ``:66-80``): ``merge_segments`` calls
+:func:`fold_dv_updates` with the same docmap that remapped postings and
+stored fields, publishing ONE new generation per field addressed at the
+merged segment BEFORE the merge's manifest row lands. Crash between fold
+and commit leaves a generation addressed at a segment that never became
+live — invisible to every reader, re-published by the retry. Original
+generations are never touched (append-only), so time travel to a commit
+before the merge still resolves through the source-addressed rows; each
+folded row keeps its original watermark.
 """
 
 from __future__ import annotations
@@ -138,6 +144,84 @@ def _publish_docvalue(
     final = os.path.join(root, f"gen={gen}")
     os.rename(tmp, final)
     return final
+
+
+def dv_fields(index_dir: str) -> list[str]:
+    """Fields with at least one published DV-update generation."""
+    root = os.path.join(index_dir, "dv_updates")
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        f
+        for f in os.listdir(root)
+        if not f.startswith("_") and _dv_gens(index_dir, f)
+    )
+
+
+def fold_dv_updates(
+    spark: SparkSession,
+    index_dir: str,
+    sources: list[int],
+    new_segment_id: int,
+    docmap: DataFrame,
+) -> list[str]:
+    """Fold the sources' pending DV updates into the merged segment — the
+    ``ReadersAndUpdates.writeFieldUpdates`` role (``ReadersAndUpdates.java:
+    510``): for every field with a sidecar, resolve each source doc's
+    newest generation, remap (segment_id, doc_id) through the merge's
+    docmap, and publish ONE folded generation addressed at
+    ``new_segment_id``.
+
+    ``docmap``: ``(segment_id int, doc_id bigint, new_doc_id bigint)``
+    covering exactly the SURVIVING docs of ``sources`` — tombstoned docs
+    are absent, so their pending updates are dropped with them (Lucene's
+    docmap maps deleted docs to -1). Must be the SAME map that remapped
+    postings and stored fields.
+
+    Called BEFORE the merge's manifest append: a crash leaves only rows
+    addressed at a segment that never became live (invisible; the retry
+    re-publishes). Original generations stay in place for time travel;
+    folded rows keep their original per-row watermark, so visibility
+    rules are unchanged on both sides of the merge commit.
+
+    Returns the published generation dirs (one per folded field).
+    """
+    from pyspark.sql import Window
+
+    published = []
+    src_set = [int(s) for s in sources]
+    for field in dv_fields(index_dir):
+        root = dv_root(index_dir, field)
+        ups = spark.read.parquet(root).filter(F.col("segment_id").isin(src_set))
+        w = Window.partitionBy("segment_id", "doc_id").orderBy(F.col("gen").desc())
+        latest = (
+            ups.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("segment_id", "doc_id", "value", "watermark")
+        )
+        folded = (
+            latest.join(docmap, ["segment_id", "doc_id"])
+            .select(
+                F.lit(new_segment_id).cast("int").alias("segment_id"),
+                F.col("new_doc_id").cast("bigint").alias("doc_id"),
+                "value",
+                F.col("watermark").cast("long").alias("watermark"),
+            )
+            # the fold must materialize BEFORE the gen allocation below;
+            # and its lineage reads dv_updates/<field>, which the publish
+            # itself extends — cut it
+            .localCheckpoint(eager=True)
+        )
+        if folded.isEmpty():
+            continue
+        gens = _dv_gens(index_dir, field)
+        gen = (gens[-1] + 1) if gens else 0
+        tmp = os.path.join(root, f"_tmp_gen_{gen}")
+        folded.write.mode("overwrite").parquet(tmp)
+        final = os.path.join(root, f"gen={gen}")
+        os.rename(tmp, final)
+        published.append(final)
+    return published
 
 
 def _docvalues_view(

@@ -837,6 +837,24 @@ def merge_segments(
         [F.col(c).cast(docs.schema[c].dataType) for c in docs.columns]
     ).write.mode("append").parquet(os.path.join(index_dir, "docs"))
 
+    # ---- fold pending DV updates through the same docmap -------------------
+    # (ReadersAndUpdates.writeFieldUpdates role; BEFORE the manifest commit
+    # so a crash leaves only rows addressed at a never-live segment)
+    from .docvalues import dv_fields, fold_dv_updates
+
+    if dv_fields(index_dir):
+        docmap = (
+            src_docs.select("segment_id", "doc_id")
+            .withColumn("new_local", F.row_number().over(remap_w) - 1)
+            .join(F.broadcast(base_df), "segment_id")
+            .select(
+                "segment_id",
+                "doc_id",
+                (F.col("new_local") + F.col("doc_base")).alias("new_doc_id"),
+            )
+        )
+        fold_dv_updates(spark, index_dir, sources, new_segment_id, docmap)
+
     # ---- manifest commit ---------------------------------------------------
     max_gen = int(
         man.filter(F.col("segment_id").isin(sources)).agg(F.max("generation")).collect()[0][0]
@@ -1243,6 +1261,12 @@ def _merge_segments_sorted(
     new_docs.select(
         [F.col(c).cast(docs_tbl.schema[c].dataType) for c in docs_tbl.columns]
     ).write.mode("append").parquet(os.path.join(index_dir, "docs"))
+
+    # ---- fold pending DV updates through the sorted docmap ------------------
+    from .docvalues import dv_fields, fold_dv_updates
+
+    if dv_fields(index_dir):
+        fold_dv_updates(spark, index_dir, sources, new_segment_id, map_df)
 
     # ---- manifest commit (keeps the index_sort marker) ----------------------
     man = read_manifest(spark, index_dir)

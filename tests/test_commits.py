@@ -426,3 +426,209 @@ def test_docvalue_type_marker_rejects_mixed_types(spark, tmp_path_factory):
                                   "repo string, path string, value binary"),
             key_cols=["repo", "path"],
         )
+
+
+def test_dv_updates_survive_merge(spark, tmp_path_factory):
+    """ReadersAndUpdates.writeFieldUpdates role (ReadersAndUpdates.java:510):
+    a compacting merge folds each source segment's newest DV generation into
+    one generation addressed at the merged segment, remapped through the
+    merge docmap. Patched reads are identical before and after the merge;
+    a tombstoned doc's pending update is dropped with it; time travel on
+    both sides of the merge commit stays exact; all three DV types."""
+    from lucene_solr_spark.corpus import synth_corpus_local
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.index.docvalues import (
+        binary_docvalues,
+        numeric_docvalues,
+        sortedset_docvalues,
+        update_binary_docvalue,
+        update_numeric_docvalue,
+        update_sortedset_docvalue,
+    )
+    from lucene_solr_spark.index.manifest import list_commits, live_segments
+    from lucene_solr_spark.index.merge import delete_docs, merge_segments
+
+    corpus = synth_corpus_local(120)
+    d = str(tmp_path_factory.mktemp("dvfold") / "idx")
+    build_index(spark, spark.createDataFrame(corpus.iloc[:100]), d,
+                num_segments=4, analyzer="code")
+    c1 = max(list_commits(spark, d))
+
+    docs = spark.read.parquet(d + "/docs").select(
+        "segment_id", "doc_id", "repo", "path"
+    )
+    keyrows = docs.orderBy("segment_id", "doc_id").limit(4).collect()
+    keys = [(r.repo, r.path) for r in keyrows]
+
+    update_numeric_docvalue(
+        spark, d, "rank_boost",
+        spark.createDataFrame(
+            [(r, p, 7) for r, p in keys[:3]], "repo string, path string, value long"
+        ),
+        key_cols=["repo", "path"],
+    )
+    # a second numeric generation: the fold must pick the NEWEST gen
+    update_numeric_docvalue(
+        spark, d, "rank_boost",
+        spark.createDataFrame(
+            [(keys[0][0], keys[0][1], 9)], "repo string, path string, value long"
+        ),
+        key_cols=["repo", "path"],
+    )
+    update_binary_docvalue(
+        spark, d, "thumb",
+        spark.createDataFrame(
+            [(r, p, bytearray(b"img-" + p.encode())) for r, p in keys[1:3]],
+            "repo string, path string, value binary",
+        ),
+        key_cols=["repo", "path"],
+    )
+    update_sortedset_docvalue(
+        spark, d, "labels",
+        spark.createDataFrame(
+            [(r, p, ["b", "a", "b"]) for r, p in keys[2:4]],
+            "repo string, path string, value array<string>",
+        ),
+        key_cols=["repo", "path"],
+    )
+
+    # land a later segment: an update is visible only at commits strictly
+    # after its watermark, so a pre-merge commit must exist that postdates
+    # the updates for the time-travel check below
+    from lucene_solr_spark.index.manifest import next_segment_id
+
+    build_index(
+        spark, spark.createDataFrame(corpus.iloc[100:]), d, num_segments=1,
+        analyzer="code", segment_base=next_segment_id(spark, d),
+    )
+
+    def snap(view_fn, field):
+        view = view_fn(spark, d, field)
+        return {
+            (r.repo, r.path): r.value
+            for r in view.join(
+                spark.read.parquet(d + "/docs").select(
+                    "segment_id", "doc_id", "repo", "path"
+                ),
+                ["segment_id", "doc_id"],
+            ).collect()
+            if r.value is not None
+        }
+
+    pre_num = snap(numeric_docvalues, "rank_boost")
+    pre_bin = snap(binary_docvalues, "thumb")
+    pre_set = snap(sortedset_docvalues, "labels")
+    assert pre_num == {keys[0]: 9, keys[1]: 7, keys[2]: 7}
+    assert set(pre_set) == {keys[2], keys[3]}
+    assert list(pre_set[keys[2]]) == ["a", "b"]
+
+    # tombstone keys[3] (has a pending sorted-set update) — the merge must
+    # drop its update along with the doc
+    victim = keyrows[3]
+    delete_docs(
+        spark, d,
+        spark.createDataFrame(
+            [(victim.segment_id, victim.doc_id)], "segment_id int, doc_id bigint"
+        ),
+    )
+    c_pre = max(list_commits(spark, d))
+
+    merge_segments(spark, d, live_segments(spark, d))
+
+    post_num = snap(numeric_docvalues, "rank_boost")
+    post_bin = snap(binary_docvalues, "thumb")
+    post_set = snap(sortedset_docvalues, "labels")
+    assert post_num == pre_num
+    assert post_bin == pre_bin
+    assert post_set == {keys[2]: pre_set[keys[2]]}  # victim's update dropped
+
+    # merged segment is the only live one — folded rows address it
+    assert {s for s in live_segments(spark, d)} == {
+        r.segment_id
+        for r in numeric_docvalues(spark, d, "rank_boost")
+        .select("segment_id").distinct().collect()
+    }
+
+    # time travel BEFORE the merge: source-addressed generations resolve
+    at_pre = {
+        (r.repo, r.path): r.value
+        for r in numeric_docvalues(spark, d, "rank_boost", commit=c_pre)
+        .join(docs, ["segment_id", "doc_id"]).collect()
+        if r.value is not None
+    }
+    assert at_pre == pre_num
+    # time travel to BEFORE any update: all base (None)
+    assert all(
+        r.value is None
+        for r in numeric_docvalues(spark, d, "rank_boost", commit=c1).collect()
+    )
+
+    # a post-merge update supersedes the folded generation
+    update_numeric_docvalue(
+        spark, d, "rank_boost",
+        spark.createDataFrame(
+            [(keys[1][0], keys[1][1], 42)], "repo string, path string, value long"
+        ),
+        key_cols=["repo", "path"],
+    )
+    post2 = snap(numeric_docvalues, "rank_boost")
+    assert post2[keys[1]] == 42 and post2[keys[0]] == 9
+
+
+def test_dv_updates_survive_sorted_merge(spark, tmp_path_factory):
+    """The sorted-merge path folds through its interleaving docmap too."""
+    from lucene_solr_spark.corpus import synth_corpus_local
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.index.docvalues import (
+        numeric_docvalues,
+        update_numeric_docvalue,
+    )
+    from lucene_solr_spark.index.manifest import live_segments
+    from lucene_solr_spark.index.merge import merge_segments
+
+    corpus = synth_corpus_local(80)
+    rows = [
+        (r.repo, r.path, r.commit, r.content, float((i * 37) % 100) + 0.5)
+        for i, r in enumerate(corpus.itertuples())
+    ]
+    docs_in = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, content string, price double",
+    )
+    d = str(tmp_path_factory.mktemp("dvfolds") / "idx")
+    build_index(spark, docs_in, d, num_segments=3,
+                analyzer="code", index_sort="price")
+    docs = spark.read.parquet(d + "/docs").select(
+        "segment_id", "doc_id", "repo", "path"
+    )
+    keys = [
+        (r.repo, r.path)
+        for r in docs.orderBy("segment_id", "doc_id").limit(3).collect()
+    ]
+    update_numeric_docvalue(
+        spark, d, "rank_boost",
+        spark.createDataFrame(
+            [(r, p, 5) for r, p in keys], "repo string, path string, value long"
+        ),
+        key_cols=["repo", "path"],
+    )
+    pre = {
+        (r.repo, r.path): r.value
+        for r in numeric_docvalues(spark, d, "rank_boost")
+        .join(docs, ["segment_id", "doc_id"]).collect()
+        if r.value is not None
+    }
+    assert pre == {k: 5 for k in keys}
+    merge_segments(spark, d, live_segments(spark, d))
+    post = {
+        (r.repo, r.path): r.value
+        for r in numeric_docvalues(spark, d, "rank_boost")
+        .join(
+            spark.read.parquet(d + "/docs").select(
+                "segment_id", "doc_id", "repo", "path"
+            ),
+            ["segment_id", "doc_id"],
+        ).collect()
+        if r.value is not None
+    }
+    assert post == pre
