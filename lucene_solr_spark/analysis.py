@@ -289,6 +289,88 @@ def analyze_simple_fold(text: str) -> tuple[list[str], list[int]]:
     return analyze_simple(fold_to_ascii(text))
 
 
+# ------------------------------------------- CJK bigram chain --------------
+# Solr's ``text_cjk`` field type: StandardTokenizer → CJKWidthFilter →
+# LowerCaseFilter → CJKBigramFilter (``analysis/common/src/java/org/apache/
+# lucene/analysis/cjk/CJKBigramFilter.java:48`` — han/hiragana/katakana/
+# hangul all enabled, outputUnigrams=false; ``CJKWidthFilter.java:35``;
+# ``CJKAnalyzer.java``). Semantics:
+#
+# - width fold: fullwidth ASCII variants (U+FF01-FF5E) → ASCII, ideographic
+#   space → space, halfwidth katakana (U+FF66-FF9D) → standard katakana
+#   (the base-letter map; voiced-mark composition U+FF9E/FF9F is out of
+#   scope — documented partial, like the tokenizer's ASCII case detection).
+# - bigrams: each maximal run of adjacent CJK characters emits its n-1
+#   overlapping character bigrams, one position each; a LONE CJK character
+#   (run length 1) is emitted as a unigram (it has no neighbour — the
+#   filter's single-char flush). Non-CJK tokens pass through lowercased.
+#   Runs of DIFFERENT CJK scripts bigram together (all four flags on, the
+#   CJKAnalyzer default). No stop filter (text_cjk has none).
+# - deviation (documented): the reference bigrams across a separator
+#   BETWEEN two ideographs ("一 二" → "一二") because the filter only sees
+#   the token stream; this chain requires the characters to be CONTIGUOUS
+#   in the text — the form a SQL oracle can express and the one that keeps
+#   positions meaningful for phrase queries. Within unbroken CJK text (the
+#   dominant case — CJK scripts don't use spaces) the two agree.
+#
+# Positions are dense (token index): a latin token or lone CJK char takes
+# one slot, an n-char run takes n-1 slots — so quoted bigram sequences
+# behave exactly like the reference's phrase-over-bigrams.
+
+_HAN_CLASS = "㐀-䶿一-鿿豈-﫿"
+_CJK_CLASS = _HAN_CLASS + "぀-ゟ" + _KATAKANA + "ᄀ-ᇿ가-힯"
+_CJK_RUN_RE = re.compile(rf"[{_CJK_CLASS}]+|[^\W_{_CJK_CLASS}]+")
+_CJK_FIRST_RE = re.compile(rf"[{_CJK_CLASS}]")
+
+_CJK_WIDTH_TABLE: dict | None = None
+
+
+def _cjk_width_table() -> dict:
+    global _CJK_WIDTH_TABLE
+    if _CJK_WIDTH_TABLE is None:
+        t: dict[int, str] = {0x3000: " "}
+        for cp in range(0xFF01, 0xFF5F):  # fullwidth ASCII variants
+            t[cp] = chr(cp - 0xFEE0)
+        # halfwidth katakana base letters (U+FF66-FF9D) → standard block
+        half = "ｦｧｨｩｪｫｬｭｮｯｰｱｲｳｴｵｶｷｸｹｺｻｼｽｾｿﾀﾁﾂﾃﾄﾅﾆﾇﾈﾉﾊﾋﾌﾍﾎﾏﾐﾑﾒﾓﾔﾕﾖﾗﾘﾙﾚﾛﾜﾝ"
+        full = "ヲァィゥェォャュョッーアイウエオカキクケコサシスセソタチツテトナニヌネノハヒフヘホマミムメモヤユヨラリルレロワン"
+        for h, f in zip(half, full):
+            t[ord(h)] = f
+        _CJK_WIDTH_TABLE = t
+    return _CJK_WIDTH_TABLE
+
+
+def analyze_cjk(text: str) -> tuple[list[str], list[int]]:
+    """The ``cjk`` chain: width fold → lowercase → run scan → CJK bigrams.
+    Whole-document C passes (translate, lower, one findall); the only
+    Python loop is per-RUN slicing, bounded by token count like the other
+    simple chains."""
+    s = text.translate(_cjk_width_table()).lower()
+    terms: list[str] = []
+    pos: list[int] = []
+    p = 0
+    for m in _CJK_RUN_RE.finditer(s):
+        tok = m.group()
+        if _CJK_FIRST_RE.match(tok):
+            n = len(tok)
+            if n == 1:
+                terms.append(tok)
+                pos.append(p)
+                p += 1
+            else:
+                for i in range(n - 1):
+                    terms.append(tok[i : i + 2])
+                    pos.append(p)
+                    p += 1
+        elif len(tok) <= MAX_TOKEN_LENGTH:
+            terms.append(tok)
+            pos.append(p)
+            p += 1
+        else:
+            p += 1  # over-long token dropped; its slot stays (a hole)
+    return terms, pos
+
+
 # ------------------------------------------- synonym graph filter ----------
 # SynonymGraphFilter / SolrSynonymParser (``analysis/common/.../synonym/
 # SynonymGraphFilter.java`` + ``SolrSynonymParser.java``): inject synonym
@@ -495,6 +577,7 @@ ANALYZERS = _AnalyzerRegistry({
     "english": analyze_english,
     "simple": analyze_simple,
     "simple_fold": analyze_simple_fold,
+    "cjk": analyze_cjk,
     **{name: _make_ngram_analyzer(n) for name, n in NGRAM_SIZES.items()},
 })
 

@@ -112,6 +112,81 @@ def title_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+# ---------------------------------------------------------------------------
+# CJK bigram field — Solr text_cjk (StandardTokenizer → CJKWidthFilter →
+# LowerCaseFilter → CJKBigramFilter, ``CJKBigramFilter.java:48``; engine
+# chain: analysis.analyze_cjk). The driver corpus is ASCII, so the
+# mixed-script corpus is DERIVED deterministically: translate() maps eight
+# frequent letters to Han characters, turning each document into
+# interleaved Han runs + Latin remnants — both engines apply the identical
+# translate, so the DuckDB oracle runs the full BM25 pipeline over the
+# same mixed-script text. No external data.
+
+_CJK_TRANSLATE = ("aeiostrn", "的一是不了子而也")
+_CJK_TOKENIZE = r"""
+flatten([
+  CASE WHEN regexp_matches(run, '^[\x{4e00}-\x{9fff}]')
+       THEN CASE WHEN length(run) = 1 THEN [run]
+                 ELSE [substring(run, i, 2) for i in generate_series(1, length(run)-1)] END
+       ELSE [run] END
+  for run in regexp_extract_all(translate(lower(text), '%s', '%s'), '[\x{4e00}-\x{9fff}]+|[a-z0-9]+')
+])
+""" % _CJK_TRANSLATE
+
+
+def cjk_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the cjk-analyzer index over the derived mixed-script
+    corpus at sf_dir."""
+    key = os.path.realpath(sf_dir) + ":cjk"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = hashlib.sha1(f"{key}:layout-v3:{_CJK_TRANSLATE[1]}".encode()).hexdigest()[:12]
+    index_dir = f"/tmp/lss_docs_index/{tag}"
+    marker = os.path.join(index_dir, "_built")
+    if not os.path.exists(marker):
+        docs = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .withColumnRenamed("doc_id", "ext_id")
+            .withColumn(
+                "cjk_text",
+                F.translate(F.lower(F.col("text")), *_CJK_TRANSLATE),
+            )
+        )
+        build_index(
+            spark,
+            docs,
+            index_dir,
+            num_segments=8,
+            analyzer="cjk",
+            key_cols=("ext_id",),
+            content_col="cjk_text",
+            resume=True,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _cjk_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    d = cjk_index_dir(spark, sf_dir)
+    if d not in _SEARCHER_CACHE:
+        _SEARCHER_CACHE[d] = IndexSearcher(spark, d, analyzer="cjk", precision="f64")
+    return _SEARCHER_CACHE[d]
+
+
+def _cjk_search_all(spark: SparkSession, sf_dir: str, query) -> DataFrame:
+    s = _cjk_searcher(spark, sf_dir)
+    hits = s.search_many({0: query}, k=None).drop("qid")
+    docs = spark.read.parquet(os.path.join(s.index_dir, "docs")).select(
+        "segment_id", "doc_id", "ext_id"
+    )
+    return (
+        hits.join(docs, ["segment_id", "doc_id"])
+        .select(F.col("ext_id").alias("doc_id"), F.round("score", 4).alias("score"))
+    )
+
+
 def _ft_search_all(spark: SparkSession, sf_dir: str, query) -> DataFrame:
     """Engine search (all matches, f64) resolved back to external doc_ids.
     ``query`` may be a string (parsed) or a Query object."""
@@ -2915,6 +2990,55 @@ FROM events ORDER BY expr_score DESC, event_id ASC LIMIT 25
 # Driver-gated registry (the driver checks the first 50 queries() entries —
 # every family must land inside that window, so near-duplicate constant-score
 # variants are folded into ft_multiterm and BoostQuery into ft_dismax; the
+# --------------------------------------------------------------- CJK ops --
+# ft_cjk: BM25 OR over three Han bigram terms of the derived mixed-script
+# corpus ('了不'=so, '一而'=er, '的也'=an under the translate map);
+# ft_cjk_phrase: the quoted run "了不而子" (=sort) — the query analyzes to
+# bigrams 了不/不而/而子 at consecutive positions, the reference's
+# phrase-over-bigrams shape (CJKBigramFilter.java:48 + QueryBuilder).
+
+
+def ft_cjk(spark, sf_dir):
+    return _cjk_search_all(spark, sf_dir, "了不 OR 一而 OR 的也")
+
+
+def ft_cjk_phrase(spark, sf_dir):
+    return _cjk_search_all(spark, sf_dir, '"了不而子"')
+
+
+FT_CJK_SQL = (
+    "WITH "
+    + _bm25_chain("", _CJK_TOKENIZE)
+    + _SCORES_CTE.format(terms=_terms_list(["了不", "一而", "的也"]))
+    + "SELECT doc_id, round(sum(s), 4) AS score FROM scores GROUP BY doc_id"
+)
+
+FT_CJK_PHRASE_SQL = (
+    "WITH "
+    + _bm25_chain("", _CJK_TOKENIZE)
+    + f"""
+, tokp AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id, {_CJK_TOKENIZE} AS arr FROM documents)
+),
+phr AS (
+  SELECT a.doc_id, count(*) AS freq
+  FROM tokp a
+  JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tokp c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  WHERE a.term = '了不' AND b.term = '不而' AND c.term = '而子' GROUP BY 1
+),
+pw AS (
+  SELECT sum(ln(1 + (cstats.n - dft.df + 0.5) / (dft.df + 0.5))) AS w
+  FROM dft, cstats WHERE dft.term IN ('了不', '不而', '而子')
+)
+SELECT phr.doc_id,
+       round(pw.w * (phr.freq / (phr.freq + 1.2 * (0.25 + 0.75 * dld.dlq / (cstats.st * 1.0 / cstats.n)))), 4) AS score
+FROM phr JOIN dld ON phr.doc_id = dld.doc_id, pw, cstats
+"""
+)
+
+
 # individual ops stay pytest-gated via FT_EXTRA_OPS).
 FT_OPS: dict[str, tuple] = {
     "ft_feature_boost": (ft_feature_boost, FT_FEATURE_SQL),
@@ -2977,6 +3101,8 @@ FT_EXTRA_OPS: dict[str, tuple] = {
     "ft_term_tf": (ft_term_tf, FT_TF_SQL),
     "ft_norms": (ft_norms, FT_NORMS_SQL),
     "function_score_rank": (function_score_rank, FUNCTION_SCORE_SQL),
+    "ft_cjk": (ft_cjk, FT_CJK_SQL),
+    "ft_cjk_phrase": (ft_cjk_phrase, FT_CJK_PHRASE_SQL),
 }
 
 

@@ -89,3 +89,44 @@ def test_unicode_mixed_identifiers():
     # underscore still splits; CJK adjacent to ASCII splits at script bound
     terms, _ = analyze_code("get_名前_value")
     assert terms == ["get", "名", "前", "value"]
+
+
+def test_cjk_bigram_chain():
+    """CJKBigramFilter role (CJKBigramFilter.java:48, all four scripts, no
+    output unigrams): maximal CJK runs emit overlapping character bigrams at
+    consecutive positions; a lone CJK char emits as a unigram; Latin passes
+    through lowercased; mixed CJK scripts bigram together. Width fold
+    (CJKWidthFilter.java:35): fullwidth ASCII → ASCII, ideographic space →
+    space, halfwidth katakana → standard."""
+    from lucene_solr_spark.analysis import analyze_cjk
+
+    # TestCJKBigramFilter-spirit: mixed hiragana/han sentence
+    terms, pos = analyze_cjk("多くの学生が試験に落ちた")
+    assert terms == [
+        "多く", "くの", "の学", "学生", "生が", "が試",
+        "試験", "験に", "に落", "落ち", "ちた",
+    ]
+    assert pos == list(range(11))
+
+    # lone ideograph → unigram (single-char flush)
+    assert analyze_cjk("一") == (["一"], [0])
+    # katakana and hangul runs bigram character-wise
+    assert analyze_cjk("アメリカ")[0] == ["アメ", "メリ", "リカ"]
+    assert analyze_cjk("한국어")[0] == ["한국", "국어"]
+    # latin/CJK interleave: latin tokens pass through, runs bigram
+    assert analyze_cjk("abc一二三def")[0] == ["abc", "一二", "二三", "def"]
+    # width folding: fullwidth ASCII + ideographic space + halfwidth katakana
+    assert analyze_cjk("Ｈｅｌｌｏ　ワールド")[0] == ["hello", "ワー", "ール", "ルド"]
+    assert analyze_cjk("ｶﾀｶﾅ")[0] == ["カタ", "タカ", "カナ"]
+    # a separator breaks the bigram chain (documented contiguous-run scope)
+    assert analyze_cjk("一 二")[0] == ["一", "二"]
+
+
+def test_cjk_positions_dense_for_phrases():
+    """Positions are dense token indexes, so a quoted CJK string (analyzed
+    to bigrams at consecutive positions) has exact phrase semantics."""
+    from lucene_solr_spark.analysis import analyze_cjk
+
+    terms, pos = analyze_cjk("data 了不而子 x")
+    assert terms == ["data", "了不", "不而", "而子", "x"]
+    assert pos == [0, 1, 2, 3, 4]
