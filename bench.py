@@ -440,7 +440,11 @@ def main() -> None:
     if RUN_SCALING:
         import statistics
 
-        n_trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+        # default raised 3 → 5 (round-4 verdict #3): the committed 3-trial
+        # median landed 0.796 while the same-session 5-trial traces bracket
+        # 0.80+ — two extra drained pairs push the median past the external
+        # load swings (±0.3 per single pair, CLAUDE.md environment facts)
+        n_trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "5"))
         pairs = []
         pair_loads = []
         leg_loads = []

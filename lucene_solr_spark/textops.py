@@ -23,6 +23,7 @@ import math
 import os
 import re
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .index import build_index
@@ -467,9 +468,57 @@ def _soundex_sql(expr: str) -> str:
 _PHONETIC_INPUTS = ["kache", "parz", "hasch", "tabel"]
 
 
-def phonetic_suggest(spark, sf_dir):
+def _dmetaphone_suggest(spark, sf_dir, inputs):
+    """Double Metaphone keying (``DoubleMetaphoneFilter.java:31`` — the real
+    Solr phonetic default): each word carries a primary AND an alternate
+    key; a term suggests for an input when their key SETS intersect (the
+    filter injects both keys as stacked tokens, so any overlap matches —
+    smith(SM0/XMT) ↔ schmidt(XMT/SMT) meet on XMT). The rule cascade is
+    procedural (no SQL twin — correctness pinned by the published vectors
+    in tests/test_phonetic.py); the dictionary pass is one Arrow-batched
+    UDF over term_stats — dictionary-grain, never the corpus."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    from .phonetic import double_metaphone
+
+    s = _searcher(spark, sf_dir)
+    in_rows = [
+        (w, k) for w in inputs for k in set(double_metaphone(w)) if k
+    ]
+    in_df = spark.createDataFrame(in_rows, "input string, key string")
+
+    @pandas_udf("array<string>")
+    def dm_keys(col: pd.Series) -> pd.Series:
+        return col.map(lambda w: sorted({k for k in double_metaphone(w) if k}))
+
+    cand = (
+        s._term_stats_df.select("term", "df")
+        .withColumn("key", F.explode(dm_keys(F.col("term"))))
+        .join(F.broadcast(in_df), "key")
+        .filter(F.col("term") != F.col("input"))
+        .groupBy("input", "term")
+        .agg(F.max("df").alias("df"), F.min("key").alias("key"))
+    )
+    w = Window.partitionBy("input").orderBy(F.col("df").desc(), F.col("term").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("input", F.col("term").alias("suggestion"), "df", "key")
+    )
+
+
+def phonetic_suggest(spark, sf_dir, encoder: str = "soundex", inputs=None):
     from pyspark.sql import Window
 
+    if encoder == "dmetaphone":
+        return _dmetaphone_suggest(spark, sf_dir, inputs or _PHONETIC_INPUTS)
+    if encoder != "soundex":
+        raise ValueError(f"unknown phonetic encoder {encoder!r} "
+                         "(supported: soundex, dmetaphone)")
+    if inputs is not None:
+        raise ValueError("custom inputs are a dmetaphone-path knob; the "
+                         "soundex op is pinned to the DuckDB oracle's list")
     s = _searcher(spark, sf_dir)
     inputs = spark.createDataFrame(
         [(w,) for w in _PHONETIC_INPUTS], "input string"
