@@ -1701,6 +1701,78 @@ WHERE l_orderkey IN (
 """
 
 
+# Nested-doc RETRIEVAL — the ``[child]`` / ``[parent]`` doc transformers
+# (``solr/core/src/java/org/apache/solr/response/transform/
+# ChildDocTransformerFactory.java:57``): a matching parent is returned with
+# its (childFilter-filtered, limit-capped) children NESTED as an array
+# column; the inverse attaches each matching child's parent as a struct.
+# Scale shape: children aggregate map-side per parent key (the Lucene block
+# contract bounds a parent's children, so collect_list is block-bounded,
+# and `limit` caps the carried payload); bucket both sides by orderkey at
+# 100 TB and neither re-shuffles. Childless parents keep an empty array —
+# the transformer decorates, never filters (ChildDocTransformer.transform).
+def child_doc_transform(
+    spark,
+    sf_dir,
+    parent_filter: str = "o_totalprice > 400000 AND o_orderstatus = 'F'",
+    child_filter: str = "l_quantity >= 30",
+    limit: int = 3,
+):
+    """``fl=*,[child childFilter=... limit=...]``: parents matching
+    ``parent_filter`` with up to ``limit`` children (child order =
+    l_linenumber, the within-block doc order) nested as
+    ``children: array<struct>``."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    kids = (
+        l.filter(F.expr(child_filter))
+        .groupBy("l_orderkey")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+                    )
+                ),
+                1,
+                limit,
+            ).alias("children")
+        )
+    )
+    return (
+        o.filter(F.expr(parent_filter))
+        .join(kids, o.o_orderkey == kids.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.coalesce(
+                "children",
+                F.expr(
+                    "cast(array() as array<struct<l_linenumber:int,"
+                    "l_quantity:double,l_extendedprice:double>>)"
+                ),
+            ).alias("children"),
+        )
+    )
+
+
+def parent_doc_transform(
+    spark,
+    sf_dir,
+    child_filter: str = "l_quantity >= 49 AND l_discount >= 0.09",
+):
+    """The inverse decoration (``[parent]`` role): each matching child row
+    carries its parent as a nested struct — a broadcast-friendly dimension
+    join when the matching child set is selective."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.struct("o_orderkey", "o_orderstatus", "o_totalprice").alias("parent")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.expr(child_filter))
+    return l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "o_orderkey", "l_linenumber", "l_quantity", "parent"
+    )
+
+
 # Tagged-facet exclusions (Solr ``{!tag=…}`` filters + ``{!ex=…}`` facets,
 # ``reference solr/core/src/java/org/apache/solr/request/SimpleFacets.java``
 # getFacetFieldCounts excluded-filter handling): with filters mktsegment =
