@@ -289,6 +289,66 @@ def analyze_simple_fold(text: str) -> tuple[list[str], list[int]]:
     return analyze_simple(fold_to_ascii(text))
 
 
+# ------------------------------------------- common grams ------------------
+# CommonGramsFilter (``analysis/common/src/java/org/apache/lucene/analysis/
+# commongrams/CommonGramsFilter.java:51``) + CommonGramsQueryFilter
+# (``CommonGramsQueryFilter.java``): the phrase-speed chain that KEEPS
+# common words. Index side: every unigram is emitted as usual, and each
+# adjacent pair where either word is common additionally emits the joined
+# gram ``w1_w2`` STACKED at the first word's position (posIncr=0 — grams
+# share the unigram's slot, so they don't count toward field length,
+# discountOverlaps). Query side: a phrase keeps the grams and drops the
+# unigrams they cover, so "the quick brown" becomes [the_quick@0, brown@2]
+# — the phrase walks the gram's (much shorter) postings instead of the
+# stop word's. Common set = the 33-word English stop list (Solr wires the
+# same words file into both filters).
+
+COMMON_GRAMS_SEP = "_"
+
+
+def analyze_common_grams(
+    text: str, common: frozenset = ENGLISH_STOP_WORDS
+) -> tuple[list[str], list[int]]:
+    """Index chain: simple tokens (common words KEPT) + stacked grams."""
+    words = _SIMPLE_RE.findall(text.lower())
+    terms: list[str] = []
+    pos: list[int] = []
+    n = len(words)
+    for i, w in enumerate(words):
+        terms.append(w)
+        pos.append(i)
+        if i + 1 < n and (w in common or words[i + 1] in common):
+            terms.append(w + COMMON_GRAMS_SEP + words[i + 1])
+            pos.append(i)  # stacked (posIncr=0) at the first word's slot
+    return terms, pos
+
+
+def common_grams_query(
+    text: str, common: frozenset = ENGLISH_STOP_WORDS
+) -> tuple[list[str], list[int]]:
+    """CommonGramsQueryFilter role: phrase terms for a common-grams field —
+    grams replace the unigrams they cover; an isolated token (no gram on
+    either side) stays a unigram, so a single-word query still works.
+    Returns (terms, relative positions) for a ``PhraseQuery``."""
+    words = _SIMPLE_RE.findall(text.lower())
+    n = len(words)
+    gram_at = [
+        i + 1 < n and (words[i] in common or words[i + 1] in common)
+        for i in range(n)
+    ]
+    terms: list[str] = []
+    pos: list[int] = []
+    for i in range(n):
+        if gram_at[i]:
+            terms.append(words[i] + COMMON_GRAMS_SEP + words[i + 1])
+            pos.append(i)
+        covered = gram_at[i] or (i > 0 and gram_at[i - 1])
+        if not covered:
+            terms.append(words[i])
+            pos.append(i)
+    return terms, pos
+
+
 # ------------------------------------------- CJK bigram chain --------------
 # Solr's ``text_cjk`` field type: StandardTokenizer → CJKWidthFilter →
 # LowerCaseFilter → CJKBigramFilter (``analysis/common/src/java/org/apache/
@@ -578,11 +638,15 @@ ANALYZERS = _AnalyzerRegistry({
     "simple": analyze_simple,
     "simple_fold": analyze_simple_fold,
     "cjk": analyze_cjk,
+    "commongrams": analyze_common_grams,
+    "commongrams_query": common_grams_query,
     **{name: _make_ngram_analyzer(n) for name, n in NGRAM_SIZES.items()},
 })
 
-# graph chains are index-side only; queries analyze with the base rules
-QUERY_CHAIN = _QueryChain({"code_graph": "code"})
+# graph chains are index-side only; queries analyze with the base rules.
+# commongrams queries go through CommonGramsQueryFilter (grams REPLACE the
+# unigrams they cover — the index side stacks both).
+QUERY_CHAIN = _QueryChain({"code_graph": "code", "commongrams": "commongrams_query"})
 
 # DuckDB-side equivalent of analyze_simple, used when emitting oracle SQL.
 SIMPLE_SQL_TOKENIZE = "regexp_extract_all(lower({col}), '[a-z0-9]+')"
