@@ -4960,6 +4960,320 @@ FROM assign{_CLUSTER_ITERS - 1} a JOIN lab ON a.cluster = lab.cluster
 )
 
 
+# ---------------------------------------------------------------------------
+# Lingo (Carrot2 ``CarrotClusteringEngine.java`` dispatching the Lingo
+# algorithm — Osiński & Weiss, "Lingo: Search Results Clustering Algorithm
+# Based on Singular Value Decomposition"): labels FIRST via SVD. The
+# term-document tf-idf matrix's leading left singular vectors are abstract
+# concepts; each concept picks the best-matching label from phrase/term
+# candidates (cosine in term space); documents assign to the concept they
+# score highest on. The reference's SVD is an iterative numeric routine —
+# re-expressed here as DETERMINISTIC fixed-iteration power iteration with
+# deflation on B = A·Aᵀ (the Gram matrix in term space), in 6-dp
+# cross-engine lockstep exactly like the k-means/logit/GD ops: B is
+# rounded, every normalized iterate is rounded, the deflated matrix is
+# rounded — so DuckDB's unrolled-CTE twin reproduces the engine's floats.
+#
+# Scale shape: the RESULT SET is the contract input (Carrot2 clusters the
+# returned snippets, not the corpus). x/B build distributed (two
+# map-side-combinable shuffles); B is F×F ≤ 144 rows of driver model
+# state (the ann.py centroid precedent); doc scoring re-distributes via a
+# broadcast of the K concept vectors.
+
+_LINGO_K = 3
+_LINGO_ITERS = 6
+_LINGO_FEATURES = 12
+_LINGO_FILTER = "stream"
+
+
+def _lingo_setup_sql() -> str:
+    return f"""
+WITH hits AS MATERIALIZED (
+  SELECT doc_id, lower(text) AS text FROM documents
+  WHERE lower(text) LIKE '%{_LINGO_FILTER}%'
+),
+tot AS MATERIALIZED (SELECT count(*) AS n FROM hits),
+tf AS MATERIALIZED (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+    FROM hits
+  ) GROUP BY doc_id, term
+),
+dfreq AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY term),
+feats AS MATERIALIZED (
+  SELECT term, ln((CAST(n AS DOUBLE) + 1.0) / (df + 1.0)) AS idf
+  FROM dfreq, tot ORDER BY df DESC, term ASC LIMIT {_LINGO_FEATURES}
+),
+x AS MATERIALIZED (
+  SELECT tf.doc_id, tf.term,
+         round(f.idf * (1.0 + ln(tf.tf)), 6) AS xv
+  FROM tf JOIN feats f USING (term)
+),
+b0 AS MATERIALIZED (
+  SELECT a.term AS ti, b.term AS tj, round(sum(a.xv * b.xv), 6) AS bv
+  FROM x a JOIN x b USING (doc_id) GROUP BY a.term, b.term
+),
+v0_init AS MATERIALIZED (SELECT DISTINCT term, 1.0 AS v FROM x)
+"""
+
+
+def _lingo_concept_sql(c: int) -> str:
+    """Power iteration c over b{c} (fixed {_LINGO_ITERS} iterations from
+    the uniform init), then eigenvalue + deflation to b{c+1}."""
+    out = []
+    prev = "v0_init"
+    for t in range(_LINGO_ITERS):
+        out.append(f"""
+, w{c}_{t} AS MATERIALIZED (
+  SELECT b.ti AS term, sum(b.bv * v.v) AS wv
+  FROM b{c} b JOIN {prev} v ON b.tj = v.term GROUP BY b.ti
+),
+n{c}_{t} AS MATERIALIZED (SELECT sqrt(sum(wv * wv)) AS nrm FROM w{c}_{t}),
+v{c}_{t} AS MATERIALIZED (
+  SELECT term, CASE WHEN nrm = 0 THEN 0.0 ELSE round(wv / nrm, 6) END AS v
+  FROM w{c}_{t}, n{c}_{t}
+)""")
+        prev = f"v{c}_{t}"
+    out.append(f"""
+, u{c} AS MATERIALIZED (SELECT term, v FROM {prev})
+, lam{c} AS MATERIALIZED (
+  SELECT round(sum(b.bv * u1.v * u2.v), 6) AS lam
+  FROM b{c} b JOIN u{c} u1 ON b.ti = u1.term JOIN u{c} u2 ON b.tj = u2.term
+)
+, b{c + 1} AS MATERIALIZED (
+  SELECT b.ti, b.tj, round(b.bv - lam.lam * u1.v * u2.v, 6) AS bv
+  FROM b{c} b JOIN u{c} u1 ON b.ti = u1.term JOIN u{c} u2 ON b.tj = u2.term,
+       lam{c} lam
+)""")
+    return "".join(out)
+
+
+def _lingo_tail_sql() -> str:
+    """Label matching + doc assignment (the Lingo phases after the SVD).
+    Candidates: single feature terms (one-hot, cosine = |u[t]|) and
+    adjacent feature-term bigrams with df ≥ 2, t1 ≠ t2 (two-hot, cosine =
+    |u[t1]+u[t2]|/√2). Each concept takes its best candidate GREEDILY with
+    cross-concept dedupe (concept order; ties label-asc) — the reference
+    prunes duplicate labels the same way. Documents then assign to the
+    LABEL they score highest on (cluster-assignment phase: cosine of the
+    doc's tf-idf vector with the label's term vector — the per-doc norm is
+    constant across labels, so the unnormalized weighted sum decides the
+    argmax; ties cluster-asc). Docs matching no label term fall out — the
+    reference's "Other Topics" bin, documented."""
+    unions = []
+    for c in range(_LINGO_K):
+        unions.append(f"""
+  SELECT {c} AS cluster, term AS label, round(abs(v), 6) AS cscore
+  FROM u{c}
+  UNION ALL
+  SELECT {c}, bg.t1 || ' ' || bg.t2,
+         round(abs(u1.v + u2.v) / sqrt(2.0), 6)
+  FROM big bg JOIN u{c} u1 ON bg.t1 = u1.term JOIN u{c} u2 ON bg.t2 = u2.term
+""")
+        unions.append("  UNION ALL" if c < _LINGO_K - 1 else "")
+    labs = []
+    for c in range(_LINGO_K):
+        taken = " UNION ".join(f"SELECT label FROM lab{j}" for j in range(c))
+        notin = f" AND label NOT IN ({taken})" if c else ""
+        labs.append(
+            f", lab{c} AS MATERIALIZED (\n"
+            f"  SELECT label FROM cands WHERE cluster = {c}{notin}\n"
+            f"  ORDER BY cscore DESC, label ASC LIMIT 1)\n"
+        )
+    labs_union = " UNION ALL ".join(
+        f"SELECT {c} AS cluster, label FROM lab{c}" for c in range(_LINGO_K)
+    )
+    return f"""
+, tokp AS MATERIALIZED (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS arr FROM hits)
+),
+big AS MATERIALIZED (
+  SELECT a.term AS t1, b.term AS t2, count(DISTINCT a.doc_id) AS bdf
+  FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN (SELECT term FROM feats) AND b.term IN (SELECT term FROM feats)
+        AND a.term <> b.term
+  GROUP BY a.term, b.term HAVING count(DISTINCT a.doc_id) >= 2
+),
+cands AS MATERIALIZED ({"".join(unions)})
+{"".join(labs)}
+, labs AS MATERIALIZED ({labs_union})
+, labterms AS MATERIALIZED (
+  SELECT cluster, label, unnest(string_split(label, ' ')) AS term,
+         1.0 / sqrt(len(string_split(label, ' '))) AS lw
+  FROM labs
+),
+docscore AS MATERIALIZED (
+  SELECT x.doc_id, lt.cluster, round(sum(x.xv * lt.lw), 6) AS s
+  FROM x JOIN labterms lt USING (term) GROUP BY x.doc_id, lt.cluster
+),
+assign AS MATERIALIZED (
+  SELECT doc_id, cluster FROM (
+    SELECT doc_id, cluster,
+           row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cluster ASC) AS rk
+    FROM docscore
+  ) WHERE rk = 1
+)
+SELECT a.doc_id, CAST(a.cluster AS BIGINT) AS cluster, l.label
+FROM assign a JOIN labs l USING (cluster)
+"""
+
+
+LINGO_SQL = (
+    _lingo_setup_sql()
+    + "".join(_lingo_concept_sql(c) for c in range(_LINGO_K))
+    + _lingo_tail_sql()
+)
+
+
+def lingo_clusters(spark, sf_dir):
+    """Lingo over the result set: (doc_id, cluster, label) — SVD concepts
+    via deterministic deflated power iteration, labels from term/bigram
+    candidates, docs to their best concept."""
+    from pyspark.sql import Window
+
+    hits = (
+        _docs(spark, sf_dir)
+        .filter(F.lower(F.col("text")).contains(_LINGO_FILTER))
+        .select("doc_id", F.lower(F.col("text")).alias("text"))
+    )
+    n = hits.count()
+    tf = (
+        hits.select(
+            "doc_id",
+            F.explode(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    feats = {
+        r["term"]: math.log((n + 1.0) / (r["df"] + 1.0))
+        for r in dfreq.orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(_LINGO_FEATURES)
+        .collect()
+    }
+    idf_map = F.create_map(*[F.lit(v) for kv in feats.items() for v in kv])
+    x = tf.filter(F.col("term").isin(list(feats))).select(
+        "doc_id",
+        "term",
+        F.round(
+            idf_map[F.col("term")] * (1.0 + F.log(F.col("tf").cast("double"))), 6
+        ).alias("xv"),
+    ).cache()
+
+    # B = A·Aᵀ distributed, then F×F rows of driver model state
+    b_rows = (
+        x.alias("a")
+        .join(x.alias("b"), "doc_id")
+        .groupBy(F.col("a.term").alias("ti"), F.col("b.term").alias("tj"))
+        .agg(F.round(F.sum(F.col("a.xv") * F.col("b.xv")), 6).alias("bv"))
+        .collect()
+    )
+    terms = sorted({r["ti"] for r in b_rows})
+    B = {(r["ti"], r["tj"]): r["bv"] for r in b_rows}
+
+    # deflated power iteration — plain Python floats in sorted-term order,
+    # 6-dp rounding at every step (the SQL twin's arithmetic)
+    concepts: list[dict[str, float]] = []
+    for _c in range(_LINGO_K):
+        v = {t: 1.0 for t in terms}
+        for _t in range(_LINGO_ITERS):
+            w = {
+                ti: sum(B.get((ti, tj), 0.0) * v[tj] for tj in terms)
+                for ti in terms
+            }
+            nrm = math.sqrt(sum(wv * wv for wv in w.values()))
+            v = {
+                t: (0.0 if nrm == 0 else round(w[t] / nrm, 6)) for t in terms
+            }
+        lam = round(
+            sum(
+                B.get((ti, tj), 0.0) * v[ti] * v[tj]
+                for ti in terms
+                for tj in terms
+            ),
+            6,
+        )
+        B = {
+            (ti, tj): round(B.get((ti, tj), 0.0) - lam * v[ti] * v[tj], 6)
+            for ti in terms
+            for tj in terms
+        }
+        concepts.append(v)
+
+    # label candidates: single terms + adjacent feature-bigrams (df ≥ 2)
+    tokp = hits.select(
+        "doc_id",
+        F.posexplode(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias(
+            "pos", "term"
+        ),
+    )
+    a, bb = tokp.alias("a"), tokp.alias("b")
+    big = (
+        a.join(
+            bb,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .filter(
+            F.col("a.term").isin(terms)
+            & F.col("b.term").isin(terms)
+            # a repeated-word "phrase" is a degenerate label whose two-hot
+            # cosine (√2·|u[t]|) would always beat the single term
+            & (F.col("a.term") != F.col("b.term"))
+        )
+        .groupBy(F.col("a.term").alias("t1"), F.col("b.term").alias("t2"))
+        .agg(F.countDistinct(F.col("a.doc_id")).alias("bdf"))
+        .filter(F.col("bdf") >= 2)
+        .collect()
+    )
+    # greedy per-concept label pick with cross-concept dedupe — the SQL's
+    # lab{c} chain (highest cosine, ties label-asc, earlier concepts win)
+    labels: list[tuple[int, str]] = []
+    taken: set[str] = set()
+    for c, u in enumerate(concepts):
+        cands = [(round(abs(u[t]), 6), t) for t in terms]
+        for r in big:
+            cands.append(
+                (
+                    round(abs(u[r["t1"]] + u[r["t2"]]) / math.sqrt(2.0), 6),
+                    f"{r['t1']} {r['t2']}",
+                )
+            )
+        best = min(
+            (cv for cv in cands if cv[1] not in taken),
+            key=lambda cv: (-cv[0], cv[1]),
+        )
+        taken.add(best[1])
+        labels.append((c, best[1]))
+    lab_df = spark.createDataFrame(labels, "cluster int, label string")
+
+    # cluster-assignment phase: docs go to the LABEL they score highest on
+    # (the label's term vector; per-doc norm is constant across labels so
+    # the weighted sum decides the argmax). Docs matching no label term
+    # fall out — the reference's "Other Topics" bin.
+    labterm_rows = []
+    for c, lab in labels:
+        parts = lab.split(" ")
+        lw = 1.0 / math.sqrt(len(parts))
+        for t in parts:
+            labterm_rows.append((c, t, lw))
+    lt_df = spark.createDataFrame(labterm_rows, "cluster int, term string, lw double")
+    docscore = (
+        x.join(F.broadcast(lt_df), "term")
+        .groupBy("doc_id", "cluster")
+        .agg(F.round(F.sum(F.col("xv") * F.col("lw")), 6).alias("s"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("cluster").asc())
+    return (
+        docscore.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(F.broadcast(lab_df), "cluster")
+        .select("doc_id", F.col("cluster").cast("bigint").alias("cluster"), "label")
+    )
+
+
 # pytest-gated only: the single-metric ops folded into text_metrics /
 # doc_signatures above; emb_knn_threshold is the brute-force ANN baseline
 # whose scale path is the gated emb_ivf_probe.
@@ -5465,6 +5779,7 @@ SELECT qid AS doc_id, lang AS predicted, cscore FROM (
 TRAINING_EXTRA_OPS: dict[str, tuple] = {
     "signature_dedup": (signature_dedup, SIGNATURE_DEDUP_SQL),
     "stc_clusters": (stc_clusters, STC_SQL),
+    "lingo_clusters": (lingo_clusters, LINGO_SQL),
     "knn_fuzzy_classify": (knn_fuzzy_classify, KNN_FUZZY_SQL),
     "features_igain_docs": (features_igain_docs, FEATURES_IGAIN_SQL),
     "train_logit_docs": (train_logit_docs, TRAIN_LOGIT_SQL),
