@@ -632,3 +632,55 @@ def test_dv_updates_survive_sorted_merge(spark, tmp_path_factory):
         if r.value is not None
     }
     assert post == pre
+
+
+def test_dv_fold_crash_before_manifest_commit_is_invisible(spark, tmp_path_factory):
+    """Crash-safety of the fold-before-commit order: a folded generation
+    addressed at a segment whose manifest row never landed must be
+    invisible to every reader (live and time-traveled) — the retry simply
+    re-publishes."""
+    from lucene_solr_spark.corpus import synth_corpus_local
+    from lucene_solr_spark.index import build_index
+    from lucene_solr_spark.index.docvalues import (
+        fold_dv_updates,
+        numeric_docvalues,
+        update_numeric_docvalue,
+    )
+    from lucene_solr_spark.index.manifest import next_segment_id
+
+    corpus = synth_corpus_local(60)
+    d = str(tmp_path_factory.mktemp("dvcrash") / "idx")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=2,
+                analyzer="code")
+    docs = spark.read.parquet(d + "/docs").select(
+        "segment_id", "doc_id", "repo", "path"
+    )
+    from pyspark.sql import functions as F
+
+    keys = [(r.repo, r.path) for r in docs.orderBy("segment_id", "doc_id").limit(2).collect()]
+    update_numeric_docvalue(
+        spark, d, "rank_boost",
+        spark.createDataFrame(
+            [(r, p, 3) for r, p in keys], "repo string, path string, value long"
+        ),
+        key_cols=["repo", "path"],
+    )
+    before = sorted(
+        (r.segment_id, r.doc_id, r.value)
+        for r in numeric_docvalues(spark, d, "rank_boost").collect()
+        if r.value is not None
+    )
+    # simulate the crash window: the fold publishes against a segment id
+    # that never commits (identity docmap over the live docs)
+    phantom = next_segment_id(spark, d)
+    docmap = docs.select(
+        "segment_id", "doc_id", F.col("doc_id").alias("new_doc_id")
+    )
+    published = fold_dv_updates(spark, d, [0, 1], phantom, docmap)
+    assert published  # a generation landed on disk...
+    after = sorted(
+        (r.segment_id, r.doc_id, r.value)
+        for r in numeric_docvalues(spark, d, "rank_boost").collect()
+        if r.value is not None
+    )
+    assert after == before  # ...but no reader can see it
