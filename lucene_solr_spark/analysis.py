@@ -3,7 +3,7 @@
 Reimplements (from scratch, semantics only) the reference chain used for
 source-code text:
 
-- tokenizer: ASCII word segmentation, the role of ``StandardTokenizer``
+- tokenizer: Unicode word segmentation, the role of ``StandardTokenizer``
   (``analysis/standard/StandardTokenizer.java:39,61-69``; UAX#29 keeps
   ``_``-joined runs together via ExtendNumLet, so ``snake_case`` is one token
   entering the word-delimiter stage). maxTokenLength 255.
@@ -72,14 +72,51 @@ _HANGUL = "\u1100-\u11ff\uac00-\ud7af"
 
 # WordDelimiterGraphFilter case/digit transitions as ONE zero-width boundary
 # pass (``parseHttp``→``parse Http``, ``HTTPServer``→``HTTP Server``,
-# ``SD500``→``SD 500``). Case detection is ASCII (non-ASCII letters join
-# their neighbours — documented v1 scope); the split itself happens in the
+# ``SD500``→``SD 500``). Case detection covers the BICAMERAL scripts a
+# code/web corpus hits — Latin incl. Latin-1/Extended-A/B, Greek, Cyrillic
+# (``ÜberParser``→``über parser``, ``ПарсерБуфер``→``парсер буфер``) —
+# built from str.isupper()/islower() over those ranges at import (the
+# reference uses Character.isUpperCase, full-Unicode; unicameral scripts
+# have no case transitions to detect). The split itself happens in the
 # word scan below.
+
+
+def _case_classes() -> tuple[str, str]:
+    ups: list[int] = []
+    lows: list[int] = []
+    for lo, hi in ((0x41, 0x24F), (0x370, 0x3FF), (0x400, 0x52F)):
+        for cp in range(lo, hi + 1):
+            ch = chr(cp)
+            if ch.isupper():
+                ups.append(cp)
+            elif ch.islower():
+                lows.append(cp)
+
+    def compress(cps: list[int]) -> str:
+        runs = []
+        start = prev = cps[0]
+        for c in cps[1:]:
+            if c == prev + 1:
+                prev = c
+                continue
+            runs.append((start, prev))
+            start = prev = c
+        runs.append((start, prev))
+        return "".join(
+            re.escape(chr(a)) if a == b else f"{re.escape(chr(a))}-{re.escape(chr(b))}"
+            for a, b in runs
+        )
+
+    return compress(ups), compress(lows)
+
+
+_UPPER_CLS, _LOWER_CLS = _case_classes()
+
 _CASE_BOUND_RE = re.compile(
-    r"(?<=[a-z0-9])(?=[A-Z])"
-    r"|(?<=[A-Z])(?=[A-Z][a-z])"
-    r"|(?<=[A-Za-z])(?=[0-9])"
-    r"|(?<=[0-9])(?=[A-Za-z])"
+    f"(?<=[{_LOWER_CLS}0-9])(?=[{_UPPER_CLS}])"
+    f"|(?<=[{_UPPER_CLS}])(?=[{_UPPER_CLS}][{_LOWER_CLS}])"
+    f"|(?<=[{_UPPER_CLS}{_LOWER_CLS}])(?=[0-9])"
+    f"|(?<=[0-9])(?=[{_UPPER_CLS}{_LOWER_CLS}])"
 )
 
 # subword scan over boundary-split text: CJK unigrams first, then Katakana /
@@ -359,7 +396,7 @@ def common_grams_query(
 # - width fold: fullwidth ASCII variants (U+FF01-FF5E) → ASCII, ideographic
 #   space → space, halfwidth katakana (U+FF66-FF9D) → standard katakana
 #   (the base-letter map; voiced-mark composition U+FF9E/FF9F is out of
-#   scope — documented partial, like the tokenizer's ASCII case detection).
+#   scope — documented partial).
 # - bigrams: each maximal run of adjacent CJK characters emits its n-1
 #   overlapping character bigrams, one position each; a LONE CJK character
 #   (run length 1) is emitted as a unigram (it has no neighbour — the

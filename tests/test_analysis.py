@@ -130,3 +130,18 @@ def test_cjk_positions_dense_for_phrases():
     terms, pos = analyze_cjk("data 了不而子 x")
     assert terms == ["data", "了不", "不而", "而子", "x"]
     assert pos == [0, 1, 2, 3, 4]
+
+
+def test_unicode_case_transitions():
+    """WordDelimiter case detection over the bicameral scripts (round-5:
+    the ASCII-only partial closed): Latin incl. accents, Greek, Cyrillic
+    split on lower→upper and Upper-Upper-lower transitions like ASCII."""
+    from lucene_solr_spark.analysis import analyze_code
+
+    assert analyze_code("ÜberParser")[0] == ["über", "parser"]
+    assert analyze_code("HTTPÉcole")[0] == ["http", "école"]
+    assert analyze_code("ПарсерБуфер")[0] == ["парсер", "буфер"]
+    assert analyze_code("αβΓδ")[0] == ["αβ", "γδ"]
+    # all-lower accented words stay whole; ASCII behavior unchanged
+    assert analyze_code("café")[0] == ["café"]
+    assert analyze_code("parseHttp")[0] == ["parse", "http"]

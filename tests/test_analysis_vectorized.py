@@ -24,13 +24,46 @@ from lucene_solr_spark.analysis import (  # script ranges are config, not algori
 )
 
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
-_CASE_BOUND_RE = re.compile(
-    r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])"
-    r"|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"
-)
 _WORD_RE = re.compile(
     rf"[{_UNIGRAM}]|[{_KATAKANA}]+|[{_HANGUL}]+|[^\W_{_UNIGRAM}{_KATAKANA}{_HANGUL}]+"
 )
+
+# case detection covers the bicameral ranges (Latin incl. 0x41-0x24F,
+# Greek, Cyrillic) — round 5 extended the package regex beyond ASCII; the
+# naive reference implements the SAME rule independently with a per-char
+# isupper/islower walk instead of a regex.
+_CASE_RANGES = ((0x41, 0x24F), (0x370, 0x3FF), (0x400, 0x52F))
+
+
+def _kind(ch: str) -> str:
+    cp = ord(ch)
+    if "0" <= ch <= "9":
+        return "d"
+    if any(lo <= cp <= hi for lo, hi in _CASE_RANGES):
+        if ch.isupper():
+            return "U"
+        if ch.islower():
+            return "l"
+    return "o"
+
+
+def _case_split(tok: str) -> str:
+    """Insert a space at every WordDelimiter case/digit transition:
+    lower|digit→Upper, Upper→Upper-lower, letter→digit, digit→letter."""
+    out = []
+    n = len(tok)
+    for i, ch in enumerate(tok):
+        if i > 0:
+            a, b = _kind(tok[i - 1]), _kind(ch)
+            if (
+                (a in ("l", "d") and b == "U")
+                or (a == "U" and b == "U" and i + 1 < n and _kind(tok[i + 1]) == "l")
+                or (a in ("U", "l") and b == "d")
+                or (a == "d" and b in ("U", "l"))
+            ):
+                out.append(" ")
+        out.append(ch)
+    return "".join(out)
 
 
 def naive_chain(text: str):
@@ -42,7 +75,7 @@ def naive_chain(text: str):
         tok = m.group()
         if len(tok) > MAX_TOKEN_LENGTH:
             continue
-        for part in _WORD_RE.findall(_CASE_BOUND_RE.sub(" ", tok)):
+        for part in _WORD_RE.findall(_case_split(tok)):
             pos += 1
             low = part.lower()
             if low in ENGLISH_STOP_WORDS:
@@ -55,7 +88,8 @@ def naive_chain(text: str):
 ident_chars = st.sampled_from(
     list("abcXYZ_09 \t\n.,;(){}")
     + list("漢字のテひカナ한국어ᄀé把ß")
-    + ["Http", "XML", "SD500", "the", "The", "x" * 260, "café", "Ünïcode", "ｆｕｌｌ"]
+    + ["Http", "XML", "SD500", "the", "The", "x" * 260, "café", "Ünïcode",
+       "ｆｕｌｌ", "ÜberParser", "ПарсерБуфер", "αβΓδ", "É9", "ßX"]
 )
 texts = st.lists(ident_chars, min_size=0, max_size=60).map("".join)
 
