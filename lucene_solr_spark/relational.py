@@ -1378,6 +1378,130 @@ def _shape_relate_sql(relate: str) -> str:
     return base + f"SELECT shape_id FROM shapes WHERE NOT {intersects}"
 
 
+# ---- LINE shapes (LatLonShape.createIndexableFields over Line geometries:
+# each SEGMENT is the tessellation unit — the reference encodes a line's
+# segments as degenerate triangles in the same BKD tree). Same cell-posting
+# scheme; the exact relate drops the triangle-specific parts: INTERSECTS =
+# any proper segment×edge crossing OR an endpoint inside the query polygon
+# (a line has no interior, so polygon-vertex-in-shape does not apply);
+# WITHIN = both endpoints inside ∧ no crossing; DISJOINT = ¬INTERSECTS.
+_LINE_COLS = [
+    "p_partkey AS shape_id",
+    "CAST((p_partkey * 11 % 150) - 75 + 0.5 AS DOUBLE) AS y1",
+    "CAST((p_partkey * 17 % 330) - 165 + 0.5 AS DOUBLE) AS x1",
+    "CAST((p_partkey * 11 % 150) - 75 + 7.5 AS DOUBLE) AS y2",
+    "CAST((p_partkey * 17 % 330) - 165 + 5.5 AS DOUBLE) AS x2",
+]
+_LINE_DERIVE_SQL = "SELECT " + ", ".join(_LINE_COLS) + " FROM part"
+
+
+def _lines_df(spark, sf_dir):
+    return _t(spark, sf_dir, "part").selectExpr(*_LINE_COLS)
+
+
+def line_cell_index(spark, sf_dir):
+    """(cell, shape_id, endpoints) posting rows for line segments — the
+    same ingest-time bbox-cell expansion as the triangle index."""
+    ln = _lines_df(spark, sf_dir)
+    return (
+        ln.withColumn(
+            "ci",
+            F.explode(
+                F.sequence(
+                    F.floor((F.least("y1", "y2") + 90) / _GRID_DEG).cast("long"),
+                    F.floor((F.greatest("y1", "y2") + 90) / _GRID_DEG).cast("long"),
+                )
+            ),
+        )
+        .withColumn(
+            "cj",
+            F.explode(
+                F.sequence(
+                    F.floor((F.least("x1", "x2") + 180) / _GRID_DEG).cast("long"),
+                    F.floor((F.greatest("x1", "x2") + 180) / _GRID_DEG).cast("long"),
+                )
+            ),
+        )
+        .withColumn("cell", F.col("ci") * _N_LON_CELLS + F.col("cj"))
+        .select("cell", "shape_id", "y1", "x1", "y2", "x2")
+    )
+
+
+def _line_relate_exprs(poly) -> tuple[str, str]:
+    """(intersects_expr, within_expr) for the column segment (y1,x1)-(y2,x2)
+    vs the literal query polygon."""
+    vin = []
+    for v in (1, 2):
+        terms = []
+        for i, (py1, px1) in enumerate(poly):
+            py2, px2 = poly[(i + 1) % len(poly)]
+            terms.append(
+                f"(CASE WHEN (({py1} > y{v}) <> ({py2} > y{v})) AND "
+                f"(x{v} < ({px2} - {px1}) * (y{v} - {py1}) / ({py2} - {py1}) + {px1}) "
+                f"THEN 1 ELSE 0 END)"
+            )
+        vin.append("((" + " + ".join(terms) + ") % 2 = 1)")
+    pairs = []
+    for i, (py1, px1) in enumerate(poly):
+        py2, px2 = poly[(i + 1) % len(poly)]
+        pairs.append(
+            _seg_intersect_expr(
+                ("x1", "y1"), ("x2", "y2"), (str(px1), str(py1)), (str(px2), str(py2))
+            )
+        )
+    any_cross = "(" + " OR ".join(pairs) + ")"
+    any_vin = "(" + " OR ".join(vin) + ")"
+    all_vin = "(" + " AND ".join(vin) + ")"
+    return f"({any_cross} OR {any_vin})", f"({all_vin} AND NOT {any_cross})"
+
+
+def line_relate(spark, sf_dir, relate: str = "intersects", poly=None):
+    """INTERSECTS/WITHIN/DISJOINT of INDEXED line shapes against a query
+    polygon — the cell-pruned candidate scan + per-candidate exact test,
+    DISJOINT via the inverted-prune anti-join."""
+    poly = poly or _SHAPE_QUERY_POLY
+    intersects, within = _line_relate_exprs(poly)
+    inside, boundary = _classify_cells(poly)
+    cand_cells = sorted(inside | boundary)
+    idx = line_cell_index(spark, sf_dir)
+    cands = (
+        idx.filter(F.col("cell").isin(cand_cells))
+        .select("shape_id", "y1", "x1", "y2", "x2")
+        .distinct()
+    )
+    if relate == "intersects":
+        return cands.filter(F.expr(intersects)).select("shape_id")
+    if relate == "within":
+        return cands.filter(F.expr(within)).select("shape_id")
+    if relate == "disjoint":
+        hits = cands.filter(F.expr(intersects)).select("shape_id")
+        return (
+            _lines_df(spark, sf_dir)
+            .select("shape_id")
+            .join(hits, "shape_id", "left_anti")
+        )
+    raise ValueError(f"unknown relate {relate!r} "
+                     "(supported: intersects, within, disjoint)")
+
+
+def _line_relate_sql(relate: str) -> str:
+    intersects, within = _line_relate_exprs(_SHAPE_QUERY_POLY)
+    base = f"WITH lines AS ({_LINE_DERIVE_SQL})\n"
+    if relate == "intersects":
+        return base + f"SELECT shape_id FROM lines WHERE {intersects}"
+    if relate == "within":
+        return base + f"SELECT shape_id FROM lines WHERE {within}"
+    return base + f"SELECT shape_id FROM lines WHERE NOT {intersects}"
+
+
+def line_relate_intersects(spark, sf_dir):
+    return line_relate(spark, sf_dir, "intersects")
+
+
+def line_relate_within(spark, sf_dir):
+    return line_relate(spark, sf_dir, "within")
+
+
 def shape_relate_intersects(spark, sf_dir):
     return shape_relate(spark, sf_dir, "intersects")
 
@@ -3234,6 +3358,8 @@ RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
     "shape_relate_intersects": (shape_relate_intersects, _shape_relate_sql("intersects")),
     "shape_relate_within": (shape_relate_within, _shape_relate_sql("within")),
     "shape_relate_disjoint": (shape_relate_disjoint, _shape_relate_sql("disjoint")),
+    "line_relate_intersects": (line_relate_intersects, _line_relate_sql("intersects")),
+    "line_relate_within": (line_relate_within, _line_relate_sql("within")),
     "json_facet_orders": (json_facet_orders, JSON_FACET_SQL),
     "relatedness_mktsegment": (relatedness_mktsegment, RELATEDNESS_SQL),
 }

@@ -77,3 +77,19 @@ def test_unknown_relate_rejected(spark):
 
     with pytest.raises(ValueError, match="unknown relate"):
         shape_relate(spark, SF, "touches")
+
+
+def test_line_relate_algebra_and_prune(spark):
+    """LINE shapes (LatLonShape Line role — each segment is the
+    tessellation unit): same cell-pruned candidates, relate algebra holds.
+    Value parity with DuckDB runs in tests/test_entry.py."""
+    from lucene_solr_spark.relational import _lines_df, line_relate
+
+    inter = {r["shape_id"] for r in line_relate(spark, SF, "intersects").collect()}
+    within = {r["shape_id"] for r in line_relate(spark, SF, "within").collect()}
+    disjoint = {r["shape_id"] for r in line_relate(spark, SF, "disjoint").collect()}
+    allids = {r["shape_id"] for r in _lines_df(spark, SF).select("shape_id").collect()}
+    assert within <= inter
+    assert inter | disjoint == allids and inter & disjoint == set()
+    plan = _plan(line_relate(spark, SF, "intersects"))
+    assert "INSET" in plan or "isin" in plan.lower() or " IN " in plan
