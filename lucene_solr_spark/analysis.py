@@ -437,11 +437,21 @@ def _cjk_width_table() -> dict:
     return _CJK_WIDTH_TABLE
 
 
-def analyze_cjk(text: str) -> tuple[list[str], list[int]]:
+def analyze_cjk(
+    text: str, output_unigrams: bool = False
+) -> tuple[list[str], list[int]]:
     """The ``cjk`` chain: width fold → lowercase → run scan → CJK bigrams.
     Whole-document C passes (translate, lower, one findall); the only
     Python loop is per-RUN slicing, bounded by token count like the other
-    simple chains."""
+    simple chains.
+
+    ``output_unigrams=True`` is the filter's recall flag
+    (``CJKBigramFilter.java`` outputUnigrams): every CJK character emits
+    its unigram at its own position AND each bigram is emitted STACKED at
+    its first character's position (posIncr=0, positionLength 2 in the
+    reference) — so a run of n chars occupies n positions with n-1
+    overlapped bigrams, norms discount the overlaps, and both unigram and
+    bigram queries match. The ``cjk_unigrams`` registry name selects it."""
     s = text.translate(_cjk_width_table()).lower()
     terms: list[str] = []
     pos: list[int] = []
@@ -454,6 +464,14 @@ def analyze_cjk(text: str) -> tuple[list[str], list[int]]:
                 terms.append(tok)
                 pos.append(p)
                 p += 1
+            elif output_unigrams:
+                for i in range(n):
+                    terms.append(tok[i])
+                    pos.append(p)
+                    if i + 1 < n:
+                        terms.append(tok[i : i + 2])  # stacked on 1st char
+                        pos.append(p)
+                    p += 1
             else:
                 for i in range(n - 1):
                     terms.append(tok[i : i + 2])
@@ -466,6 +484,10 @@ def analyze_cjk(text: str) -> tuple[list[str], list[int]]:
         else:
             p += 1  # over-long token dropped; its slot stays (a hole)
     return terms, pos
+
+
+def analyze_cjk_unigrams(text: str) -> tuple[list[str], list[int]]:
+    return analyze_cjk(text, output_unigrams=True)
 
 
 # ------------------------------------------- synonym graph filter ----------
@@ -675,6 +697,7 @@ ANALYZERS = _AnalyzerRegistry({
     "simple": analyze_simple,
     "simple_fold": analyze_simple_fold,
     "cjk": analyze_cjk,
+    "cjk_unigrams": analyze_cjk_unigrams,
     "commongrams": analyze_common_grams,
     "commongrams_query": common_grams_query,
     **{name: _make_ngram_analyzer(n) for name, n in NGRAM_SIZES.items()},

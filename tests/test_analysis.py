@@ -145,3 +145,21 @@ def test_unicode_case_transitions():
     # all-lower accented words stay whole; ASCII behavior unchanged
     assert analyze_code("café")[0] == ["café"]
     assert analyze_code("parseHttp")[0] == ["parse", "http"]
+
+
+def test_cjk_output_unigrams_flag():
+    """outputUnigrams=true (the filter's recall flag): unigrams at their
+    own positions, bigrams stacked on the first char (posIncr=0) — a run
+    of n chars occupies n slots with n-1 overlaps, norms discount them."""
+    from lucene_solr_spark.analysis import analyze_batch, analyze_cjk
+
+    terms, pos = analyze_cjk("一二三", output_unigrams=True)
+    assert terms == ["一", "一二", "二", "二三", "三"]
+    assert pos == [0, 0, 1, 1, 2]
+    # lone char / latin unchanged
+    assert analyze_cjk("a 一 b", output_unigrams=True)[0] == ["a", "一", "b"]
+    # norms: emitted tokens 5, occupied slots 3
+    _, _, lens, _, norm_lens = analyze_batch(["一二三"], analyzer="cjk_unigrams")
+    assert lens[0] == 5 and norm_lens[0] == 3
+    # the default chain is unchanged
+    assert analyze_cjk("一二三")[0] == ["一二", "二三"]
