@@ -490,6 +490,91 @@ def analyze_cjk_unigrams(text: str) -> tuple[list[str], list[int]]:
     return analyze_cjk(text, output_unigrams=True)
 
 
+# ---- user-dictionary CJK segmentation (the ``JapaneseTokenizer``
+# userDictionary role, ``lucene/analysis/kuromoji/.../JapaneseTokenizer
+# .java:74`` + ``dict/UserDictionary.java``): user-dictionary entries take
+# precedence over statistical segmentation via longest match. The full
+# kuromoji/nori Viterbi needs the bundled MeCab/ko-dic dictionaries (not
+# in this container — documented boundary); the USER-DICT half is exact:
+# greedy longest-match over the supplied words (the classic MaxMatch
+# rule), with uncovered CJK stretches falling back to the bigram chain
+# and non-CJK tokens passing through lowercased. Addressed by the
+# self-describing spec string ``cjkdict:<path>`` (one word per line,
+# ``#`` comments) — a worker that re-imports this module rebuilds the
+# chain from the path alone, like the ``synonym:`` chains.
+
+
+def load_user_dict(path: str) -> tuple[dict, int]:
+    """{first_char: [words longest-first]}, max word length."""
+    by_first: dict[str, list[str]] = {}
+    maxlen = 1
+    with open(path, encoding="utf-8") as f:
+        for raw in f:
+            w = raw.split("#", 1)[0].strip().lower()
+            if not w:
+                continue
+            by_first.setdefault(w[0], []).append(w)
+            maxlen = max(maxlen, len(w))
+    for lst in by_first.values():
+        lst.sort(key=len, reverse=True)
+    return by_first, maxlen
+
+
+def make_cjk_dict_analyzer(path: str):
+    by_first, _maxlen = load_user_dict(path)
+
+    def _emit_bigrams(stretch: str, terms: list, pos: list, p: int) -> int:
+        n = len(stretch)
+        if n == 1:
+            terms.append(stretch)
+            pos.append(p)
+            return p + 1
+        for i in range(n - 1):
+            terms.append(stretch[i : i + 2])
+            pos.append(p)
+            p += 1
+        return p
+
+    def analyze(text: str) -> tuple[list[str], list[int]]:
+        s = text.translate(_cjk_width_table()).lower()
+        terms: list[str] = []
+        pos: list[int] = []
+        p = 0
+        for m in _CJK_RUN_RE.finditer(s):
+            tok = m.group()
+            if not _CJK_FIRST_RE.match(tok):
+                if len(tok) <= MAX_TOKEN_LENGTH:
+                    terms.append(tok)
+                    pos.append(p)
+                    p += 1
+                else:
+                    p += 1
+                continue
+            i, n = 0, len(tok)
+            unknown_start = 0
+            while i < n:
+                hit = None
+                for w in by_first.get(tok[i], ()):
+                    if tok.startswith(w, i):
+                        hit = w
+                        break  # longest-first order → first hit wins
+                if hit is None:
+                    i += 1
+                    continue
+                if unknown_start < i:  # flush the uncovered stretch
+                    p = _emit_bigrams(tok[unknown_start:i], terms, pos, p)
+                terms.append(hit)
+                pos.append(p)
+                p += 1
+                i += len(hit)
+                unknown_start = i
+            if unknown_start < n:
+                p = _emit_bigrams(tok[unknown_start:], terms, pos, p)
+        return terms, pos
+
+    return analyze
+
+
 # ------------------------------------------- synonym graph filter ----------
 # SynonymGraphFilter / SolrSynonymParser (``analysis/common/.../synonym/
 # SynonymGraphFilter.java`` + ``SolrSynonymParser.java``): inject synonym
@@ -663,6 +748,10 @@ class _AnalyzerRegistry(dict):
                 self[base], parse_synonym_rules(path)
             )
             self[key] = fn  # per-process memoization
+            return fn
+        if isinstance(key, str) and key.startswith("cjkdict:"):
+            fn = make_cjk_dict_analyzer(key.split(":", 1)[1])
+            self[key] = fn
             return fn
         raise KeyError(key)
 

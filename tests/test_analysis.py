@@ -163,3 +163,30 @@ def test_cjk_output_unigrams_flag():
     assert lens[0] == 5 and norm_lens[0] == 3
     # the default chain is unchanged
     assert analyze_cjk("一二三")[0] == ["一二", "二三"]
+
+
+def test_cjk_user_dict_segmentation(tmp_path):
+    """JapaneseTokenizer userDictionary role (JapaneseTokenizer.java:74 +
+    UserDictionary.java): dictionary entries segment CJK runs by longest
+    match; uncovered stretches fall back to the bigram chain; the
+    self-describing cjkdict:<path> spec rebuilds the chain per process."""
+    from lucene_solr_spark.analysis import ANALYZERS, make_cjk_dict_analyzer
+
+    d = tmp_path / "userdict.txt"
+    d.write_text("東京都\n東京\n住む  # comment\n関西国際空港\n", encoding="utf-8")
+    fn = make_cjk_dict_analyzer(str(d))
+
+    # longest match wins: 東京都 (not 東京+都)
+    terms, pos = fn("東京都に住む")
+    assert terms == ["東京都", "に", "住む"]
+    assert pos == [0, 1, 2]
+    # uncovered multi-char stretch falls back to the bigram chain
+    terms2, _ = fn("東京の天気")
+    assert terms2 == ["東京", "の天", "天気"]
+    terms3, _ = fn("関西国際空港と大阪市内")
+    assert terms3[0] == "関西国際空港"
+    assert "大阪" in terms3 or "と" in terms3  # fallback produced tokens
+    # latin passes through; width folding applies
+    assert fn("ＡＢＣ 東京")[0] == ["abc", "東京"]
+    # registry spec string resolves (worker re-import path)
+    assert ANALYZERS[f"cjkdict:{d}"]("東京都")[0] == ["東京都"]
