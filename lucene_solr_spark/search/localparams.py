@@ -110,7 +110,14 @@ def parse_local_params(
                 if params is None or ref not in params:
                     raise ValueError(f"unresolved param ref ${ref} in {q!r}")
                 value = str(params[ref])
-            kv[ident] = value
+            # repeated keys collect into a list — Solr local params are
+            # multi-valued (the {!bool} clause params and the JSON DSL's
+            # converted lists rely on it)
+            if ident in kv:
+                prev = kv[ident]
+                kv[ident] = (prev if isinstance(prev, list) else [prev]) + [value]
+            else:
+                kv[ident] = value
             i = j2
         else:
             # bare first token = the parser type (QueryParsing 'type' slot)
@@ -119,6 +126,8 @@ def parse_local_params(
             typ = ident
             i = j
     body = kv.pop("v", None)
+    if isinstance(body, list):
+        raise ValueError(f"v= given more than once in {q!r}")
     if body is None:
         body = q[i:]
     elif q[i:].strip():
@@ -152,6 +161,17 @@ def local_query(
             # loudly instead of silently searching the wrong field
             raise ValueError(
                 "unsupported {!lucene} local params: " + ", ".join(sorted(lp))
+            )
+        if body.lstrip().startswith("{!"):
+            # a dereferenced $param may itself be a local-params query —
+            # QParser.subQuery re-detects the {! prefix (the JSON DSL's
+            # named-queries section depends on this)
+            return local_query(
+                body.lstrip(),
+                frame=frame,
+                searcher=searcher,
+                params=params,
+                from_searcher=from_searcher,
             )
         return searcher.search(body, k=None)
     if typ == "func":
@@ -556,6 +576,86 @@ def local_query(
             if key in lp:
                 kwargs[key] = [lp[key]]
         return eds.search(body, **kwargs)
+    if typ == "bool":
+        # BoolQParserPlugin (solr/core/.../search/BoolQParserPlugin.java:39):
+        # clause params must/must_not/should/filter, each multi-valued (the
+        # JSON DSL emits one repeated key per clause element), combined with
+        # BooleanQuery occur semantics over doc-keyed hit frames — the
+        # columnar BooleanWeight: must = score-summing inner join, should =
+        # optional score add (mm=1 when no must: BooleanWeight's implicit
+        # minimum-should-match), filter = non-scoring semi join, must_not =
+        # anti join. Clause values are query strings dispatched recursively,
+        # so any searcher-backed qparser composes. Spark shape: equi-joins
+        # on (segment_id, doc_id); each clause frame is query-selective so
+        # AQE broadcasts the small sides — no all-pairs work.
+        if body.strip():
+            raise ValueError("{!bool} takes clause params, not a body")
+        ids = ["segment_id", "doc_id"]
+
+        def _clauses(name):
+            v = lp.get(name)
+            vals = [] if v is None else (v if isinstance(v, list) else [v])
+            out = []
+            for s in vals:
+                d = local_query(
+                    s,
+                    frame=frame,
+                    searcher=searcher,
+                    params=params,
+                    from_searcher=from_searcher,
+                )
+                if not isinstance(d, DataFrame) or not set(ids) <= set(d.columns):
+                    raise ValueError(
+                        f"{{!bool}} {name} clause {s!r} must resolve to "
+                        "searcher hits (frame predicates compose with plain "
+                        "Catalyst filters instead)"
+                    )
+                s_col = (
+                    F.col("score").cast("double")
+                    if "score" in d.columns
+                    else F.lit(1.0)
+                )
+                out.append(d.select(*ids, s_col.alias("_s")))
+            return out
+
+        must, should = _clauses("must"), _clauses("should")
+        filt, must_not = _clauses("filter"), _clauses("must_not")
+        if not (must or should or filt):
+            raise ValueError("{!bool} needs at least one positive clause")
+        hits = None
+        for d in must:
+            if hits is None:
+                hits = d
+            else:
+                hits = hits.join(d.withColumnRenamed("_s", "_s2"), ids).select(
+                    *ids, (F.col("_s") + F.col("_s2")).alias("_s")
+                )
+        if hits is None and should:
+            # pure disjunction: at least one SHOULD must match
+            from functools import reduce
+
+            u = reduce(lambda a, b: a.unionByName(b), should)
+            hits = u.groupBy(*ids).agg(F.sum("_s").alias("_s"))
+        elif should:
+            for d in should:
+                hits = hits.join(
+                    d.withColumnRenamed("_s", "_s2"), ids, "left"
+                ).select(
+                    *ids,
+                    (F.col("_s") + F.coalesce(F.col("_s2"), F.lit(0.0))).alias(
+                        "_s"
+                    ),
+                )
+        if hits is None:
+            # filter-only: matches the filters, scores 0 (BooleanWeight's
+            # non-scoring-clauses-only case)
+            hits = filt[0].select(*ids, F.lit(0.0).alias("_s"))
+            filt = filt[1:]
+        for d in filt:
+            hits = hits.join(d.select(*ids), ids, "left_semi")
+        for d in must_not:
+            hits = hits.join(d.select(*ids), ids, "left_anti")
+        return hits.select(*ids, F.col("_s").alias("score"))
     if typ == "rerank":
         # ReRankQParserPlugin ({!rerank reRankQuery=.. reRankDocs=N
         # reRankWeight=W}main) → QueryRescorer two-phase combine

@@ -3109,7 +3109,49 @@ FT_OPS: dict[str, tuple] = {
 
 # pytest-gated only (tests/test_entry.py runs main + extra registries against
 # DuckDB): the per-variant ops folded into the compound driver entries above.
+def json_request_docs(spark, sf_dir):
+    """Solr JSON Request API end-to-end (``RequestUtil.processParams`` →
+    ``JsonQueryConverter.toLocalParams`` → ``BoolQParserPlugin`` — see
+    ``search/jsondsl.py``): a ``bool`` DSL query (must/should/must_not)
+    with a param-ref filter, converted to local-params strings and executed
+    against the docs index. Score = s(vector) + s(hash when present), docs
+    with 'stream' excluded, filtered to docs with 'spark' (non-scoring)."""
+    from .search.jsondsl import json_request
+
+    s = _searcher(spark, sf_dir)
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"lucene": {"query": "vector"}}],
+                "should": ["hash"],
+                "must_not": [{"term": {"query": "stream"}}],
+            }
+        },
+        "filter": [{"param": "fq"}],
+        "params": {"fq": "spark"},
+        "fields": ["ext_id", "score"],
+        "limit": None,
+    }
+    return json_request(body, searcher=s).select(
+        F.col("ext_id").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+JSON_REQUEST_SQL = (
+    _BM25_CTE
+    + _SCORES_CTE.format(terms=_terms_list(["vector", "hash"]))
+    + """
+SELECT doc_id, round(sum(s), 4) AS score FROM scores
+WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'vector')
+  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'stream')
+  AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark')
+GROUP BY doc_id
+"""
+)
+
+
 FT_EXTRA_OPS: dict[str, tuple] = {
+    "json_request_docs": (json_request_docs, JSON_REQUEST_SQL),
     "join_qparser_docs": (join_qparser_docs, JOIN_QPARSER_SQL),
     "ft_bool_and": (ft_bool_and, ft_and_sql(["vector", "hash"])),
     "ft_bool_or": (ft_bool_or, ft_or_sql(["vector", "stream", "spark"])),
