@@ -156,22 +156,26 @@ def _fields_list(spec) -> list[str]:
     return [f for f in str(spec).replace(",", " ").split() if f]
 
 
-_BODY_KEYS = {"query", "filter", "fields", "sort", "offset", "limit", "params", "queries"}
+_BODY_KEYS = {
+    "query",
+    "filter",
+    "fields",
+    "sort",
+    "offset",
+    "limit",
+    "params",
+    "queries",
+    "facet",
+}
 
 
-def json_request(body: dict, searcher, params: dict | None = None) -> DataFrame:
-    """Execute a Solr JSON request body against ``searcher``
-    (``RequestUtil.processParams`` + the SearchHandler flow).
-
-    ``query`` (required) and each ``filter`` entry are JSON DSL nodes;
-    filters are non-scoring semi joins (Solr ``fq`` semantics). ``queries``
-    registers named sub-queries addressable via ``{"param": name}``.
-    ``sort`` defaults to ``"score desc"`` (ties broken segment_id asc,
-    doc_id asc — the engine's tie-break invariant); ``offset``/``limit``
-    default to Solr's ``start=0``/``rows=10`` (``limit: None`` = all).
-    ``fields`` defaults to every stored column (Solr ``fl=*`` — include
-    ``"score"`` explicitly to get it, as in Solr).
-    """
+def request_hits(body: dict, searcher, params: dict | None = None) -> DataFrame:
+    """The request's DOMAIN: run ``query`` + every ``filter`` clause and
+    return the matching (segment_id, doc_id, score) frame — shared by
+    :func:`json_request` (which pages it) and
+    :func:`~lucene_solr_spark.search.jsonfacet.json_facets` (which
+    aggregates over ALL of it — Solr facets count the full result set,
+    not the returned page)."""
     unknown = sorted(set(body) - _BODY_KEYS)
     if unknown:
         raise ValueError("unknown JSON request keys: " + ", ".join(unknown))
@@ -194,7 +198,27 @@ def json_request(body: dict, searcher, params: dict | None = None) -> DataFrame:
     for fq in filters:
         fh = json_query(fq, searcher=searcher, params=p)
         hits = hits.join(fh.select(*_IDS), list(_IDS), "left_semi")
+    return hits
 
+
+def json_request(body: dict, searcher, params: dict | None = None) -> DataFrame:
+    """Execute a Solr JSON request body against ``searcher``
+    (``RequestUtil.processParams`` + the SearchHandler flow).
+
+    ``query`` (required) and each ``filter`` entry are JSON DSL nodes;
+    filters are non-scoring semi joins (Solr ``fq`` semantics). ``queries``
+    registers named sub-queries addressable via ``{"param": name}``.
+    ``sort`` defaults to ``"score desc"`` (ties broken segment_id asc,
+    doc_id asc — the engine's tie-break invariant); ``offset``/``limit``
+    default to Solr's ``start=0``/``rows=10`` (``limit: None`` = all).
+    ``fields`` defaults to every stored column (Solr ``fl=*`` — include
+    ``"score"`` explicitly to get it, as in Solr). A ``facet`` section is
+    accepted (it shapes the same body Solr takes) but evaluated by
+    :func:`~lucene_solr_spark.search.jsonfacet.json_facets`, which returns
+    the bucket frames — a DataFrame API can't nest facets inside the doc
+    page the way one JSON response does.
+    """
+    hits = request_hits(body, searcher, params)
     sort = _parse_sort(body.get("sort", "score desc"))
     offset = int(body.get("offset", 0))
     limit = body.get("limit", 10)

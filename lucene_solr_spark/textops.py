@@ -3150,8 +3150,50 @@ GROUP BY doc_id
 )
 
 
+def json_facet_search_docs(spark, sf_dir):
+    """JSON Facet API over the search domain (``FacetModule.java:48``,
+    ``FacetField.java`` — see ``search/jsonfacet.py``): terms facet on the
+    stored ``lang`` field for docs matching 'vector', with the bucket count
+    and a nested ``unique(source)`` aggregation. ``limit: -1`` keeps every
+    bucket so the comparison is order-free."""
+    from .search.jsonfacet import json_facets
+
+    s = _searcher(spark, sf_dir)
+    body = {
+        "query": "vector",
+        "facet": {
+            "langs": {
+                "type": "terms",
+                "field": "lang",
+                "limit": -1,
+                "mincount": 1,
+                "facet": {"uniq_src": "unique(source)"},
+            }
+        },
+    }
+    b = json_facets(body, searcher=s)["langs"]
+    return b.select(
+        "lang",
+        F.col("count").cast("long").alias("count"),
+        F.col("uniq_src").cast("long").alias("uniq_src"),
+    )
+
+
+JSON_FACET_SEARCH_SQL = (
+    _BM25_CTE
+    + """
+SELECT d.lang AS lang, CAST(count(*) AS BIGINT) AS count,
+       CAST(count(DISTINCT d.source) AS BIGINT) AS uniq_src
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'vector')
+GROUP BY d.lang
+"""
+)
+
+
 FT_EXTRA_OPS: dict[str, tuple] = {
     "json_request_docs": (json_request_docs, JSON_REQUEST_SQL),
+    "json_facet_search_docs": (json_facet_search_docs, JSON_FACET_SEARCH_SQL),
     "join_qparser_docs": (join_qparser_docs, JOIN_QPARSER_SQL),
     "ft_bool_and": (ft_bool_and, ft_and_sql(["vector", "hash"])),
     "ft_bool_or": (ft_bool_or, ft_or_sql(["vector", "stream", "spark"])),

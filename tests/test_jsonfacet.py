@@ -1,0 +1,230 @@
+"""Solr JSON Facet API: terms / range / query facets, nested aggs and
+sub-facets, evaluated over the search domain.
+
+Reference: solr/core/src/java/org/apache/solr/search/facet/FacetModule.java:48,
+FacetField.java (limit/mincount/sort/nested), FacetRange.java:40 (empty
+buckets kept at mincount=0), FacetQuery.java:28, FacetParser.java +
+SlotAcc.java (the aggregation grammar).
+"""
+
+from collections import Counter, defaultdict
+
+import pytest
+
+from lucene_solr_spark.search.jsonfacet import json_facets
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tiny_index):
+    from lucene_solr_spark.search import IndexSearcher
+
+    d, _ = tiny_index
+    return IndexSearcher(spark, d, analyzer="code")
+
+
+@pytest.fixture(scope="module")
+def domain(searcher, spark):
+    """(segment_id, doc_id) → (repo, path, score) for query 'parse'."""
+    docs = spark.read.parquet(searcher.index_dir + "/docs").select(
+        "segment_id", "doc_id", "repo", "path"
+    )
+    rows = searcher.search("parse", k=None).join(docs, ["segment_id", "doc_id"])
+    return {
+        (r.segment_id, r.doc_id): (r.repo, r.path, float(r.score))
+        for r in rows.collect()
+    }
+
+
+def test_terms_facet_counts(searcher, domain):
+    out = json_facets(
+        {
+            "query": "parse",
+            "facet": {
+                "repos": {
+                    "type": "terms",
+                    "field": "repo",
+                    "limit": -1,
+                    "sort": "index asc",
+                }
+            },
+        },
+        searcher=searcher,
+    )
+    got = [(r.repo, r["count"]) for r in out["repos"].collect()]
+    want = Counter(repo for repo, _, _ in domain.values())
+    assert got == sorted(want.items())
+
+
+def test_terms_facet_sort_by_agg_and_limit(searcher, domain):
+    out = json_facets(
+        {
+            "query": "parse",
+            "facet": {
+                "repos": {
+                    "type": "terms",
+                    "field": "repo",
+                    "limit": 3,
+                    "sort": {"avgsc": "desc"},
+                    "facet": {"avgsc": "avg(score)"},
+                }
+            },
+        },
+        searcher=searcher,
+    )["repos"]
+    got = [(r.repo, float(r.avgsc)) for r in out.collect()]
+    sums, counts = defaultdict(float), Counter()
+    for repo, _, s in domain.values():
+        sums[repo] += s
+        counts[repo] += 1
+    want = sorted(
+        ((repo, sums[repo] / counts[repo]) for repo in counts),
+        key=lambda t: (-t[1], t[0]),
+    )[:3]
+    assert [g for g, _ in got] == [w for w, _ in want]
+    for (_, g), (_, w) in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-6)
+
+
+def test_nested_subfacet_per_parent_limit(searcher, domain):
+    out = json_facets(
+        {
+            "query": "parse",
+            "facet": {
+                "repos": {
+                    "type": "terms",
+                    "field": "repo",
+                    "limit": 2,
+                    "facet": {
+                        "paths": {
+                            "type": "terms",
+                            "field": "path",
+                            "limit": 2,
+                            "sort": "count desc",
+                        }
+                    },
+                }
+            },
+        },
+        searcher=searcher,
+    )
+    parents = [r.repo for r in out["repos"].collect()]
+    repo_counts = Counter(repo for repo, _, _ in domain.values())
+    want_parents = sorted(repo_counts, key=lambda x: (-repo_counts[x], x))[:2]
+    assert parents == want_parents
+
+    sub = [(r.repo, r.path, r["count"]) for r in out["repos.paths"].collect()]
+    by_parent = defaultdict(list)
+    for repo, path, c in sub:
+        by_parent[repo].append((path, c))
+    assert set(by_parent) == set(want_parents)
+    for repo in want_parents:
+        pair_counts = Counter(
+            path for rp, path, _ in domain.values() if rp == repo
+        )
+        want = sorted(pair_counts.items(), key=lambda t: (-t[1], t[0]))[:2]
+        assert sorted(by_parent[repo]) == sorted(want)
+
+
+def test_query_facet_counts_intersection(searcher, domain):
+    out = json_facets(
+        {"query": "parse", "facet": {"http_in": {"type": "query", "q": "http"}}},
+        searcher=searcher,
+    )["http_in"]
+    http_ids = {
+        (r.segment_id, r.doc_id)
+        for r in searcher.search("http", k=None).collect()
+    }
+    want = len(set(domain) & http_ids)
+    assert [r["count"] for r in out.collect()] == [want]
+
+
+def test_range_facet_keeps_empty_buckets(searcher, domain):
+    out = json_facets(
+        {
+            "query": "parse",
+            "facet": {
+                "sc": {
+                    "type": "range",
+                    "field": "score",
+                    "start": 0,
+                    "end": 3,
+                    "gap": 0.5,
+                }
+            },
+        },
+        searcher=searcher,
+    )["sc"]
+    got = [(float(r.val), r["count"]) for r in out.collect()]
+    assert [v for v, _ in got] == [0.0, 0.5, 1.0, 1.5, 2.0, 2.5]
+    want = Counter()
+    for _, _, s in domain.values():
+        if 0 <= s < 3:
+            want[(s // 0.5) * 0.5] += 1
+    assert {v: c for v, c in got if c} == dict(want)
+    assert sum(c for _, c in got) == sum(want.values())
+
+
+def test_top_level_agg(searcher, domain):
+    out = json_facets(
+        {"query": "parse", "facet": {"avgscore": "avg(score)"}}, searcher=searcher
+    )["avgscore"]
+    scores = [s for _, _, s in domain.values()]
+    assert float(out.collect()[0].avgscore) == pytest.approx(
+        sum(scores) / len(scores), rel=1e-6
+    )
+
+
+def test_unique_and_missing_aggs(searcher, domain):
+    out = json_facets(
+        {
+            "query": "parse",
+            "facet": {
+                "repos": {
+                    "type": "terms",
+                    "field": "repo",
+                    "limit": -1,
+                    "sort": "index asc",
+                    "facet": {"paths": "unique(path)", "miss": "missing(path)"},
+                }
+            },
+        },
+        searcher=searcher,
+    )["repos"]
+    per_repo = defaultdict(set)
+    for repo, path, _ in domain.values():
+        per_repo[repo].add(path)
+    for r in out.collect():
+        assert r.paths == len(per_repo[r.repo])
+        assert r.miss == 0
+
+
+def test_bad_agg_and_sort_raise(searcher):
+    with pytest.raises(ValueError, match="unknown facet aggregation"):
+        json_facets(
+            {"query": "parse", "facet": {"x": "median(score)"}}, searcher=searcher
+        )
+    with pytest.raises(ValueError, match="not count/index or a named agg"):
+        json_facets(
+            {
+                "query": "parse",
+                "facet": {
+                    "repos": {"type": "terms", "field": "repo", "sort": "nope desc"}
+                },
+            },
+            searcher=searcher,
+        )
+
+
+def test_facets_use_full_domain_not_page(searcher, domain):
+    # limit/offset shape the doc page only — facets see every match
+    out = json_facets(
+        {
+            "query": "parse",
+            "limit": 1,
+            "offset": 0,
+            "facet": {"n": "sum(score)"},
+        },
+        searcher=searcher,
+    )["n"]
+    want = sum(s for _, _, s in domain.values())
+    assert float(out.collect()[0].n) == pytest.approx(want, rel=1e-6)
