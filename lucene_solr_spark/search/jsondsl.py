@@ -169,13 +169,25 @@ _BODY_KEYS = {
 }
 
 
-def request_hits(body: dict, searcher, params: dict | None = None) -> DataFrame:
-    """The request's DOMAIN: run ``query`` + every ``filter`` clause and
-    return the matching (segment_id, doc_id, score) frame — shared by
-    :func:`json_request` (which pages it) and
-    :func:`~lucene_solr_spark.search.jsonfacet.json_facets` (which
-    aggregates over ALL of it — Solr facets count the full result set,
-    not the returned page)."""
+def _split_tags(fq):
+    """``{"#tag1,tag2": node}`` filter wrapper → (frozenset of tags, node)
+    (the JSON request tagging syntax — multi-select faceting's ``ex``/
+    ``tag`` mechanism, ``RequestUtil.java`` processes ``#``-prefixed
+    keys)."""
+    if isinstance(fq, dict) and len(fq) == 1:
+        (k, v), = fq.items()
+        if isinstance(k, str) and k.startswith("#"):
+            return frozenset(t for t in k[1:].split(",") if t), v
+    return frozenset(), fq
+
+
+def request_parts(
+    body: dict, searcher, params: dict | None = None
+) -> tuple[DataFrame, list[tuple[frozenset, DataFrame]], dict]:
+    """``(query hits, [(tags, filter hits)], resolved params)`` for a JSON
+    request body — filters kept separate (with their ``#tag`` sets) so the
+    facet module can re-compose the domain minus ``excludeTags`` filters
+    (multi-select faceting)."""
     unknown = sorted(set(body) - _BODY_KEYS)
     if unknown:
         raise ValueError("unknown JSON request keys: " + ", ".join(unknown))
@@ -195,8 +207,22 @@ def request_hits(body: dict, searcher, params: dict | None = None) -> DataFrame:
     filters = body.get("filter") or []
     if isinstance(filters, (str, dict)):
         filters = [filters]
+    parts = []
     for fq in filters:
-        fh = json_query(fq, searcher=searcher, params=p)
+        tags, node = _split_tags(fq)
+        parts.append((tags, json_query(node, searcher=searcher, params=p)))
+    return hits, parts, p
+
+
+def request_hits(body: dict, searcher, params: dict | None = None) -> DataFrame:
+    """The request's DOMAIN: run ``query`` + every ``filter`` clause and
+    return the matching (segment_id, doc_id, score) frame — shared by
+    :func:`json_request` (which pages it) and
+    :func:`~lucene_solr_spark.search.jsonfacet.json_facets` (which
+    aggregates over ALL of it — Solr facets count the full result set,
+    not the returned page)."""
+    hits, parts, _ = request_parts(body, searcher, params)
+    for _, fh in parts:
         hits = hits.join(fh.select(*_IDS), list(_IDS), "left_semi")
     return hits
 

@@ -29,7 +29,16 @@ frames, never the domain.
 A DataFrame API can't nest bucket lists inside one response object the way
 Solr's JSON writer does, so :func:`json_facets` returns a dict of frames:
 each facet under its name, sub-facets under dotted paths
-(``"langs.sources"``) with the parent bucket value as a leading column.
+(``"langs.sources"``) with the parent bucket value as a leading column,
+and the FacetField side-channels under ``"name.numBuckets"`` /
+``"name.allBuckets"`` / ``"name.missing"``.
+
+Multi-select faceting: request filters may be tagged
+(``{"filter": [{"#langTag": {...}}]}``) and a top-level facet may carry a
+``domain`` transform (``FacetRequest.Domain`` / DomainMap):
+``{"excludeTags": [...]}`` re-derives the domain without the named
+filters, ``{"query": ...}`` replaces it with a fresh query over the whole
+index, ``{"filter": [...]}`` intersects extra clauses.
 """
 
 from __future__ import annotations
@@ -38,7 +47,7 @@ import re
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .jsondsl import json_query, request_hits
+from .jsondsl import json_query, request_parts
 
 _IDS = ("segment_id", "doc_id")
 
@@ -141,14 +150,63 @@ def _order(col: str, direction: str, tiebreak: str):
 
 
 class _FacetEval:
-    def __init__(self, rows: DataFrame, searcher, params: dict | None):
-        self.rows = rows  # domain: ids + every needed stored column
+    def __init__(
+        self,
+        query_hits: DataFrame,
+        filter_parts: list,
+        docs: DataFrame | None,
+        searcher,
+        params: dict | None,
+    ):
+        self.query_hits = query_hits
+        self.filter_parts = filter_parts  # [(tags, filter hits)]
+        self.docs = docs  # ids + every stored column any facet reads
         self.searcher = searcher
         self.params = params
         self.out: dict[str, DataFrame] = {}
 
+    def _base_domain(self, exclude: frozenset = frozenset()) -> DataFrame:
+        """query ∩ filters, skipping filters whose tag set intersects
+        ``exclude`` (multi-select faceting — FacetRequest's excludeTags
+        re-derives the domain without the excluded constraints)."""
+        h = self.query_hits
+        for tags, fh in self.filter_parts:
+            if tags & exclude:
+                continue
+            h = h.join(fh.select(*_IDS), list(_IDS), "left_semi")
+        return h
+
+    def _with_cols(self, hits: DataFrame) -> DataFrame:
+        # no broadcast hint: a domain can be the whole match set — AQE
+        # picks the join strategy from the actual sizes
+        return hits.join(self.docs, list(_IDS)) if self.docs is not None else hits
+
+    def _domain_rows(self, dom: dict) -> DataFrame:
+        """A facet's ``domain`` transform (FacetRequest.Domain /
+        DomainMap): ``excludeTags`` re-composes the request domain
+        without the named filters, ``query`` REPLACES the domain with a
+        fresh query over the whole index, ``filter`` intersects extra
+        clauses."""
+        unknown = sorted(set(dom) - {"excludeTags", "filter", "query"})
+        if unknown:
+            raise ValueError("unknown facet domain keys: " + ", ".join(unknown))
+        if "query" in dom:
+            base = json_query(dom["query"], searcher=self.searcher, params=self.params)
+        else:
+            ex = dom.get("excludeTags") or []
+            if isinstance(ex, str):
+                ex = [ex]
+            base = self._base_domain(frozenset(ex))
+        extra = dom.get("filter") or []
+        if isinstance(extra, (str, dict)):
+            extra = [extra]
+        for f in extra:
+            fh = json_query(f, searcher=self.searcher, params=self.params)
+            base = base.join(fh.select(*_IDS), list(_IDS), "left_semi")
+        return self._with_cols(base)
+
     def run(self, spec: dict) -> dict[str, DataFrame]:
-        self._eval(self.rows, spec, parents=[], path="")
+        self._eval(self._with_cols(self._base_domain()), spec, parents=[], path="")
         return self.out
 
     # -- dispatch ----------------------------------------------------------
@@ -166,13 +224,21 @@ class _FacetEval:
                     else rows.agg(agg)
                 )
                 continue
+            node_rows = rows
+            if isinstance(node, dict) and node.get("domain"):
+                if parents:
+                    raise ValueError(
+                        "facet domain transforms are supported on top-level "
+                        "facets (nested facets inherit their parent's domain)"
+                    )
+                node_rows = self._domain_rows(node["domain"])
             typ = node.get("type", "terms")
             if typ == "terms":
-                self._terms(rows, key, node, parents)
+                self._terms(node_rows, key, node, parents)
             elif typ == "query":
-                self._query(rows, key, node, parents)
+                self._query(node_rows, key, node, parents)
             elif typ == "range":
-                self._range(rows, key, node, parents)
+                self._range(node_rows, key, node, parents)
             else:
                 raise ValueError(f"unknown facet type {typ!r}")
 
@@ -181,23 +247,51 @@ class _FacetEval:
     def _terms(self, rows: DataFrame, key: str, node: dict, parents: list[str]):
         field = node["field"]
         limit = int(node.get("limit", 10))
+        offset = int(node.get("offset", 0))
         mincount = int(node.get("mincount", 1))
+        prefix = node.get("prefix")
         aggs, subfacets = _split_children(node)
         sort_col, sort_dir = _facet_sort(
             node.get("sort", "count desc"), field, set(aggs)
         )
-        g = rows.filter(F.col(field).isNotNull()).groupBy(*parents, field).agg(
+        nn = rows.filter(F.col(field).isNotNull())
+        if prefix is not None:
+            nn = nn.filter(F.col(field).startswith(str(prefix)))
+        agg_cols = [
             F.count(F.lit(1)).cast("bigint").alias("count"),
             *[_agg_column(v).alias(k) for k, v in aggs.items()],
-        )
+        ]
+        g = nn.groupBy(*parents, field).agg(*agg_cols)
         if mincount > 0:
             g = g.filter(F.col("count") >= mincount)
+        # FacetFieldProcessor side-channels, computed before limit/offset:
+        if node.get("numBuckets"):
+            nb = F.count(F.lit(1)).cast("bigint").alias("numBuckets")
+            self.out[key + ".numBuckets"] = (
+                g.groupBy(*parents).agg(nb) if parents else g.agg(nb)
+            )
+        if node.get("allBuckets"):
+            self.out[key + ".allBuckets"] = (
+                nn.groupBy(*parents).agg(*agg_cols) if parents else nn.agg(*agg_cols)
+            )
+        if node.get("missing"):
+            mrows = rows.filter(F.col(field).isNull())
+            self.out[key + ".missing"] = (
+                mrows.groupBy(*parents).agg(*agg_cols)
+                if parents
+                else mrows.agg(*agg_cols)
+            )
         if parents:
             w = Window.partitionBy(*parents).orderBy(*_order(sort_col, sort_dir, field))
             g = g.withColumn("_rk", F.row_number().over(w))
-            buckets = (g.filter(F.col("_rk") <= limit) if limit >= 0 else g).drop("_rk")
+            keep = F.col("_rk") > offset
+            if limit >= 0:
+                keep = keep & (F.col("_rk") <= offset + limit)
+            buckets = g.filter(keep).drop("_rk")
         else:
             g = g.orderBy(*_order(sort_col, sort_dir, field))
+            if offset:
+                g = g.offset(offset)
             buckets = g.limit(limit) if limit >= 0 else g
         self.out[key] = buckets
         if subfacets:
@@ -288,14 +382,11 @@ def json_facets(body: dict, searcher, params: dict | None = None) -> dict[str, D
     spec = body.get("facet") or {}
     if not isinstance(spec, dict) or not spec:
         raise ValueError("json_facets needs a non-empty 'facet' object")
-    hits = request_hits(body, searcher, params)
+    hits, parts, p = request_parts(body, searcher, params)
     needed = sorted(_needed_cols(spec) - {"score"} - set(hits.columns))
-    rows = hits
+    docs = None
     if needed:
         docs = searcher.spark.read.parquet(searcher.index_dir + "/docs").select(
             *_IDS, *needed
         )
-        # no broadcast hint: the domain can be the whole match set — AQE
-        # picks the join strategy from the actual sizes
-        rows = hits.join(docs, list(_IDS))
-    return _FacetEval(rows, searcher, params).run(spec)
+    return _FacetEval(hits, parts, docs, searcher, p).run(spec)

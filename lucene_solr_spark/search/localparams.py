@@ -386,7 +386,19 @@ def local_query(
             return frame.filter(F.col(f).isin(vals))
         if searcher is None:
             raise ValueError("{!terms} needs a frame or a searcher")
-        _check_field("terms", lp)
+        if f is not None and f != "content":
+            # a STORED field: the docValues method of TermsQParserPlugin —
+            # constant-score filter over the column (parquet pushes the IN
+            # predicate into the scan)
+            docs = searcher.spark.read.parquet(searcher.index_dir + "/docs")
+            if f not in docs.columns:
+                raise ValueError(
+                    f"{{!terms}} f={f!r}: not a stored field "
+                    f"(have: {', '.join(docs.columns)})"
+                )
+            return docs.filter(F.col(f).isin(vals)).select(
+                "segment_id", "doc_id", F.lit(1.0).alias("score")
+            )
         from .query import TermInSetQuery
 
         return searcher.search_many(
