@@ -75,6 +75,7 @@ def _agg_column(spec: str):
         "min": F.min,
         "max": F.max,
         "unique": F.countDistinct,
+        "hll": F.approx_count_distinct,  # HLLAgg role — approximate like Solr's
         "variance": F.var_samp,
         "stddev": F.stddev_samp,
     }
@@ -109,6 +110,25 @@ def _needed_cols(spec: dict) -> set[str]:
             out.add(node["field"])
         out |= _needed_cols(node.get("facet") or {})
     return out
+
+
+_REL_RE = re.compile(r"relatedness\(\s*\$(\w+)\s*,\s*\$(\w+)\s*\)")
+
+
+def _sigmoid_blend(z):
+    """RelatednessAgg.java:500 sigmoidHelper — the 5-sigmoid blend squashing
+    the z-score into (-1, 1), roundTo5Digits."""
+    def sig(off, scale):
+        return (z + off) / (scale + F.abs(z + off))
+
+    return F.round(
+        0.2 * sig(-80.0, 50.0)
+        + 0.2 * sig(-30.0, 30.0)
+        + 0.2 * sig(0.0, 30.0)
+        + 0.2 * sig(30.0, 30.0)
+        + 0.2 * sig(80.0, 50.0),
+        5,
+    )
 
 
 def _split_children(node: dict):
@@ -244,6 +264,17 @@ class _FacetEval:
 
     # -- terms -------------------------------------------------------------
 
+    def _resolve_docset(self, q) -> DataFrame:
+        """A relatedness fore/back query → its (segment_id, doc_id) set.
+        ``*:*`` is the whole index (MatchAllDocsQuery)."""
+        if isinstance(q, str) and q.strip() == "*:*":
+            return self.searcher.spark.read.parquet(
+                self.searcher.index_dir + "/docs"
+            ).select(*_IDS)
+        return json_query(q, searcher=self.searcher, params=self.params).select(
+            *_IDS
+        )
+
     def _terms(self, rows: DataFrame, key: str, node: dict, parents: list[str]):
         field = node["field"]
         limit = int(node.get("limit", 10))
@@ -251,8 +282,28 @@ class _FacetEval:
         mincount = int(node.get("mincount", 1))
         prefix = node.get("prefix")
         aggs, subfacets = _split_children(node)
+        # relatedness($fore,$back) — RelatednessAgg.java:473, the Semantic
+        # Knowledge Graph score of each bucket w.r.t. a foreground query vs
+        # a background set. fore/back are $param refs (queries, or *:*);
+        # both are ABSOLUTE docsets, independent of the facet domain.
+        rel_specs = {}
+        for k in list(aggs):
+            m = _REL_RE.fullmatch(aggs[k].strip())
+            if m:
+                del aggs[k]
+                if self.params is None or not {m.group(1), m.group(2)} <= set(
+                    self.params
+                ):
+                    raise ValueError(
+                        f"relatedness agg {k!r}: fore/back $refs must name "
+                        "request params"
+                    )
+                rel_specs[k] = (
+                    self.params[m.group(1)],
+                    self.params[m.group(2)],
+                )
         sort_col, sort_dir = _facet_sort(
-            node.get("sort", "count desc"), field, set(aggs)
+            node.get("sort", "count desc"), field, set(aggs) | set(rel_specs)
         )
         nn = rows.filter(F.col(field).isNotNull())
         if prefix is not None:
@@ -261,9 +312,40 @@ class _FacetEval:
             F.count(F.lit(1)).cast("bigint").alias("count"),
             *[_agg_column(v).alias(k) for k, v in aggs.items()],
         ]
-        g = nn.groupBy(*parents, field).agg(*agg_cols)
+        nn_rel = nn
+        rel_agg_cols = []
+        sizes_df = None
+        for k, (fore_q, back_q) in rel_specs.items():
+            fh, bh = self._resolve_docset(fore_q), self._resolve_docset(back_q)
+            nn_rel = nn_rel.join(
+                fh.withColumn(f"_fg_{k}", F.lit(1)), list(_IDS), "left"
+            ).join(bh.withColumn(f"_bg_{k}", F.lit(1)), list(_IDS), "left")
+            rel_agg_cols += [
+                F.sum(F.coalesce(F.col(f"_fg_{k}"), F.lit(0)))
+                .cast("double")
+                .alias(f"_fgc_{k}"),
+                F.sum(F.coalesce(F.col(f"_bg_{k}"), F.lit(0)))
+                .cast("double")
+                .alias(f"_bgc_{k}"),
+            ]
+            sz = fh.agg(F.count(F.lit(1)).cast("double").alias(f"_fgs_{k}")).crossJoin(
+                bh.agg(F.count(F.lit(1)).cast("double").alias(f"_bgs_{k}"))
+            )
+            sizes_df = sz if sizes_df is None else sizes_df.crossJoin(sz)
+        g = nn_rel.groupBy(*parents, field).agg(*agg_cols, *rel_agg_cols)
         if mincount > 0:
             g = g.filter(F.col("count") >= mincount)
+        if rel_specs:
+            g = g.crossJoin(F.broadcast(sizes_df))
+            for k in rel_specs:
+                bg_prob = F.col(f"_bgc_{k}") / F.col(f"_bgs_{k}")
+                num = F.col(f"_fgc_{k}") - F.col(f"_fgs_{k}") * bg_prob
+                den = F.sqrt(F.col(f"_fgs_{k}") * bg_prob * (1 - bg_prob))
+                z = num / F.when(den != 0, den).otherwise(F.lit(1e-10))
+                g = g.withColumn(k, _sigmoid_blend(z))
+            g = g.drop(
+                *[c for k in rel_specs for c in (f"_fgc_{k}", f"_bgc_{k}", f"_fgs_{k}", f"_bgs_{k}")]
+            )
         # FacetFieldProcessor side-channels, computed before limit/offset:
         if node.get("numBuckets"):
             nb = F.count(F.lit(1)).cast("bigint").alias("numBuckets")

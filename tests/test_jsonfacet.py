@@ -371,3 +371,92 @@ def test_domain_on_nested_facet_raises(searcher):
             },
             searcher=searcher,
         )
+
+
+def test_relatedness_agg(searcher, domain, spark):
+    """relatedness($fore,$back) — RelatednessAgg.java:473 z-score +
+    sigmoid blend, fore/back as absolute docsets."""
+    out = json_facets(
+        {
+            "query": "parse",
+            "params": {"fore": "http", "back": "*:*"},
+            "facet": {
+                "r": {
+                    "type": "terms",
+                    "field": "repo",
+                    "limit": -1,
+                    "sort": "index asc",
+                    "facet": {"skg": "relatedness($fore,$back)"},
+                }
+            },
+        },
+        searcher=searcher,
+    )["r"]
+    http_ids = {
+        (r.segment_id, r.doc_id)
+        for r in searcher.search("http", k=None).collect()
+    }
+    n_docs = spark.read.parquet(searcher.index_dir + "/docs").count()
+    fg_size, bg_size = float(len(http_ids)), float(n_docs)
+    by_repo = defaultdict(list)
+    for ids, (repo, _, _) in domain.items():
+        by_repo[repo].append(ids)
+    import math
+
+    def expect(repo):
+        bucket = by_repo[repo]
+        fg_c = float(sum(1 for i in bucket if i in http_ids))
+        bg_c = float(len(bucket))  # back = *:* restricted to the bucket rows
+        bg_prob = bg_c / bg_size
+        den = math.sqrt(fg_size * bg_prob * (1 - bg_prob)) or 1e-10
+        z = (fg_c - fg_size * bg_prob) / den
+
+        def sig(off, scale):
+            return (z + off) / (scale + abs(z + off))
+
+        return round(
+            0.2 * sig(-80, 50) + 0.2 * sig(-30, 30) + 0.2 * sig(0, 30)
+            + 0.2 * sig(30, 30) + 0.2 * sig(80, 50),
+            5,
+        )
+
+    got = {r.repo: float(r.skg) for r in out.collect()}
+    assert set(got) == set(by_repo)
+    for repo, v in got.items():
+        assert v == pytest.approx(expect(repo), abs=2e-5)
+
+
+def test_hll_agg_approximates_unique(searcher):
+    out = json_facets(
+        {
+            "query": "parse",
+            "facet": {
+                "r": {
+                    "type": "terms",
+                    "field": "repo",
+                    "limit": 5,
+                    "facet": {"u": "unique(path)", "h": "hll(path)"},
+                }
+            },
+        },
+        searcher=searcher,
+    )["r"]
+    for r in out.collect():
+        assert r.h == pytest.approx(r.u, rel=0.2)
+
+
+def test_relatedness_needs_param_refs(searcher):
+    with pytest.raises(ValueError, match="must name request params"):
+        json_facets(
+            {
+                "query": "parse",
+                "facet": {
+                    "r": {
+                        "type": "terms",
+                        "field": "repo",
+                        "facet": {"skg": "relatedness($nope,$back)"},
+                    }
+                },
+            },
+            searcher=searcher,
+        )
