@@ -3295,7 +3295,37 @@ LIMIT 15 OFFSET 10
 """
 
 
+def js_expression_lineitem(spark, sf_dir):
+    """The lucene/expressions Javascript language over a relation
+    (``JavascriptCompiler.java`` / ``Javascript.g4`` — see
+    ``expressions.py``): arithmetic + ternary + function-call expression
+    compiled to ONE Catalyst column (whole-stage codegen, no Python at
+    row time)."""
+    from .expressions import compile_expression
+
+    li = _t(spark, sf_dir, "lineitem")
+    expr = (
+        "sqrt(l_quantity) + ln(l_extendedprice + 1) * "
+        "(l_discount > 0.05 ? 2 : 1) + min(l_tax, 0.04)"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(compile_expression(expr), 4).alias("val"),
+    )
+
+
+JS_EXPRESSION_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(sqrt(l_quantity) + ln(l_extendedprice + 1) *
+             (CASE WHEN l_discount > 0.05 THEN 2 ELSE 1 END)
+             + least(l_tax, 0.04), 4) AS val
+FROM lineitem
+"""
+
+
 RELATIONAL_EXTRA_OPS: dict[str, tuple] = {
+    "js_expression_lineitem": (js_expression_lineitem, JS_EXPRESSION_SQL),
     "facet_prefix_part": (facet_prefix_part, FACET_PREFIX_SQL),
     "sql_handler_orders": (sql_handler_orders, SQL_HANDLER_STMT),
     "stream_expr_rollup": (stream_expr_rollup, STREAM_EXPR_SQL),
