@@ -93,3 +93,48 @@ def segments_info(spark: SparkSession, index_dir: str) -> DataFrame:
         .select("segment_id", "max_doc", "doc_count", "sum_len", "lineage")
         .orderBy("segment_id")
     )
+
+
+def analyze_field(
+    text: str, analyzer: str = "code", query: str | None = None
+) -> list[dict]:
+    """Field-analysis introspection (``solr/core/src/java/org/apache/solr/
+    handler/FieldAnalysisRequestHandler.java:60`` +
+    ``AnalysisRequestHandlerBase.analyzeValue``): the per-token attribute
+    listing for one field value — term text, position, start/end char
+    offsets — with the handler's showMatch flag (``analysis.query`` terms
+    re-analyzed through the same chain; tokens equal to a query term are
+    marked ``match``).
+
+    The engine's chains are single whole-document vectorized passes
+    (``analysis.py``), so the listing reports the FINAL stage's attributes
+    rather than one list per Tokenizer/TokenFilter stage — the reference's
+    per-stage view decomposes a chain this engine fuses. Chains outside
+    :data:`~lucene_solr_spark.analysis.OFFSET_ANALYZERS` report offsets as
+    ``None`` (they have no display path). Driver-local by design:
+    introspecting one value needs no cluster.
+    """
+    from .analysis import OFFSET_ANALYZERS, analyze_batch, analyze_batch_offsets
+
+    if analyzer in OFFSET_ANALYZERS:
+        terms, positions, _, _, _, off_s, off_e = analyze_batch_offsets(
+            [text], analyzer
+        )
+        offs = [(int(s), int(e)) for s, e in zip(off_s, off_e)]
+    else:
+        terms, positions, _, _, _ = analyze_batch([text], analyzer)
+        offs = [(None, None)] * len(terms)
+    match_terms: set = set()
+    if query is not None:
+        qt = analyze_batch([query], analyzer)[0]
+        match_terms = {str(t) for t in qt}
+    return [
+        {
+            "term": str(t),
+            "position": int(p),
+            "start_offset": offs[i][0],
+            "end_offset": offs[i][1],
+            "match": str(t) in match_terms,
+        }
+        for i, (t, p) in enumerate(zip(terms, positions))
+    ]

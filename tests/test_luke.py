@@ -52,3 +52,32 @@ def test_luke_sees_deletes(spark, tmp_path_factory):
     assert info["deletedDocs"] == n_del > 0
     assert info["numDocs"] == 120 - n_del
     assert info["maxDoc"] == 120
+
+
+# ------------------------------------------------- FieldAnalysisRequestHandler
+
+
+def test_analyze_field_attributes():
+    from lucene_solr_spark.luke import analyze_field
+
+    text = "the parseHttpRequest was sent"
+    out = analyze_field(text, analyzer="code", query="parse buffer")
+    terms = [t["term"] for t in out]
+    # camelCase split, stopwords dropped ('the', 'was')
+    assert terms == ["parse", "http", "request", "sent"]
+    # positions carry the stopword gap ('the' occupies slot 0)
+    assert [t["position"] for t in out] == [1, 2, 3, 5]
+    # offsets point into the ORIGINAL text
+    for t in out:
+        frag = text[t["start_offset"] : t["end_offset"]]
+        assert frag.lower() == t["term"]
+    # showMatch: only the query's analyzed terms flag
+    assert [t["match"] for t in out] == [True, False, False, False]
+
+
+def test_analyze_field_no_offsets_chain():
+    from lucene_solr_spark.luke import analyze_field
+
+    out = analyze_field("foo bar", analyzer="simple")
+    assert [t["term"] for t in out] == ["foo", "bar"]
+    assert all(t["start_offset"] is None for t in out)
