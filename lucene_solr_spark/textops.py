@@ -5860,7 +5860,199 @@ SELECT qid AS doc_id, lang AS predicted, cscore FROM (
 """
 
 
+def repetition_filter(spark, sf_dir):
+    """Gopher repetition rules (Rae et al. 2021, appendix A1.1 — the
+    MassiveText quality filter's n-gram family; public paper): per doc,
+    the fraction of characters covered by (a) the most frequent word
+    2-gram counting every occurrence (``top2_frac``, drop > 0.20) and
+    (b) ALL occurrences of duplicated word 5-grams (``dup5_frac``, drop
+    > 0.15). The corpus text is single-line, so the line-level rules of
+    the paper are vacuous here and the n-gram family is the load-bearing
+    one. Chars of an n-gram = its space-joined length; doc chars =
+    space-joined token length — identical convention in both engines.
+
+    Spark shape: element_at-based n-gram arrays (1-indexed, matching
+    DuckDB list indexing) → explode → (doc_id, gram) partial-agg groupBy →
+    per-doc max / conditional sum — two combinable aggregations, no
+    Python."""
+    d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
+
+    def grams(n):
+        # sequence(1, 0) is DESCENDING in Spark — short docs need the empty
+        # array branch, not a clamped bound
+        parts = ", ".join(f"element_at(arr, i + {k})" for k in range(n))
+        return F.expr(
+            f"transform(if(size(arr) >= {n}, sequence(1, size(arr) - {n - 1}), "
+            f"cast(array() as array<int>)), i -> concat_ws(' ', {parts}))"
+        )
+
+    tot = d.select(
+        "doc_id",
+        (
+            F.expr("aggregate(arr, 0, (acc, x) -> acc + length(x))")
+            + F.greatest(F.size("arr") - 1, F.lit(0))
+        ).alias("total_chars"),
+    )
+    g2 = (
+        d.select("doc_id", F.explode(grams(2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max(F.col("count") * F.length("gram")).alias("top2_chars"))
+    )
+    g5 = (
+        d.select("doc_id", F.explode(grams(5)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .count()
+        .filter(F.col("count") > 1)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("count") * F.length("gram")).alias("dup5_chars"))
+    )
+    j = (
+        tot.join(g2, "doc_id", "left")
+        .join(g5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("top2_chars"), F.lit(0))
+                / F.greatest(F.col("total_chars"), F.lit(1)),
+                4,
+            ).alias("top2_frac"),
+            F.round(
+                F.coalesce(F.col("dup5_chars"), F.lit(0))
+                / F.greatest(F.col("total_chars"), F.lit(1)),
+                4,
+            ).alias("dup5_frac"),
+        )
+    )
+    return j.withColumn(
+        "keep", (F.col("top2_frac") <= 0.20) & (F.col("dup5_frac") <= 0.15)
+    )
+
+
+REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOK_EXPR} AS arr FROM documents),
+tot AS (
+  SELECT doc_id,
+         coalesce(list_sum([len(x) for x in arr]), 0)
+           + greatest(len(arr) - 1, 0) AS total_chars
+  FROM t
+),
+g2 AS (
+  SELECT doc_id, max(cnt * len(gram)) AS top2_chars FROM (
+    SELECT doc_id, gram, count(*) AS cnt FROM (
+      SELECT doc_id, arr[i] || ' ' || arr[i+1] AS gram
+      FROM t, unnest(range(1, len(arr))) AS r(i)
+    ) GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+),
+g5 AS (
+  SELECT doc_id, sum(cnt * len(gram)) AS dup5_chars FROM (
+    SELECT doc_id, gram, count(*) AS cnt FROM (
+      SELECT doc_id,
+             arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' '
+               || arr[i+3] || ' ' || arr[i+4] AS gram
+      FROM t, unnest(range(1, len(arr) - 3)) AS r(i)
+    ) GROUP BY doc_id, gram
+  ) WHERE cnt > 1 GROUP BY doc_id
+)
+SELECT t.doc_id,
+       round(coalesce(top2_chars, 0) * 1.0 / greatest(total_chars, 1), 4) AS top2_frac,
+       round(coalesce(dup5_chars, 0) * 1.0 / greatest(total_chars, 1), 4) AS dup5_frac,
+       (coalesce(top2_chars, 0) * 1.0 / greatest(total_chars, 1) <= 0.20
+        AND coalesce(dup5_chars, 0) * 1.0 / greatest(total_chars, 1) <= 0.15) AS keep
+FROM t JOIN tot USING (doc_id)
+LEFT JOIN g2 ON t.doc_id = g2.doc_id
+LEFT JOIN g5 ON t.doc_id = g5.doc_id
+"""
+
+
+_CONTAM_N = 13  # the GPT-3 appendix-C 13-gram decontamination window
+_CONTAM_MOD = 97  # deterministic stand-in eval split: doc_id % 97 == 0
+
+
+def contamination_ngrams(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM 13-gram
+    overlap method; public papers): treat the deterministic split
+    ``doc_id % 97 == 0`` as the held-out benchmark, build its distinct
+    word 13-gram set, and report every training doc's overlap fraction
+    (|its 13-grams ∩ benchmark grams| / |its 13-grams|). Docs shorter
+    than 13 tokens have no grams → overlap 0.
+
+    Spark shape: grams explode on both sides, distinct benchmark grams,
+    one equi-join on the gram string + per-doc conditional count — the
+    benchmark side is corpus/97 so AQE broadcasts it at gate scale and
+    shuffles it at 100 TB; never an all-pairs comparison."""
+    d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
+    parts = ", ".join(f"element_at(arr, i + {k})" for k in range(_CONTAM_N))
+    grams = F.expr(
+        f"transform(if(size(arr) >= {_CONTAM_N}, "
+        f"sequence(1, size(arr) - {_CONTAM_N - 1}), "
+        f"cast(array() as array<int>)), i -> concat_ws(' ', {parts}))"
+    )
+    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    bench = (
+        g.filter(F.col("doc_id") % _CONTAM_MOD == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = g.filter(F.col("doc_id") % _CONTAM_MOD != 0)
+    per = (
+        train.join(bench, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+    )
+    base = d.filter(F.col("doc_id") % _CONTAM_MOD != 0).select("doc_id")
+    return (
+        base.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)),
+                4,
+            ).alias("overlap"),
+        )
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOK_EXPR} AS arr FROM documents),
+g AS (
+  SELECT doc_id,
+         arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3]
+           || ' ' || arr[i+4] || ' ' || arr[i+5] || ' ' || arr[i+6] || ' '
+           || arr[i+7] || ' ' || arr[i+8] || ' ' || arr[i+9] || ' '
+           || arr[i+10] || ' ' || arr[i+11] || ' ' || arr[i+12] AS gram
+  FROM t, unnest(range(1, len(arr) - {_CONTAM_N - 2})) AS r(i)
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_CONTAM_MOD} = 0),
+per AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM g LEFT JOIN bench ON g.gram = bench.gram
+  WHERE g.doc_id % {_CONTAM_MOD} <> 0
+  GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(n_hit, 0) * 1.0 / greatest(coalesce(n_grams, 0), 1), 4) AS overlap
+FROM t LEFT JOIN per ON t.doc_id = per.doc_id
+WHERE t.doc_id % {_CONTAM_MOD} <> 0
+"""
+
+
 TRAINING_EXTRA_OPS: dict[str, tuple] = {
+    "repetition_filter": (repetition_filter, REPETITION_SQL),
+    "contamination_ngrams": (contamination_ngrams, CONTAMINATION_SQL),
     "signature_dedup": (signature_dedup, SIGNATURE_DEDUP_SQL),
     "stc_clusters": (stc_clusters, STC_SQL),
     "lingo_clusters": (lingo_clusters, LINGO_SQL),
