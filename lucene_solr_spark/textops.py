@@ -6050,7 +6050,106 @@ WHERE t.doc_id % {_CONTAM_MOD} <> 0
 """
 
 
+def text_tagger(spark, sf_dir):
+    """SolrTextTagger role (``solr/core/src/java/org/apache/solr/handler/
+    tagger/TaggerRequestHandler.java:62``, the SolrTextTagger contrib):
+    tag every occurrence of a dictionary phrase in every document,
+    reporting (start, end) token positions and the matched entity, with
+    the ``overlaps=NO_SUB`` policy (a tag strictly contained in a longer
+    tag at the same place is dropped — ``TagClusterReducer.NO_SUB``).
+
+    The dictionary is derived deterministically in BOTH engines: the top
+    50 word 2-grams and top 25 word 3-grams by (count desc, gram asc) —
+    3-grams naturally contain frequent 2-gram prefixes, so NO_SUB has
+    real work to do. Spark shape: posexplode n-grams → broadcast
+    dictionary semi-join → NO_SUB as a doc-keyed anti-join (equi on
+    doc_id, containment as the residual condition); the dictionary is
+    broadcast-sized by construction (the tagger's FST role)."""
+    d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
+
+    def gram_pos(n):
+        parts = ", ".join(f"element_at(arr, i + {k})" for k in range(n))
+        g = F.expr(
+            f"transform(if(size(arr) >= {n}, sequence(1, size(arr) - {n - 1}), "
+            f"cast(array() as array<int>)), i -> concat_ws(' ', {parts}))"
+        )
+        return d.select("doc_id", F.posexplode(g).alias("off", "gram")).select(
+            "doc_id",
+            (F.col("off") + 1).cast("long").alias("start_pos"),
+            (F.col("off") + n).cast("long").alias("end_pos"),
+            "gram",
+        )
+
+    def top_dict(n, k):
+        return (
+            gram_pos(n)
+            .groupBy("gram")
+            .count()
+            .orderBy(F.col("count").desc(), F.col("gram").asc())
+            .limit(k)
+            .select("gram")
+        )
+
+    tags = None
+    for n, k in ((2, 50), (3, 25)):
+        cand = gram_pos(n).join(F.broadcast(top_dict(n, k)), "gram")
+        tags = cand if tags is None else tags.unionByName(cand)
+    b = tags.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("start_pos").alias("b_s"),
+        F.col("end_pos").alias("b_e"),
+    )
+    cond = (
+        (F.col("doc_id") == F.col("b_doc"))
+        & (F.col("b_s") <= F.col("start_pos"))
+        & (F.col("end_pos") <= F.col("b_e"))
+        & ((F.col("b_e") - F.col("b_s")) > (F.col("end_pos") - F.col("start_pos")))
+    )
+    return tags.join(b, cond, "left_anti").select(
+        "doc_id", "start_pos", "end_pos", F.col("gram").alias("entity")
+    )
+
+
+TEXT_TAGGER_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOK_EXPR} AS arr FROM documents),
+g2 AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS start_pos, CAST(i + 1 AS BIGINT) AS end_pos,
+         arr[i] || ' ' || arr[i+1] AS gram
+  FROM t, unnest(range(1, len(arr))) AS r(i)
+),
+g3 AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS start_pos, CAST(i + 2 AS BIGINT) AS end_pos,
+         arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
+  FROM t, unnest(range(1, len(arr) - 1)) AS r(i)
+),
+d2 AS (
+  SELECT gram FROM (
+    SELECT gram, count(*) AS cnt FROM g2 GROUP BY gram
+  ) ORDER BY cnt DESC, gram ASC LIMIT 50
+),
+d3 AS (
+  SELECT gram FROM (
+    SELECT gram, count(*) AS cnt FROM g3 GROUP BY gram
+  ) ORDER BY cnt DESC, gram ASC LIMIT 25
+),
+tags AS (
+  SELECT g2.* FROM g2 JOIN d2 USING (gram)
+  UNION ALL
+  SELECT g3.* FROM g3 JOIN d3 USING (gram)
+)
+SELECT a.doc_id, a.start_pos, a.end_pos, a.gram AS entity
+FROM tags a
+WHERE NOT EXISTS (
+  SELECT 1 FROM tags b
+  WHERE b.doc_id = a.doc_id AND b.start_pos <= a.start_pos
+    AND a.end_pos <= b.end_pos
+    AND (b.end_pos - b.start_pos) > (a.end_pos - a.start_pos)
+)
+"""
+
+
 TRAINING_EXTRA_OPS: dict[str, tuple] = {
+    "text_tagger": (text_tagger, TEXT_TAGGER_SQL),
     "repetition_filter": (repetition_filter, REPETITION_SQL),
     "contamination_ngrams": (contamination_ngrams, CONTAMINATION_SQL),
     "signature_dedup": (signature_dedup, SIGNATURE_DEDUP_SQL),
