@@ -387,3 +387,56 @@ def test_spatial_polygon_set_is_grid_pruned_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_text_tagger_no_sub_keeps_equi_anti_join(spark):
+    """NO_SUB containment must plan as a doc_id-keyed anti-join (hash/SMJ
+    with the containment as residual), never a nested-loop product."""
+    from lucene_solr_spark.textops import text_tagger
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(text_tagger(spark, sf))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_json_facet_partial_aggregation(spark, tiny_index):
+    """Facet groupBys must map-side combine (partial_count before the
+    exchange) and the sub-facet window must be partitioned."""
+    from lucene_solr_spark.search import IndexSearcher
+    from lucene_solr_spark.search.jsonfacet import json_facets
+
+    s = IndexSearcher(spark, tiny_index[0], analyzer="code")
+    out = json_facets(
+        {
+            "query": "parse",
+            "facet": {
+                "r": {
+                    "type": "terms",
+                    "field": "repo",
+                    "limit": 2,
+                    "facet": {
+                        "p": {"type": "terms", "field": "path", "limit": 2}
+                    },
+                }
+            },
+        },
+        searcher=s,
+    )
+    top = _plan(out["r"])
+    assert "partial_count" in top
+    sub = _plan(out["r.p"])
+    assert "partial_count" in sub
+    # per-parent rank: a partitioned window, not a global sort
+    assert "Window" in sub
+    assert "partitionBy" not in sub or "repo" in sub
+
+
+def test_repetition_filter_partial_aggregation(spark):
+    from lucene_solr_spark.textops import repetition_filter
+
+    sf = os.environ.get("LSS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    plan = _plan(repetition_filter(spark, sf))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
