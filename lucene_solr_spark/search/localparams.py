@@ -668,6 +668,81 @@ def local_query(
         for d in must_not:
             hits = hits.join(d.select(*ids), ids, "left_anti")
         return hits.select(*ids, F.col("_s").alias("score"))
+    if typ == "graph":
+        # GraphQParserPlugin (solr/core/.../search/join/GraphQParserPlugin
+        # .java:30 + GraphQuery.java:47): BFS over same-collection edges —
+        # collect the current docs' toField edge ids, next hop = docs whose
+        # fromField is one of them; maxDepth counts start nodes as depth 1;
+        # returnRoot / onlyLeafNodes (no toField values) / traversalFilter
+        # (applied to every hop's candidates, not the roots) as in the
+        # reference. Spark shape: per-level distinct edge-id relation
+        # equi-joined back to the frame (AQE broadcasts the frontier),
+        # visited anti-join guarantees strict growth so the loop terminates
+        # in ≤ |nodes| levels; localCheckpoint per level cuts lineage (the
+        # shortest_path pattern). The only driver-side value per level is
+        # ONE count() emptiness probe.
+        from pyspark.sql.types import ArrayType
+
+        if frame is None:
+            raise ValueError("{!graph} needs a frame")
+        f_from = lp.get("from", "node_id")
+        f_to = lp.get("to", "edge_ids")
+        for f in (f_from, f_to):
+            if f not in frame.columns:
+                raise ValueError(
+                    f"{{!graph}} field {f!r}: not a column "
+                    f"(have: {', '.join(frame.columns)})"
+                )
+        max_depth = int(lp.get("maxDepth", "-1"))
+        return_root = lp.get("returnRoot", "true") != "false"
+        only_leaf = lp.get("onlyLeafNodes", "false") == "true"
+        trav = lp.get("traversalFilter")
+        to_is_array = isinstance(frame.schema[f_to].dataType, ArrayType)
+
+        def _edge_vals(rows: DataFrame) -> DataFrame:
+            c = F.explode(F.col(f_to)) if to_is_array else F.col(f_to)
+            return (
+                rows.select(c.alias(f_from))
+                .filter(F.col(f_from).isNotNull())
+                .distinct()
+            )
+
+        roots = frame.filter(F.expr(body)).localCheckpoint(eager=False)
+        cand = frame.filter(F.expr(trav)) if trav else frame
+        visited_ids = roots.select(f_from).distinct()
+        levels = [roots]
+        frontier = roots
+        depth = 1
+        while max_depth < 0 or depth < max_depth:
+            nxt = (
+                cand.join(_edge_vals(frontier), f_from, "left_semi")
+                .join(visited_ids, f_from, "left_anti")
+                .localCheckpoint(eager=False)
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            levels.append(nxt)
+            # checkpoint the growing visited set too — without it the
+            # anti-join's lineage deepens every level and a long chain
+            # (graph diameter ≈ levels) goes quadratic
+            visited_ids = (
+                visited_ids.unionByName(nxt.select(f_from).distinct())
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            frontier = nxt
+            depth += 1
+        from functools import reduce
+
+        out = reduce(lambda a, b: a.unionByName(b), levels[0 if return_root else 1:] or [roots.limit(0)])
+        if only_leaf:
+            leaf = (
+                (F.col(f_to).isNull() | (F.size(f_to) == 0))
+                if to_is_array
+                else F.col(f_to).isNull()
+            )
+            out = out.filter(leaf)
+        return out
     if typ == "rerank":
         # ReRankQParserPlugin ({!rerank reRankQuery=.. reRankDocs=N
         # reRankWeight=W}main) → QueryRescorer two-phase combine
@@ -681,7 +756,8 @@ def local_query(
         first = searcher.search(body, k=n)
         return searcher.rescore(first, rq, weight=w, k=n)
     raise ValueError(
-        f"unknown local-params type {typ!r} — graph/collapse have "
-        "dedicated operators (graph.*, relational.collapse_expand_*); "
-        "block join over two tables: relational.block_join_*"
+        f"unknown local-params type {typ!r} — collapse has a dedicated "
+        "operator (relational.collapse_expand_*); block join over two "
+        "tables: relational.block_join_*; cross-collection graph walks: "
+        "graph.*"
     )

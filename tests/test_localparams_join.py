@@ -316,3 +316,68 @@ def test_xmlparser_routing(searcher):
         ).drop("qid")
     )
     assert res == want and res
+
+
+# ---------------------------------------------------------------- {!graph}
+
+
+@pytest.fixture(scope="module")
+def graph_frame(spark):
+    """a → [b, c]; b → [d]; c → []; d → [a] (cycle back); e isolated."""
+    rows = [
+        ("a", ["b", "c"], 1),
+        ("b", ["d"], 2),
+        ("c", [], 3),
+        ("d", ["a"], 4),
+        ("e", None, 5),
+    ]
+    return spark.createDataFrame(rows, "node_id string, edge_ids array<string>, w int")
+
+
+def _nodes(df):
+    return sorted(r.node_id for r in df.collect())
+
+
+def test_graph_full_traversal_terminates_on_cycle(graph_frame):
+    out = local_query("{!graph}node_id = 'a'", frame=graph_frame)
+    assert _nodes(out) == ["a", "b", "c", "d"]  # e unreachable; cycle stops
+
+
+def test_graph_max_depth_counts_roots_as_depth_one(graph_frame):
+    out = local_query("{!graph maxDepth=2}node_id = 'a'", frame=graph_frame)
+    assert _nodes(out) == ["a", "b", "c"]
+    out1 = local_query("{!graph maxDepth=1}node_id = 'a'", frame=graph_frame)
+    assert _nodes(out1) == ["a"]
+
+
+def test_graph_return_root_false(graph_frame):
+    out = local_query(
+        "{!graph returnRoot=false maxDepth=2}node_id = 'a'", frame=graph_frame
+    )
+    assert _nodes(out) == ["b", "c"]
+
+
+def test_graph_only_leaf_nodes(graph_frame):
+    out = local_query("{!graph onlyLeafNodes=true}node_id = 'a'", frame=graph_frame)
+    assert _nodes(out) == ["c"]  # the only reachable doc with no edges
+
+
+def test_graph_traversal_filter_prunes_hops_not_roots(graph_frame):
+    # filter excludes b (w=2) from traversal; roots are exempt (GraphQuery
+    # applies traversalFilter per-hop)
+    out = local_query(
+        "{!graph traversalFilter='w <> 2'}node_id = 'a'", frame=graph_frame
+    )
+    assert _nodes(out) == ["a", "c"]  # b pruned, so d never reached
+
+
+def test_graph_scalar_to_field(spark):
+    rows = [("a", "b"), ("b", "c"), ("c", None)]
+    df = spark.createDataFrame(rows, "node_id string, edge_ids string")
+    out = local_query("{!graph}node_id = 'a'", frame=df)
+    assert _nodes(out) == ["a", "b", "c"]
+
+
+def test_graph_unknown_field_raises(graph_frame):
+    with pytest.raises(ValueError, match="not a column"):
+        local_query("{!graph from=nope}node_id = 'a'", frame=graph_frame)
