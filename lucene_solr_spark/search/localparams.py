@@ -743,6 +743,63 @@ def local_query(
             )
             out = out.filter(leaf)
         return out
+    if typ == "collapse":
+        # CollapsingQParserPlugin (solr/core/.../search/
+        # CollapsingQParserPlugin.java:120): collapse the result set to one
+        # head doc per collapse-field group — default head = highest score,
+        # min=/max= pick by a field instead; nullPolicy ignore (drop null-
+        # field docs, the default) | expand (each null doc is its own
+        # group) | collapse (all nulls form one group). Frame shape: ONE
+        # partitioned window (parallel across groups; the gated
+        # relational.collapse_expand_* ops are the paged two-stage
+        # variant with expansion).
+        from pyspark.sql import Window
+
+        if frame is None:
+            raise ValueError("{!collapse} needs a frame")
+        fld = lp.get("field")
+        if not fld:
+            raise ValueError("{!collapse} needs field=")
+        if fld not in frame.columns:
+            raise ValueError(
+                f"{{!collapse}} field {fld!r}: not a column "
+                f"(have: {', '.join(frame.columns)})"
+            )
+        rows = frame.filter(F.expr(body)) if body.strip() else frame
+        policy = lp.get("nullPolicy", "ignore")
+        if policy not in ("ignore", "expand", "collapse"):
+            raise ValueError(
+                f"{{!collapse}} nullPolicy={policy!r}: ignore|expand|collapse"
+            )
+        sel_min, sel_max = lp.get("min"), lp.get("max")
+        if sel_min and sel_max:
+            raise ValueError("{!collapse} takes min= or max=, not both")
+        if sel_min:
+            order = [F.col(sel_min).asc()]
+        elif sel_max:
+            order = [F.col(sel_max).desc()]
+        elif "score" in rows.columns:
+            order = [F.col("score").desc()]
+        else:
+            raise ValueError(
+                "{!collapse} needs min=/max= when the frame has no score "
+                "column"
+            )
+        for tie in ("segment_id", "doc_id"):
+            if tie in rows.columns:
+                order.append(F.col(tie).asc())
+        nn = rows.filter(F.col(fld).isNotNull())
+        nulls = rows.filter(F.col(fld).isNull())
+        if policy == "collapse":
+            nn = nn.unionByName(nulls)  # one shared null group
+            nulls = nulls.limit(0)
+        w = Window.partitionBy(fld).orderBy(*order)
+        heads = (
+            nn.withColumn("_cr", F.row_number().over(w))
+            .filter(F.col("_cr") == 1)
+            .drop("_cr")
+        )
+        return heads.unionByName(nulls) if policy == "expand" else heads
     if typ == "rerank":
         # ReRankQParserPlugin ({!rerank reRankQuery=.. reRankDocs=N
         # reRankWeight=W}main) → QueryRescorer two-phase combine
@@ -756,8 +813,8 @@ def local_query(
         first = searcher.search(body, k=n)
         return searcher.rescore(first, rq, weight=w, k=n)
     raise ValueError(
-        f"unknown local-params type {typ!r} — collapse has a dedicated "
-        "operator (relational.collapse_expand_*); block join over two "
-        "tables: relational.block_join_*; cross-collection graph walks: "
-        "graph.*"
+        f"unknown local-params type {typ!r} — expand-after-collapse and "
+        "block join over two tables have dedicated operators "
+        "(relational.collapse_expand_*, relational.block_join_*); "
+        "cross-collection graph walks: graph.*"
     )

@@ -71,11 +71,13 @@ def test_dispatch_lucene_and_boost(spark, tiny_index):
 
 def test_dispatch_unknown_type_names_operators():
     with pytest.raises(ValueError, match="dedicated"):
-        local_query("{!collapse field=a}x", frame=None)
-    # {!graph} is dispatched now (test_localparams_join.py) — it demands
-    # its frame rather than falling through to unknown-type
+        local_query("{!mlt}x", frame=None)
+    # {!graph}/{!collapse} are dispatched now (test_localparams_join.py) —
+    # they demand their frame rather than falling through to unknown-type
     with pytest.raises(ValueError, match="needs a frame"):
         local_query("{!graph from=a to=b}x", frame=None)
+    with pytest.raises(ValueError, match="needs a frame"):
+        local_query("{!collapse field=a}x", frame=None)
     # {!parent} is dispatched now (test_localparams_join.py) — it demands
     # the nested-docs frame rather than falling through to unknown-type
     with pytest.raises(ValueError, match="needs a frame"):

@@ -381,3 +381,54 @@ def test_graph_scalar_to_field(spark):
 def test_graph_unknown_field_raises(graph_frame):
     with pytest.raises(ValueError, match="not a column"):
         local_query("{!graph from=nope}node_id = 'a'", frame=graph_frame)
+
+
+# -------------------------------------------------------------- {!collapse}
+
+
+@pytest.fixture(scope="module")
+def collapse_frame(spark):
+    rows = [
+        ("g1", 1.0, 10, 1), ("g1", 3.0, 5, 2), ("g2", 2.0, 7, 3),
+        (None, 9.0, 1, 4), (None, 8.0, 2, 5),
+    ]
+    return spark.createDataFrame(rows, "grp string, score double, v int, id int")
+
+
+def test_collapse_default_highest_score(collapse_frame):
+    out = local_query("{!collapse field=grp}", frame=collapse_frame)
+    assert sorted((r.grp, r.id) for r in out.collect()) == [("g1", 2), ("g2", 3)]
+
+
+def test_collapse_min_field(collapse_frame):
+    out = local_query("{!collapse field=grp min=v}", frame=collapse_frame)
+    assert sorted((r.grp, r.id) for r in out.collect()) == [("g1", 2), ("g2", 3)]
+    out2 = local_query("{!collapse field=grp max=v}", frame=collapse_frame)
+    assert sorted((r.grp, r.id) for r in out2.collect()) == [("g1", 1), ("g2", 3)]
+
+
+def test_collapse_null_policies(collapse_frame):
+    # ignore (default): null-group docs dropped
+    out = local_query("{!collapse field=grp}", frame=collapse_frame)
+    assert all(r.grp is not None for r in out.collect())
+    # expand: nulls pass through uncollapsed
+    out_e = local_query(
+        "{!collapse field=grp nullPolicy=expand}", frame=collapse_frame
+    )
+    assert sorted(r.id for r in out_e.collect()) == [2, 3, 4, 5]
+    # collapse: all nulls form one group (best score wins)
+    out_c = local_query(
+        "{!collapse field=grp nullPolicy=collapse}", frame=collapse_frame
+    )
+    assert sorted(r.id for r in out_c.collect()) == [2, 3, 4]
+
+
+def test_collapse_body_filters_first(collapse_frame):
+    out = local_query("{!collapse field=grp}v > 5", frame=collapse_frame)
+    assert sorted((r.grp, r.id) for r in out.collect()) == [("g1", 1), ("g2", 3)]
+
+
+def test_collapse_requires_selector_without_score(spark):
+    df = spark.createDataFrame([("g", 1)], "grp string, v int")
+    with pytest.raises(ValueError, match="min=/max="):
+        local_query("{!collapse field=grp}", frame=df)
