@@ -49,20 +49,20 @@ _TOKEN_RE = re.compile(
 _FUNCS = {
     "abs": (1, F.abs),
     "acos": (1, F.acos),
-    "acosh": (1, lambda x: F.log(x + F.sqrt(x * x - 1))),
+    "acosh": (1, lambda x: _jln(x + F.sqrt(x * x - 1))),
     "asin": (1, F.asin),
     "asinh": (1, lambda x: F.log(x + F.sqrt(x * x + 1))),
     "atan": (1, F.atan),
     "atan2": (2, F.atan2),
-    "atanh": (1, lambda x: F.lit(0.5) * F.log((1 + x) / (1 - x))),
+    "atanh": (1, lambda x: F.lit(0.5) * _jln(_jdiv(F.lit(1.0) + x, F.lit(1.0) - x))),
     "ceil": (1, lambda x: F.ceil(x).cast("double")),
     "cos": (1, F.cos),
     "cosh": (1, F.cosh),
     "exp": (1, F.exp),
     "floor": (1, lambda x: F.floor(x).cast("double")),
-    "ln": (1, F.log),
-    "log10": (1, F.log10),
-    "logn": (2, lambda base, x: F.log(x) / F.log(base)),  # MathUtil.log(base, x)
+    "ln": (1, lambda x: _jln(x)),
+    "log10": (1, lambda x: _jdiv(_jln(x), F.lit(math.log(10.0)))),
+    "logn": (2, lambda base, x: _jdiv(_jln(x), _jln(base))),  # MathUtil.log(base, x)
     "max": (2, F.greatest),
     "min": (2, F.least),
     "pow": (2, F.pow),
@@ -150,6 +150,26 @@ def _jrem(a: Column, b: Column) -> Column:
     return F.when(b != 0, a % b).otherwise(F.lit(float("nan")))
 
 
+def _jln(x: Column) -> Column:
+    """Java ``Math.log``: log(0) → -Inf, log(<0) → NaN (Spark's ``log``
+    returns NULL for both — a silent divergence the comparisons would
+    then propagate)."""
+    return (
+        F.when(F.isnan(x), F.lit(float("nan")))
+        .when(x < 0, F.lit(float("nan")))
+        .when(x == 0, F.lit(float("-inf")))
+        .otherwise(F.log(x))
+    )
+
+
+def _nan_cmp(a: Column, b: Column, op) -> Column:
+    """Java comparison bytecode: every ordered comparison with a NaN
+    operand is FALSE (Spark instead treats NaN as equal to itself and
+    greater than everything)."""
+    either_nan = F.isnan(a) | F.isnan(b)
+    return _as_double(~either_nan & op(a, b))
+
+
 class _Parser:
     def __init__(self, tokens, bindings):
         self.toks = tokens
@@ -230,9 +250,11 @@ class _Parser:
         c = self.cmp()
         while True:
             if self.eat("=="):
-                c = _as_double(c == self.cmp())
+                c = _nan_cmp(c, self.cmp(), lambda a, b: a == b)
             elif self.eat("!="):
-                c = _as_double(c != self.cmp())
+                # Java: x != NaN is TRUE (the negation of the false ==)
+                r = self.cmp()
+                c = _as_double(F.isnan(c) | F.isnan(r) | (c != r))
             else:
                 return c
 
@@ -240,13 +262,13 @@ class _Parser:
         c = self.shift()
         while True:
             if self.eat("<="):
-                c = _as_double(c <= self.shift())
+                c = _nan_cmp(c, self.shift(), lambda a, b: a <= b)
             elif self.eat(">="):
-                c = _as_double(c >= self.shift())
+                c = _nan_cmp(c, self.shift(), lambda a, b: a >= b)
             elif self.eat("<"):
-                c = _as_double(c < self.shift())
+                c = _nan_cmp(c, self.shift(), lambda a, b: a < b)
             elif self.eat(">"):
-                c = _as_double(c > self.shift())
+                c = _nan_cmp(c, self.shift(), lambda a, b: a > b)
             else:
                 return c
 
@@ -505,7 +527,12 @@ class _PyEval(_Parser):
                 c = c * self.unary()
             elif self.eat("/"):
                 r = self.unary()
-                c = c / r if r != 0 else math.copysign(math.inf, c) if c != 0 else math.nan
+                if r != 0:
+                    c = c / r
+                elif math.isnan(c) or math.isnan(r):
+                    c = math.nan
+                else:
+                    c = math.copysign(math.inf, c) if c != 0 else math.nan
             elif self.eat("%"):
                 r = self.unary()
                 c = math.fmod(c, r) if r != 0 else math.nan
@@ -526,26 +553,26 @@ class _PyEval(_Parser):
     _PYF = {
         "abs": abs,
         "acos": math.acos,
-        "acosh": math.acosh,
+        "acosh": lambda x: _pylog(x + math.sqrt(x * x - 1)) if x * x >= 1 else math.nan,
         "asin": math.asin,
         "asinh": math.asinh,
         "atan": math.atan,
         "atan2": math.atan2,
-        "atanh": math.atanh,
+        "atanh": lambda x: 0.5 * _pylog(_pydiv(1.0 + x, 1.0 - x)),
         "ceil": lambda x: float(math.ceil(x)),
         "cos": math.cos,
         "cosh": math.cosh,
         "exp": math.exp,
         "floor": lambda x: float(math.floor(x)),
-        "ln": math.log,
-        "log10": math.log10,
-        "logn": lambda base, x: math.log(x) / math.log(base),
+        "ln": lambda x: _pylog(x),
+        "log10": lambda x: _pydiv(_pylog(x), math.log(10.0)),
+        "logn": lambda base, x: _pydiv(_pylog(x), _pylog(base)),
         "max": max,
         "min": min,
         "pow": math.pow,
         "sin": math.sin,
         "sinh": math.sinh,
-        "sqrt": math.sqrt,
+        "sqrt": lambda x: math.sqrt(x) if x >= 0 else math.nan,
         "tan": math.tan,
         "tanh": math.tanh,
     }
@@ -580,8 +607,30 @@ class _PyEval(_Parser):
                     return 2 * _EARTH_RADIUS_KM * math.asin(math.sqrt(h))
                 if v not in self._PYF:
                     raise ValueError(f"unknown function {v!r}")
-                return float(self._PYF[v](*args))
+                try:
+                    return float(self._PYF[v](*args))
+                except ValueError:
+                    return math.nan  # Java Math.* return NaN off-domain
+                except OverflowError:
+                    return math.inf
             if v in self.vars:
                 return float(self.vars[v])
             raise ValueError(f"unbound variable {v!r}")
         raise ValueError(f"unexpected token {v!r}")
+
+
+def _pylog(x: float) -> float:
+    """Java ``Math.log`` for the twin: log(0) → -Inf, log(<0) → NaN."""
+    if math.isnan(x) or x < 0:
+        return math.nan
+    if x == 0:
+        return -math.inf
+    return math.log(x)
+
+
+def _pydiv(a: float, b: float) -> float:
+    if b != 0:
+        return a / b
+    if math.isnan(a) or math.isnan(b):
+        return math.nan
+    return math.copysign(math.inf, a) if a != 0 else math.nan

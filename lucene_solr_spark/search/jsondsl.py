@@ -277,14 +277,26 @@ def json_request(body: dict, searcher, params: dict | None = None) -> DataFrame:
             df = df.offset(offset)
         return df if limit is None else df.limit(limit)
 
+    def join_stored(df: DataFrame, bounded: bool) -> DataFrame:
+        if bounded:
+            # ≤ offset+limit rows — the broadcast two-phase fetch
+            return searcher.fetch(df, cols=stored_needed)
+        # unbounded side (limit: None, or pre-sort fetch): a plain equi-
+        # join — broadcasting the full match set would ship it to every
+        # executor (and through the driver) at scale; let AQE size it
+        docs = searcher.spark.read.parquet(searcher.index_dir + "/docs").select(
+            *_IDS, *stored_needed
+        )
+        return df.join(docs, list(_IDS))
+
     if {f for f, _ in sort} <= set(hits.columns):
         # two-phase: rank + page on the hit frame, fetch stored fields for
         # the surviving page only (PURPOSE_GET_FIELDS)
         hits = page(hits)
         if stored_needed:
-            # fetch is a join — restore the page order afterwards
-            hits = searcher.fetch(hits, cols=stored_needed).orderBy(*order)
+            # the join loses the page order — restore it
+            hits = join_stored(hits, bounded=limit is not None).orderBy(*order)
     else:
         # the sort itself reads stored columns: fetch first, then page
-        hits = page(searcher.fetch(hits, cols=stored_needed))
+        hits = page(join_stored(hits, bounded=False))
     return hits.select(*fields)

@@ -453,6 +453,14 @@ class _FacetEval:
             sub_rows = rows.filter((v >= start) & (v < end)).withColumn(
                 "val", bucket
             )
+            if mincount > 0:
+                # sub-facets only for SURVIVING buckets (Solr emits them
+                # per returned bucket; the bucket list is ≤ n_buckets →
+                # broadcast-sized)
+                keep = g.select(*parents, "val")
+                sub_rows = sub_rows.join(
+                    F.broadcast(keep), [*parents, "val"], "left_semi"
+                )
             self._eval(sub_rows, subfacets, parents=[*parents, "val"], path=key)
 
 

@@ -549,8 +549,12 @@ def local_query(
             )
         eds = searcher
 
-        def _field_boosts(spec: str) -> dict[str, float]:
-            # Solr qf/pf syntax: whitespace-separated field^boost tokens
+        def _field_boosts(spec) -> dict[str, float]:
+            # Solr qf/pf syntax: whitespace-separated field^boost tokens;
+            # repeated params (a list here) append, like Solr's multi-
+            # valued qf
+            if isinstance(spec, list):
+                spec = " ".join(spec)
             out: dict[str, float] = {}
             for tok in spec.split():
                 fld, _, bst = tok.partition("^")
@@ -575,18 +579,26 @@ def local_query(
                 override.boosts = qf
                 override.searchers = {f: eds.searchers[f] for f in qf}
             eds = override
+        def _scalar(key):
+            v = lp[key]
+            if isinstance(v, list):
+                raise ValueError(f"{{!{typ}}} {key}= given more than once")
+            return v
+
         kwargs: dict = {"k": None}
         if "mm" in lp:
-            kwargs["mm"] = lp["mm"]
+            kwargs["mm"] = _scalar("mm")
         for key in ("pf", "pf2", "pf3"):
             if key in lp:
                 kwargs[key] = _field_boosts(lp[key])
         for key in ("ps", "ps2", "ps3"):
             if key in lp:
-                kwargs[key] = int(lp[key])
+                kwargs[key] = int(_scalar(key))
         for key in ("bq", "bf", "boost"):
             if key in lp:
-                kwargs[key] = [lp[key]]
+                # genuinely multi-valued in Solr — flatten repeated params
+                v = lp[key]
+                kwargs[key] = v if isinstance(v, list) else [v]
         return eds.search(body, **kwargs)
     if typ == "bool":
         # BoolQParserPlugin (solr/core/.../search/BoolQParserPlugin.java:39):
@@ -712,7 +724,11 @@ def local_query(
         visited_ids = roots.select(f_from).distinct()
         levels = [roots]
         frontier = roots
-        depth = 1
+        # GraphQuery.java:190-231: the root set is depth 0 (currentDepth
+        # starts there) and maxDepth counts EDGE HOPS — maxDepth=1 returns
+        # roots plus their direct neighbors. (The class javadoc's "start
+        # nodes is depth=1" comment contradicts the code; the code wins.)
+        depth = 0
         while max_depth < 0 or depth < max_depth:
             nxt = (
                 cand.join(_edge_vals(frontier), f_from, "left_semi")
@@ -774,6 +790,12 @@ def local_query(
         sel_min, sel_max = lp.get("min"), lp.get("max")
         if sel_min and sel_max:
             raise ValueError("{!collapse} takes min= or max=, not both")
+        for sel in (sel_min, sel_max):
+            if sel and sel not in rows.columns:
+                raise ValueError(
+                    f"{{!collapse}} selector {sel!r}: not a column "
+                    f"(have: {', '.join(rows.columns)})"
+                )
         if sel_min:
             order = [F.col(sel_min).asc()]
         elif sel_max:
@@ -785,9 +807,14 @@ def local_query(
                 "{!collapse} needs min=/max= when the frame has no score "
                 "column"
             )
-        for tie in ("segment_id", "doc_id"):
-            if tie in rows.columns:
-                order.append(F.col(tie).asc())
+        # deterministic head on order ties: engine doc ids when present
+        # (Solr's lowest-docid tie-break), else every remaining column —
+        # an under-specified window would pick a different head per run
+        tie_cols = [c for c in ("segment_id", "doc_id") if c in rows.columns]
+        if not tie_cols:
+            used = {fld, sel_min, sel_max, "score" if not (sel_min or sel_max) else None}
+            tie_cols = [c for c in rows.columns if c not in used]
+        order += [F.col(c).asc() for c in tie_cols]
         nn = rows.filter(F.col(fld).isNotNull())
         nulls = rows.filter(F.col(fld).isNull())
         if policy == "collapse":

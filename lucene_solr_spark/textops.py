@@ -5860,6 +5860,17 @@ SELECT qid AS doc_id, lang AS predicted, cscore FROM (
 """
 
 
+def _gram_expr(n: int) -> str:
+    """Word n-gram array as one Catalyst expression (1-indexed element_at,
+    matching DuckDB list indexing). sequence(1, 0) is DESCENDING in Spark,
+    so docs shorter than n take the explicit empty-array branch."""
+    parts = ", ".join(f"element_at(arr, i + {k})" for k in range(n))
+    return (
+        f"transform(if(size(arr) >= {n}, sequence(1, size(arr) - {n - 1}), "
+        f"cast(array() as array<int>)), i -> concat_ws(' ', {parts}))"
+    )
+
+
 def repetition_filter(spark, sf_dir):
     """Gopher repetition rules (Rae et al. 2021, appendix A1.1 — the
     MassiveText quality filter's n-gram family; public paper): per doc,
@@ -5878,13 +5889,7 @@ def repetition_filter(spark, sf_dir):
     d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
 
     def grams(n):
-        # sequence(1, 0) is DESCENDING in Spark — short docs need the empty
-        # array branch, not a clamped bound
-        parts = ", ".join(f"element_at(arr, i + {k})" for k in range(n))
-        return F.expr(
-            f"transform(if(size(arr) >= {n}, sequence(1, size(arr) - {n - 1}), "
-            f"cast(array() as array<int>)), i -> concat_ws(' ', {parts}))"
-        )
+        return F.expr(_gram_expr(n))
 
     tot = d.select(
         "doc_id",
@@ -5908,25 +5913,23 @@ def repetition_filter(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum(F.col("count") * F.length("gram")).alias("dup5_chars"))
     )
-    j = (
+    top2 = F.coalesce(F.col("top2_chars"), F.lit(0)) / F.greatest(
+        F.col("total_chars"), F.lit(1)
+    )
+    dup5 = F.coalesce(F.col("dup5_chars"), F.lit(0)) / F.greatest(
+        F.col("total_chars"), F.lit(1)
+    )
+    # keep decides on the UNROUNDED fractions (the oracle SQL does too —
+    # rounding first would flip docs in the half-ulp window at a threshold)
+    return (
         tot.join(g2, "doc_id", "left")
         .join(g5, "doc_id", "left")
         .select(
             "doc_id",
-            F.round(
-                F.coalesce(F.col("top2_chars"), F.lit(0))
-                / F.greatest(F.col("total_chars"), F.lit(1)),
-                4,
-            ).alias("top2_frac"),
-            F.round(
-                F.coalesce(F.col("dup5_chars"), F.lit(0))
-                / F.greatest(F.col("total_chars"), F.lit(1)),
-                4,
-            ).alias("dup5_frac"),
+            F.round(top2, 4).alias("top2_frac"),
+            F.round(dup5, 4).alias("dup5_frac"),
+            ((top2 <= 0.20) & (dup5 <= 0.15)).alias("keep"),
         )
-    )
-    return j.withColumn(
-        "keep", (F.col("top2_frac") <= 0.20) & (F.col("dup5_frac") <= 0.15)
     )
 
 
@@ -5984,12 +5987,7 @@ def contamination_ngrams(spark, sf_dir):
     benchmark side is corpus/97 so AQE broadcasts it at gate scale and
     shuffles it at 100 TB; never an all-pairs comparison."""
     d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
-    parts = ", ".join(f"element_at(arr, i + {k})" for k in range(_CONTAM_N))
-    grams = F.expr(
-        f"transform(if(size(arr) >= {_CONTAM_N}, "
-        f"sequence(1, size(arr) - {_CONTAM_N - 1}), "
-        f"cast(array() as array<int>)), i -> concat_ws(' ', {parts}))"
-    )
+    grams = F.expr(_gram_expr(_CONTAM_N))
     g = d.select("doc_id", F.explode(grams).alias("gram"))
     bench = (
         g.filter(F.col("doc_id") % _CONTAM_MOD == 0)
@@ -6068,11 +6066,7 @@ def text_tagger(spark, sf_dir):
     d = _docs(spark, sf_dir).withColumn("arr", F.expr(_TOK_EXPR))
 
     def gram_pos(n):
-        parts = ", ".join(f"element_at(arr, i + {k})" for k in range(n))
-        g = F.expr(
-            f"transform(if(size(arr) >= {n}, sequence(1, size(arr) - {n - 1}), "
-            f"cast(array() as array<int>)), i -> concat_ws(' ', {parts}))"
-        )
+        g = F.expr(_gram_expr(n))
         return d.select("doc_id", F.posexplode(g).alias("off", "gram")).select(
             "doc_id",
             (F.col("off") + 1).cast("long").alias("start_pos"),

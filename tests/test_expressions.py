@@ -62,6 +62,26 @@ VECTORS = [
     "haversin(38.898, -77.037, 38.897, -77.043)",
     # composite
     "sqrt(popularity) * (a > 2 ? 1.5 : 0.5) + ln(c + 1)",
+    # Java NaN / domain semantics (division, comparisons, log family)
+    "1 / 0",
+    "(0 - 1) / 0",
+    "0 / 0",
+    "5 % 0",
+    "(0/0) == (0/0)",
+    "(0/0) > 1",
+    "(0/0) <= (0/0)",
+    "(0/0) != 1",
+    "1 != (0/0)",
+    "(0/0) ? 1 : 2",
+    "ln(0)",
+    "ln(0 - 1)",
+    "log10(0)",
+    "logn(1, 8)",
+    "sqrt(0 - 4)",
+    "atanh(1)",
+    "atanh(0 - 1)",
+    "acosh(0.5)",
+    "(0/0)/0",
 ]
 
 

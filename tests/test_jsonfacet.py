@@ -460,3 +460,26 @@ def test_relatedness_needs_param_refs(searcher):
             },
             searcher=searcher,
         )
+
+
+def test_range_subfacet_restricted_to_surviving_buckets(searcher):
+    out = json_facets(
+        {
+            "query": "parse",
+            "facet": {
+                "sc": {
+                    "type": "range",
+                    "field": "score",
+                    "start": 0,
+                    "end": 3,
+                    "gap": 0.5,
+                    "mincount": 2,
+                    "facet": {"repos": {"type": "terms", "field": "repo", "limit": -1}},
+                }
+            },
+        },
+        searcher=searcher,
+    )
+    surviving = {float(r.val) for r in out["sc"].collect()}
+    sub_parents = {float(r.val) for r in out["sc.repos"].collect()}
+    assert sub_parents <= surviving  # no sub-facet rows for dropped buckets

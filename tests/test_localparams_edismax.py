@@ -97,3 +97,19 @@ def test_edismax_needs_edismax_searcher(spark, tiny_index):
     s = IndexSearcher(spark, d, analyzer="code")
     with pytest.raises(ValueError, match="EDisMaxSearcher"):
         local_query("{!edismax}parse", searcher=s)
+
+
+def test_multivalued_bq_params(eds):
+    """Repeated bq= local params (Solr's genuinely multi-valued boost
+    queries) must flatten into the bq list, not nest."""
+    both = local_query("{!edismax bq=parse bq=http}buffer", searcher=eds)
+    one = local_query("{!edismax bq=parse}buffer", searcher=eds)
+    h_both = {(r.segment_id, r.doc_id): r.score for r in both.collect()}
+    h_one = {(r.segment_id, r.doc_id): r.score for r in one.collect()}
+    assert set(h_both) == set(h_one)
+    assert any(h_both[k] > h_one[k] for k in h_both)  # the second bq adds
+
+
+def test_repeated_scalar_param_raises(eds):
+    with pytest.raises(ValueError, match="more than once"):
+        local_query("{!edismax mm=1 mm=2}buffer", searcher=eds)

@@ -343,16 +343,17 @@ def test_graph_full_traversal_terminates_on_cycle(graph_frame):
     assert _nodes(out) == ["a", "b", "c", "d"]  # e unreachable; cycle stops
 
 
-def test_graph_max_depth_counts_roots_as_depth_one(graph_frame):
-    out = local_query("{!graph maxDepth=2}node_id = 'a'", frame=graph_frame)
+def test_graph_max_depth_counts_edge_hops(graph_frame):
+    # GraphQuery.java:190-231: roots are depth 0, maxDepth = edge hops
+    out = local_query("{!graph maxDepth=1}node_id = 'a'", frame=graph_frame)
     assert _nodes(out) == ["a", "b", "c"]
-    out1 = local_query("{!graph maxDepth=1}node_id = 'a'", frame=graph_frame)
-    assert _nodes(out1) == ["a"]
+    out0 = local_query("{!graph maxDepth=0}node_id = 'a'", frame=graph_frame)
+    assert _nodes(out0) == ["a"]
 
 
 def test_graph_return_root_false(graph_frame):
     out = local_query(
-        "{!graph returnRoot=false maxDepth=2}node_id = 'a'", frame=graph_frame
+        "{!graph returnRoot=false maxDepth=1}node_id = 'a'", frame=graph_frame
     )
     assert _nodes(out) == ["b", "c"]
 
